@@ -1,0 +1,133 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+Beyond-reference extensions (SURVEY.md §7): language ID, quality scoring,
+token counting, document fingerprinting. All are pure Column expressions —
+at 100 TB these run inside WholeStageCodegen over the parquet scan with no
+Python in the loop, and each is embarrassingly parallel (no shuffle).
+
+The heuristics generalize the reference's string classifiers (the
+'variant' substring flag, etl/seed/seed_from_marvel.py:266-269, and the
+token-overlap scorer, :126-135).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic marker-word lists (n-gram/stopword heuristic).
+# Real pipelines swap in fastText/CLD3 via a pandas_udf; the engine-side
+# contract (argmax over per-language scores) is identical.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "y", "es"),
+}
+
+# BPE-ish tokenizer regex: runs of letters, runs of digits, or a single
+# non-space symbol — a public approximation of byte-pair pretokenization.
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokens of trimmed, lowercased text (empty-safe)."""
+    return F.split(F.lower(F.trim(_col(c))), r"\s+")
+
+
+def token_count(c: Column | str) -> Column:
+    """Whitespace token count."""
+    t = F.trim(_col(c))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
+
+
+def bpe_ish_token_count(c: Column | str) -> Column:
+    """Token count under the BPE-ish pretokenizer regex."""
+    return F.regexp_count(F.lower(_col(c)), F.lit(BPE_ISH_PATTERN)).cast("long")
+
+
+def lang_scores(c: Column | str) -> dict[str, Column]:
+    """Per-language marker-hit counts over the token set."""
+    toks = F.array_distinct(tokens(c))
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(c: Column | str) -> Column:
+    """Argmax language over marker scores; 'und' when nothing matches.
+
+    Deterministic tie-break: language name ascending (so equal scores
+    always resolve the same way on every engine).
+    """
+    scores = lang_scores(c)
+    pairs = sorted(scores.items())  # tie-break by lang name
+    best_lang, best_score = F.lit("und"), F.lit(0)
+    # fold right-to-left so earlier (alphabetically smaller) langs win ties
+    for lang, score in reversed(pairs):
+        take = score > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, score).otherwise(best_score)
+    return best_lang
+
+
+def punct_ratio(c: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    t = _col(c)
+    n = F.length(t)
+    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    return F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(c: Column | str, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    """Fraction of tokens that are stopwords (list membership, not distinct)."""
+    toks = tokens(c)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n = token_count(c)
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(c: Column | str) -> Column:
+    """Composite document-quality score in [0, 1].
+
+    0.4 * length-band (50..5000 chars) + 0.3 * (1 - punct_ratio) +
+    0.3 * stopword presence band (0.01..0.6). Deterministic, unitless —
+    the gate is ``score >= threshold``.
+    """
+    n = F.length(_col(c)).cast("double")
+    len_ok = F.when((n >= 50) & (n <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
+    sw = stopword_ratio(c)
+    sw_ok = F.when((sw >= 0.01) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round(len_ok * 0.4 + (1.0 - punct_ratio(c)) * 0.3 + sw_ok * 0.3, 4)
+
+
+def normalize_for_fingerprint(c: Column | str) -> Column:
+    """Canonical text: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(_col(c)), r"\s+", " "))
+
+
+def fingerprint(c: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the canonical text.
+
+    Generalizes the reference's md5 digest (etl/utils.py:13-29) into a
+    content-identity key for exact dedup and incremental-skip joins.
+    """
+    return F.md5(normalize_for_fingerprint(c))
+
+
+def shingles(c: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (array<string>) for MinHash/Jaccard.
+
+    Built with a SQL-expression sliding window over the token array —
+    stays JVM-side (no UDF), so shingling 100 TB of text is scan-local.
+    """
+    toks = tokens(c)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]))
+    return F.array_distinct(grams)

@@ -1,0 +1,151 @@
+"""Relational operators: scans, filters, joins, aggregations, windows,
+top-k (SURVEY.md §2.2–§2.6).
+
+Scale notes (100 TB):
+- Every builder returns a lazy plan; filters/projections are expressed on
+  columns so Catalyst pushes them into the parquet scan.
+- Point lookups and dim joins broadcast the small side explicitly.
+- Top-k is ORDER BY + LIMIT → Spark's TakeOrderedAndProject (per-partition
+  heap + driver merge), never a full sort.
+- Deterministic tie-breaks are part of every top-k contract: at scale,
+  result stability across retries/AQE re-plans requires total ordering.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def search_substring(df: DataFrame, column: str, q: str, order_by: Sequence[str], limit: int = 50) -> DataFrame:
+    """P3 + O1/O2 — case-insensitive substring search, ordered, capped.
+
+    Reference: app.py:174-186 (`title ilike '%q%' ORDER BY title LIMIT 50`).
+    The contains-filter can't use an index, but it pushes into the scan as
+    a parquet row-group predicate on min/max-less strings — still scan-local
+    and embarrassingly parallel; LIMIT is TakeOrderedAndProject.
+    """
+    return (
+        df.filter(F.lower(F.col(column)).contains(q.lower()))
+        .orderBy(*[F.col(c) for c in order_by])
+        .limit(limit)
+    )
+
+
+def multi_field_search(df: DataFrame, q: str, columns: Sequence[str]) -> DataFrame:
+    """P6 — OR of case-insensitive substring predicates across columns.
+
+    Reference: app/templates/search.html:257-265 (client-side JS filter).
+    """
+    pred = F.lit(False)
+    for c in columns:
+        pred = pred | F.lower(F.coalesce(F.col(c), F.lit(""))).contains(q.lower())
+    return df.filter(pred)
+
+
+def keyed_scan(df: DataFrame, key_col: str, key_value, order_by: Sequence[str]) -> DataFrame:
+    """P2 + O1 — equality filter + ordered scan (the /series/<id>/issues shape).
+
+    Reference: app/api.py:117-154. The equality predicate partition-prunes
+    when the table is partitioned by the key.
+    """
+    return df.filter(F.col(key_col) == key_value).orderBy(*order_by)
+
+
+def group_count_topk(fact: DataFrame, dim: DataFrame, join_key: str, label_col: str, k: int) -> DataFrame:
+    """A1/J1/O3 — the reference's flagship: top dims by fact count.
+
+    Reference: comixcatalog_starter.zip!etl/etl.py:56-67 ("top series by
+    issue count"). Plan: broadcast the dim, partial-aggregate map-side,
+    single shuffle on the label, TakeOrderedAndProject for the limit.
+    """
+    return (
+        fact.join(F.broadcast(dim), join_key, "inner")
+        .groupBy(label_col)
+        .agg(F.count(F.lit(1)).alias("issue_count"))
+        .orderBy(F.desc("issue_count"), F.col(label_col))
+        .limit(k)
+    )
+
+
+def orphan_rows(child: DataFrame, parent: DataFrame, key: str) -> DataFrame:
+    """J2/A3 — children with no parent (referential-integrity quality check).
+
+    Reference: comixcatalog_starter.zip!etl/etl.py:52 (LEFT JOIN … IS NULL).
+    left_anti is the idiomatic plan: one shuffle (or broadcast), no null
+    post-filter, and AQE can turn it into a broadcast anti-join.
+    """
+    return child.join(parent, key, "left_anti")
+
+
+def exists_semi(child: DataFrame, parent: DataFrame, key: str) -> DataFrame:
+    """J4/P7 — set-based EXISTS: keep children that have a match.
+
+    Replaces the reference's per-row existence probes
+    (seed_static_comics.py:43-46) with one distributed semi-join.
+    """
+    return child.join(parent, key, "left_semi")
+
+
+def point_lookup_join(fact: DataFrame, dim: DataFrame, key: str, how: str = "inner") -> DataFrame:
+    """J3 — FK lookup via broadcast hash join (kills the reference's N+1).
+
+    Reference: app.py:201-208 (fetch Issue then its Series by PK).
+    """
+    return fact.join(F.broadcast(dim), key, how)
+
+
+def sequence_within_group(df: DataFrame, part_by: Sequence[str], order_by: Sequence[Column | str],
+                          out_col: str = "seq") -> DataFrame:
+    """W1 — running 1..n position within a group (issue_order semantics).
+
+    Reference: etl/seed/seed_from_marvel.py:243-245 (enumerate per series
+    in onsale order). One shuffle on the partition key; at scale the key
+    (series_id) is high-cardinality so partitions stay balanced.
+    """
+    w = Window.partitionBy(*part_by).orderBy(*order_by)
+    return df.withColumn(out_col, F.row_number().over(w))
+
+
+def top1_per_group(df: DataFrame, part_by: Sequence[str], order_by: Sequence[Column | str]) -> DataFrame:
+    """W2/A7 — best row per group, deterministic tie-broken.
+
+    Reference: etl/seed/seed_from_marvel.py:126-141 (best series match).
+    row_number (not rank) guarantees exactly one row per group.
+    """
+    w = Window.partitionBy(*part_by).orderBy(*order_by)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def union_prefix_crawl(df: DataFrame, column: str, prefixes: Sequence[str], dedup_key: str) -> DataFrame:
+    """S3/O7/A6 — union of per-prefix scans, dedup by key.
+
+    Reference: etl/sources/marvel_extract.py:89-130 (A–Z titleStartsWith
+    crawl with a ``seen_ids`` set). Spark runs the prefixes as parallel
+    scan branches of one plan; dropDuplicates replaces the driver-side set
+    with a hash aggregate.
+    """
+    branches = [df.filter(F.lower(F.col(column)).startswith(p.lower())) for p in prefixes]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.dropDuplicates([dedup_key])
+
+
+def sessionize(events: DataFrame, user_col: str, ts_col: str, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: new session when gap to previous event > threshold.
+
+    Beyond-reference (events table). lag + running-sum over one window —
+    a single shuffle on user_id; skewed users are handled by AQE.
+    Adds ``session_id`` (1..n per user).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), F.lit(1)).otherwise(F.lit(0))
+    return (
+        events.withColumn("_new", is_new)
+        .withColumn("session_id", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .drop("_new")
+    )
