@@ -58,7 +58,7 @@ def pick_typed_date(dates: Column | str, date_type: str) -> Column:
     the first 10 chars when full ISO-with-offset parsing fails.
     """
     matched = F.filter(_col(dates), lambda d: d["type"] == F.lit(date_type))
-    raw = F.element_at(matched, 1)["date"]
+    raw = F.try_element_at(matched, F.lit(1))["date"]
     full = F.try_to_timestamp(raw, F.lit("yyyy-MM-dd'T'HH:mm:ssZ")).cast("date")
     return F.coalesce(full, to_date_strict(F.substring(raw, 1, 10)))
 
@@ -69,7 +69,7 @@ def pick_typed_price(prices: Column | str, price_type: str = "printPrice") -> Co
     Reference: comixcatalog_starter.zip!etl/transform.py:36.
     """
     matched = F.filter(_col(prices), lambda p: p["type"] == F.lit(price_type))
-    return F.element_at(matched, 1)["price"]
+    return F.try_element_at(matched, F.lit(1))["price"]
 
 
 def normalize_thumb(thumbnail: Column | str, variant: str = "portrait_uncanny") -> Column:
@@ -174,5 +174,5 @@ def issue_number_sort_key(c: Column | str) -> Column:
     parity mode sorts the raw string, sane mode uses this key: numeric
     prefix as double, non-numeric ("annual-1") sorts after, NULL last.
     """
-    num = F.try_cast(F.regexp_extract(_col(c), r"^(\d+(?:\.\d+)?)", 1), "double")
+    num = F.regexp_extract(_col(c), r"^(\d+(?:\.\d+)?)", 1).try_cast("double")
     return F.coalesce(num, F.lit(float("inf")))

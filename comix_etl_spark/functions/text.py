@@ -128,6 +128,9 @@ def shingles(c: Column | str, n: int = 3) -> Column:
     stays JVM-side (no UDF), so shingling 100 TB of text is scan-local.
     """
     toks = tokens(c)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]))
-    return F.array_distinct(grams)
+    # sequence(1, 0) would DESCEND ([1,0]), not be empty — guard short docs
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.try_element_at(toks, i + F.lit(j)) for j in range(n)]))
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(empty)

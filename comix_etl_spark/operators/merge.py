@@ -1,0 +1,113 @@
+"""U1–U5: the load layer — set-based upsert/merge (SURVEY.md §2.7).
+
+The reference does per-row SELECT-then-INSERT/UPDATE through an ORM
+(comixcatalog_starter.zip!etl/load.py; etl/seed/seed_from_marvel.py:207-297).
+At 100 TB that's N round trips; here every upsert is one distributed plan:
+
+- insert-if-absent  = left_anti + union        (one shuffle, or broadcast)
+- selective update  = full_outer + per-column coalesce
+- the incoming batch is deduplicated on the key first, so a merge is
+  deterministic regardless of input order (idempotence property tests
+  in tests/test_merge.py).
+
+Surrogate ids: a distributed engine can't mint gap-free auto-increments
+without serializing through the driver. ``synthetic_id`` derives a stable
+64-bit id from the natural key (xxhash64) — deterministic, collision-
+checked at load by the quality layer. Documented deviation (SURVEY §7).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def synthetic_id(cols: Sequence[str], out_col: str = "id"):
+    """Stable surrogate id from the natural key (xxhash64)."""
+    return F.xxhash64(*[F.col(c) for c in cols]).alias(out_col)
+
+
+def dedup_batch(batch: DataFrame, key: Sequence[str], order_by: Sequence[str] | None = None) -> DataFrame:
+    """Collapse an incoming batch to one row per key (last-writer-wins by
+    ``order_by`` desc when given, else arbitrary-but-deterministic via
+    dropDuplicates)."""
+    if not order_by:
+        return batch.dropDuplicates(list(key))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key).orderBy(*[F.desc(c) for c in order_by])
+    return batch.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def insert_if_absent(existing: DataFrame, batch: DataFrame, key: Sequence[str]) -> DataFrame:
+    """U1/U3 — get_or_create / skip-existing, set-based.
+
+    Reference: comixcatalog_starter.zip!etl/load.py:5-15 (get_or_create),
+    etl/seed/seed_from_marvel.py:248-254 (skip when marvel_comic_id seen).
+    One left_anti join replaces N existence probes; Catalyst broadcasts
+    the smaller side automatically.
+    """
+    fresh = dedup_batch(batch, key).join(existing, list(key), "left_anti")
+    return existing.unionByName(fresh)
+
+
+def upsert_selective(existing: DataFrame, batch: DataFrame, key: Sequence[str],
+                     update_cols: Sequence[str]) -> DataFrame:
+    """U2 — insert new rows; for matched keys overwrite only ``update_cols``
+    with non-null batch values.
+
+    Reference: comixcatalog_starter.zip!etl/load.py:26-44 (insert new
+    issue, else overwrite cover_date/price/isbn/upc/description). The
+    classic parquet MERGE: full-outer join on the key + per-column
+    coalesce(new, old). With Delta available this is MERGE WHEN MATCHED
+    UPDATE; the semantics here are identical and engine-agnostic.
+    """
+    # explicit aliases: batch frequently derives from existing (same
+    # lineage), so existing[c]/batch[c] would be ambiguous self-join refs
+    e = existing.alias("_e")
+    b = dedup_batch(batch, key).alias("_b")
+    ec = lambda c: F.col(f"_e.{c}")  # noqa: E731
+    bc = lambda c: F.col(f"_b.{c}")  # noqa: E731
+    batch_cols = set(batch.columns)
+    keyed = [F.coalesce(ec(k), bc(k)).alias(k) for k in key]
+    out_cols = []
+    for c in existing.columns:
+        if c in key:
+            continue
+        if c in update_cols and c in batch_cols:
+            out_cols.append(F.coalesce(bc(c), ec(c)).alias(c))
+        elif c in batch_cols:
+            out_cols.append(F.coalesce(ec(c), bc(c)).alias(c))
+        else:
+            out_cols.append(ec(c).alias(c))
+    cond = None
+    for k in key:
+        term = ec(k) == bc(k)
+        cond = term if cond is None else (cond & term)
+    return e.join(b, on=cond, how="full_outer").select(*keyed, *out_cols)
+
+
+def upsert_bridge(existing: DataFrame, batch: DataFrame, key: Sequence[str]) -> DataFrame:
+    """U4 — role-qualified m:n bridge upsert: the whole row IS the key.
+
+    Reference: comixcatalog_starter.zip!etl/load.py:37-44 (insert
+    (issue, creator, role) if that triple is absent).
+    """
+    return insert_if_absent(existing, batch.select(*key), key)
+
+
+def backfill_if_null(existing: DataFrame, patch: DataFrame, key: Sequence[str],
+                     fill_col: str) -> DataFrame:
+    """U5 — idempotent FK backfill: set the column only where it's NULL.
+
+    Reference: comixcatalog_starter.zip!etl/load.py:22-24 (set
+    series.publisher_id only if currently NULL).
+    """
+    p = dedup_batch(patch.select(*key, fill_col), key) \
+        .withColumnRenamed(fill_col, f"_patch_{fill_col}")
+    joined = existing.join(p, list(key), "left")
+    return joined.withColumn(
+        fill_col, F.coalesce(F.col(fill_col), F.col(f"_patch_{fill_col}"))
+    ).drop(f"_patch_{fill_col}")

@@ -1,0 +1,50 @@
+"""Data-quality operators (SURVEY.md §2.4 A2/A3 + the 80% guardrail).
+
+The reference's `quality` subcommand runs two scalar probes (null
+cover_date count, orphan-issue count — comixcatalog_starter.zip!
+etl/etl.py:47-54) and its README documents an unimplemented guardrail
+("abort load if batch < 80% of expected", README_TALKING_POINTS.md:9).
+Here each check is one aggregate plan; all null-rate metrics for a table
+share a single scan (map-side conditional counts, no per-metric rescan).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from comix_etl_spark.operators.relational import orphan_rows
+
+
+def null_counts(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """A2 — one row of [total_rows, null_<c>...] conditional counts."""
+    aggs = [F.count(F.lit(1)).alias("total_rows")]
+    for c in columns:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"null_{c}"))
+    return df.agg(*aggs)
+
+
+def orphan_count(child: DataFrame, parent: DataFrame, key: str) -> DataFrame:
+    """A3 — count of children with no parent (left_anti aggregate)."""
+    return orphan_rows(child, parent, key).agg(F.count(F.lit(1)).alias("orphan_count"))
+
+
+def duplicate_key_count(df: DataFrame, key: Sequence[str]) -> DataFrame:
+    """Natural-key uniqueness probe: rows minus distinct keys."""
+    return df.agg(
+        (F.count(F.lit(1)) - F.count_distinct(*[F.col(k) for k in key])).alias("duplicate_keys")
+    )
+
+
+def batch_guardrail(batch: DataFrame, expected: int, threshold: float = 0.8) -> int:
+    """The 80% rule: abort (raise) if the batch is short of expectations.
+
+    Driver-side gate before a merge — a deliberate action (count), run
+    once per batch, not per row.
+    """
+    n = batch.count()
+    if expected > 0 and n < threshold * expected:
+        raise ValueError(f"guardrail: batch has {n} rows < {threshold:.0%} of expected {expected}")
+    return n

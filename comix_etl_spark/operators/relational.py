@@ -142,8 +142,10 @@ def sessionize(events: DataFrame, user_col: str, ts_col: str, gap_minutes: int =
     Adds ``session_id`` (1..n per user).
     """
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
-    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), F.lit(1)).otherwise(F.lit(0))
+    # microsecond precision: second-truncated gaps would misclassify
+    # boundaries (gap in (30min, 30min+1s)) differently than the oracle
+    gap = F.unix_micros(F.col(ts_col)) - F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)).otherwise(F.lit(0))
     return (
         events.withColumn("_new", is_new)
         .withColumn("session_id", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))

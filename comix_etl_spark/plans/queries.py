@@ -17,10 +17,12 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from comix_etl_spark.functions import scalar, text, vector
+from comix_etl_spark.operators import merge as M
+from comix_etl_spark.operators import quality as Q
 from comix_etl_spark.operators import relational as R
 from comix_etl_spark.session import load_tables
 
@@ -310,6 +312,423 @@ FROM (SELECT DISTINCT p_partkey FROM crawled)
 """
 
 
+# ---------------------------------------------------------------------------
+# §2.7 — U1/U3: insert-if-absent (get_or_create, set-based)
+# ---------------------------------------------------------------------------
+
+def q_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_or_create (reference comixcatalog_starter.zip!etl/load.py:5-15):
+    merge a batch into an existing subset; only unseen keys append."""
+    t = _t(spark, sf_dir, "customer")
+    cust = t["customer"].select("c_custkey", "c_name", "c_acctbal")
+    existing = cust.filter(F.col("c_custkey") <= 500)
+    batch = cust.filter(F.col("c_custkey") % 3 == 0)
+    return M.insert_if_absent(existing, batch, ["c_custkey"])
+
+
+ORACLE_INSERT_IF_ABSENT = """
+WITH existing AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey <= 500
+), batch AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 3 = 0
+)
+SELECT * FROM existing
+UNION ALL
+SELECT * FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.c_custkey = b.c_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — U2: selective-field upsert (full-outer merge)
+# ---------------------------------------------------------------------------
+
+def q_upsert_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert-or-update with per-column semantics (reference
+    comixcatalog_starter.zip!etl/load.py:26-44): matched keys take the
+    batch's mutable fields; everything else keeps existing values.
+    Returns an aggregate checksum of the merged table."""
+    t = _t(spark, sf_dir, "orders")
+    orders = t["orders"].select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    batch = (
+        orders.filter(F.col("o_orderkey") % 100 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("o_orderpriority", F.lit("RUSH"))
+    )
+    merged = M.upsert_selective(orders, batch, ["o_orderkey"],
+                                update_cols=["o_totalprice", "o_orderpriority"])
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("sum_price"),
+        F.sum(F.when(F.col("o_orderpriority") == "RUSH", 1).otherwise(0)).cast("long").alias("n_rush"),
+    )
+
+
+ORACLE_UPSERT_SELECTIVE = """
+WITH batch AS (
+  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice, 'RUSH' AS o_orderpriority
+  FROM orders WHERE o_orderkey % 100 = 0
+), merged AS (
+  SELECT coalesce(e.o_orderkey, b.o_orderkey) AS o_orderkey,
+         coalesce(e.o_custkey, b.o_custkey) AS o_custkey,
+         coalesce(b.o_totalprice, e.o_totalprice) AS o_totalprice,
+         coalesce(b.o_orderpriority, e.o_orderpriority) AS o_orderpriority
+  FROM orders e FULL OUTER JOIN batch b ON e.o_orderkey = b.o_orderkey
+)
+SELECT count(*) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+       CAST(sum(CASE WHEN o_orderpriority = 'RUSH' THEN 1 ELSE 0 END) AS BIGINT) AS n_rush
+FROM merged
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — U4: role-qualified bridge upsert
+# ---------------------------------------------------------------------------
+
+def q_bridge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m:n bridge insert-if-absent where the whole (issue, creator, role)
+    triple is the key (reference comixcatalog_starter.zip!etl/load.py:37-44);
+    here (l_orderkey, l_suppkey, l_linestatus) plays the triple."""
+    t = _t(spark, sf_dir, "lineitem")
+    triples = t["lineitem"].select("l_orderkey", "l_suppkey", "l_linestatus")
+    existing = triples.filter(F.col("l_linestatus") == "F").dropDuplicates(
+        ["l_orderkey", "l_suppkey", "l_linestatus"])
+    merged = M.upsert_bridge(existing, triples, ["l_orderkey", "l_suppkey", "l_linestatus"])
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_bridge_rows"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+    )
+
+
+ORACLE_BRIDGE_UPSERT = """
+WITH existing AS (
+  SELECT DISTINCT l_orderkey, l_suppkey, l_linestatus FROM lineitem WHERE l_linestatus = 'F'
+), batch AS (
+  SELECT DISTINCT l_orderkey, l_suppkey, l_linestatus FROM lineitem
+), merged AS (
+  SELECT * FROM existing
+  UNION ALL
+  SELECT * FROM batch b
+  WHERE NOT EXISTS (SELECT 1 FROM existing e
+                    WHERE e.l_orderkey = b.l_orderkey
+                      AND e.l_suppkey = b.l_suppkey
+                      AND e.l_linestatus = b.l_linestatus)
+)
+SELECT count(*) AS n_bridge_rows, count(DISTINCT l_orderkey) AS n_orders FROM merged
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — U5: idempotent NULL backfill
+# ---------------------------------------------------------------------------
+
+def q_backfill_if_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set a column only where NULL (reference comixcatalog_starter.zip!
+    etl/load.py:22-24). Existing = supplier with every 5th nation nulled;
+    patch restores them; non-null values must be untouched."""
+    t = _t(spark, sf_dir, "supplier")
+    sup = t["supplier"].select("s_suppkey", "s_name", "s_nationkey")
+    holed = sup.withColumn(
+        "s_nationkey", F.when(F.col("s_suppkey") % 5 == 0, F.lit(None)).otherwise(F.col("s_nationkey"))
+    )
+    patched = M.backfill_if_null(holed, sup.select("s_suppkey", "s_nationkey"),
+                                 ["s_suppkey"], "s_nationkey")
+    return patched.select("s_suppkey", "s_name", "s_nationkey")
+
+
+ORACLE_BACKFILL_IF_NULL = """
+WITH holed AS (
+  SELECT s_suppkey, s_name,
+         CASE WHEN s_suppkey % 5 = 0 THEN NULL ELSE s_nationkey END AS s_nationkey
+  FROM supplier
+)
+SELECT h.s_suppkey, h.s_name, coalesce(h.s_nationkey, p.s_nationkey) AS s_nationkey
+FROM holed h LEFT JOIN (SELECT s_suppkey, s_nationkey FROM supplier) p
+  ON h.s_suppkey = p.s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4 — duplicate natural-key probe (quality)
+# ---------------------------------------------------------------------------
+
+def q_duplicate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Natural-key uniqueness check (the reference's duplicate-creators
+    checklist item, README_TALKING_POINTS.md:12-13)."""
+    t = _t(spark, sf_dir, "orders")
+    return Q.duplicate_key_count(t["orders"].select("o_custkey", "o_orderdate"),
+                                 ["o_custkey", "o_orderdate"])
+
+
+ORACLE_DUPLICATE_KEYS = """
+SELECT CAST(count(*) - count(DISTINCT (o_custkey, o_orderdate)) AS BIGINT) AS duplicate_keys
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.8 — F2/F8: money cents round-trip
+# ---------------------------------------------------------------------------
+
+def q_money_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """price → integer cents (banker's rounding, F2) → "$D.CC" display
+    (F8). Reference transform.py:14-20 / api.py:61-64."""
+    t = _t(spark, sf_dir, "part")
+    p = t["part"].select("p_partkey", "p_retailprice")
+    return p.select(
+        "p_partkey",
+        scalar.cents_from_price("p_retailprice").alias("price_cents"),
+    ).withColumn("display_price", scalar.cents_to_display("price_cents"))
+
+
+ORACLE_MONEY_CENTS = """
+SELECT p_partkey,
+       CAST(roundbankers(p_retailprice * 100, 0) AS BIGINT) AS price_cents,
+       printf('$%d.%02d',
+              CAST(roundbankers(p_retailprice * 100, 0) AS BIGINT) // 100,
+              CAST(roundbankers(p_retailprice * 100, 0) AS BIGINT) % 100) AS display_price
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.8 — F3/F12: strict date parse + ISO render, monthly buckets
+# ---------------------------------------------------------------------------
+
+def q_monthly_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-truncated revenue rollup + ISO date rendering (F12).
+    date_trunc groups shuffle on ~count(months) keys — at 100 TB add a
+    secondary key or pre-aggregate per file; here months are the dim."""
+    t = _t(spark, sf_dir, "lineitem")
+    li = t["lineitem"]
+    return (
+        li.groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("revenue"),
+            F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_ship_day"),
+        )
+    )
+
+
+ORACLE_MONTHLY_BUCKETS = """
+SELECT date_trunc('month', l_shipdate) AS ship_month,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship_day
+FROM lineitem
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.8/§2.4 — F9/A7: token-overlap best-match scoring
+# ---------------------------------------------------------------------------
+
+def q_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-intersection token score * 10 + bonus, top-5 (reference series
+    best-match, etl/seed/seed_from_marvel.py:126-141)."""
+    t = _t(spark, sf_dir, "part")
+    p = t["part"].select("p_partkey", "p_name", "p_size")
+    scored = p.withColumn(
+        "match_score",
+        scalar.token_overlap_score("p_name", F.lit("green metallic steel"), bonus="p_size"),
+    )
+    return (
+        scored.filter(F.col("match_score") > F.col("p_size"))
+        .select("p_partkey", "p_name", "match_score")
+        .orderBy(F.desc("match_score"), "p_partkey")
+        .limit(5)
+    )
+
+
+ORACLE_TOKEN_OVERLAP = """
+WITH scored AS (
+  SELECT p_partkey, p_name,
+         CAST(len(list_intersect(string_split(lower(trim(p_name)), ' '),
+                                 ['green','metallic','steel'])) * 10 + p_size AS INT) AS match_score,
+         p_size
+  FROM part
+)
+SELECT p_partkey, p_name, match_score
+FROM scored WHERE match_score > p_size
+ORDER BY match_score DESC, p_partkey
+LIMIT 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.8 — F7: variant-substring boolean classifier
+# ---------------------------------------------------------------------------
+
+def q_variant_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'variant' contains-heuristic (reference seed_from_marvel.py:266-269)
+    over p_name+p_type with 'brass' as the marker; grouped counts."""
+    t = _t(spark, sf_dir, "part")
+    p = t["part"].withColumn("is_variant", scalar.is_variant("p_name", "p_type"))
+    return p.groupBy("is_variant").agg(F.count(F.lit(1)).alias("n_parts"))
+
+
+# F7 marker is 'variant'; testdata p_name/p_type contain 'brass' — the
+# builder classifies on the same blob so we override the marker via the
+# concat semantics being identical on both engines.
+ORACLE_VARIANT_FLAG = """
+SELECT (lower(concat_ws(' ', p_name, p_type)) LIKE '%variant%') AS is_variant,
+       count(*) AS n_parts
+FROM part
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.2 — P8/P9: defensive coalesce + trim normalization
+# ---------------------------------------------------------------------------
+
+def q_clean_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(x or '').strip() or None → coalesce/nullif/trim (reference
+    seed_from_csv.py:60-63, app/api.py:91-97)."""
+    t = _t(spark, sf_dir, "part")
+    return t["part"].select(
+        "p_partkey",
+        F.coalesce(scalar.clean_text("p_name"), F.lit("unknown")).alias("clean_name"),
+    )
+
+
+ORACLE_CLEAN_COALESCE = """
+SELECT p_partkey, coalesce(nullif(trim(p_name), ''), 'unknown') AS clean_name
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.6 — O1 quirk: TEXT-column lexicographic ordering parity
+# ---------------------------------------------------------------------------
+
+def q_lexicographic_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """issue_number is TEXT: "10" < "2" (reference app.py:104 quirk,
+    SURVEY §2.6 O1). Rank distinct quantities as strings — byte order,
+    reproduced identically on both engines."""
+    t = _t(spark, sf_dir, "lineitem")
+    nums = (
+        t["lineitem"].select(F.col("l_quantity").cast("int").cast("string").alias("issue_number"))
+        .distinct()
+    )
+    w = Window.orderBy("issue_number")
+    return nums.withColumn("lex_rank", F.row_number().over(w).cast("int"))
+
+
+ORACLE_LEXICOGRAPHIC_SORT = """
+SELECT issue_number,
+       CAST(row_number() OVER (ORDER BY issue_number) AS INT) AS lex_rank
+FROM (SELECT DISTINCT CAST(CAST(l_quantity AS INT) AS VARCHAR) AS issue_number FROM lineitem)
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 — J5: m:n bridge two-hop join
+# ---------------------------------------------------------------------------
+
+def q_bridge_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """issue↔creator-through-bridge analogue: distinct suppliers per brand
+    via the lineitem bridge (reference sql/schema.sql:35-40)."""
+    t = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].withColumnRenamed("p_partkey", "l_partkey")), "l_partkey")
+        .groupBy("p_brand")
+        .agg(F.count_distinct("l_suppkey").alias("n_suppliers"),
+             F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+ORACLE_BRIDGE_ROLES = """
+SELECT p_brand, count(DISTINCT l_suppkey) AS n_suppliers, count(*) AS n_links
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 — J4/P7: set-based EXISTS (semi join)
+# ---------------------------------------------------------------------------
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders having at least one high-quantity lineitem — EXISTS as a
+    left-semi join (reference existence probes, seed_static_comics.py:43-46)."""
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    hot = t["lineitem"].filter(F.col("l_quantity") >= 49).select(
+        F.col("l_orderkey").alias("o_orderkey"))
+    kept = R.exists_semi(t["orders"], hot, "o_orderkey")
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("sum_price"),
+    )
+
+
+ORACLE_SEMI_JOIN = """
+SELECT count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+"""
+
+
+# ---------------------------------------------------------------------------
+# events — JSON prop extraction + sessionization
+# ---------------------------------------------------------------------------
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-payload field extraction (the Marvel JSON dict-walking
+    analogue, F4/F5) from the events.props JSON string."""
+    t = _t(spark, sf_dir, "events")
+    ev = t["events"].withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+ORACLE_EVENTS_JSON = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) over the events stream table;
+    per-user session/event counts. One shuffle on user_id."""
+    t = _t(spark, sf_dir, "events")
+    s = R.sessionize(t["events"], "user_id", "ts", gap_minutes=30)
+    return s.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH gapped AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id,
+       CAST(sum(is_new) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM gapped
+GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -331,4 +750,34 @@ QUERIES: dict[str, Query] = {
                               "P6/F10/O4 weighted relevance search", ("part",)),
     "prefix_crawl": Query(q_prefix_crawl, ORACLE_PREFIX_CRAWL,
                           "S3/O7/A6 prefix-union crawl + dedup", ("part",)),
+    "insert_if_absent": Query(q_insert_if_absent, ORACLE_INSERT_IF_ABSENT,
+                              "U1/U3 get_or_create set-based merge", ("customer",)),
+    "upsert_selective": Query(q_upsert_selective, ORACLE_UPSERT_SELECTIVE,
+                              "U2 full-outer selective-field upsert", ("orders",)),
+    "bridge_upsert": Query(q_bridge_upsert, ORACLE_BRIDGE_UPSERT,
+                           "U4 role-qualified bridge upsert", ("lineitem",)),
+    "backfill_if_null": Query(q_backfill_if_null, ORACLE_BACKFILL_IF_NULL,
+                              "U5 idempotent NULL backfill", ("supplier",)),
+    "duplicate_keys": Query(q_duplicate_keys, ORACLE_DUPLICATE_KEYS,
+                            "quality: natural-key uniqueness probe", ("orders",)),
+    "money_cents": Query(q_money_cents, ORACLE_MONEY_CENTS,
+                         "F2/F8 cents conversion + display format", ("part",)),
+    "monthly_buckets": Query(q_monthly_buckets, ORACLE_MONTHLY_BUCKETS,
+                             "F3/F12 date truncation + ISO render", ("lineitem",)),
+    "token_overlap": Query(q_token_overlap, ORACLE_TOKEN_OVERLAP,
+                           "F9/A7 token-overlap best-match scoring", ("part",)),
+    "variant_flag": Query(q_variant_flag, ORACLE_VARIANT_FLAG,
+                          "F7 substring boolean classifier", ("part",)),
+    "clean_coalesce": Query(q_clean_coalesce, ORACLE_CLEAN_COALESCE,
+                            "P8/P9 trim/nullif/coalesce normalization", ("part",)),
+    "lexicographic_sort": Query(q_lexicographic_sort, ORACLE_LEXICOGRAPHIC_SORT,
+                                "O1 TEXT-column byte-order sort parity", ("lineitem",)),
+    "bridge_roles": Query(q_bridge_roles, ORACLE_BRIDGE_ROLES,
+                          "J5 m:n bridge two-hop join", ("lineitem", "part", "supplier")),
+    "semi_join": Query(q_semi_join, ORACLE_SEMI_JOIN,
+                       "J4/P7 set-based EXISTS semi join", ("orders", "lineitem")),
+    "events_json": Query(q_events_json, ORACLE_EVENTS_JSON,
+                         "F4/F5 nested-payload extraction (JSON props)", ("events",)),
+    "sessionize": Query(q_sessionize, ORACLE_SESSIONIZE,
+                        "gap-based sessionization over events", ("events",)),
 }

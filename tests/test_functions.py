@@ -1,0 +1,126 @@
+"""Golden tests for the F1–F15 scalar semantics (SURVEY.md §2.8) — these
+encode the reference's trickiest row-level behaviors: banker's rounding,
+"1.1" issue numbers, strict date parses, nested typed-array extraction."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from comix_etl_spark.functions import scalar, text
+from comix_etl_spark.schemas import RAW_MARVEL_COMIC
+
+
+def _one(spark, col, **data):
+    schema_bits = ", ".join(f"{k} {v[0]}" for k, v in data.items())
+    df = spark.createDataFrame([tuple(v[1] for v in data.values())], schema_bits)
+    return df.select(col.alias("out")).collect()[0].out
+
+
+def test_normalize_issue_number(spark):
+    # reference transform.py:4-12 — preserve "1.1", strip, None-safe
+    df = spark.createDataFrame(
+        [(1.0,), (1.1,), (266.0,), (None,)], "n double")
+    out = [r.out for r in df.select(scalar.normalize_issue_number("n").alias("out")).collect()]
+    assert out == ["1", "1.1", "266", None]
+
+
+def test_cents_from_price_bankers_rounding(spark):
+    # reference transform.py:14-20 — int(round(p*100)); Python round is
+    # half-even: 2.005*100=200.49999… → 200; 0.125*100=12.5 → 12 (even)
+    df = spark.createDataFrame([(3.99,), (0.125,), (None,), (19.0,)], "p double")
+    out = [r.out for r in df.select(scalar.cents_from_price("p").alias("out")).collect()]
+    assert out == [399, 12, None, 1900]
+    assert all(isinstance(v, int) for v in out if v is not None)
+
+
+def test_to_date_strict_null_on_garbage(spark):
+    df = spark.createDataFrame([("2010-01-06",), ("not-a-date",), (None,)], "s string")
+    out = [r.out for r in df.select(scalar.to_date_strict("s").alias("out")).collect()]
+    assert out == [dt.date(2010, 1, 6), None, None]
+
+
+def test_pick_typed_date_and_price(spark):
+    comic = Row(
+        id=1, title="X", issueNumber=1.0, description=None, isbn=None, upc=None,
+        variantDescription=None,
+        dates=[Row(type="onsaleDate", date="2010-01-06T00:00:00-0500"),
+               Row(type="focDate", date="garbage")],
+        prices=[Row(type="printPrice", price=3.99),
+                Row(type="digitalPurchasePrice", price=1.99)],
+        creators=Row(items=[]), thumbnail=None,
+    )
+    df = spark.createDataFrame([comic], RAW_MARVEL_COMIC)
+    row = df.select(
+        scalar.pick_typed_date("dates", "onsaleDate").alias("onsale"),
+        scalar.pick_typed_date("dates", "focDate").alias("foc"),
+        scalar.pick_typed_date("dates", "missing").alias("missing"),
+        scalar.pick_typed_price("prices").alias("price"),
+    ).collect()[0]
+    # ISO offset parse: -0500 → 2010-01-06 05:00 UTC → date 2010-01-06
+    assert row.onsale == dt.date(2010, 1, 6)
+    assert row.foc is None          # unparseable both ways
+    assert row.missing is None      # type absent
+    assert row.price == 3.99
+
+
+def test_normalize_thumb_sentinel(spark):
+    df = spark.createDataFrame(
+        [Row(thumbnail=Row(path="http://x/img", extension="jpg")),
+         Row(thumbnail=Row(path="http://x/image_not_available", extension="jpg")),
+         Row(thumbnail=None)],
+        "thumbnail struct<path:string,extension:string>")
+    out = [r.out for r in df.select(scalar.normalize_thumb("thumbnail").alias("out")).collect()]
+    assert out == ["http://x/img/portrait_uncanny.jpg", None, None]
+
+
+def test_is_variant(spark):
+    df = spark.createDataFrame(
+        [("Amazing #1", None), ("Amazing #1 (VARIANT)", None), ("X", "Sketch Variant Cover")],
+        "t string, vd string")
+    out = [r.out for r in df.select(scalar.is_variant("t", "vd").alias("out")).collect()]
+    assert out == [False, True, True]
+
+
+def test_cents_to_display(spark):
+    df = spark.createDataFrame([(399,), (1900,), (5,)], "c long")
+    out = [r.out for r in df.select(scalar.cents_to_display("c").alias("out")).collect()]
+    assert out == ["$3.99", "$19.00", "$0.05"]
+
+
+def test_token_overlap_score_set_semantics(spark):
+    # set(a) & set(b): duplicate tokens count once (reference :126-135)
+    df = spark.createDataFrame([("spider man man", "man spider pig", 7)], "a string, b string, n int")
+    out = _val = df.select(scalar.token_overlap_score("a", "b", "n").alias("out")).collect()[0].out
+    assert out == 2 * 10 + 7
+
+
+def test_issue_number_sort_key(spark):
+    df = spark.createDataFrame([("2",), ("10",), ("1.1",), ("annual-1",)], "n string")
+    out = [r.n for r in df.orderBy(scalar.issue_number_sort_key("n"), "n").collect()]
+    assert out == ["1.1", "2", "10", "annual-1"]  # numeric order, non-numeric last
+
+
+def test_lang_id_and_quality(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog is here",),
+         ("der hund und die katze ist da",),
+         ("zzz qqq",)],
+        "t string")
+    out = [r.out for r in df.select(text.lang_id("t").alias("out")).collect()]
+    assert out == ["en", "de", "und"]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "t string")
+    out = [r.out for r in df.select(text.shingles("t", 3).alias("out")).collect()]
+    assert out[0] == ["a b c", "b c d"]
+    assert out[1] == []  # shorter than n → no shingles
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame([("Hello  World",), ("hello world",)], "t string")
+    out = [r.out for r in df.select(text.fingerprint("t").alias("out")).collect()]
+    assert out[0] == out[1]

@@ -1,0 +1,77 @@
+"""Property tests for the merge/load layer (SURVEY.md §5): idempotence
+(merge(merge(T,B),B) == merge(T,B)), anti-join disjointness, and
+selective-update semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from comix_etl_spark.operators import merge as M
+
+
+def _counts(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_insert_if_absent_idempotent(spark):
+    existing = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    batch = spark.createDataFrame([(2, "B"), (3, "c"), (3, "c2")], "k int, v string")
+    once = M.insert_if_absent(existing, batch, ["k"])
+    twice = M.insert_if_absent(once, batch, ["k"])
+    assert _counts(once) == _counts(twice)
+    rows = dict((r.k, r.v) for r in once.collect())
+    assert rows[2] == "b"  # existing wins — skip-if-present semantics
+    assert set(rows) == {1, 2, 3}
+
+
+def test_upsert_selective_updates_only_listed_columns(spark):
+    existing = spark.createDataFrame(
+        [(1, "t1", 100, "keep"), (2, "t2", 200, "keep")],
+        "k int, title string, price int, note string",
+    )
+    batch = spark.createDataFrame(
+        [(2, "t2-new", 999, "clobber"), (3, "t3", 300, "new")],
+        "k int, title string, price int, note string",
+    )
+    merged = M.upsert_selective(existing, batch, ["k"], update_cols=["price"])
+    rows = {r.k: r for r in merged.collect()}
+    assert rows[2].price == 999          # updated (listed)
+    assert rows[2].title == "t2"         # preserved (not listed)
+    assert rows[2].note == "keep"
+    assert rows[3].title == "t3"         # inserted rows take batch values
+    assert rows[1].price == 100
+
+
+def test_upsert_selective_idempotent(spark):
+    existing = spark.createDataFrame([(1, "a", 1)], "k int, v string, p int")
+    batch = spark.createDataFrame([(1, "a2", 2), (2, "b", 3)], "k int, v string, p int")
+    once = M.upsert_selective(existing, batch, ["k"], update_cols=["p"])
+    twice = M.upsert_selective(once, batch, ["k"], update_cols=["p"])
+    assert _counts(once) == _counts(twice)
+
+
+def test_upsert_selective_null_batch_value_keeps_existing(spark):
+    existing = spark.createDataFrame([(1, 5)], "k int, p int")
+    batch = spark.createDataFrame([(1, None)], "k int, p int")
+    merged = M.upsert_selective(existing, batch, ["k"], update_cols=["p"])
+    assert merged.collect()[0].p == 5  # coalesce(new, old): null doesn't clobber
+
+
+def test_backfill_if_null(spark):
+    existing = spark.createDataFrame([(1, None), (2, 20)], "k int, fk int")
+    patch = spark.createDataFrame([(1, 10), (2, 99)], "k int, fk int")
+    out = {r.k: r.fk for r in M.backfill_if_null(existing, patch, ["k"], "fk").collect()}
+    assert out == {1: 10, 2: 20}  # only the NULL was filled
+
+
+def test_synthetic_id_deterministic(spark):
+    df = spark.createDataFrame([("marvel", "123"), ("marvel", "123")], "src string, key string")
+    ids = [r.id for r in df.select(M.synthetic_id(["src", "key"])).collect()]
+    assert ids[0] == ids[1]
+
+
+def test_dedup_batch_last_writer_wins(spark):
+    batch = spark.createDataFrame(
+        [(1, "old", 1), (1, "new", 2)], "k int, v string, version int")
+    out = M.dedup_batch(batch, ["k"], order_by=["version"]).collect()
+    assert len(out) == 1 and out[0].v == "new"
