@@ -1,0 +1,200 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §7).
+
+Generalizes the reference's identity machinery — the crawl-dedup set
+(etl/sources/marvel_extract.py:95-119), anti-join-before-insert
+(etl/seed/seed_from_marvel.py:248-254), and md5 digests (etl/utils.py:13-29)
+— into the four standard large-corpus dedup strategies:
+
+1. exact        — content fingerprint (md5 of canonical text) + groupBy.
+2. n-gram Jaccard — exact pairwise similarity via a shingle inverted
+                  index; the *verification* primitive.
+3. MinHash+LSH  — the scale path: constant-size signatures, banded
+                  bucketing, candidates only within buckets.
+4. SimHash      — 64-bit sketch; near-dups have small Hamming distance.
+
+Scale notes (100 TB):
+- everything is built from explode/groupBy/join — no Python in the loop;
+  MinHash signatures are k min-aggregates over one exploded shuffle.
+- the pairwise shingle join is O(sum of postings²) in the worst case —
+  ONLY run it within LSH buckets (minhash_lsh_pairs) or on small slices;
+  exposed standalone because it is the correctness oracle for the others.
+- hot shingles (boilerplate) explode posting lists: drop shingles with
+  document frequency > df_cap before pairing (standard trick).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from comix_etl_spark.functions.text import fingerprint, shingles, tokens
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by content hash: one row per distinct content with the
+    keeper id (min id) and the copy count. One shuffle on the hash."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingle_postings(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+                     df_cap: int | None = None) -> DataFrame:
+    """(id, shingle) inverted-index postings — deliberately SLIM: the
+    pair join shuffles |postings|² worth of rows in the worst case, so
+    every extra byte on a posting multiplies (measured 15× slowdown
+    carrying one extra long through the sf0.1 pair shuffle). Optionally
+    drop shingles with document frequency > df_cap (boilerplate
+    suppression)."""
+    posts = df.select(F.col(id_col).alias("_id"),
+                      F.explode(shingles(text_col, n)).alias("shingle"))
+    if df_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("shingle")
+        posts = posts.withColumn("_df", F.count(F.lit(1)).over(w)) \
+                     .filter(F.col("_df") <= df_cap).drop("_df")
+    return posts
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+                        threshold: float = 0.5, df_cap: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every co-shingled pair.
+
+    Plan: postings self-join on shingle (id_a < id_b) → per-pair
+    intersection count → join the two set sizes → |∩| / (|A|+|B|-|∩|).
+    Returns (id_a, id_b, jaccard) with jaccard >= threshold.
+    """
+    posts = shingle_postings(df, id_col, text_col, n, df_cap)
+    # sizes computed scan-side (no explode); joined AFTER the pair
+    # aggregate, when rows have collapsed from |pair postings| (~40M at
+    # sf0.1) to |pairs| — AQE broadcasts the small sizes side
+    sizes = df.select(F.col(id_col).alias("_id"), F.size(shingles(text_col, n)).alias("n_sh"))
+    a = posts.alias("a")
+    b = posts.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"), 6),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = 32, n: int = 3) -> DataFrame:
+    """MinHash signatures: k independent min-aggregates of seeded xxhash64
+    over the shingle postings — one shuffle, constant output per doc.
+    Docs with no shingles (shorter than n words) are dropped."""
+    posts = shingle_postings(df, id_col, text_col, n)
+    aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+            for i in range(num_hashes)]
+    sigs = posts.groupBy("_id").agg(*aggs)
+    return sigs.select("_id", F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("signature"))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, *,
+                      num_hashes: int = 32, bands: int = 8, n: int = 3,
+                      threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs via banded MinHash LSH, verified with exact Jaccard.
+
+    Signature is split into ``bands`` bands of ``num_hashes/bands`` rows;
+    docs colliding on any band become candidates (the only pairwise work),
+    then candidates are verified against exact shingle Jaccard. Bucket
+    collision probability ≈ 1-(1-s^r)^b — tune bands to the threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    band_rows = sigs.select(
+        "_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(*[F.col("signature")[bi * rows_per_band + j]
+                             for j in range(rows_per_band)]).alias("bucket"),
+            )
+            for bi in range(bands)
+        ])).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    # verify ONLY the candidates: join each side's (distinct) shingle set
+    # and compute exact Jaccard per pair — work is O(candidates), never
+    # O(all co-shingled pairs); this is the whole point of LSH at scale.
+    sh = df.select(F.col(id_col).alias("_id"), shingles(text_col, n).alias("sh"))
+    verified = (
+        candidates
+        .join(sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common").cast("double")
+                    / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")).cast("double"), 6),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document, fully JVM-side.
+
+    Per token: xxhash64 → its 64 bits vote ±1 into 64 counters; the
+    sketch's bit i is 1 iff counter i > 0. Explode + 64 conditional sums
+    → one shuffle on the id. Near-dups: bit_count(xor(a,b)) small.
+    """
+    toks = df.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("tok"))
+    h = F.xxhash64("tok")
+    votes = [
+        F.sum(F.when(h.bitwiseAND(F.lit(1).cast("long") * (2 ** i)) != 0, 1).otherwise(-1)).alias(f"v{i}")
+        for i in range(63)  # bit 63 is the sign bit; 63 bits is plenty for a sketch
+    ]
+    agg = toks.groupBy("_id").agg(*votes)
+    sketch = F.lit(0).cast("long")
+    for i in range(63):
+        sketch = sketch + F.when(F.col(f"v{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return agg.select("_id", sketch.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
+                       max_hamming: int = 8, prefix_bits: int = 16) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Blocking: pairs are only compared when they share one of 4 16-bit
+    sketch segments (pigeonhole: ≤3 differing segments ⇒ found, so for
+    max_hamming ≤ 3 recall is exact; higher thresholds are heuristic).
+    """
+    sk = simhash(df, id_col, text_col)
+    segments = F.array(*[
+        F.struct(F.lit(s).alias("seg"),
+                 F.shiftrightunsigned(F.col("simhash"), s * prefix_bits)
+                 .bitwiseAND(F.lit((1 << prefix_bits) - 1)).alias("key"))
+        for s in range(64 // prefix_bits)
+    ])
+    blocked = sk.select("_id", "simhash", F.explode(segments).alias("s")) \
+                .select("_id", "simhash", "s.seg", "s.key")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.seg") == F.col("b.seg")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"))
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,99 @@
+"""Similarity search over embedding columns (SURVEY.md §7 extensions).
+
+Generalizes the reference's best-match scoring (token overlap → argmax,
+etl/seed/seed_from_marvel.py:126-141) to dense vectors:
+
+- brute-force cosine top-k: the exact baseline. A full scan + per-row
+  codegen'd dot product + TakeOrderedAndProject heap — no shuffle of the
+  corpus, so it scales linearly and is often the right answer even big.
+- LSH-bucketed (random hyperplane / SimHash-for-vectors): the scale
+  path. L independent hash tables of b sign-bits each; candidates are
+  bucket collisions in any table; exact cosine re-ranks candidates.
+
+Embeddings stay `array<float>`; all math runs in Catalyst higher-order
+functions (functions/vector.py) — no Python, no UDF, no MLlib dependency.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from comix_etl_spark.functions.vector import cosine, random_hyperplane_bits
+
+
+def brute_force_topk(corpus: DataFrame, query: DataFrame, *, id_col: str = "vec_id",
+                     vec_col: str = "embedding", k: int = 10,
+                     query_id_col: str | None = None) -> DataFrame:
+    """Exact cosine top-k of ``corpus`` rows for each query row.
+
+    ``query`` is expected to be tiny (it is broadcast); the corpus is
+    scanned once per plan regardless of query count. Deterministic
+    tie-break on (similarity desc, id) with similarity rounded to 6dp so
+    the selected set is stable across engines and retries.
+    """
+    q = query.select(
+        *([F.col(query_id_col).alias("_qid")] if query_id_col else []),
+        F.col(vec_col).alias("_qvec"),
+    )
+    joined = corpus.crossJoin(F.broadcast(q))
+    sim = F.round(cosine(vec_col, "_qvec"), 6).alias("cosine_sim")
+    cols = ([F.col("_qid").alias("query_id")] if query_id_col else []) + [F.col(id_col), sim]
+    scored = joined.select(*cols)
+    if query_id_col:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.col(id_col))
+        return (scored.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= k).drop("_rn"))
+    return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
+
+
+def make_hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> list[list[list[float]]]:
+    """Deterministic seeded hyperplanes: tables × bits × dim floats."""
+    rng = random.Random(seed)
+    return [[[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+            for _ in range(tables)]
+
+
+def lsh_bucketed_topk(corpus: DataFrame, query: DataFrame, *, dim: int,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      k: int = 10, bits: int = 8, tables: int = 4, seed: int = 42,
+                      query_id_col: str = "query_id") -> DataFrame:
+    """Approximate cosine top-k: random-hyperplane LSH candidates, exact
+    re-rank. Corpus is hashed once per table (scan-local, no shuffle);
+    the candidate join touches only colliding buckets.
+    """
+    planes = make_hyperplanes(dim, bits, tables, seed)
+
+    def with_buckets(df: DataFrame, idc: str) -> DataFrame:
+        b = df.select(
+            F.col(idc),
+            F.col(vec_col).alias(f"_v_{idc}"),
+            F.explode(F.array(*[
+                F.struct(F.lit(t).alias("table"),
+                         random_hyperplane_bits(vec_col, planes[t]).alias("bucket"))
+                for t in range(tables)
+            ])).alias("tb"),
+        )
+        return b.select(idc, f"_v_{idc}", F.col("tb.table").alias("table"),
+                        F.col("tb.bucket").alias("bucket"))
+
+    qb = with_buckets(query.withColumnRenamed(id_col, query_id_col)
+                      if query_id_col not in query.columns else query, query_id_col)
+    cb = with_buckets(corpus, id_col)
+    candidates = (
+        cb.join(F.broadcast(qb), ["table", "bucket"])
+        .select(query_id_col, id_col, f"_v_{id_col}", f"_v_{query_id_col}")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = candidates.select(
+        query_id_col, id_col,
+        F.round(cosine(f"_v_{id_col}", f"_v_{query_id_col}"), 6).alias("cosine_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.col(id_col))
+    return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")

@@ -21,9 +21,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from comix_etl_spark.functions import scalar, text, vector
+from comix_etl_spark.operators import dedup as D
 from comix_etl_spark.operators import merge as M
 from comix_etl_spark.operators import quality as Q
 from comix_etl_spark.operators import relational as R
+from comix_etl_spark.operators import similarity as S
 from comix_etl_spark.session import load_tables
 
 
@@ -729,6 +731,232 @@ GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# §7 extensions — deduplication over the documents corpus
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint (md5 of lowercased,
+    whitespace-collapsed text): keeper id + copy count per content."""
+    t = _t(spark, sf_dir, "documents")
+    return D.exact_duplicates(t["documents"], "doc_id", "text")
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.3) via a shingle
+    inverted index — the verification primitive behind MinHash LSH."""
+    t = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(t["documents"], "doc_id", "text", n=3, threshold=0.3)
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         )) AS shingle
+  FROM toks WHERE len(t) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.3
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates verified by exact Jaccard — the
+    100 TB dedup path (constant-size signatures, banded buckets).
+    Non-SQL-expressible (seeded banded xxhash); recall vs the exact
+    operator is asserted in tests/test_dedup.py."""
+    t = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(t["documents"], "doc_id", "text",
+                               num_hashes=32, bands=8, n=3, threshold=0.3)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit sketches + segment-blocked Hamming pairs — the
+    constant-memory near-dup sketch. Non-SQL-expressible."""
+    t = _t(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(t["documents"], "doc_id", "text", max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# §7 extensions — similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 per query (queries = vec_id 0,1,2),
+    the exact ANN baseline: broadcast queries, one corpus scan, per-query
+    window top-k. Similarity rounded to 6dp for cross-engine determinism."""
+    t = _t(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)) \
+                 .select(F.col("vec_id").alias("query_id"), "embedding")
+    return S.brute_force_topk(emb, queries, id_col="vec_id", vec_col="embedding",
+                              k=10, query_id_col="query_id")
+
+
+ORACLE_ANN_COSINE_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+  FROM embeddings e, q
+)
+SELECT query_id, vec_id, cosine_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 10
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate cosine top-k (random hyperplanes, 8
+    tables × 4 bits, exact re-rank of candidates) — the scale path.
+    Few bits per table because this corpus's neighbors sit near cosine
+    0.3 (random vectors): P(bit agree) ≈ 0.6, so 4 bits × 8 tables ≈
+    0.67 hit probability. Non-SQL-expressible; recall vs brute force
+    asserted in tests."""
+    t = _t(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)) \
+                 .select(F.col("vec_id").alias("query_id"), "embedding")
+    return S.lsh_bucketed_topk(emb, queries, dim=64, id_col="vec_id",
+                               vec_col="embedding", k=10, bits=4, tables=8)
+
+
+# ---------------------------------------------------------------------------
+# §7 extensions — text analysis over the documents corpus
+# ---------------------------------------------------------------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (argmax over per-language stopword hits,
+    alphabetical tie-break) + counts per detected language."""
+    t = _t(spark, sf_dir, "documents")
+    d = t["documents"].withColumn("detected_lang", text.lang_id("text"))
+    return d.groupBy("detected_lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+_LANG_SCORE = ("CAST(len(list_intersect(list_distinct(string_split(lower(trim(text)), ' ')), "
+               "{markers})) AS INT)")
+_SCORES = {
+    lang: _LANG_SCORE.format(markers="[" + ",".join(f"'{m}'" for m in ms) + "]")
+    for lang, ms in text.LANG_MARKERS.items()
+}
+ORACLE_LANG_ID = f"""
+WITH scored AS (
+  SELECT {_SCORES['de']} AS s_de, {_SCORES['en']} AS s_en,
+         {_SCORES['es']} AS s_es, {_SCORES['fr']} AS s_fr
+  FROM documents
+), labeled AS (
+  SELECT CASE
+    WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+    WHEN s_es >= s_fr THEN 'es'
+    ELSE 'fr' END AS detected_lang
+  FROM scored
+)
+SELECT detected_lang, count(*) AS n_docs FROM labeled GROUP BY 1
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token count, punctuation ratio,
+    stopword ratio, composite score — one scan, all codegen."""
+    t = _t(spark, sf_dir, "documents")
+    return t["documents"].select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        F.round(text.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(text.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        text.quality_score("text").alias("quality_score"),
+    )
+
+
+ORACLE_DOC_QUALITY = """
+WITH feat AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(string_split(trim(text), ' ')) END AS n_tokens,
+         CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+           / CAST(len(text) AS DOUBLE) AS p_ratio,
+         CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                              x -> list_contains(['the','a','of','and','is'], x))) AS DOUBLE)
+           / CAST(CASE WHEN len(trim(text)) = 0 THEN 1
+                       ELSE len(string_split(trim(text), ' ')) END AS DOUBLE) AS sw_ratio,
+         len(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(p_ratio, 6) AS punct_ratio,
+       round(sw_ratio, 6) AS stopword_ratio,
+       round((CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END) * 0.4
+             + (1.0 - p_ratio) * 0.3
+             + (CASE WHEN sw_ratio BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END) * 0.3, 4)
+         AS quality_score
+FROM feat
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish regex token counts per document (training-
+    cost estimation primitives)."""
+    t = _t(spark, sf_dir, "documents")
+    return t["documents"].select(
+        "doc_id",
+        text.token_count("text").alias("ws_tokens"),
+        text.bpe_ish_token_count("text").alias("bpe_tokens"),
+    )
+
+
+ORACLE_TOKEN_COUNTS = """
+SELECT doc_id,
+       CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                 ELSE len(string_split(trim(text), ' ')) END AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)
+         AS bpe_tokens
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical content fingerprint per document (md5 of normalized
+    text) — the identity key for exact dedup and incremental skips."""
+    t = _t(spark, sf_dir, "documents")
+    return t["documents"].select("doc_id", text.fingerprint("text").alias("fingerprint"))
+
+
+ORACLE_DOC_FINGERPRINT = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -780,4 +1008,24 @@ QUERIES: dict[str, Query] = {
                          "F4/F5 nested-payload extraction (JSON props)", ("events",)),
     "sessionize": Query(q_sessionize, ORACLE_SESSIONIZE,
                         "gap-based sessionization over events", ("events",)),
+    "dedup_exact": Query(q_dedup_exact, ORACLE_DEDUP_EXACT,
+                         "exact content-hash dedup", ("documents",)),
+    "ngram_jaccard": Query(q_ngram_jaccard, ORACLE_NGRAM_JACCARD,
+                           "exact 3-gram Jaccard near-dup pairs", ("documents",)),
+    "minhash_lsh": Query(q_minhash_lsh, None,
+                         "MinHash+LSH near-dup (scale path; rows-only)", ("documents",)),
+    "simhash_pairs": Query(q_simhash_pairs, None,
+                           "SimHash near-dup sketch (rows-only)", ("documents",)),
+    "ann_cosine_topk": Query(q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK,
+                             "brute-force cosine top-k per query", ("embeddings",)),
+    "ann_lsh": Query(q_ann_lsh, None,
+                     "LSH-bucketed approximate cosine top-k (rows-only)", ("embeddings",)),
+    "lang_id": Query(q_lang_id, ORACLE_LANG_ID,
+                     "marker-based language ID + counts", ("documents",)),
+    "doc_quality": Query(q_doc_quality, ORACLE_DOC_QUALITY,
+                         "document quality features + score", ("documents",)),
+    "token_counts": Query(q_token_counts, ORACLE_TOKEN_COUNTS,
+                          "whitespace vs BPE-ish token counts", ("documents",)),
+    "doc_fingerprint": Query(q_doc_fingerprint, ORACLE_DOC_FINGERPRINT,
+                             "canonical md5 content fingerprint", ("documents",)),
 }

@@ -1,0 +1,69 @@
+"""Dedup operator tests: LSH recall vs exact Jaccard, SimHash sanity,
+exact-dup grouping."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from comix_etl_spark.operators import dedup as D
+
+
+def test_exact_duplicates_groups_identical_content(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different text")],
+        "doc_id long, text string")
+    out = {r.keep_id: r.n_copies for r in D.exact_duplicates(df, "doc_id", "text").collect()}
+    assert out == {1: 2, 3: 1}  # 1&2 are the same content after normalization
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_small):
+    """Every high-jaccard pair (well above threshold) must be found by
+    LSH with 8 bands × 4 rows; banding probability at j=0.5 is ~0.96."""
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    exact = {(r.id_a, r.id_b) for r in
+             D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()}
+    lsh = {(r.id_a, r.id_b) for r in
+           D.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=32, bands=8,
+                               n=3, threshold=0.5).collect()}
+    assert lsh <= exact or not exact  # verification step guarantees precision
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.8, f"LSH recall {recall:.2f} too low ({len(lsh)}/{len(exact)})"
+
+
+def test_minhash_lsh_verified_jaccard_matches_exact(spark, sf_small):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    exact = {(r.id_a, r.id_b): r.jaccard for r in
+             D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3).collect()}
+    lsh = {(r.id_a, r.id_b): r.jaccard for r in
+           D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.3).collect()}
+    for pair, j in lsh.items():
+        assert pair in exact and exact[pair] == j  # re-verification is exact
+
+
+def test_simhash_identical_docs_same_sketch(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "totally unrelated words here")],
+        "doc_id long, text string")
+    sk = {r._id: r.simhash for r in D.simhash(df, "doc_id", "text").collect()}
+    assert sk[1] == sk[2]
+    assert sk[1] != sk[3]
+
+
+def test_simhash_near_pairs_finds_identicals(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta eps zeta"), (2, "alpha beta gamma delta eps zeta"),
+         (3, "completely different content again")],
+        "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             D.simhash_near_pairs(df, "doc_id", "text", max_hamming=3).collect()}
+    assert pairs == {(1, 2): 0}
+
+
+def test_shingle_df_cap_drops_boilerplate(spark):
+    rows = [(i, f"common boiler plate unique{i} word{i} tail{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = D.shingle_postings(df, "doc_id", "text", n=3).count()
+    capped = D.shingle_postings(df, "doc_id", "text", n=3, df_cap=5).count()
+    assert capped < uncapped  # the 'common boiler plate' shingle (df=10) is dropped

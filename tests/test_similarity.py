@@ -1,0 +1,55 @@
+"""Similarity-search tests: brute-force correctness, LSH recall."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from comix_etl_spark.operators import similarity as S
+
+
+def test_brute_force_self_is_top1(spark, sf_small):
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 7).select("embedding")
+    top = S.brute_force_topk(emb, q, k=3).collect()
+    assert top[0].vec_id == 7 and top[0].cosine_sim == 1.0
+
+
+def test_brute_force_multi_query_partitions(spark, sf_small):
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id").isin(1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = S.brute_force_topk(emb, qs, k=5, query_id_col="query_id").collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {1, 2}
+    assert all(len(v) == 5 for v in by_q.values())
+    assert by_q[1][0].vec_id == 1 and by_q[2][0].vec_id == 2  # self first
+
+
+def test_lsh_recall_vs_brute_force(spark, sf_small):
+    """LSH top-k with exact re-rank: top-1 (self) must always be found;
+    top-10 recall should clear 50% with 8 tables × 4 bits on this corpus
+    (random vectors — neighbors near cosine 0.3, so few bits per table)."""
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = S.brute_force_topk(emb, qs, k=10, query_id_col="query_id").collect()
+    approx = S.lsh_bucketed_topk(emb, qs, dim=64, k=10, bits=4, tables=8).collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    for qid in (0, 1, 2):
+        assert (qid, qid) in approx_set  # self always collides with itself
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"LSH recall {recall:.2f}"
+
+
+def test_lsh_similarities_match_brute_force_for_found_pairs(spark, sf_small):
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.vec_id): r.cosine_sim
+             for r in S.brute_force_topk(emb, qs, k=50, query_id_col="query_id").collect()}
+    approx = S.lsh_bucketed_topk(emb, qs, dim=64, k=10).collect()
+    for r in approx:
+        if (r.query_id, r.vec_id) in exact:
+            assert exact[(r.query_id, r.vec_id)] == r.cosine_sim  # exact re-rank
