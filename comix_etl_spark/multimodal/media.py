@@ -1,0 +1,109 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata structs (SURVEY.md §7; generalizes the reference's cover-image
+handling, cv_fetch_covers.py:116-126 / S9).
+
+The Spark-side plumbing is real and tested — schema (schemas.MEDIA),
+binaryFile ingest, metadata derivation in codegen, and Arrow-batched
+``mapInPandas`` decode with a stable batch shape. The pixel/sample
+decode itself is STUBBED (this container has no image/audio libs): a
+clearly-marked deterministic fake stands in where Pillow/ffmpeg would
+be called, so swapping in a real decoder changes one function body and
+nothing about the distributed plan.
+
+Scale notes: payloads never pass through Python except in the decode
+stage (Arrow batches); metadata-only queries (size, hash, mime) stay
+JVM-side so filtering 100 TB of media by metadata never deserializes a
+payload. Decode stages should run after the strongest possible metadata
+filter and with ``spark.sql.files.maxPartitionBytes`` sized so one task's
+batch of payloads fits executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = "media_id long, n_bytes long, sha256 string, fake_width int, fake_height int, fake_mean_luma double"
+
+
+def read_binary_files(spark: SparkSession, path_glob: str) -> DataFrame:
+    """S9 ingest — Spark's binaryFile source: (path, modificationTime,
+    length, content) per file; pushdown prunes by path/length without
+    reading payloads."""
+    return spark.read.format("binaryFile").load(path_glob)
+
+
+def attach_binary_metadata(df: DataFrame, payload_col: str = "payload",
+                           kind_col: str | None = None) -> DataFrame:
+    """Derive the typed metadata struct JVM-side (no decode): byte size,
+    content hash, and a mime guess from magic bytes."""
+    payload = F.col(payload_col)
+    magic = F.hex(F.substring(payload, 1, 4))
+    mime = (
+        F.when(magic.startswith("89504E47"), F.lit("image/png"))
+        .when(magic.startswith("FFD8"), F.lit("image/jpeg"))
+        .when(magic.startswith("52494646"), F.lit("audio/wav"))
+        .otherwise(F.lit("application/octet-stream"))
+    )
+    return df.withColumn(
+        "meta",
+        F.struct(
+            mime.alias("mime"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.sha2(payload, 256).alias("sha256"),
+        ),
+    )
+
+
+def decode_image_features(df: DataFrame, *, id_col: str = "media_id",
+                          payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched decode → feature rows.
+
+    The distributed shape is production-real: project only (id, payload),
+    stream Arrow batches through ``mapInPandas``, emit a fixed feature
+    schema. The decode body is a STUB (see module docstring).
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                # ---- STUB: real impl calls PIL.Image.open(BytesIO(data)) ----
+                # Deterministic fake features derived from content bytes so
+                # tests are stable and the plumbing is exercised end-to-end.
+                digest = hashlib.sha256(data).hexdigest()
+                rows.append({
+                    "media_id": int(mid),
+                    "n_bytes": len(data),
+                    "sha256": digest,
+                    "fake_width": 1 + int(digest[:4], 16) % 4096,
+                    "fake_height": 1 + int(digest[4:8], 16) % 4096,
+                    "fake_mean_luma": (int(digest[8:12], 16) % 10_000) / 10_000.0,
+                })
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "n_bytes", "sha256", "fake_width", "fake_height", "fake_mean_luma"])
+
+    return df.select(id_col, payload_col).mapInPandas(decode, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, *, every_ms: int = 1000,
+                      duration_col: str = "meta.duration_ms",
+                      id_col: str = "media_id") -> DataFrame:
+    """Video frame-sampling plan: one output row per (media, frame_ts).
+
+    Generates the sample grid JVM-side with ``sequence``/``explode`` —
+    the expensive part (decoding frames at those timestamps) would be a
+    ``mapInPandas`` stage exactly like ``decode_image_features``.
+    """
+    n = (F.coalesce(F.col(duration_col), F.lit(0)) / every_ms).cast("long")
+    grid = F.sequence(F.lit(0).cast("long"), n)
+    return (
+        df.select(F.col(id_col), F.explode(grid).alias("frame_idx"))
+        .withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+    )

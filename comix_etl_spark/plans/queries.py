@@ -957,6 +957,209 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# §2.1 — sources: CSV with rejects, nested JSON, REST pagination
+# ---------------------------------------------------------------------------
+
+_CSV_FIXTURE = "/root/repo/tests/data/static_issues.csv"
+_JSON_FIXTURE = "/root/repo/tests/data/marvel_comics.jsonl"
+
+
+def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — CSV seed read with explicit schema + quarantine of the
+    reference's real duplicated-header defect (seeds/static_issues.csv:5);
+    returns the clean rows with reference normalization applied."""
+    from comix_etl_spark.schemas import STATIC_ISSUES_CSV
+    from comix_etl_spark.sources.csv_source import read_csv_with_rejects, split_rejects
+
+    raw = read_csv_with_rejects(spark, _CSV_FIXTURE, STATIC_ISSUES_CSV)
+    good, _rejects = split_rejects(
+        raw, ["series", "publisher", "issue_number", "issue_title", "cover_path", "notes"])
+    return good.select(
+        "series", "issue_number",
+        scalar.clean_text("issue_title").alias("issue_title"),
+        scalar.clean_text("cover_path").alias("cover_path"),
+        scalar.clean_text("notes").alias("notes"),
+    )
+
+
+ORACLE_CSV_INGEST = f"""
+SELECT series, issue_number,
+       nullif(trim(coalesce(issue_title, '')), '') AS issue_title,
+       nullif(trim(coalesce(cover_path, '')), '') AS cover_path,
+       nullif(trim(coalesce(notes, '')), '') AS notes
+FROM read_csv('{_CSV_FIXTURE}', header=true,
+  columns={{'series':'VARCHAR','publisher':'VARCHAR','issue_number':'VARCHAR',
+           'issue_title':'VARCHAR','cover_path':'VARCHAR','notes':'VARCHAR'}})
+WHERE NOT (series = 'series' AND publisher = 'publisher'
+           AND issue_number = 'issue_number')
+"""
+
+
+def q_marvel_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+F1–F7 — nested Marvel JSON payloads → flat issue rows: the
+    reference's whole transform layer as one codegen projection."""
+    from comix_etl_spark.sources.json_source import normalize_comics, read_marvel_comics
+
+    return normalize_comics(read_marvel_comics(spark, _JSON_FIXTURE))
+
+
+ORACLE_MARVEL_NORMALIZE = f"""
+WITH raw AS (
+  SELECT * FROM read_json('{_JSON_FIXTURE}', format='newline_delimited',
+                          maximum_depth=-1)
+)
+SELECT id AS marvel_comic_id,
+       title,
+       nullif(regexp_replace(trim(CAST(issueNumber AS VARCHAR)), '\\.0$', ''), '')
+         AS issue_number,
+       try_cast(substr(list_filter(dates, d -> d.type = 'onsaleDate')[1].date, 1, 10)
+                AS DATE) AS onsale_date,
+       CAST(roundbankers(list_filter(prices, p -> p.type = 'printPrice')[1].price * 100, 0)
+            AS BIGINT) AS price_cents,
+       nullif(trim(coalesce(isbn, '')), '') AS isbn,
+       nullif(trim(coalesce(upc, '')), '') AS upc,
+       nullif(trim(coalesce(description, '')), '') AS description,
+       CASE WHEN thumbnail.path IS NOT NULL
+              AND NOT contains(thumbnail.path, 'image_not_available')
+            THEN thumbnail.path || '/portrait_uncanny.' || coalesce(thumbnail.extension, 'jpg')
+       END AS cover_url,
+       contains(lower(concat_ws(' ', title, variantDescription)), 'variant') AS is_variant
+FROM raw
+"""
+
+
+def q_marvel_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+J5 ingest side — creators.items[] → normalized (comic, creator,
+    role) bridge rows (case-insensitive creator identity)."""
+    from comix_etl_spark.sources.json_source import explode_credits, read_marvel_comics
+
+    return explode_credits(read_marvel_comics(spark, _JSON_FIXTURE))
+
+
+ORACLE_MARVEL_CREDITS = f"""
+SELECT id AS marvel_comic_id,
+       lower(trim(c.name)) AS creator_name,
+       lower(trim(c.role)) AS role
+FROM (SELECT id, unnest(creators."items") AS c
+      FROM read_json('{_JSON_FIXTURE}', format='newline_delimited', maximum_depth=-1))
+"""
+
+
+def q_rest_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S4 — offset-paginated REST read distributed over tasks via
+    mapInPandas with an injected deterministic fetcher (no network);
+    payloads parsed with an explicit schema and aggregated.
+    Non-SQL-expressible (source is a fetcher, not a table)."""
+    from comix_etl_spark.sources.rest_source import fake_marvel_fetcher, paginated_read
+
+    raw = paginated_read(spark, "https://example.invalid/comics", total=500,
+                         page_size=100, fetcher=fake_marvel_fetcher(500),
+                         max_concurrency=4)
+    parsed = raw.select(
+        "offset",
+        F.get_json_object("payload", "$.id").cast("long").alias("id"),
+        F.get_json_object("payload", "$.issueNumber").cast("double").alias("issue_number"),
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.count_distinct("id").alias("n_distinct_ids"),
+        F.sum(F.col("issue_number").cast("decimal(18,4)")).cast("double").alias("sum_issue_numbers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9/§7 — structured streaming with batch parity
+# ---------------------------------------------------------------------------
+
+def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window rollup executed as a REAL streaming
+    query (file source → availableNow → memory sink); the oracle is the
+    batch date_trunc equivalent — batch/stream parity by construction."""
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from comix_etl_spark.streaming.windowed import run_stream_to_memory, stream_windowed_counts
+
+    raw_schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+
+    def ts_fix(df: DataFrame) -> DataFrame:
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    out = run_stream_to_memory(
+        spark, sf_dir, raw_schema,
+        lambda ev: stream_windowed_counts(ev, window="1 hour", watermark="2 hours"),
+        query_name="q_stream_windowed", glob="events.parquet", ts_fix=ts_fix,
+    )
+    return out.select(F.col("window_start").cast("timestamp").alias("window_start"),
+                      "event_type", "n_events", "sum_value")
+
+
+ORACLE_STREAM_WINDOWED = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# §7 — multimodal binary columns
+# ---------------------------------------------------------------------------
+
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payload + JVM-side metadata (size, sha256, mime
+    sniff) — filtering media by metadata never deserializes a payload.
+    Payloads fabricated from document text (no binary test table)."""
+    from comix_etl_spark.multimodal.media import attach_binary_metadata
+
+    t = _t(spark, sf_dir, "documents")
+    media = t["documents"].select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    with_meta = attach_binary_metadata(media)
+    return with_meta.select(
+        "media_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.sha256").alias("sha256"),
+    )
+
+
+ORACLE_MULTIMODAL_METADATA = """
+SELECT doc_id AS media_id,
+       'application/octet-stream' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode stage (mapInPandas, deterministic stub
+    decoder) — the production plan shape for image feature extraction.
+    Non-SQL-expressible (Python decode stage)."""
+    from comix_etl_spark.multimodal.media import decode_image_features
+
+    t = _t(spark, sf_dir, "documents")
+    media = t["documents"].select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return decode_image_features(media)
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -1028,4 +1231,18 @@ QUERIES: dict[str, Query] = {
                           "whitespace vs BPE-ish token counts", ("documents",)),
     "doc_fingerprint": Query(q_doc_fingerprint, ORACLE_DOC_FINGERPRINT,
                              "canonical md5 content fingerprint", ("documents",)),
+    "csv_ingest": Query(q_csv_ingest, ORACLE_CSV_INGEST,
+                        "S6 CSV read with duplicated-header quarantine", ()),
+    "marvel_normalize": Query(q_marvel_normalize, ORACLE_MARVEL_NORMALIZE,
+                              "S1+F1-F7 nested JSON → flat issue rows", ()),
+    "marvel_credits": Query(q_marvel_credits, ORACLE_MARVEL_CREDITS,
+                            "creators.items[] → bridge rows", ()),
+    "rest_paginated": Query(q_rest_paginated, None,
+                            "S1/S4 distributed paginated REST read (rows-only)", ()),
+    "stream_windowed": Query(q_stream_windowed, ORACLE_STREAM_WINDOWED,
+                             "streaming windowed rollup w/ batch parity", ("events",)),
+    "multimodal_metadata": Query(q_multimodal_metadata, ORACLE_MULTIMODAL_METADATA,
+                                 "binary payload metadata, JVM-side", ("documents",)),
+    "multimodal_decode": Query(q_multimodal_decode, None,
+                               "Arrow-batched decode stub (rows-only)", ("documents",)),
 }

@@ -1,0 +1,113 @@
+"""Source-layer tests: CSV rejects, nested JSON ingest, REST pagination
+with retry/backoff."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from comix_etl_spark.schemas import STATIC_ISSUES_CSV
+from comix_etl_spark.sources.csv_source import read_csv_with_rejects, split_rejects
+from comix_etl_spark.sources.json_source import explode_credits, normalize_comics, read_marvel_comics
+from comix_etl_spark.sources.rest_source import (
+    fake_marvel_fetcher,
+    paginated_read,
+    prefix_crawl_read,
+    retrying,
+)
+
+CSV_OK = "/root/repo/tests/data/static_issues.csv"
+CSV_CORRUPT = "/root/repo/tests/data/static_issues_corrupt.csv"
+JSONL = "/root/repo/tests/data/marvel_comics.jsonl"
+HEADER = ["series", "publisher", "issue_number", "issue_title", "cover_path", "notes"]
+
+
+def test_csv_duplicated_header_quarantined(spark):
+    raw = read_csv_with_rejects(spark, CSV_OK, STATIC_ISSUES_CSV)
+    good, rejects = split_rejects(raw, HEADER)
+    assert good.count() == 6
+    assert rejects.count() == 1
+    # the defect the reference silently ingested: a row whose cells are the header
+    assert rejects.collect()[0].issue_number == "issue_number"
+
+
+def test_csv_arity_defect_field_shift_needs_semantic_check(spark):
+    """An unquoted comma does NOT produce a corrupt record — the parser
+    silently shifts fields (observed in both Spark PERMISSIVE and
+    DuckDB). Only a semantic validator catches it."""
+    raw = read_csv_with_rejects(spark, CSV_CORRUPT, STATIC_ISSUES_CSV)
+    # without a validator the shifted row lands in 'good' — the defect
+    # the reference actually shipped
+    good_naive, rejects_naive = split_rejects(raw, HEADER)
+    assert good_naive.count() == 7 and rejects_naive.count() == 1
+    # with a path-shape validator the shifted row is quarantined
+    bad_cover = ~F.coalesce(F.col("cover_path"), F.lit("covers/_")).startswith("covers/")
+    good, rejects = split_rejects(raw, HEADER, semantic_invalid=bad_cover)
+    assert good.count() == 6
+    shifted = [r for r in rejects.collect() if r.series == "Days of Future"]
+    assert len(shifted) == 1 and shifted[0].cover_path == " Part 1"
+
+
+def test_marvel_normalize_semantics(spark):
+    flat = {r.marvel_comic_id: r for r in
+            normalize_comics(read_marvel_comics(spark, JSONL)).collect()}
+    assert len(flat) == 40
+    r1 = flat[1001]  # issueNumber 1.1 → "1.1"
+    assert r1.issue_number == "1.1"
+    r0 = flat[1000]  # i=0: unparseable onsale date, variant, not-available thumb
+    assert r0.onsale_date is None
+    assert r0.is_variant is True
+    assert r0.cover_url is None
+    assert flat[1001].cover_url == "http://img.example/c1/portrait_uncanny.jpg"
+    assert all(isinstance(r.price_cents, int) for r in flat.values())
+
+
+def test_marvel_credits_normalized(spark):
+    credits = explode_credits(read_marvel_comics(spark, JSONL))
+    assert credits.count() == 80  # 2 per comic
+    roles = {r.role for r in credits.select("role").distinct().collect()}
+    assert roles <= {"writer", "penciler", "inker", "colorist"}
+    names = [r.creator_name for r in credits.limit(5).collect()]
+    assert all(n == n.lower() for n in names)
+
+
+def test_paginated_read_covers_all_offsets(spark):
+    df = paginated_read(spark, "http://x", total=250, page_size=100,
+                        fetcher=fake_marvel_fetcher(250), max_concurrency=3)
+    rows = df.collect()
+    assert len(rows) == 250
+    assert {r.offset for r in rows} == {0, 100, 200}
+    ids = [F and r for r in rows]  # noqa: F841
+    parsed = df.select(F.get_json_object("payload", "$.id").cast("long").alias("id"))
+    assert parsed.distinct().count() == 250
+
+
+def test_prefix_crawl_dedups_by_key(spark):
+    # overlapping prefixes return overlapping ids; dedup keeps one each
+    df = prefix_crawl_read(spark, "http://x", ["a", "a", "b"],
+                           fetcher=fake_marvel_fetcher())
+    assert df.count() == 10  # 5 per distinct prefix
+
+
+def test_retrying_retries_then_succeeds():
+    calls = {"n": 0}
+
+    def flaky(url, params):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConnectionError("boom")
+        return [{"ok": True}]
+
+    slept = []
+    out = retrying(flaky, max_retries=5, backoff=0.5, sleep=slept.append)("u", {})
+    assert out == [{"ok": True}]
+    assert calls["n"] == 3
+    assert slept == [0.5, 1.0]  # linear backoff × attempt
+
+
+def test_retrying_exhausts_and_raises():
+    def always_fail(url, params):
+        raise ConnectionError("down")
+
+    with pytest.raises(ConnectionError):
+        retrying(always_fail, max_retries=3, backoff=0, sleep=lambda s: None)("u", {})

@@ -1,0 +1,105 @@
+"""Streaming foreachBatch merge, sinks, multimodal plumbing, and the
+end-to-end ETL pipeline DAG."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from comix_etl_spark.multimodal.media import (
+    attach_binary_metadata,
+    decode_image_features,
+    frame_sample_plan,
+)
+from comix_etl_spark.operators.audit import read_audit
+from comix_etl_spark.pipeline import run_marvel_batch
+from comix_etl_spark.sinks import write_csv_report, write_table
+from comix_etl_spark.sources.json_source import read_marvel_comics
+from comix_etl_spark.streaming.windowed import foreach_batch_upsert
+
+JSONL = "/root/repo/tests/data/marvel_comics.jsonl"
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="comix_spark_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_foreach_batch_upsert_merges_microbatches(spark, tmpdir):
+    target = os.path.join(tmpdir, "target")
+    sink = foreach_batch_upsert(target, key=["k"], update_cols=["v"])
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    b2 = spark.createDataFrame([(2, "B2"), (3, "c")], "k int, v string")
+    sink(b1, 0)
+    sink(b2, 1)
+    out = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert out == {1: "a", 2: "B2", 3: "c"}  # batch 2 updated k=2, inserted k=3
+
+
+def test_write_table_and_csv_report_roundtrip(spark, tmpdir):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id int, name string")
+    p = os.path.join(tmpdir, "t")
+    write_table(df, p, target_files=1)
+    assert spark.read.parquet(p).count() == 2
+    c = os.path.join(tmpdir, "report")
+    write_csv_report(df, c)
+    back = spark.read.option("header", True).csv(c)
+    assert back.count() == 2 and set(back.columns) == {"id", "name"}
+
+
+def test_multimodal_metadata_and_decode_agree(spark):
+    # real binary payloads (UTF-8 encoding would mangle the \x89 magic byte)
+    media = spark.createDataFrame(
+        [(1, bytearray(b"hello world")),
+         (2, bytearray(b"\x89PNG\r\n fake png bytes"))],
+        "media_id long, payload binary")
+    meta = attach_binary_metadata(media)
+    m = {r.media_id: r.meta for r in meta.collect()}
+    assert m[2].mime == "image/png"  # magic-byte sniff
+    assert m[1].mime == "application/octet-stream"
+    feats = {r.media_id: r for r in decode_image_features(media).collect()}
+    # JVM-side sha256 and the Arrow-side stub must agree byte-for-byte
+    assert feats[1].sha256 == m[1].sha256
+    assert feats[1].n_bytes == m[1].n_bytes == len(b"hello world")
+    assert 1 <= feats[1].fake_width <= 4096
+
+
+def test_frame_sample_plan_grid(spark):
+    df = spark.createDataFrame([(1, (None, 3500)), (2, (None, 0))],
+                               "media_id long, meta struct<mime:string,duration_ms:long>")
+    grid = frame_sample_plan(df, every_ms=1000)
+    rows = [(r.media_id, r.frame_ts_ms) for r in grid.collect()]
+    assert (1, 0) in rows and (1, 3000) in rows
+    assert len([r for r in rows if r[0] == 1]) == 4  # 0,1000,2000,3000(+incl end)
+    assert len([r for r in rows if r[0] == 2]) == 1  # duration 0 → frame 0 only
+
+
+def test_pipeline_end_to_end_success_and_idempotent(spark, tmpdir):
+    raw = read_marvel_comics(spark, JSONL)
+    target = os.path.join(tmpdir, "issues")
+    audit = os.path.join(tmpdir, "audit")
+    r1 = run_marvel_batch(spark, raw, target_path=target, audit_path=audit, expected_min=30)
+    assert r1.status == "SUCCESS" and r1.records_read == 40 and r1.records_loaded == 40
+    # idempotent re-run: same batch → same table size
+    r2 = run_marvel_batch(spark, raw, target_path=target, audit_path=audit, expected_min=30)
+    assert r2.records_loaded == 40
+    runs = read_audit(spark, audit)
+    assert runs.count() == 2
+    assert {r.status for r in runs.collect()} == {"SUCCESS"}
+
+
+def test_pipeline_guardrail_aborts_short_batch(spark, tmpdir):
+    raw = read_marvel_comics(spark, JSONL).limit(5)
+    target = os.path.join(tmpdir, "issues")
+    audit = os.path.join(tmpdir, "audit")
+    with pytest.raises(ValueError, match="guardrail"):
+        run_marvel_batch(spark, raw, target_path=target, audit_path=audit, expected_min=40)
+    runs = read_audit(spark, audit).collect()
+    assert len(runs) == 1 and runs[0].status == "FAILED"
+    assert "guardrail" in runs[0].notes
