@@ -21,7 +21,11 @@ import random
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from comix_etl_spark.functions.vector import cosine, random_hyperplane_bits
+from comix_etl_spark.functions.vector import (
+    cosine,
+    hyperplane_buckets_pandas,
+    random_hyperplane_bits,
+)
 
 
 def brute_force_topk(corpus: DataFrame, query: DataFrame, *, id_col: str = "vec_id",
@@ -63,12 +67,27 @@ def lsh_bucketed_topk(corpus: DataFrame, query: DataFrame, *, dim: int,
                       k: int = 10, bits: int = 8, tables: int = 4, seed: int = 42,
                       query_id_col: str = "query_id") -> DataFrame:
     """Approximate cosine top-k: random-hyperplane LSH candidates, exact
-    re-rank. Corpus is hashed once per table (scan-local, no shuffle);
-    the candidate join touches only colliding buckets.
+    re-rank. Corpus is hashed once for ALL tables (scan-local, no
+    shuffle); the candidate join touches only colliding buckets.
+
+    Bucketing strategy: for bits×tables beyond a handful, per-plane
+    Column ``aggregate`` folds don't codegen and dominate runtime (they
+    made ann_lsh the slowest bench query in round 1 at 7.5s), so the
+    default path is ``hyperplane_buckets_pandas`` — one BLAS matmul per
+    Arrow batch producing every table's bucket at once. The pure-Column
+    path is kept for tiny plane counts where a UDF round-trip costs more
+    than it saves.
     """
     planes = make_hyperplanes(dim, bits, tables, seed)
+    use_pandas = bits * tables > 8
 
     def with_buckets(df: DataFrame, idc: str) -> DataFrame:
+        if use_pandas:
+            return df.select(
+                F.col(idc),
+                F.col(vec_col).alias(f"_v_{idc}"),
+                F.posexplode(hyperplane_buckets_pandas(vec_col, planes)).alias("table", "bucket"),
+            )
         b = df.select(
             F.col(idc),
             F.col(vec_col).alias(f"_v_{idc}"),

@@ -126,6 +126,21 @@ LISTING = T.StructType([
     T.StructField("notes", T.StringType(), True),
 ])
 
+# Raw on-disk shape of the driver's events.parquet. `ts` is parquet
+# TIMESTAMP(NANOS), which Spark's reader rejects outright unless either
+# (a) spark.sql.legacy.parquet.nanosAsLong is set, or (b) the read is
+# given an explicit schema typing the column as LongType. We rely on (b)
+# so loading works under ANY SparkSession — including ones we didn't
+# build (the correctness driver constructs its own).
+EVENTS_RAW = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long nanos
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
 # Multimodal column convention: payload is opaque binary + typed metadata
 # struct (SURVEY.md §7 extensions). Decoders are pluggable; the engine only
 # guarantees schema, partitioning, and Arrow batch shape.

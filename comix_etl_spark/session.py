@@ -58,13 +58,24 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     )
-    # Columns stored as parquet TIMESTAMP(NANOS): surfaced as long nanos
-    # (nanosAsLong), converted here to microsecond timestamps by integer
+    # Columns stored as parquet TIMESTAMP(NANOS): Spark's reader throws
+    # PARQUET_TYPE_ILLEGAL on them unless the read supplies an explicit
+    # schema typing the column as LongType (the legacy nanosAsLong conf
+    # would also work, but only on sessions WE build — callers may hand us
+    # any SparkSession, so the explicit schema is the robust path). The
+    # long nanos are converted to microsecond timestamps by integer
     # division — the same truncation DuckDB applies reading ns parquet.
+    from comix_etl_spark.schemas import EVENTS_RAW
+
+    raw_schemas = {"events": EVENTS_RAW}
     nanos_columns = {"events": ("ts",)}
     out = {}
     for name in names or all_names:
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if name in raw_schemas:
+            df = spark.read.schema(raw_schemas[name]).parquet(path)
+        else:
+            df = spark.read.parquet(path)
         for c in nanos_columns.get(name, ()):
             if dict(df.dtypes).get(c) == "bigint":
                 # integer `div` (not double /): ns epoch values exceed
