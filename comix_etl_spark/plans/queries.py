@@ -1148,6 +1148,51 @@ SELECT CAST(250 AS BIGINT) AS n_first_run,
 """
 
 
+_CSV_FIXTURE = "/root/repo/tests/data/static_issues.csv"
+
+
+def q_cover_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-API enrichment flow (reference cv_fetch_covers.py:129-213):
+    CSV issues → per-distinct-title volume search → per-issue image
+    lookup → status column. The fakes are deterministic (volume exists
+    iff title known; image exists iff issue_number is a plain integer),
+    so the oracle recomputes the whole flow in SQL over the same CSV."""
+    from comix_etl_spark.schemas import STATIC_ISSUES_CSV
+    from comix_etl_spark.sources.csv_source import read_csv_with_rejects, split_rejects
+    from comix_etl_spark.sources.enrichment import cover_enrichment, fake_comicvine_fetcher
+
+    header = ["series", "publisher", "issue_number", "issue_title", "cover_path", "notes"]
+    good, _ = split_rejects(
+        read_csv_with_rejects(spark, _CSV_FIXTURE, STATIC_ISSUES_CSV), header)
+    out = cover_enrichment(spark, good, fetcher=fake_comicvine_fetcher())
+    return out.orderBy("series", "issue_number")
+
+
+ORACLE_COVER_ENRICHMENT = f"""
+WITH rows AS (
+  SELECT series, issue_number, cover_path
+  FROM read_csv('{_CSV_FIXTURE}', header=true, all_varchar=true)
+  WHERE series <> 'series'              -- the mid-file duplicated header row
+), vols AS (
+  SELECT * FROM (VALUES ('Amazing Adventures', CAST(901 AS BIGINT)),
+                        ('Spider Tales',       CAST(902 AS BIGINT))) v(series, volume_id)
+)
+SELECT r.series, r.issue_number, r.cover_path,
+       CASE WHEN r.cover_path IS NULL OR r.cover_path = '' THEN NULL
+            ELSE v.volume_id END AS volume_id,
+       CASE WHEN r.cover_path IS NULL OR r.cover_path = '' OR v.volume_id IS NULL
+                 OR NOT regexp_matches(r.issue_number, '^[0-9]+$') THEN NULL
+            ELSE 'http://img.example/cv/' || v.volume_id || '/' || r.issue_number || '.jpg'
+       END AS img_url,
+       CASE WHEN r.cover_path IS NULL OR r.cover_path = '' THEN 'skipped'
+            WHEN v.volume_id IS NULL THEN 'no_volume'
+            WHEN NOT regexp_matches(r.issue_number, '^[0-9]+$') THEN 'no_image'
+            ELSE 'saved' END AS status
+FROM rows r LEFT JOIN vols v USING (series)
+ORDER BY series, issue_number
+"""
+
+
 # ---------------------------------------------------------------------------
 # §2.9/§7 — structured streaming with batch parity
 # ---------------------------------------------------------------------------
@@ -1323,6 +1368,8 @@ QUERIES: dict[str, Query] = {
                           "S2 keyed limit=1 lookup with NULL-payload misses", ()),
     "incremental_refetch": Query(q_incremental_refetch, ORACLE_INCREMENTAL_REFETCH,
                                  "S5 bronze landing; rerun fetches only missing pages", ()),
+    "cover_enrichment": Query(q_cover_enrichment, ORACLE_COVER_ENRICHMENT,
+                              "second-API enrichment: volume resolve + image lookup + status", ()),
     "stream_windowed": Query(q_stream_windowed, ORACLE_STREAM_WINDOWED,
                              "streaming windowed rollup w/ batch parity", ("events",)),
     "multimodal_metadata": Query(q_multimodal_metadata, ORACLE_MULTIMODAL_METADATA,

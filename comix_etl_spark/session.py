@@ -39,6 +39,9 @@ def get_spark(app_name: str = "comix_etl_spark", *, shuffle_partitions: int | No
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Managed tables (S13 saveAsTable) land in /tmp, not the repo cwd.
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/comix_etl_spark_warehouse"))
         # Parquet TIMESTAMP(NANOS) (events.ts) is unreadable by Spark's
         # vectorized reader; read as long nanos and convert at load.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

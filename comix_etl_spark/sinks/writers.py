@@ -13,7 +13,10 @@ result is driver-small by contract (a report, not a dataset).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 
 def write_table(df: DataFrame, path: str, *, mode: str = "overwrite",
@@ -40,3 +43,47 @@ def write_csv_report(df: DataFrame, path: str, *, single_file: bool = True) -> N
 def write_json_records(df: DataFrame, path: str) -> None:
     """S11 — JSON-lines sink (the jsonify analogue, app/api.py)."""
     df.write.mode("overwrite").json(path)
+
+
+def write_binary_payloads(df: DataFrame, dest_root: str, *,
+                          path_col: str = "cover_path",
+                          payload_col: str = "payload") -> None:
+    """S9 — binary file sink (reference download_image → dest file,
+    cv_fetch_covers.py:116-126). Each partition writes its own payloads
+    under ``dest_root``/``path_col`` — bytes never route through the
+    driver. ``dest_root`` must be a filesystem every executor can write
+    (shared mount / object-store FUSE on a real cluster); rows with a
+    NULL path or payload are skipped, matching the reference's guard."""
+
+    def write_partition(rows) -> None:
+        for r in rows:
+            rel, data = r[path_col], r[payload_col]
+            if rel is None or data is None:
+                continue
+            dest = os.path.join(dest_root, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            with open(dest, "wb") as f:
+                f.write(bytes(data))
+
+    df.select(path_col, payload_col).foreachPartition(write_partition)
+
+
+def save_as_table(df: DataFrame, name: str, *, mode: str = "overwrite",
+                  partition_by: list[str] | None = None) -> None:
+    """S13 — catalog-table sink: the managed-table counterpart of
+    ``write_table`` (reference DDL bootstrap + ORM create_all,
+    comixcatalog_starter.zip!etl/etl.py:12-15). Readable back via
+    ``spark.table(name)``; partition columns prune like path parquet."""
+    writer = df.write.mode(mode).format("parquet")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(name)
+
+
+def bootstrap_tables(spark: SparkSession, ddl: dict[str, T.StructType]) -> None:
+    """S13 — ``CREATE TABLE IF NOT EXISTS`` for every declared schema
+    (the reference bootstraps its star schema before each run; rerunning
+    must be a no-op, never a truncation)."""
+    for name, schema in ddl.items():
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+        spark.sql(f"CREATE TABLE IF NOT EXISTS {name} ({cols}) USING parquet")
