@@ -99,7 +99,14 @@ def cents_to_display(c: Column | str) -> Column:
     (``$%d.%02d`` via floor-div / mod 100).
     """
     c = _col(c).cast("long")
-    return F.format_string("$%d.%02d", (c / 100).cast("long"), c % 100)
+    # exact integer arithmetic, NOT double division: double loses
+    # precision above 2^53 cents, and Spark's % is sign-of-dividend so a
+    # negative balance would render '$-1.-50'-style garbage. pmod + exact
+    # decimal division gives the reference's Python floor-div/mod
+    # semantics (-250 → '$-3.50' = -3*100+50).
+    pm = F.pmod(c, F.lit(100))
+    dollars = ((c - pm).cast("decimal(38,0)") / F.lit(100)).cast("long")
+    return F.format_string("$%d.%02d", dollars, pm)
 
 
 def token_overlap_score(a: Column | str, b: Column | str, bonus: Column | str | None = None) -> Column:
@@ -108,11 +115,12 @@ def token_overlap_score(a: Column | str, b: Column | str, bonus: Column | str | 
     Reference: etl/seed/seed_from_marvel.py:126-135 (series best-match
     scoring; bonus was the comics_available count).
     """
-    inter = F.array_intersect(
-        F.split(F.lower(F.trim(_col(a))), r"\s+"),
-        F.split(F.lower(F.trim(_col(b))), r"\s+"),
-    )
-    score = F.size(inter) * 10
+    def toks(c: Column | str) -> Column:
+        # filter empties: Spark split("") is [""], so two empty strings
+        # would otherwise intersect with size 1 (Python "".split() is [])
+        return F.filter(F.split(F.lower(F.trim(_col(c))), r"\s+"), lambda x: x != "")
+
+    score = F.size(F.array_intersect(toks(a), toks(b))) * 10
     return score + _col(bonus) if bonus is not None else score
 
 

@@ -35,8 +35,12 @@ def _col(c: Column | str) -> Column:
 
 
 def tokens(c: Column | str) -> Column:
-    """Whitespace tokens of trimmed, lowercased text (empty-safe)."""
-    return F.split(F.lower(F.trim(_col(c))), r"\s+")
+    """Whitespace tokens of trimmed, lowercased text, with empty tokens
+    removed — Spark's split("") yields [""] (size 1), unlike Python's
+    "".split() (size 0); the filter restores the reference's semantics so
+    two empty strings never score as overlapping."""
+    raw = F.split(F.lower(F.trim(_col(c))), r"\s+")
+    return F.filter(raw, lambda x: x != "")
 
 
 def token_count(c: Column | str) -> Column:

@@ -119,6 +119,47 @@ def top1_per_group(df: DataFrame, part_by: Sequence[str], order_by: Sequence[Col
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
+def global_rank(df: DataFrame, order_col: str, *, out_col: str = "rank",
+                num_partitions: int | None = None) -> DataFrame:
+    """O1 — global ORDER BY rank WITHOUT the single-task funnel.
+
+    ``row_number() OVER (ORDER BY k)`` with no PARTITION BY moves every
+    row through ONE task — fine for 50 rows, fatal for 50 billion. The
+    scale-safe equivalent: range-partition on the key (so partition i
+    holds keys strictly below partition i+1), rank within each partition
+    in parallel, then add each partition's cumulative preceding count —
+    a driver-small array (one long per partition, collected once).
+
+    Requires distinct values of ``order_col`` (true for any rank over a
+    DISTINCT projection); result is identical to the global window.
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    # cache: the partition counts and the final plan must see the SAME
+    # range split (repartitionByRange samples to pick boundaries)
+    parts = (df.repartitionByRange(n, F.col(order_col))
+             .withColumn("_pid", F.spark_partition_id())).cache()
+    try:
+        counts = {r._pid: r.cnt for r in
+                  parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        running, offsets = 0, []
+        for pid in sorted(counts):
+            offsets.append((pid, running))
+            running += counts[pid]
+        off = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _offset long")
+        w = Window.partitionBy("_pid").orderBy(order_col)
+        out = (parts.join(F.broadcast(off), "_pid", "left")
+               .withColumn(out_col, (F.row_number().over(w) + F.coalesce(F.col("_offset"), F.lit(0))))
+               .drop("_pid", "_offset"))
+        # materialization note: the cache above must outlive this plan's
+        # execution; callers that need strict cleanup should collect or
+        # write before unpersisting. We leave it to Spark's LRU.
+        return out
+    except Exception:
+        parts.unpersist()
+        raise
+
+
 def union_prefix_crawl(df: DataFrame, column: str, prefixes: Sequence[str], dedup_key: str) -> DataFrame:
     """S3/O7/A6 — union of per-prefix scans, dedup by key.
 

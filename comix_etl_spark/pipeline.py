@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from comix_etl_spark.operators.audit import EtlRun
 from comix_etl_spark.operators.merge import upsert_selective
 from comix_etl_spark.operators.quality import batch_guardrail, null_counts, orphan_count
+from comix_etl_spark.sinks.writers import safe_overwrite_parquet
 from comix_etl_spark.sources.json_source import explode_credits, normalize_comics
 
 
@@ -39,7 +40,9 @@ def run_marvel_batch(spark: SparkSession, raw: DataFrame, *, target_path: str,
     """
     run = EtlRun(source_system=source_system)
     try:
-        issues = normalize_comics(raw)
+        # cache the normalized batch: the guardrail count and the merge
+        # both consume it — one source scan, not two
+        issues = normalize_comics(raw).cache()
         n_read = batch_guardrail(issues, expected_min)  # the 80% rule
         run.records_read = n_read
 
@@ -51,17 +54,19 @@ def run_marvel_batch(spark: SparkSession, raw: DataFrame, *, target_path: str,
             existing, issues, ["marvel_comic_id"],
             update_cols=["price_cents", "isbn", "upc", "description", "cover_url"],
         )
-        merged.cache()
-        n_total = merged.count()
-        merged.write.mode("overwrite").parquet(target_path)
+        # staging write + directory swap: the old table stays intact until
+        # the new one is fully materialized (cache is not durability —
+        # see sinks.safe_overwrite_parquet)
+        safe_overwrite_parquet(merged, target_path)
+        issues.unpersist()
 
         loaded = spark.read.parquet(target_path)
+        n_total = loaded.count()  # parquet-metadata count of what was written
         nulls = null_counts(loaded, ["onsale_date", "cover_url"]).collect()[0].asDict()
         credits = explode_credits(raw)
         orphans = orphan_count(
             credits.select("marvel_comic_id"), loaded.select("marvel_comic_id"),
             "marvel_comic_id").collect()[0].orphan_count
-        merged.unpersist()
 
         run.records_loaded = n_total
         run.finish("SUCCESS")

@@ -548,8 +548,9 @@ def q_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TOKEN_OVERLAP = """
 WITH scored AS (
   SELECT p_partkey, p_name,
-         CAST(len(list_intersect(string_split(lower(trim(p_name)), ' '),
-                                 ['green','metallic','steel'])) * 10 + p_size AS INT) AS match_score,
+         CAST(len(list_intersect(
+                list_filter(regexp_split_to_array(lower(trim(p_name)), '\\s+'), x -> x <> ''),
+                ['green','metallic','steel'])) * 10 + p_size AS INT) AS match_score,
          p_size
   FROM part
 )
@@ -616,8 +617,11 @@ def q_lexicographic_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"].select(F.col("l_quantity").cast("int").cast("string").alias("issue_number"))
         .distinct()
     )
-    w = Window.orderBy("issue_number")
-    return nums.withColumn("lex_rank", F.row_number().over(w).cast("int"))
+    # global rank via range-partitioned windows (operators.relational.
+    # global_rank) — identical result to row_number() OVER (ORDER BY ...)
+    # without funneling all rows through one task
+    ranked = R.global_rank(nums, "issue_number", out_col="lex_rank", num_partitions=4)
+    return ranked.withColumn("lex_rank", F.col("lex_rank").cast("int"))
 
 
 ORACLE_LEXICOGRAPHIC_SORT = """
@@ -760,7 +764,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_NGRAM_JACCARD = """
 WITH toks AS (
-  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
 ), sh AS (
   SELECT doc_id, unnest(list_distinct(
            list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
@@ -860,7 +866,8 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("detected_lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
-_LANG_SCORE = ("CAST(len(list_intersect(list_distinct(string_split(lower(trim(text)), ' ')), "
+_LANG_SCORE = ("CAST(len(list_intersect(list_distinct("
+               "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')), "
                "{markers})) AS INT)")
 _SCORES = {
     lang: _LANG_SCORE.format(markers="[" + ",".join(f"'{m}'" for m in ms) + "]")
@@ -901,13 +908,13 @@ ORACLE_DOC_QUALITY = """
 WITH feat AS (
   SELECT doc_id,
          CASE WHEN len(trim(text)) = 0 THEN 0
-              ELSE len(string_split(trim(text), ' ')) END AS n_tokens,
+              ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) END AS n_tokens,
          CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
            / CAST(len(text) AS DOUBLE) AS p_ratio,
-         CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+         CAST(len(list_filter(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> ''),
                               x -> list_contains(['the','a','of','and','is'], x))) AS DOUBLE)
            / CAST(CASE WHEN len(trim(text)) = 0 THEN 1
-                       ELSE len(string_split(trim(text), ' ')) END AS DOUBLE) AS sw_ratio,
+                       ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) END AS DOUBLE) AS sw_ratio,
          len(text) AS n_chars
   FROM documents
 )
@@ -937,7 +944,7 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TOKEN_COUNTS = """
 SELECT doc_id,
        CAST(CASE WHEN len(trim(text)) = 0 THEN 0
-                 ELSE len(string_split(trim(text), ' ')) END AS BIGINT) AS ws_tokens,
+                 ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) END AS BIGINT) AS ws_tokens,
        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)
          AS bpe_tokens
 FROM documents
@@ -991,8 +998,12 @@ SELECT series, issue_number,
 FROM read_csv('{_CSV_FIXTURE}', header=true,
   columns={{'series':'VARCHAR','publisher':'VARCHAR','issue_number':'VARCHAR',
            'issue_title':'VARCHAR','cover_path':'VARCHAR','notes':'VARCHAR'}})
-WHERE NOT (series = 'series' AND publisher = 'publisher'
-           AND issue_number = 'issue_number')
+WHERE NOT coalesce(series IS NOT DISTINCT FROM 'series'
+           AND publisher IS NOT DISTINCT FROM 'publisher'
+           AND issue_number IS NOT DISTINCT FROM 'issue_number'
+           AND issue_title IS NOT DISTINCT FROM 'issue_title'
+           AND cover_path IS NOT DISTINCT FROM 'cover_path'
+           AND notes IS NOT DISTINCT FROM 'notes', FALSE)
 """
 
 

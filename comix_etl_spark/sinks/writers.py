@@ -14,6 +14,8 @@ result is driver-small by contract (a report, not a dataset).
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -30,6 +32,49 @@ def write_table(df: DataFrame, path: str, *, mode: str = "overwrite",
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def safe_overwrite_parquet(df: DataFrame, target_path: str,
+                           partition_by: list[str] | None = None) -> None:
+    """Overwrite a parquet table that may be an INPUT of ``df``'s plan
+    (the read-merge-overwrite upsert pattern) without a destruction
+    window.
+
+    ``cache().count()`` is NOT a durability guarantee — an evicted or
+    lost partition recomputes from source files the overwrite already
+    deleted, and a mid-write failure leaves no copy at all. Instead the
+    plan materializes fully into a staging directory while the target is
+    still readable, then the directories swap by rename; the pre-swap
+    copy is dropped only after the new table is in place. A failure at
+    any step leaves a complete table at ``target_path``.
+
+    Local-FS/HDFS rename semantics (same contract as the S9 sink); on an
+    object store use a table format with a real MERGE/commit protocol
+    instead — this function is the parquet-only stand-in for it.
+    """
+    staging = f"{target_path}__staging_{uuid.uuid4().hex[:8]}"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    try:
+        writer.parquet(staging)
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)  # failed write: target untouched
+        raise
+
+    trash = f"{target_path}__trash_{uuid.uuid4().hex[:8]}"
+    try:
+        if os.path.exists(target_path):
+            os.rename(target_path, trash)
+        try:
+            os.rename(staging, target_path)
+        except OSError:
+            if os.path.exists(trash) and not os.path.exists(target_path):
+                os.rename(trash, target_path)  # roll the old table back in
+            raise
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
 
 
 def write_csv_report(df: DataFrame, path: str, *, single_file: bool = True) -> None:

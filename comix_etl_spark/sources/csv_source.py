@@ -51,11 +51,15 @@ def split_rejects(df: DataFrame, header_names: list[str],
     the reference shipped (seeds/static_issues.csv)."""
     dup_header = None
     for name in header_names:
-        term = F.col(name) == F.lit(name)
+        # eqNullSafe: a row with SOME header-named cells and a NULL
+        # elsewhere must evaluate false, not NULL — a NULL predicate would
+        # drop the row from good AND rejects, breaking good ∪ rejects = all
+        term = F.col(name).eqNullSafe(F.lit(name))
         dup_header = term if dup_header is None else (dup_header & term)
     is_reject = F.col("_corrupt_record").isNotNull() | dup_header
     if semantic_invalid is not None:
         is_reject = is_reject | semantic_invalid
+    is_reject = F.coalesce(is_reject, F.lit(False))
     good = df.filter(~is_reject).drop("_corrupt_record")
     rejects = df.filter(is_reject)
     return good, rejects

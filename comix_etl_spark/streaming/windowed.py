@@ -68,24 +68,53 @@ def run_stream_to_memory(spark: SparkSession, source_dir: str, schema,
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
-def foreach_batch_upsert(target_path: str, key: list[str], update_cols: list[str]):
+def foreach_batch_upsert(target_path: str, key: list[str], update_cols: list[str],
+                         *, partition_col: str | None = None):
     """foreachBatch sink: merge each micro-batch into a parquet table via
     the batch merge operator (one code path for batch + streaming loads).
 
-    Read-merge-overwrite is atomic enough for a demo sink; production
-    swaps the writer for Delta MERGE without touching the merge logic.
+    With ``partition_col`` (the scale path) the write is **O(batch), not
+    O(table)**: the batch's distinct partition values are collected (a
+    micro-batch holds few partitions by construction), ONLY those
+    partitions are read back (partition pruning — the rest of a 100 TB
+    table is never touched), merged, and rewritten via dynamic partition
+    overwrite, which replaces just the partitions present in the result.
+    ``localCheckpoint`` breaks the merged plan's lineage on the files
+    being replaced. A partition must therefore contain every row of any
+    key it holds — true when ``partition_col`` is a function of the key
+    (e.g. a hash bucket or an entity's home date).
+
+    Without ``partition_col`` the full table merges through
+    ``safe_overwrite_parquet`` (staging + directory swap — no destruction
+    window; see sinks/writers.py). Delta/Iceberg MERGE replaces either
+    path without touching the merge logic.
     """
+    from comix_etl_spark.sinks.writers import safe_overwrite_parquet
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         try:
             existing = spark.read.parquet(target_path)
         except Exception:  # first batch: nothing to merge into
-            batch_df.write.mode("overwrite").parquet(target_path)
+            writer = batch_df.write.mode("overwrite")
+            if partition_col:
+                writer = writer.partitionBy(partition_col)
+            writer.parquet(target_path)
             return
-        merged = upsert_selective(existing, batch_df, key, update_cols)
-        merged.cache().count()  # materialize before overwriting the input
-        merged.write.mode("overwrite").parquet(target_path)
-        merged.unpersist()
+        if partition_col:
+            touched = [r[0] for r in batch_df.select(partition_col).distinct().collect()]
+            slice_df = existing.filter(F.col(partition_col).isin(touched))
+            merged = upsert_selective(slice_df, batch_df, key, update_cols)
+            merged = merged.localCheckpoint(eager=True)  # cut lineage on replaced files
+            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                (merged.write.mode("overwrite")
+                 .partitionBy(partition_col).parquet(target_path))
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        else:
+            merged = upsert_selective(existing, batch_df, key, update_cols)
+            safe_overwrite_parquet(merged, target_path)
 
     return apply

@@ -90,6 +90,58 @@ def test_cents_to_display(spark):
     assert out == ["$3.99", "$19.00", "$0.05"]
 
 
+def test_cents_to_display_negative_and_huge(spark):
+    # Python floor-div/mod semantics: -250 → floor(-2.5)=-3, pmod 50
+    df = spark.createDataFrame([(-250,), (-150,), (0,), (105,),
+                                (2**53 + 101,)], "c long")
+    out = [r.out for r in df.select(scalar.cents_to_display("c").alias("out")).collect()]
+    assert out[0] == "$-3.50" and out[1] == "$-2.50"
+    assert out[2] == "$0.00" and out[3] == "$1.05"
+    # exact beyond double's 53-bit mantissa
+    assert out[4] == f"${(2**53 + 101) // 100}.{(2**53 + 101) % 100:02d}"
+
+
+def test_tokens_empty_and_multispace(spark):
+    df = spark.createDataFrame([("",), ("   ",), ("a  b\tc",), (None,)], "t string")
+    out = [r.out for r in df.select(text.tokens("t").alias("out")).collect()]
+    assert out[0] == [] and out[1] == []          # not [""]
+    assert out[2] == ["a", "b", "c"]              # \s+ collapses runs
+    assert out[3] is None
+    # two empty strings must NOT overlap (Python "".split() == [])
+    score = _one(spark, scalar.token_overlap_score(F.lit(""), F.lit("")), x=("int", 0))
+    assert score == 0
+
+
+def test_cover_url_candidates(spark):
+    out = _one(spark, scalar.cover_url_candidates(F.lit("aa1.png")), x=("int", 0))
+    assert out == ["/static/covers/aa1.png", "/static/covers/aa1.jpg", "/static/covers/aa1.webp"]
+    out2 = _one(spark, scalar.cover_url_candidates(F.lit("noext")), x=("int", 0))
+    assert out2[1] == "/static/covers/noext.jpg"
+
+
+def test_md5_auth_digest_matches_hashlib(spark):
+    import hashlib
+    got = _one(spark, scalar.md5_auth_digest(F.lit("1"), F.lit("priv"), F.lit("pub")),
+               x=("int", 0))
+    assert got == hashlib.md5(b"1privpub").hexdigest()  # reference etl/utils.py:13-29
+
+
+def test_split_rejects_partial_header_row_with_null(spark, tmp_path):
+    """A row with some header-named cells and a NULL elsewhere must land
+    in exactly one of (good, rejects) — never silently vanish."""
+    from comix_etl_spark.schemas import STATIC_ISSUES_CSV
+    from comix_etl_spark.sources.csv_source import read_csv_with_rejects, split_rejects
+
+    p = tmp_path / "partial.csv"
+    p.write_text("series,publisher,issue_number,issue_title,cover_path,notes\n"
+                 "series,publisher,issue_number,issue_title,cover_path,\n"  # partial header + empty
+                 "Real Series,Marvel,1,T,covers/x.jpg,ok\n")
+    raw = read_csv_with_rejects(spark, str(p), STATIC_ISSUES_CSV)
+    good, rejects = split_rejects(
+        raw, ["series", "publisher", "issue_number", "issue_title", "cover_path", "notes"])
+    assert good.count() + rejects.count() == raw.count() == 2
+
+
 def test_token_overlap_score_set_semantics(spark):
     # set(a) & set(b): duplicate tokens count once (reference :126-135)
     df = spark.createDataFrame([("spider man man", "man spider pig", 7)], "a string, b string, n int")

@@ -42,6 +42,26 @@ def test_foreach_batch_upsert_merges_microbatches(spark, tmpdir):
     assert out == {1: "a", 2: "B2", 3: "c"}  # batch 2 updated k=2, inserted k=3
 
 
+def test_foreach_batch_upsert_partition_scoped(spark, tmpdir):
+    """Partition-scoped merge: a micro-batch touching one partition must
+    leave every other partition's FILES untouched (O(batch), not
+    O(table)) while matching full-merge semantics."""
+    target = os.path.join(tmpdir, "target_part")
+    sink = foreach_batch_upsert(target, key=["k"], update_cols=["v"],
+                                partition_col="day")
+    b1 = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d1"), (10, "x", "d2")], "k int, v string, day string")
+    sink(b1, 0)
+    d2_files = sorted(os.listdir(os.path.join(target, "day=d2")))
+
+    b2 = spark.createDataFrame([(2, "B2", "d1"), (3, "c", "d1")], "k int, v string, day string")
+    sink(b2, 1)
+    out = {r.k: (r.v, r.day) for r in spark.read.parquet(target).collect()}
+    assert out == {1: ("a", "d1"), 2: ("B2", "d1"), 3: ("c", "d1"), 10: ("x", "d2")}
+    # untouched partition's files were not rewritten
+    assert sorted(os.listdir(os.path.join(target, "day=d2"))) == d2_files
+
+
 def test_write_table_and_csv_report_roundtrip(spark, tmpdir):
     df = spark.createDataFrame([(1, "x"), (2, "y")], "id int, name string")
     p = os.path.join(tmpdir, "t")
@@ -51,6 +71,36 @@ def test_write_table_and_csv_report_roundtrip(spark, tmpdir):
     write_csv_report(df, c)
     back = spark.read.option("header", True).csv(c)
     assert back.count() == 2 and set(back.columns) == {"id", "name"}
+
+
+def test_write_json_records_roundtrip(spark, tmpdir):
+    df = spark.createDataFrame([(1, "x", None), (2, "y", 2.5)],
+                               "id int, name string, score double")
+    p = os.path.join(tmpdir, "json_out")
+    from comix_etl_spark.sinks.writers import write_json_records
+    write_json_records(df, p)
+    back = spark.read.schema("id int, name string, score double").json(p)
+    assert {(r.id, r.name, r.score) for r in back.collect()} == {(1, "x", None), (2, "y", 2.5)}
+
+
+def test_safe_overwrite_parquet_reads_own_input(spark, tmpdir):
+    """The merge pattern: df's plan READS target_path while overwriting
+    it — the staging+swap must produce the merged result, and a prior
+    table must survive a failing write."""
+    target = os.path.join(tmpdir, "swap_target")
+    from comix_etl_spark.sinks.writers import safe_overwrite_parquet
+    spark.createDataFrame([(1, "a")], "k int, v string").write.parquet(target)
+    existing = spark.read.parquet(target)
+    merged = existing.unionByName(spark.createDataFrame([(2, "b")], "k int, v string"))
+    safe_overwrite_parquet(merged, target)
+    assert {r.k for r in spark.read.parquet(target).collect()} == {1, 2}
+    # a failing plan must leave the target intact
+    bad = spark.read.parquet(target).withColumn("boom", F.raise_error(F.lit("x")))
+    with pytest.raises(Exception):
+        safe_overwrite_parquet(bad, target)
+    assert {r.k for r in spark.read.parquet(target).collect()} == {1, 2}
+    leftovers = [d for d in os.listdir(tmpdir) if "__staging_" in d or "__trash_" in d]
+    assert leftovers == []
 
 
 def test_multimodal_metadata_and_decode_agree(spark):
