@@ -1060,8 +1060,8 @@ FROM (SELECT id, unnest(creators."items") AS c
 def q_rest_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/S4 — offset-paginated REST read distributed over tasks via
     mapInPandas with an injected deterministic fetcher (no network);
-    payloads parsed with an explicit schema and aggregated.
-    Non-SQL-expressible (source is a fetcher, not a table)."""
+    payloads parsed with an explicit schema and aggregated. The fetcher
+    is deterministic, so the oracle states the expected aggregate."""
     from comix_etl_spark.sources.rest_source import fake_marvel_fetcher, paginated_read
 
     raw = paginated_read(spark, "https://example.invalid/comics", total=500,
@@ -1077,6 +1077,16 @@ def q_rest_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("id").alias("n_distinct_ids"),
         F.sum(F.col("issue_number").cast("decimal(18,4)")).cast("double").alias("sum_issue_numbers"),
     )
+
+
+# The fetcher is deterministic (ids 5_000_000+i, issueNumber i%40 for
+# i in 0..499), so the aggregate is a fixed row the oracle can state:
+# sum(i % 40 for i in range(500)) = 12*sum(0..39) + sum(0..19) = 9550.
+ORACLE_REST_PAGINATED = """
+SELECT CAST(500 AS BIGINT) AS n_records,
+       CAST(500 AS BIGINT) AS n_distinct_ids,
+       CAST(9550.0 AS DOUBLE) AS sum_issue_numbers
+"""
 
 
 def q_keyed_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1285,7 +1295,7 @@ FROM documents
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode stage (mapInPandas, deterministic stub
     decoder) — the production plan shape for image feature extraction.
-    Non-SQL-expressible (Python decode stage)."""
+    The stub's features derive from sha256, so DuckDB recomputes them."""
     from comix_etl_spark.multimodal.media import decode_image_features
 
     t = _t(spark, sf_dir, "documents")
@@ -1294,6 +1304,22 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "UTF-8").alias("payload"),
     )
     return decode_image_features(media)
+
+
+# The stub decoder's features are pure functions of sha256(payload), so
+# the WHOLE decode output is SQL-checkable — the Arrow mapInPandas stage
+# gets a real value-hash gate, not just a row count.
+ORACLE_MULTIMODAL_DECODE = """
+WITH d AS (SELECT doc_id, sha256(text) AS dg, octet_length(encode(text)) AS nb
+           FROM documents)
+SELECT doc_id AS media_id,
+       CAST(nb AS BIGINT) AS n_bytes,
+       dg AS sha256,
+       CAST(1 + ('0x' || substr(dg, 1, 4))::BIGINT % 4096 AS INT) AS fake_width,
+       CAST(1 + ('0x' || substr(dg, 5, 4))::BIGINT % 4096 AS INT) AS fake_height,
+       CAST((('0x' || substr(dg, 9, 4))::BIGINT % 10000) / 10000.0 AS DOUBLE) AS fake_mean_luma
+FROM d
+"""
 
 
 QUERIES: dict[str, Query] = {
@@ -1373,8 +1399,8 @@ QUERIES: dict[str, Query] = {
                               "S1+F1-F7 nested JSON → flat issue rows", ()),
     "marvel_credits": Query(q_marvel_credits, ORACLE_MARVEL_CREDITS,
                             "creators.items[] → bridge rows", ()),
-    "rest_paginated": Query(q_rest_paginated, None,
-                            "S1/S4 distributed paginated REST read (rows-only)", ()),
+    "rest_paginated": Query(q_rest_paginated, ORACLE_REST_PAGINATED,
+                            "S1/S4 distributed paginated REST read", ()),
     "keyed_lookup": Query(q_keyed_lookup, ORACLE_KEYED_LOOKUP,
                           "S2 keyed limit=1 lookup with NULL-payload misses", ()),
     "incremental_refetch": Query(q_incremental_refetch, ORACLE_INCREMENTAL_REFETCH,
@@ -1385,6 +1411,6 @@ QUERIES: dict[str, Query] = {
                              "streaming windowed rollup w/ batch parity", ("events",)),
     "multimodal_metadata": Query(q_multimodal_metadata, ORACLE_MULTIMODAL_METADATA,
                                  "binary payload metadata, JVM-side", ("documents",)),
-    "multimodal_decode": Query(q_multimodal_decode, None,
-                               "Arrow-batched decode stub (rows-only)", ("documents",)),
+    "multimodal_decode": Query(q_multimodal_decode, ORACLE_MULTIMODAL_DECODE,
+                               "Arrow-batched decode stub, sha256-derived features", ("documents",)),
 }
