@@ -152,6 +152,68 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, *,
     return verified.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def embedding_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
+                        vec_col: str = "embedding", threshold: float = 0.9,
+                        max_broadcast_rows: int = 2_000_000) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs: (id_a < id_b, cosine >=
+    threshold), cosine rounded to 6dp.
+
+    Plan shape: the L2-normalized corpus matrix is broadcast ONCE
+    (``sc.broadcast`` — ids + float64 matrix, ~0.5 GB per million
+    64-dim vectors), then every Arrow batch of the same corpus does one
+    (batch × dim) @ (dim × N) BLAS matmul and emits only the pairs above
+    threshold — O(N²) similarity *computations* with zero pairwise
+    shuffle and O(pairs) output. Zero-norm vectors are excluded (cosine
+    undefined, reference `cosine` returns NULL).
+
+    Like ``ngram_jaccard_pairs`` this is the exact *verification*
+    primitive: it requires the corpus matrix to fit in a broadcast
+    (``max_broadcast_rows`` guard). Beyond that, bucket first
+    (similarity.lsh_bucketed_topk's hyperplane buckets) and run this
+    per-bucket — same operator, bounded N.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    src = df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v"))
+    rows = src.collect()  # driver-small by contract (the broadcast side)
+    if len(rows) > max_broadcast_rows:
+        raise ValueError(
+            f"{len(rows)} vectors exceed max_broadcast_rows={max_broadcast_rows}; "
+            "bucket with LSH first and verify per bucket")
+    ids = np.array([r._id for r in rows], dtype=np.int64)
+    mat = np.array([r._v for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    keep = norms > 0
+    ids, mat, norms = ids[keep], mat[keep], norms[keep]
+    # raw matrix + norms (dot-then-divide, float64): the same evaluation
+    # shape as the Column `cosine` and the SQL oracle, so 6dp rounds agree
+    bc = spark.sparkContext.broadcast((ids, mat.T, norms))  # dim × N
+
+    def pairs(batches):
+        import pandas as pd
+        all_ids, mat_t, all_norms = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bids = pdf["_id"].to_numpy(dtype=np.int64)
+            x = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+            xn = np.linalg.norm(x, axis=1)
+            ok = xn > 0
+            if not ok.any():
+                continue
+            bids, x, xn = bids[ok], x[ok], xn[ok]
+            sims = (x @ mat_t) / xn[:, None] / all_norms[None, :]  # batch × N
+            bi, cj = np.nonzero((np.round(sims, 6) >= threshold)
+                                & (bids[:, None] < all_ids[None, :]))
+            yield pd.DataFrame({
+                "id_a": bids[bi], "id_b": all_ids[cj],
+                "cosine_sim": np.round(sims[bi, cj], 6),
+            })
+
+    return src.mapInPandas(pairs, schema="id_a long, id_b long, cosine_sim double")
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document, fully JVM-side.
 

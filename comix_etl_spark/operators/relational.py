@@ -135,29 +135,21 @@ def global_rank(df: DataFrame, order_col: str, *, out_col: str = "rank",
     """
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    # cache: the partition counts and the final plan must see the SAME
-    # range split (repartitionByRange samples to pick boundaries)
     parts = (df.repartitionByRange(n, F.col(order_col))
-             .withColumn("_pid", F.spark_partition_id())).cache()
-    try:
-        counts = {r._pid: r.cnt for r in
-                  parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
-        running, offsets = 0, []
-        for pid in sorted(counts):
-            offsets.append((pid, running))
-            running += counts[pid]
-        off = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _offset long")
-        w = Window.partitionBy("_pid").orderBy(order_col)
-        out = (parts.join(F.broadcast(off), "_pid", "left")
-               .withColumn(out_col, (F.row_number().over(w) + F.coalesce(F.col("_offset"), F.lit(0))))
-               .drop("_pid", "_offset"))
-        # materialization note: the cache above must outlive this plan's
-        # execution; callers that need strict cleanup should collect or
-        # write before unpersisting. We leave it to Spark's LRU.
-        return out
-    except Exception:
-        parts.unpersist()
-        raise
+             .withColumn("_pid", F.spark_partition_id()))
+    # per-partition offsets: a window over the AGGREGATED (pid, count)
+    # frame — one row per partition, so the "global" window there is n
+    # rows, not the dataset. The range exchange is shared between the
+    # aggregate branch and the main branch (ReusedExchange), so this is
+    # one shuffle and zero driver actions.
+    cum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+               .withColumn("_offset", F.coalesce(F.sum("_cnt").over(cum), F.lit(0)))
+               .select("_pid", "_offset"))
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    return (parts.join(F.broadcast(offsets), "_pid")
+            .withColumn(out_col, F.row_number().over(w) + F.col("_offset"))
+            .drop("_pid", "_offset"))
 
 
 def union_prefix_crawl(df: DataFrame, column: str, prefixes: Sequence[str], dedup_key: str) -> DataFrame:

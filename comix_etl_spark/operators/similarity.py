@@ -18,8 +18,11 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from comix_etl_spark.functions.vector import (
     cosine,
@@ -53,6 +56,92 @@ def brute_force_topk(corpus: DataFrame, query: DataFrame, *, id_col: str = "vec_
         return (scored.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") <= k).drop("_rn"))
     return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
+
+
+def train_ivf_centroids(corpus: DataFrame, *, vec_col: str = "embedding",
+                        n_centroids: int = 16, sample_rows: int = 4096,
+                        iters: int = 10, seed: int = 42):
+    """Coarse quantizer for IVF: Lloyd k-means on a bounded sample.
+
+    The sample is driver-small BY CONTRACT (``sample_rows`` rows of one
+    column — a few MB); training is seconds of numpy. At 100 TB the
+    sample still bounds at ``sample_rows`` — centroid quality depends on
+    sampling, not corpus size. Deterministic: seeded choice of initial
+    centers, fixed iteration count. Returns (n_centroids × dim) float64.
+    """
+    rows = (corpus.select(vec_col).limit(sample_rows)).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    centers = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centers)):
+            m = assign == c
+            if m.any():
+                centers[c] = x[m].mean(axis=0)
+    return centers
+
+
+def assign_ivf_centroid(df: DataFrame, centers, *, vec_col: str = "embedding",
+                        out_col: str = "centroid_id") -> DataFrame:
+    """Nearest-centroid assignment: one (batch × dim) @ (dim × C) matmul
+    per Arrow batch (‖x−c‖² argmin ≡ argmax(x·c − ‖c‖²/2) — no per-row
+    Python). Scan-local; the 100 TB hot path for IVF list building."""
+    ct = np.asarray(centers, dtype=np.float64).T          # dim × C
+    half_norms = (ct * ct).sum(axis=0) / 2.0              # C
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        x = np.vstack(v.to_numpy()).astype(np.float64)
+        return pd.Series((x @ ct - half_norms).argmax(axis=1).astype(np.int32))
+
+    return df.withColumn(out_col, _assign(F.col(vec_col)))
+
+
+def ivf_topk(corpus: DataFrame, query: DataFrame, *, centers=None,
+             id_col: str = "vec_id", vec_col: str = "embedding", k: int = 10,
+             nprobe: int = 4, n_centroids: int = 16, seed: int = 42,
+             query_id_col: str = "query_id") -> DataFrame:
+    """IVF approximate cosine top-k: the other standard ANN scale path.
+
+    Corpus vectors are bucketed by nearest coarse centroid (inverted
+    lists); each query probes only its ``nprobe`` nearest lists, and
+    candidates re-rank by exact cosine. Plan shape: one scan to assign
+    centroids (no shuffle), a BROADCAST join of the tiny
+    (query, probed centroid) table against the assigned corpus — the
+    corpus never shuffles — then the per-query top-k window over
+    candidates only. recall@k rises with nprobe (nprobe = n_centroids
+    degenerates to exact brute force over all lists).
+    """
+    if centers is None:
+        centers = train_ivf_centroids(corpus, vec_col=vec_col,
+                                      n_centroids=n_centroids, seed=seed)
+    assigned = assign_ivf_centroid(corpus, centers, vec_col=vec_col)
+
+    q = (query.withColumnRenamed(id_col, query_id_col)
+         if query_id_col not in query.columns else query)
+    qrows = q.select(query_id_col, vec_col).collect()  # queries are tiny by contract
+    ct = np.asarray(centers, dtype=np.float64)
+    probes = []
+    for r in qrows:
+        x = np.asarray(r[1], dtype=np.float64)
+        d = ((ct - x[None, :]) ** 2).sum(axis=1)
+        for c in np.argsort(d)[:nprobe]:
+            probes.append((r[0], int(c), list(map(float, r[1]))))
+    spark = corpus.sparkSession
+    probe_df = spark.createDataFrame(
+        probes, f"{query_id_col} long, centroid_id int, _qvec array<double>")
+
+    candidates = assigned.join(F.broadcast(probe_df), "centroid_id")
+    scored = candidates.select(
+        query_id_col, id_col,
+        F.round(cosine(vec_col, "_qvec"), 6).alias("cosine_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.col(id_col))
+    return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
 
 
 def make_hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> list[list[list[float]]]:

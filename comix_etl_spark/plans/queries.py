@@ -858,6 +858,42 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §7 extensions — text analysis over the documents corpus
 # ---------------------------------------------------------------------------
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate cosine top-k: seeded k-means coarse quantizer,
+    nprobe inverted lists per query, exact re-rank — the corpus never
+    shuffles (broadcast probe join). Candidate sets depend on the
+    trained centroids, so rows-only; recall vs brute force is
+    pytest-asserted (tests/test_similarity.py)."""
+    t = _t(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)) \
+                 .select(F.col("vec_id").alias("query_id"), "embedding")
+    return S.ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=6)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (threshold 0.4, 6dp): one
+    broadcast of the normalized corpus matrix + a BLAS matmul per Arrow
+    batch — no pairwise shuffle. The exact verifier behind ANN dedup."""
+    t = _t(spark, sf_dir, "embeddings")
+    return D.embedding_dup_pairs(t["embeddings"], id_col="vec_id",
+                                 vec_col="embedding", threshold=0.4) \
+            .orderBy("id_a", "id_b")
+
+
+ORACLE_DEDUP_EMBEDDING = """
+SELECT id_a, id_b, cosine_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)
+           AS cosine_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE cosine_sim >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID (argmax over per-language stopword hits,
     alphabetical tie-break) + counts per detected language."""
@@ -1259,6 +1295,55 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState):
+    per-user session assembly with keyed state, executed as a real
+    stream (availableNow → memory sink, update mode). The oracle is the
+    batch lag+cumsum sessionization aggregated per session — batch/
+    stream parity for arbitrary stateful logic, not just windows."""
+    from comix_etl_spark.schemas import EVENTS_RAW
+    from comix_etl_spark.streaming.stateful import sessionize_stateful
+    from comix_etl_spark.streaming.windowed import run_stream_to_memory
+
+    def ts_fix(df: DataFrame) -> DataFrame:
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    out = run_stream_to_memory(
+        spark, sf_dir, EVENTS_RAW,
+        lambda ev: sessionize_stateful(ev, gap_minutes=30),
+        query_name="q_stream_sessionize", glob="events.parquet",
+        ts_fix=ts_fix, output_mode="update",
+    )
+    return out.orderBy("user_id", "session_id")
+
+
+ORACLE_STREAM_SESSIONIZE = """
+WITH gapped AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gapped
+), agg AS (
+  SELECT user_id, CAST(sid AS INT) AS session_id,
+         make_timestamp(min(epoch_us(ts))) AS start_ts,
+         make_timestamp(max(epoch_us(ts))) AS end_ts,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, session_id, start_ts, end_ts, n_events,
+       session_id = max(session_id) OVER (PARTITION BY user_id) AS is_open
+FROM agg
+ORDER BY user_id, session_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # §7 — multimodal binary columns
 # ---------------------------------------------------------------------------
@@ -1385,6 +1470,10 @@ QUERIES: dict[str, Query] = {
                              "brute-force cosine top-k per query", ("embeddings",)),
     "ann_lsh": Query(q_ann_lsh, None,
                      "LSH-bucketed approximate cosine top-k (rows-only)", ("embeddings",)),
+    "dedup_embedding": Query(q_dedup_embedding, ORACLE_DEDUP_EMBEDDING,
+                             "exact embedding-cosine near-dup pairs", ("embeddings",)),
+    "ann_ivf": Query(q_ann_ivf, None,
+                     "IVF coarse-quantized approximate top-k (rows-only)", ("embeddings",)),
     "lang_id": Query(q_lang_id, ORACLE_LANG_ID,
                      "marker-based language ID + counts", ("documents",)),
     "doc_quality": Query(q_doc_quality, ORACLE_DOC_QUALITY,
@@ -1409,6 +1498,8 @@ QUERIES: dict[str, Query] = {
                               "second-API enrichment: volume resolve + image lookup + status", ()),
     "stream_windowed": Query(q_stream_windowed, ORACLE_STREAM_WINDOWED,
                              "streaming windowed rollup w/ batch parity", ("events",)),
+    "stream_sessionize": Query(q_stream_sessionize, ORACLE_STREAM_SESSIONIZE,
+                               "stateful streaming sessionizer (applyInPandasWithState)", ("events",)),
     "multimodal_metadata": Query(q_multimodal_metadata, ORACLE_MULTIMODAL_METADATA,
                                  "binary payload metadata, JVM-side", ("documents",)),
     "multimodal_decode": Query(q_multimodal_decode, ORACLE_MULTIMODAL_DECODE,

@@ -43,7 +43,8 @@ def stream_windowed_counts(events: DataFrame, *, ts_col: str = "ts",
 def run_stream_to_memory(spark: SparkSession, source_dir: str, schema,
                          transform: Callable[[DataFrame], DataFrame],
                          *, query_name: str = "stream_out", glob: str | None = None,
-                         ts_fix: Callable[[DataFrame], DataFrame] | None = None) -> DataFrame:
+                         ts_fix: Callable[[DataFrame], DataFrame] | None = None,
+                         output_mode: str = "complete") -> DataFrame:
     """Drive a file-source stream to completion synchronously (availableNow
     → memory sink) and return the result as a DataFrame. The local test
     harness for any streaming operator; in production the same transform
@@ -59,7 +60,7 @@ def run_stream_to_memory(spark: SparkSession, source_dir: str, schema,
         raw = ts_fix(raw)
     q = (
         transform(raw)
-        .writeStream.outputMode("complete")
+        .writeStream.outputMode(output_mode)
         .format("memory").queryName(query_name)
         .trigger(availableNow=True)
         .start()

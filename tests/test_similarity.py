@@ -44,6 +44,32 @@ def test_lsh_recall_vs_brute_force(spark, sf_small):
     assert recall >= 0.5, f"LSH recall {recall:.2f}"
 
 
+def test_ivf_full_probe_equals_brute_force(spark, sf_small):
+    """nprobe = n_centroids probes every inverted list → exact results."""
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.vec_id, r.cosine_sim) for r in
+             S.brute_force_topk(emb, qs, k=5, query_id_col="query_id").collect()}
+    full = {(r.query_id, r.vec_id, r.cosine_sim) for r in
+            S.ivf_topk(emb, qs, k=5, n_centroids=8, nprobe=8).collect()}
+    assert full == exact
+
+
+def test_ivf_partial_probe_recall_and_self(spark, sf_small):
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.vec_id) for r in
+             S.brute_force_topk(emb, qs, k=10, query_id_col="query_id").collect()}
+    approx = {(r.query_id, r.vec_id) for r in
+              S.ivf_topk(emb, qs, k=10, n_centroids=8, nprobe=4).collect()}
+    for qid in (0, 1, 2):
+        assert (qid, qid) in approx  # a query's own list is always probed first
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f}"
+
+
 def test_lsh_similarities_match_brute_force_for_found_pairs(spark, sf_small):
     emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
     qs = emb.filter(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")

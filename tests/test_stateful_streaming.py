@@ -1,0 +1,76 @@
+"""applyInPandasWithState sessionizer: state must carry ACROSS
+micro-batches — a session spanning two batches continues, a gap closes
+it, and closed sessions are emitted exactly once."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from comix_etl_spark.streaming.stateful import sessionize_stateful
+
+
+def _write_batch(spark, path, rows):
+    """Write one FLAT parquet file at ``path`` (the file stream source
+    lists plain files; a df.write directory would be skipped)."""
+    import glob
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="stateful_batch_")
+    spark.createDataFrame(rows, "user_id long, ts timestamp") \
+         .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/d")
+    part = glob.glob(f"{tmp}/d/part-*.parquet")[0]
+    shutil.move(part, path)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_state_carries_across_microbatches(spark, tmp_path):
+    src = str(tmp_path / "events_stream")
+    os.makedirs(src, exist_ok=True)
+    # batch 1: u1 two events 5 min apart (one open session)
+    _write_batch(spark, f"{src}/b1.parquet", [
+        (1, dt.datetime(2024, 1, 1, 10, 0, 0)),
+        (1, dt.datetime(2024, 1, 1, 10, 5, 0)),
+    ])
+    # batch 2: u1 continues within gap (10:20), then jumps 2h (12:30) → new session
+    _write_batch(spark, f"{src}/b2.parquet", [
+        (1, dt.datetime(2024, 1, 1, 10, 20, 0)),
+        (1, dt.datetime(2024, 1, 1, 12, 30, 0)),
+    ])
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (sessionize_stateful(stream, gap_minutes=30)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("t_state_carry").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM t_state_carry").collect()
+
+    closed = [r for r in rows if not r.is_open]
+    assert len(closed) == 1  # session 1 closed by the 2h jump
+    assert closed[0].session_id == 1 and closed[0].n_events == 3  # 10:00,10:05,10:20 merged ACROSS batches
+    open_snaps = [r for r in rows if r.is_open]
+    final_open = max(open_snaps, key=lambda r: (r.session_id, r.n_events))
+    assert final_open.session_id == 2 and final_open.n_events == 1  # 12:30
+
+
+def test_batch_order_within_group_is_sorted(spark, tmp_path):
+    """Events arriving out of order WITHIN one batch are sorted before
+    folding, so session assembly is deterministic."""
+    src = str(tmp_path / "events_unordered")
+    os.makedirs(src, exist_ok=True)
+    _write_batch(spark, f"{src}/b1.parquet", [
+        (7, dt.datetime(2024, 1, 1, 12, 0, 0)),   # later first
+        (7, dt.datetime(2024, 1, 1, 9, 0, 0)),
+        (7, dt.datetime(2024, 1, 1, 9, 10, 0)),
+    ])
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    q = (sessionize_stateful(stream, gap_minutes=30)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("t_state_sorted").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = {(r.session_id, r.is_open): r for r in spark.sql(
+        "SELECT * FROM t_state_sorted WHERE user_id = 7").collect()}
+    assert rows[(1, False)].n_events == 2   # 9:00 + 9:10
+    assert rows[(2, True)].n_events == 1    # 12:00 open
