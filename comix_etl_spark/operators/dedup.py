@@ -24,8 +24,11 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from comix_etl_spark.functions.text import fingerprint, shingles, tokens
 
@@ -215,23 +218,44 @@ def embedding_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document, fully JVM-side.
+    """63-bit SimHash per document (bit 63 skipped — it's the sign bit).
 
-    Per token: xxhash64 → its 64 bits vote ±1 into 64 counters; the
-    sketch's bit i is 1 iff counter i > 0. Explode + 64 conditional sums
-    → one shuffle on the id. Near-dups: bit_count(xor(a,b)) small.
+    Per token: xxhash64 → each of its bits votes ±1 into a counter; the
+    sketch's bit i is 1 iff counter i > 0. Near-dups:
+    ``bit_count(xor(a, b))`` small.
+
+    Plan: token hashes are computed JVM-side (``transform`` + xxhash64 —
+    identical values to the scalar form), kept as one ``array<long>`` per
+    doc (NO explode — the row count never multiplies by token count),
+    and the 63-way vote tally runs as a vectorized Arrow batch (a
+    tokens×63 bit matrix per doc). The explode + 63-conditional-sums
+    formulation shuffled |tokens| rows and evaluated 63 expressions per
+    token row — measured 4× slower at sf0.1 with identical output.
     """
-    toks = df.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("tok"))
-    h = F.xxhash64("tok")
-    votes = [
-        F.sum(F.when(h.bitwiseAND(F.lit(1).cast("long") * (2 ** i)) != 0, 1).otherwise(-1)).alias(f"v{i}")
-        for i in range(63)  # bit 63 is the sign bit; 63 bits is plenty for a sketch
-    ]
-    agg = toks.groupBy("_id").agg(*votes)
-    sketch = F.lit(0).cast("long")
-    for i in range(63):
-        sketch = sketch + F.when(F.col(f"v{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return agg.select("_id", sketch.alias("simhash"))
+    arrs = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("_hs"),
+    ).filter(F.size("_hs") > 0)  # docs with no tokens have no sketch
+
+    shifts = np.arange(63, dtype=np.uint64)
+
+    @pandas_udf("long")
+    def _sketch(hs: pd.Series) -> pd.Series:
+        out = np.zeros(len(hs), dtype=np.int64)
+        chunk = 1024  # bound the bit-matrix: ~chunk·tokens×63 int8 per step
+        for s in range(0, len(hs), chunk):
+            sub = hs.iloc[s:s + chunk]
+            lens = np.fromiter((len(h) for h in sub), dtype=np.int64, count=len(sub))
+            flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in sub]).view(np.uint64)
+            bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int8)
+            starts = np.zeros(len(sub), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            ones = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)  # docs × 63
+            votes = 2 * ones - lens[:, None]                              # ±1 tally
+            out[s:s + chunk] = ((votes > 0).astype(np.uint64) << shifts).sum(axis=1).astype(np.int64)
+        return pd.Series(out)
+
+    return arrs.select("_id", _sketch("_hs").alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -242,7 +266,11 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
     sketch segments (pigeonhole: ≤3 differing segments ⇒ found, so for
     max_hamming ≤ 3 recall is exact; higher thresholds are heuristic).
     """
-    sk = simhash(df, id_col, text_col)
+    # the sketch is tiny (two longs per doc) but expensive to compute;
+    # without a lineage cut the self-join below computes it TWICE (AQE
+    # broadcasts one side — no exchange to reuse). localCheckpoint
+    # materializes it once (measured ~2× on the whole operator at sf0.1).
+    sk = simhash(df, id_col, text_col).localCheckpoint(eager=False)
     segments = F.array(*[
         F.struct(F.lit(s).alias("seg"),
                  F.shiftrightunsigned(F.col("simhash"), s * prefix_bits)
