@@ -155,6 +155,45 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, *,
     return verified.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def dup_clusters(pairs: DataFrame, *, id_a: str = "id_a", id_b: str = "id_b",
+                 max_iters: int = 50) -> DataFrame:
+    """Connected components over a near-dup pair graph → (doc_id,
+    keeper_id): every document labeled with the minimum id reachable
+    through dup edges. The step after pair generation in a real dedup
+    pipeline — groups {A~B, B~C} must collapse to ONE keeper even though
+    A and C were never directly compared.
+
+    Iterative min-label propagation (the standard Spark formulation —
+    GraphX/GraphFrames do the same under the hood): each round every
+    node takes the min label among itself and its neighbors; converged
+    when no label changes. Rounds needed = graph diameter ≤ O(log n)
+    for typical dup clusters (most are stars/cliques: 1-2 rounds). Each
+    round is one shuffle on node id; the edge list is localCheckpoint'd
+    once and reused every round.
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+             .distinct().localCheckpoint(eager=False))
+    labels = (edges.select(F.col("src").alias("node"))
+              .distinct().withColumn("label", F.col("node")))
+    for _ in range(max_iters):
+        neighbor_min = (edges.join(labels, edges.dst == labels.node)
+                        .groupBy("src").agg(F.min("label").alias("nmin")))
+        new_labels = (labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+                      .select(F.col("node"),
+                              F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label")))
+                              .alias("label")))
+        # convergence check: one count per round, each round a new
+        # checkpoint so lineage (and plan size) stays O(1), not O(iters)
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (new_labels.join(labels.withColumnRenamed("label", "_old"), "node")
+                   .filter(F.col("label") != F.col("_old")).limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("keeper_id"))
+
+
 def embedding_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
                         vec_col: str = "embedding", threshold: float = 0.9,
                         max_broadcast_rows: int = 2_000_000) -> DataFrame:

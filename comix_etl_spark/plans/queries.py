@@ -788,6 +788,54 @@ WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >=
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the exact 3-gram
+    Jaccard pair graph (threshold 0.3) → (doc_id, keeper_id). An
+    iterative Spark algorithm (min-label propagation); the oracle
+    recomputes the same components with a recursive-CTE transitive
+    closure — an oracle-checked iterative operator."""
+    t = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(t["documents"], "doc_id", "text", n=3, threshold=0.3)
+    return D.dup_clusters(pairs).orderBy("doc_id")
+
+
+ORACLE_DEDUP_CLUSTERS = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         )) AS shingle
+  FROM toks WHERE len(t) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.3
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach AS (
+  SELECT src AS node, dst AS r FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT node AS doc_id, least(node, min(r)) AS keeper_id
+FROM reach GROUP BY node
+ORDER BY doc_id
+"""
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates verified by exact Jaccard — the
     100 TB dedup path (constant-size signatures, banded buckets).
@@ -984,6 +1032,77 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)
          AS bpe_tokens
 FROM documents
+"""
+
+
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data prep pipeline in ONE plan: language ID
+    → quality gate (score ≥ 0.55) → exact-dedup keeper selection → per-
+    language doc/token budget. One scan computes every per-doc feature;
+    the only shuffles are the dedup groupBy and the final tiny rollup —
+    the shape a 100 TB pretraining corpus job actually runs."""
+    t = _t(spark, sf_dir, "documents")
+    feat = t["documents"].select(
+        "doc_id",
+        text.lang_id("text").alias("detected_lang"),
+        text.quality_score("text").alias("q"),
+        text.fingerprint("text").alias("fp"),
+        text.token_count("text").alias("n_tokens"),
+    )
+    # keeper via window-min on the fingerprint: ONE scan and ONE shuffle
+    # (the groupBy+self-join form scans documents twice); fp groups are
+    # tiny (dup families), so the window partitions can't skew
+    kept = feat.withColumn(
+        "keep_id", F.min("doc_id").over(Window.partitionBy("fp"))
+    ).filter(F.col("doc_id") == F.col("keep_id"))
+    return (kept.filter((F.col("detected_lang") != "und") & (F.col("q") >= 0.55))
+            .groupBy("detected_lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"))
+            .orderBy("detected_lang"))
+
+
+_Q_EXPR = """
+round((CASE WHEN len(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END) * 0.4
+      + (1.0 - CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+               / CAST(len(text) AS DOUBLE)) * 0.3
+      + (CASE WHEN sw_ratio BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END) * 0.3, 4)
+"""
+
+ORACLE_CORPUS_PREP = f"""
+WITH scored AS (
+  SELECT doc_id, text,
+         {_SCORES['de']} AS s_de, {_SCORES['en']} AS s_en,
+         {_SCORES['es']} AS s_es, {_SCORES['fr']} AS s_fr,
+         CAST(len(list_filter(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> ''),
+                              x -> list_contains(['the','a','of','and','is'], x))) AS DOUBLE)
+           / CAST(CASE WHEN len(trim(text)) = 0 THEN 1
+                       ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) END AS DOUBLE)
+           AS sw_ratio,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) END AS n_tokens,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+), feat AS (
+  SELECT doc_id, n_tokens, fp,
+         CASE
+           WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+           WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+           WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+           WHEN s_es >= s_fr THEN 'es'
+           ELSE 'fr' END AS detected_lang,
+         {_Q_EXPR} AS q
+  FROM scored
+), keep AS (
+  SELECT fp, min(doc_id) AS keep_id FROM feat GROUP BY fp
+)
+SELECT detected_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM feat JOIN keep ON feat.fp = keep.fp AND feat.doc_id = keep.keep_id
+WHERE detected_lang <> 'und' AND q >= 0.55
+GROUP BY detected_lang
+ORDER BY detected_lang
 """
 
 
@@ -1462,6 +1581,8 @@ QUERIES: dict[str, Query] = {
                          "exact content-hash dedup", ("documents",)),
     "ngram_jaccard": Query(q_ngram_jaccard, ORACLE_NGRAM_JACCARD,
                            "exact 3-gram Jaccard near-dup pairs", ("documents",)),
+    "dedup_clusters": Query(q_dedup_clusters, ORACLE_DEDUP_CLUSTERS,
+                            "connected components over the near-dup graph", ("documents",)),
     "minhash_lsh": Query(q_minhash_lsh, None,
                          "MinHash+LSH near-dup (scale path; rows-only)", ("documents",)),
     "simhash_pairs": Query(q_simhash_pairs, None,
@@ -1482,6 +1603,8 @@ QUERIES: dict[str, Query] = {
                           "whitespace vs BPE-ish token counts", ("documents",)),
     "doc_fingerprint": Query(q_doc_fingerprint, ORACLE_DOC_FINGERPRINT,
                              "canonical md5 content fingerprint", ("documents",)),
+    "corpus_prep": Query(q_corpus_prep, ORACLE_CORPUS_PREP,
+                         "composed prep pipeline: lang + quality + dedup + budget", ("documents",)),
     "csv_ingest": Query(q_csv_ingest, ORACLE_CSV_INGEST,
                         "S6 CSV read with duplicated-header quarantine", ()),
     "marvel_normalize": Query(q_marvel_normalize, ORACLE_MARVEL_NORMALIZE,

@@ -67,3 +67,22 @@ def test_shingle_df_cap_drops_boilerplate(spark):
     uncapped = D.shingle_postings(df, "doc_id", "text", n=3).count()
     capped = D.shingle_postings(df, "doc_id", "text", n=3, df_cap=5).count()
     assert capped < uncapped  # the 'common boiler plate' shingle (df=10) is dropped
+
+
+def test_dup_clusters_transitive_chain(spark):
+    """A~B and B~C (A never compared to C) must share one keeper; the
+    disjoint D~E pair keeps its own."""
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (40, 50)], "id_a long, id_b long")
+    got = {r.doc_id: r.keeper_id for r in D.dup_clusters(pairs).collect()}
+    assert got == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40}
+
+
+def test_dup_clusters_long_path_converges(spark):
+    """A 12-node path graph needs multiple propagation rounds — the
+    label must still reach the far end."""
+    edges = [(i, i + 1) for i in range(100, 112)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.doc_id: r.keeper_id for r in D.dup_clusters(pairs).collect()}
+    assert set(got.values()) == {100}
+    assert len(got) == 13
