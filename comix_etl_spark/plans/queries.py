@@ -739,6 +739,51 @@ GROUP BY user_id
 # §7 extensions — deduplication over the documents corpus
 # ---------------------------------------------------------------------------
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup → first view AFTER signup →
+    first purchase AFTER that view) with per-step user counts. All three
+    step timestamps come from chained windows over ONE user_id shuffle
+    (same partitioning → Spark plans a single exchange)."""
+    t = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    e = (t["events"]
+         .withColumn("t1", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w))
+         .withColumn("t2", F.min(F.when((F.col("event_type") == "view")
+                                        & (F.col("ts") > F.col("t1")), F.col("ts"))).over(w))
+         .withColumn("t3", F.min(F.when((F.col("event_type") == "purchase")
+                                        & (F.col("ts") > F.col("t2")), F.col("ts"))).over(w)))
+    per_user = e.select("user_id", "t1", "t2", "t3").dropDuplicates(["user_id"])
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_view_after_signup"),
+        F.count("t3").alias("n_purchase_after_view"),
+    )
+
+
+ORACLE_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) FILTER (event_type = 'signup') AS t1
+  FROM events GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id,
+         min(e.ts) FILTER (e.event_type = 'view'
+                           AND epoch_us(e.ts) > epoch_us(s1.t1)) AS t2
+  FROM events e JOIN s1 USING (user_id) GROUP BY e.user_id, s1.t1
+), s3 AS (
+  SELECT e.user_id,
+         min(e.ts) FILTER (e.event_type = 'purchase'
+                           AND epoch_us(e.ts) > epoch_us(s2.t2)) AS t3
+  FROM events e JOIN s2 USING (user_id) GROUP BY e.user_id, s2.t2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(s1.t1) AS BIGINT) AS n_signup,
+       CAST(count(s2.t2) AS BIGINT) AS n_view_after_signup,
+       CAST(count(s3.t3) AS BIGINT) AS n_purchase_after_view
+FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content fingerprint (md5 of lowercased,
     whitespace-collapsed text): keeper id + copy count per content."""
@@ -1577,6 +1622,8 @@ QUERIES: dict[str, Query] = {
                          "F4/F5 nested-payload extraction (JSON props)", ("events",)),
     "sessionize": Query(q_sessionize, ORACLE_SESSIONIZE,
                         "gap-based sessionization over events", ("events",)),
+    "funnel": Query(q_funnel, ORACLE_FUNNEL,
+                    "ordered conversion funnel per-step counts", ("events",)),
     "dedup_exact": Query(q_dedup_exact, ORACLE_DEDUP_EXACT,
                          "exact content-hash dedup", ("documents",)),
     "ngram_jaccard": Query(q_ngram_jaccard, ORACLE_NGRAM_JACCARD,

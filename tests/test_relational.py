@@ -26,6 +26,25 @@ def test_global_rank_single_partition_and_empty(spark):
     assert global_rank(empty, "k").count() == 0
 
 
+def test_salted_join_matches_plain_join(spark):
+    """Salting must not change results — hot key 'h' spread over salts,
+    right side replicated; inner and left both equal the plain join."""
+    from comix_etl_spark.operators.relational import salted_join
+
+    left = spark.createDataFrame(
+        [("h", i) for i in range(500)] + [("c", 1), ("m", 2)], "k string, v int")
+    right = spark.createDataFrame(
+        [("h", "hot"), ("c", "cold")], "k string, name string")
+    for how in ("inner", "left"):
+        plain = sorted((r.k, r.v, r.name) for r in left.join(right, ["k"], how).collect())
+        salted = sorted((r.k, r.v, r.name) for r in
+                        salted_join(left, right, ["k"], salts=4, how=how).collect())
+        assert salted == plain, how
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        salted_join(left, right, ["k"], how="full_outer")
+
+
 def test_multi_field_search_or_semantics(spark):
     df = spark.createDataFrame(
         [(1, "Uncanny Tales", "great gambit intro"),
