@@ -739,6 +739,42 @@ GROUP BY user_id
 # §7 extensions — deduplication over the documents corpus
 # ---------------------------------------------------------------------------
 
+def q_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group IQR outlier detection (fence multiplier 0.6 — this
+    corpus's prices are near-uniform, so the textbook 1.5 finds
+    nothing): exact linear-interpolation percentiles per brand
+    (F.percentile ≡ DuckDB quantile_cont, verified identical), broadcast
+    of the tiny per-brand fences back onto the scan. The standard
+    data-quality screen before training on numeric features."""
+    t = _t(spark, sf_dir, "part")
+    p = t["part"]
+    stats = p.groupBy("p_brand").agg(
+        F.percentile("p_retailprice", F.lit(0.25)).alias("q1"),
+        F.percentile("p_retailprice", F.lit(0.75)).alias("q3"))
+    j = p.join(F.broadcast(stats), "p_brand")
+    iqr = F.col("q3") - F.col("q1")
+    fence_hi = F.col("q3") + 0.6 * iqr
+    fence_lo = F.col("q1") - 0.6 * iqr
+    return (j.filter((F.col("p_retailprice") > fence_hi) | (F.col("p_retailprice") < fence_lo))
+            .select("p_brand", "p_partkey", "p_retailprice")
+            .orderBy("p_brand", "p_partkey"))
+
+
+ORACLE_PRICE_OUTLIERS = """
+WITH st AS (
+  SELECT p_brand,
+         quantile_cont(p_retailprice, 0.25) AS q1,
+         quantile_cont(p_retailprice, 0.75) AS q3
+  FROM part GROUP BY p_brand
+)
+SELECT p_brand, p_partkey, p_retailprice
+FROM part JOIN st USING (p_brand)
+WHERE p_retailprice > q3 + 0.6 * (q3 - q1)
+   OR p_retailprice < q1 - 0.6 * (q3 - q1)
+ORDER BY p_brand, p_partkey
+"""
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel (signup → first view AFTER signup →
     first purchase AFTER that view) with per-step user counts. All three
@@ -1624,6 +1660,8 @@ QUERIES: dict[str, Query] = {
                         "gap-based sessionization over events", ("events",)),
     "funnel": Query(q_funnel, ORACLE_FUNNEL,
                     "ordered conversion funnel per-step counts", ("events",)),
+    "price_outliers": Query(q_price_outliers, ORACLE_PRICE_OUTLIERS,
+                            "per-group IQR outlier screen (exact percentiles)", ("part",)),
     "dedup_exact": Query(q_dedup_exact, ORACLE_DEDUP_EXACT,
                          "exact content-hash dedup", ("documents",)),
     "ngram_jaccard": Query(q_ngram_jaccard, ORACLE_NGRAM_JACCARD,
