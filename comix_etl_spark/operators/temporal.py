@@ -1,0 +1,93 @@
+"""Temporal join operators Spark lacks natively: as-of join and
+point-in-interval range join (SURVEY.md §7 extensions; the two named
+examples of "operators the engine must compose from primitives").
+
+Both avoid the naive O(|L|·|R|) theta-join:
+
+- **as-of** — union both sides into one (key, ts)-ordered stream and
+  carry the latest right-side values forward with a running window
+  aggregate: ONE shuffle on the key, linear work, no pairwise blowup.
+  This is the standard distributed formulation (kdb's aj / pandas
+  merge_asof semantics, backward direction, inclusive).
+- **range join** — explode each interval into the fixed-width time bins
+  it covers, map each point to its bin, equi-join on the bin, then
+  exact-filter the boundaries. Work is O(|points| + |intervals|·bins
+  per interval + |true matches|) instead of |points|·|intervals|; bin
+  width tunes the replication/selectivity trade-off (≈ median interval
+  length is a good default).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, *, key: Sequence[str],
+              left_ts: str = "ts", right_ts: str = "ts",
+              value_cols: Sequence[str], tiebreak_col: str | None = None) -> DataFrame:
+    """Backward inclusive as-of join: every left row gains the
+    ``value_cols`` of the latest right row with ``right.ts <= left.ts``
+    in its key group (NULL when no such row exists — left-outer
+    semantics).
+
+    Ties on the right timestamp resolve to the greatest
+    ``tiebreak_col`` (required to be deterministic when right can hold
+    equal timestamps per key). Plan: union the tagged sides, one window
+    over (key) ordered by (ts, side) carrying a struct max forward,
+    filter back to left rows — one shuffle total.
+    """
+    overlap = set(value_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(f"value_cols collide with left columns: {sorted(overlap)}")
+    tb: Column = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+
+    l_tag = left.withColumn("_is_left", F.lit(1))
+    r_tag = right.select(
+        *key,
+        F.col(right_ts).alias(left_ts),
+        F.struct(F.col(right_ts).alias("_t"), tb.alias("_tb"),
+                 *[F.col(c) for c in value_cols]).alias("_rv"),
+    ).withColumn("_is_left", F.lit(0))
+    u = l_tag.unionByName(r_tag, allowMissingColumns=True)
+
+    # right rows sort BEFORE left rows at equal ts (backward INCLUSIVE);
+    # struct max = (ts, tiebreak) lexicographic → deterministic winner
+    w = (Window.partitionBy(*key)
+         .orderBy(F.col(left_ts).asc(), F.col("_is_left").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    best = F.max("_rv").over(w)
+    out = (u.withColumn("_best", best)
+           .filter(F.col("_is_left") == 1)
+           .select(*left.columns,
+                   *[F.col(f"_best.{c}").alias(c) for c in value_cols]))
+    return out
+
+
+def range_join_points_intervals(points: DataFrame, intervals: DataFrame, *,
+                                point_col: str, start_col: str, end_col: str,
+                                bin_seconds: int) -> DataFrame:
+    """Inner join of points to every interval containing them
+    (``start <= p <= end``, inclusive) without a cross product.
+
+    Intervals explode into the ``bin_seconds``-wide epoch bins they
+    overlap; points hash to their single bin; the join is a plain
+    equi-join on the bin followed by the exact boundary filter. An
+    interval spanning B bins appears B times pre-filter — choose
+    ``bin_seconds`` near the typical interval length so B stays small.
+    """
+    def _bin(c: str) -> Column:
+        # cast("timestamp") tolerates TIMESTAMP_NTZ inputs (unix_micros
+        # rejects them); the session TZ is pinned UTC so the mapping is
+        # exact and identical for both sides
+        return F.floor(F.unix_micros(F.col(c).cast("timestamp")) / (bin_seconds * 1_000_000))
+
+    p_bin, s_bin, e_bin = _bin(point_col), _bin(start_col), _bin(end_col)
+
+    pts = points.withColumn("_bin", p_bin)
+    ivs = intervals.withColumn("_bin", F.explode(F.sequence(s_bin, e_bin)))
+    joined = pts.join(ivs, "_bin").filter(
+        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col)))
+    return joined.drop("_bin")

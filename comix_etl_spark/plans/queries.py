@@ -820,6 +820,80 @@ FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward inclusive): each purchase event picks up the
+    user's most recent view value at-or-before it. One union + one
+    window shuffle (operators/temporal.py) — no pairwise blowup; the
+    oracle is DuckDB's native ASOF LEFT JOIN."""
+    from comix_etl_spark.operators.temporal import asof_join
+
+    t = _t(spark, sf_dir, "events")
+    e = t["events"]
+    purchases = e.filter(F.col("event_type") == "purchase") \
+                 .select("user_id", "event_id", "ts")
+    views = e.filter(F.col("event_type") == "view") \
+             .select("user_id", "ts", "event_id",
+                     F.col("value").alias("viewed_value"))
+    out = asof_join(purchases, views, key=["user_id"],
+                    value_cols=["viewed_value"], tiebreak_col="event_id")
+    return out.select("user_id", "event_id", "ts", "viewed_value").orderBy("event_id")
+
+
+ORACLE_ASOF_JOIN = """
+SELECT p.user_id, p.event_id, p.ts, v.value AS viewed_value
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.event_id
+"""
+
+_PROMO_WINDOWS = [
+    (1, "1995-06-01", "1995-07-15"),
+    (2, "1997-01-10", "1997-02-20"),
+    (3, "1999-11-01", "1999-12-31"),
+    (4, "2001-05-05", "2001-06-01"),
+]
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join WITHOUT a cross product: promo
+    windows explode into 30-day bins, shipments equi-join on the bin,
+    boundaries exact-filter (operators/temporal.py). Oracle: the naive
+    BETWEEN theta-join."""
+    import datetime as _dt
+
+    from comix_etl_spark.operators.temporal import range_join_points_intervals
+
+    t = _t(spark, sf_dir, "lineitem")
+    windows = spark.createDataFrame(
+        [(i, _dt.datetime.fromisoformat(s), _dt.datetime.fromisoformat(e))
+         for i, s, e in _PROMO_WINDOWS],
+        "window_id int, w_start timestamp_ntz, w_end timestamp_ntz")
+    joined = range_join_points_intervals(
+        t["lineitem"].select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"),
+        windows, point_col="l_shipdate", start_col="w_start", end_col="w_end",
+        bin_seconds=30 * 24 * 3600)
+    return (joined.groupBy("window_id")
+            .agg(F.count(F.lit(1)).alias("n_shipments"),
+                 F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"))
+            .orderBy("window_id"))
+
+
+ORACLE_RANGE_JOIN = """
+WITH w(window_id, w_start, w_end) AS (VALUES
+  (1, TIMESTAMP '1995-06-01', TIMESTAMP '1995-07-15'),
+  (2, TIMESTAMP '1997-01-10', TIMESTAMP '1997-02-20'),
+  (3, TIMESTAMP '1999-11-01', TIMESTAMP '1999-12-31'),
+  (4, TIMESTAMP '2001-05-05', TIMESTAMP '2001-06-01'))
+SELECT window_id,
+       CAST(count(*) AS BIGINT) AS n_shipments,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN w ON l_shipdate BETWEEN w_start AND w_end
+GROUP BY window_id
+ORDER BY window_id
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content fingerprint (md5 of lowercased,
     whitespace-collapsed text): keeper id + copy count per content."""
@@ -1662,6 +1736,10 @@ QUERIES: dict[str, Query] = {
                     "ordered conversion funnel per-step counts", ("events",)),
     "price_outliers": Query(q_price_outliers, ORACLE_PRICE_OUTLIERS,
                             "per-group IQR outlier screen (exact percentiles)", ("part",)),
+    "asof_join": Query(q_asof_join, ORACLE_ASOF_JOIN,
+                       "backward-inclusive as-of join (union+window plan)", ("events",)),
+    "range_join": Query(q_range_join, ORACLE_RANGE_JOIN,
+                        "binned point-in-interval range join", ("lineitem",)),
     "dedup_exact": Query(q_dedup_exact, ORACLE_DEDUP_EXACT,
                          "exact content-hash dedup", ("documents",)),
     "ngram_jaccard": Query(q_ngram_jaccard, ORACLE_NGRAM_JACCARD,

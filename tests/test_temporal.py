@@ -1,0 +1,72 @@
+"""As-of join and binned range join edge cases."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from comix_etl_spark.operators.temporal import asof_join, range_join_points_intervals
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_backward_inclusive_and_null(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00"), "p1"),
+         (1, _ts("2024-01-01 09:00"), "p0"),   # before ANY right row → NULL
+         (2, _ts("2024-01-01 12:00"), "p2")],
+        "k long, ts timestamp, pid string")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:30"), 101, 1.5),
+         (1, _ts("2024-01-01 10:00"), 102, 2.5),  # equal ts → INCLUDED (<=)
+         (2, _ts("2024-01-01 11:00"), 103, 3.5)],
+        "k long, ts timestamp, rid long, v double")
+    out = {r.pid: r.v for r in asof_join(
+        left, right, key=["k"], value_cols=["v"], tiebreak_col="rid").collect()}
+    assert out == {"p0": None, "p1": 2.5, "p2": 3.5}
+
+
+def test_asof_tie_resolves_to_max_tiebreak(spark):
+    left = spark.createDataFrame([(1, _ts("2024-01-01 10:00"))], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:00"), 5, "lo"), (1, _ts("2024-01-01 09:00"), 9, "hi")],
+        "k long, ts timestamp, rid long, v string")
+    out = asof_join(left, right, key=["k"], value_cols=["v"], tiebreak_col="rid").collect()
+    assert out[0].v == "hi"
+
+
+def test_asof_rejects_column_collision(spark):
+    import pytest
+    df = spark.createDataFrame([(1, _ts("2024-01-01"), 1.0)], "k long, ts timestamp, v double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(df, df, key=["k"], value_cols=["v"])
+
+
+def test_range_join_boundaries_and_multi_bin(spark):
+    points = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00")),   # == start (inclusive)
+         (2, _ts("2024-01-10 00:00")),   # == end (inclusive)
+         (3, _ts("2024-01-05 12:00")),   # inside, different bin than start
+         (4, _ts("2024-02-01 00:00"))],  # outside
+        "pid long, ts timestamp")
+    ivs = spark.createDataFrame(
+        [(100, _ts("2024-01-01 00:00"), _ts("2024-01-10 00:00"))],
+        "iid long, s timestamp, e timestamp")
+    # 2-day bins → interval spans 5 bins; results must still be exact
+    out = {r.pid for r in range_join_points_intervals(
+        points, ivs, point_col="ts", start_col="s", end_col="e",
+        bin_seconds=2 * 24 * 3600).collect()}
+    assert out == {1, 2, 3}
+
+
+def test_range_join_overlapping_intervals_multi_match(spark):
+    points = spark.createDataFrame([(1, _ts("2024-01-05 00:00"))], "pid long, ts timestamp")
+    ivs = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00"), _ts("2024-01-07 00:00")),
+         (2, _ts("2024-01-04 00:00"), _ts("2024-01-06 00:00"))],
+        "iid long, s timestamp, e timestamp")
+    rows = range_join_points_intervals(points, ivs, point_col="ts",
+                                       start_col="s", end_col="e",
+                                       bin_seconds=24 * 3600).collect()
+    assert sorted(r.iid for r in rows) == [1, 2]  # one row per containing interval
