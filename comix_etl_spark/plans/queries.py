@@ -739,6 +739,58 @@ GROUP BY user_id
 # §7 extensions — deduplication over the documents corpus
 # ---------------------------------------------------------------------------
 
+def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate: order totals by (status, priority) with
+    per-status subtotals and a grand total in ONE pass — Spark expands
+    grouping sets map-side, so it's still a single shuffle. grouping_id
+    disambiguates real NULL keys from subtotal rows (both engines use
+    the same bit encoding)."""
+    t = _t(spark, sf_dir, "orders")
+    return (t["orders"]
+            .rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+                 .alias("total_price"),
+                 F.grouping_id().cast("int").alias("gid"))
+            .orderBy("gid", "o_orderstatus", "o_orderpriority"))
+
+
+ORACLE_SALES_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus, o_orderpriority
+"""
+
+
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: day × event_type count matrix with an explicit pivot-value
+    list (never let pivot scan for distinct values at scale — that's an
+    extra pass; the known vocabulary is declared). Oracle: conditional
+    FILTER aggregates, the relational spelling of the same thing."""
+    t = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    d = t["events"].select(F.to_date("ts").alias("day"), "event_type")
+    return (d.groupBy("day").pivot("event_type", types).count()
+            .na.fill(0, types).orderBy("day"))
+
+
+ORACLE_EVENT_PIVOT = """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(count(*) FILTER (event_type = 'click')    AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'error')    AS BIGINT) AS error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (event_type = 'signup')   AS BIGINT) AS signup,
+       CAST(count(*) FILTER (event_type = 'view')     AS BIGINT) AS view
+FROM events
+GROUP BY 1
+ORDER BY day
+"""
+
+
 def q_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group IQR outlier detection (fence multiplier 0.6 — this
     corpus's prices are near-uniform, so the textbook 1.5 finds
@@ -1736,6 +1788,10 @@ QUERIES: dict[str, Query] = {
                     "ordered conversion funnel per-step counts", ("events",)),
     "price_outliers": Query(q_price_outliers, ORACLE_PRICE_OUTLIERS,
                             "per-group IQR outlier screen (exact percentiles)", ("part",)),
+    "sales_rollup": Query(q_sales_rollup, ORACLE_SALES_ROLLUP,
+                          "ROLLUP subtotals + grand total, one shuffle", ("orders",)),
+    "event_pivot": Query(q_event_pivot, ORACLE_EVENT_PIVOT,
+                         "day x event_type PIVOT matrix", ("events",)),
     "asof_join": Query(q_asof_join, ORACLE_ASOF_JOIN,
                        "backward-inclusive as-of join (union+window plan)", ("events",)),
     "range_join": Query(q_range_join, ORACLE_RANGE_JOIN,
