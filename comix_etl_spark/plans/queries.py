@@ -1670,6 +1670,51 @@ ORDER BY user_id, session_id
 """
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join, executed as a real
+    stream: purchases within 1 hour after a view by the same user.
+    Both sides are file streams over the same events source; watermarks
+    + the time bound let Spark evict join state. The memory sink holds
+    the raw matched pairs; the returned rollup (per-user pair counts)
+    is batch SQL over that sink — and must equal the batch interval
+    theta-join the oracle runs."""
+    from comix_etl_spark.schemas import EVENTS_RAW
+    from comix_etl_spark.streaming.joins import stream_interval_join
+
+    def read_events() -> DataFrame:
+        raw = (spark.readStream.schema(EVENTS_RAW)
+               .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    views = (read_events().filter(F.col("event_type") == "view")
+             .select("user_id", F.col("ts").alias("ts_v")))
+    purchases = (read_events().filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("ts").alias("ts_p")))
+    joined = stream_interval_join(views, purchases, key="user_id",
+                                  left_ts="ts_v", right_ts="ts_p",
+                                  within="1 hour", watermark="2 hours")
+    q = (joined.writeStream.outputMode("append")
+         .format("memory").queryName("q_stream_join_sink")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.sql("""
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM q_stream_join_sink GROUP BY user_id ORDER BY user_id
+    """)
+
+
+ORACLE_STREAM_JOIN = """
+SELECT v.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND epoch_us(p.ts) >= epoch_us(v.ts)
+ AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000
+GROUP BY v.user_id
+ORDER BY v.user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # §7 — multimodal binary columns
 # ---------------------------------------------------------------------------
@@ -1842,6 +1887,8 @@ QUERIES: dict[str, Query] = {
                              "streaming windowed rollup w/ batch parity", ("events",)),
     "stream_sessionize": Query(q_stream_sessionize, ORACLE_STREAM_SESSIONIZE,
                                "stateful streaming sessionizer (applyInPandasWithState)", ("events",)),
+    "stream_join": Query(q_stream_join, ORACLE_STREAM_JOIN,
+                         "watermarked stream-stream interval join", ("events",)),
     "multimodal_metadata": Query(q_multimodal_metadata, ORACLE_MULTIMODAL_METADATA,
                                  "binary payload metadata, JVM-side", ("documents",)),
     "multimodal_decode": Query(q_multimodal_decode, ORACLE_MULTIMODAL_DECODE,

@@ -1,0 +1,43 @@
+"""Watermarked stream-stream interval join (SURVEY.md §7 streaming
+extensions) — the third leg of the streaming trio next to windowed
+aggregation (windowed.py) and keyed state (stateful.py).
+
+Spark buffers both sides in state and emits matches as they become
+possible; the watermarks + the time-bound join condition are what let
+it EVICT state — without them the buffers grow forever. State held per
+side ≈ watermark horizon × arrival rate, independent of stream length:
+the property that makes a 24/7 join viable at 100 TB/day.
+
+Batch/stream parity: the same join condition over static DataFrames is
+the oracle (an interval theta-join), so one availableNow pass must
+reproduce the batch result exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_interval_join(left: DataFrame, right: DataFrame, *, key: str,
+                         left_ts: str, right_ts: str,
+                         within: str = "1 hour",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Inner-join right rows to left rows of the same ``key`` with
+    ``left_ts <= right_ts <= left_ts + within``.
+
+    ``left_ts`` and ``right_ts`` must be DISTINCT column names (rename
+    before calling) — the joined row carries both. Works on batch
+    DataFrames too (watermark is a no-op there), which is what the
+    parity oracle exploits.
+    """
+    if left_ts == right_ts:
+        raise ValueError("rename the event-time columns to distinct names first")
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").drop(r[key])
