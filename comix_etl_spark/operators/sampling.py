@@ -1,0 +1,46 @@
+"""Deterministic dataset splitting and sampling for training pipelines
+(SURVEY.md §7 extensions).
+
+`randomSplit`/`sample` are seed-dependent AND partitioning-dependent —
+rerun the job with different parallelism and rows migrate between
+splits, which silently contaminates held-out sets. The splits here are
+pure functions of the ROW KEY: the same document lands in the same
+split on any cluster, any partitioning, forever — the property
+train/test hygiene actually requires. md5 (not xxhash64) so any other
+engine can reproduce the assignment bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column | str, *, buckets: int = 100, salt: str = "") -> Column:
+    """Stable bucket in [0, buckets): first 8 hex chars of
+    md5(key || salt) mod buckets. Change ``salt`` to draw an
+    independent split from the same keys."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(c.cast("string"), F.lit(salt)))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets).cast("int")
+
+
+def hash_split(df: DataFrame, key_col: str, *, test_pct: int = 10,
+               salt: str = "", out_col: str = "split") -> DataFrame:
+    """Label every row 'test' (test_pct % of key space) or 'train'.
+    Scan-local — no shuffle, no state, no seed to lose."""
+    b = hash_bucket(key_col, buckets=100, salt=salt)
+    return df.withColumn(out_col, F.when(b < test_pct, F.lit("test")).otherwise(F.lit("train")))
+
+
+def stratified_hash_sample(df: DataFrame, key_col: str, strata_col: str,
+                           fractions: dict[str, float], *, salt: str = "") -> DataFrame:
+    """Per-stratum deterministic sample: keep a row iff its key bucket
+    falls under its stratum's fraction (unknown strata drop). The
+    deterministic analogue of ``sampleBy`` — same keys survive on every
+    rerun, so downstream caches and joins stay consistent."""
+    b = hash_bucket(key_col, buckets=10_000, salt=salt)
+    pred = F.lit(False)
+    for stratum, frac in fractions.items():
+        pred = pred | ((F.col(strata_col) == stratum) & (b < int(frac * 10_000)))
+    return df.filter(pred)

@@ -1313,6 +1313,35 @@ ORDER BY detected_lang
 """
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/test split by content-hash bucket (md5 —
+    partitioning- and seed-independent, so the held-out set can never
+    shift between reruns) + per-split doc/token budget. The oracle
+    reproduces the assignment bit-for-bit from the same hex math."""
+    from comix_etl_spark.operators.sampling import hash_split
+
+    t = _t(spark, sf_dir, "documents")
+    d = hash_split(t["documents"], "doc_id", test_pct=10)
+    return (d.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(text.token_count("text")).alias("total_tokens"))
+            .orderBy("split"))
+
+
+ORACLE_HASH_SPLIT = """
+WITH b AS (
+  SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+              THEN 'test' ELSE 'train' END AS split,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) END AS n_tokens
+  FROM documents
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM b GROUP BY split ORDER BY split
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical content fingerprint per document (md5 of normalized
     text) — the identity key for exact dedup and incremental skips."""
@@ -1869,6 +1898,8 @@ QUERIES: dict[str, Query] = {
                              "canonical md5 content fingerprint", ("documents",)),
     "corpus_prep": Query(q_corpus_prep, ORACLE_CORPUS_PREP,
                          "composed prep pipeline: lang + quality + dedup + budget", ("documents",)),
+    "hash_split": Query(q_hash_split, ORACLE_HASH_SPLIT,
+                        "deterministic md5-bucket train/test split", ("documents",)),
     "csv_ingest": Query(q_csv_ingest, ORACLE_CSV_INGEST,
                         "S6 CSV read with duplicated-header quarantine", ()),
     "marvel_normalize": Query(q_marvel_normalize, ORACLE_MARVEL_NORMALIZE,

@@ -53,3 +53,30 @@ def test_multi_field_search_or_semantics(spark):
         "id int, title string, notes string")
     out = multi_field_search(df, "gambit", ["title", "notes"])
     assert {r.id for r in out.collect()} == {1, 3}
+
+
+def test_hash_split_partitioning_invariant(spark):
+    """The same key must land in the same split regardless of
+    parallelism — the property randomSplit does NOT have."""
+    from comix_etl_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 2000).select(F.col("id").alias("k"))
+    a = {r.k: r.split for r in hash_split(df.repartition(1), "k").collect()}
+    b = {r.k: r.split for r in hash_split(df.repartition(17), "k").collect()}
+    assert a == b
+    frac = sum(1 for v in a.values() if v == "test") / len(a)
+    assert 0.05 < frac < 0.15  # ~10%
+
+
+def test_stratified_hash_sample_deterministic(spark):
+    from comix_etl_spark.operators.sampling import stratified_hash_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(1000)], "k long, s string")
+    s1 = {r.k for r in stratified_hash_sample(df, "k", "s", {"a": 0.2, "b": 0.5}).collect()}
+    s2 = {r.k for r in stratified_hash_sample(df.repartition(9), "k", "s",
+                                              {"a": 0.2, "b": 0.5}).collect()}
+    assert s1 == s2
+    a_frac = sum(1 for k in s1 if k % 2) / 500
+    b_frac = sum(1 for k in s1 if not k % 2) / 500
+    assert 0.1 < a_frac < 0.3 and 0.4 < b_frac < 0.6
