@@ -44,6 +44,10 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # the registry GROWS between rounds — compare totals per-query
+        # (r1: 42 queries, r2: 58), not headline-to-headline
+        "n_queries": len(per_query),
+        "sec_per_query": round(total / max(len(per_query), 1), 4),
     }))
     spark.stop()
 
