@@ -18,6 +18,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -111,6 +112,32 @@ def write_binary_payloads(df: DataFrame, dest_root: str, *,
                 f.write(bytes(data))
 
     df.select(path_col, payload_col).foreachPartition(write_partition)
+
+
+def compact_table(spark: SparkSession, path: str, *, cluster_by: str | None = None,
+                  target_files: int = 8) -> dict:
+    """Lakehouse maintenance: rewrite a parquet table into
+    ``target_files`` balanced files, optionally RANGE-CLUSTERED on
+    ``cluster_by`` so each file owns a disjoint key range.
+
+    Why it matters at 100 TB: streaming/incremental writers leave
+    thousands of small files (listing + open overhead dominates scans),
+    and unclustered files force every file to be read for a point/range
+    predicate. After a clustered compaction, parquet min/max footer
+    stats let the reader SKIP every file whose range can't match —
+    turning O(files) scans into O(matching files).
+
+    Uses the staged swap (``safe_overwrite_parquet``) — the table stays
+    readable during the rewrite. Returns before/after file counts.
+    """
+    before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    df = spark.read.parquet(path)
+    out = (df.repartitionByRange(target_files, F.col(cluster_by))
+           .sortWithinPartitions(cluster_by) if cluster_by
+           else df.repartition(target_files))
+    safe_overwrite_parquet(out, path)
+    after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    return {"files_before": before, "files_after": after}
 
 
 def save_as_table(df: DataFrame, name: str, *, mode: str = "overwrite",

@@ -94,6 +94,38 @@ def test_download_and_binary_sink_round_trip(spark, tmp_path):
     assert bytes(one.content) == fake_image_downloader("http://img.example/cv/901/1.jpg")
 
 
+def test_compact_table_clusters_files(spark, tmp_path):
+    """Many small files → target_files range-clustered files whose
+    key ranges are disjoint (the property that enables footer-stat
+    file skipping)."""
+    from comix_etl_spark.sinks.writers import compact_table
+
+    path = str(tmp_path / "fragmented")
+    df = spark.range(0, 10_000).select(F.col("id").alias("k"),
+                                       (F.col("id") % 7).alias("v"))
+    df.repartition(64).write.parquet(path)  # fragmented, unclustered
+
+    stats = compact_table(spark, path, cluster_by="k", target_files=4)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == 4
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    # per-file ranges must be disjoint after range clustering
+    import pyarrow.parquet as pq
+    ranges = []
+    for f in sorted(os.listdir(path)):
+        if f.endswith(".parquet"):
+            md = pq.read_metadata(os.path.join(path, f))
+            cols = {md.schema.column(i).name: i for i in range(md.schema.names.__len__())}
+            ki = cols["k"]
+            mins = min(md.row_group(g).column(ki).statistics.min for g in range(md.num_row_groups))
+            maxs = max(md.row_group(g).column(ki).statistics.max for g in range(md.num_row_groups))
+            ranges.append((mins, maxs))
+    ranges.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo  # disjoint
+
+
 def test_save_as_table_and_bootstrap(spark):
     """S13 — saveAsTable writes a managed catalog table; bootstrap DDL is
     idempotent (IF NOT EXISTS) and never truncates existing data."""
