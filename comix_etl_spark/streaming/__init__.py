@@ -2,11 +2,14 @@
 
 The reference is batch-only; streaming is the engine extension: the same
 normalize→merge plans under readStream, with watermarked event-time
-windows and foreachBatch merge for exactly-once-ish sinks.
+windows, keyed state (applyInPandasWithState), stream-stream interval
+joins, and foreachBatch merge for exactly-once-ish sinks.
 """
 
+from comix_etl_spark.streaming.joins import stream_interval_join  # noqa: F401
+from comix_etl_spark.streaming.stateful import sessionize_stateful  # noqa: F401
 from comix_etl_spark.streaming.windowed import (  # noqa: F401
-    stream_windowed_counts,
-    run_stream_to_memory,
     foreach_batch_upsert,
+    run_stream_to_memory,
+    stream_windowed_counts,
 )
