@@ -739,6 +739,86 @@ GROUP BY user_id
 # §7 extensions — deduplication over the documents corpus
 # ---------------------------------------------------------------------------
 
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: per (returnflag, linestatus)
+    sums/averages with the disc-price and charge expressions. Pure
+    map-side arithmetic + one partial-aggregated shuffle — the plan
+    every OLAP engine is judged on. DECIMAL accumulation keeps the sums
+    associative (identical under any partitioning) before the final
+    cast back to double."""
+    t = _t(spark, sf_dir, "lineitem")
+    li = t["lineitem"]
+    # scales chosen so every product fits DECIMAL(38): (12,4)×(5,4) →
+    # (18,8), ×(5,4) → (24,12). No precision-overflow scale reduction,
+    # so Spark and DuckDB produce the SAME exact decimals (Spark's
+    # overflow handling rounds to a different scale than DuckDB's).
+    price = F.col("l_extendedprice").cast("decimal(12,4)")
+    one_minus_disc = (F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)"))
+    one_plus_tax = (F.lit(1).cast("decimal(5,4)") + F.col("l_tax").cast("decimal(5,4)"))
+    disc_price = price * one_minus_disc
+    charge = disc_price * one_plus_tax
+    # final doubles rounded to 4dp: DuckDB's DECIMAL(38,12)→DOUBLE cast
+    # is itself lossy at ~1e-8 relative (int128/10^12 through rounded
+    # doubles) even when both engines' decimal sums are IDENTICAL —
+    # rounding below the noise floor makes the comparison exact again
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(12,4)")).cast("double"), 4).alias("sum_qty"),
+                 F.round(F.sum(price).cast("double"), 4).alias("sum_base_price"),
+                 F.round(F.sum(disc_price).cast("double"), 4).alias("sum_disc_price"),
+                 F.round(F.sum(charge).cast("double"), 4).alias("sum_charge"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE), 4) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE), 4) AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))) AS DOUBLE), 4)
+         AS sum_disc_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))
+                * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(5,4)))) AS DOUBLE), 4)
+         AS sum_charge,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing moving average of order totals per customer — a
+    RANGE-frame window (time-based, not row-count-based: gaps and
+    bursts handled correctly). One shuffle on the customer key; frame
+    bounds expressed in epoch seconds on both engines so the frames
+    are identical."""
+    t = _t(spark, sf_dir, "orders")
+    o = t["orders"].select(
+        "o_custkey", "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("_us"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("_p"))
+    w = (Window.partitionBy("o_custkey").orderBy("_us")
+         .rangeBetween(-7 * 24 * 3600 * 1_000_000, 0))
+    out = o.select(
+        "o_custkey", "o_orderkey",
+        F.round((F.sum("_p").over(w) / F.count(F.lit(1)).over(w)).cast("double"), 4)
+        .alias("avg_7d"))
+    return out.orderBy("o_custkey", "o_orderkey")
+
+
+ORACLE_MOVING_AVERAGE = """
+SELECT o_custkey, o_orderkey,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+                  / count(*) OVER w AS DOUBLE), 4) AS avg_7d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
 def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregate: order totals by (status, priority) with
     per-status subtotals and a grand total in ONE pass — Spark expands
@@ -1862,6 +1942,10 @@ QUERIES: dict[str, Query] = {
                     "ordered conversion funnel per-step counts", ("events",)),
     "price_outliers": Query(q_price_outliers, ORACLE_PRICE_OUTLIERS,
                             "per-group IQR outlier screen (exact percentiles)", ("part",)),
+    "pricing_summary": Query(q_pricing_summary, ORACLE_PRICING_SUMMARY,
+                             "TPC-H-Q1-shaped pricing summary", ("lineitem",)),
+    "moving_average": Query(q_moving_average, ORACLE_MOVING_AVERAGE,
+                            "7-day RANGE-frame trailing average per customer", ("orders",)),
     "sales_rollup": Query(q_sales_rollup, ORACLE_SALES_ROLLUP,
                           "ROLLUP subtotals + grand total, one shuffle", ("orders",)),
     "event_pivot": Query(q_event_pivot, ORACLE_EVENT_PIVOT,
