@@ -1711,11 +1711,14 @@ def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ts_fix(df: DataFrame) -> DataFrame:
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
-    out = run_stream_to_memory(
-        spark, sf_dir, raw_schema,
-        lambda ev: stream_windowed_counts(ev, window="1 hour", watermark="2 hours"),
-        query_name="q_stream_windowed", glob="events.parquet", ts_fix=ts_fix,
-    )
+    from comix_etl_spark.streaming.windowed import stream_shuffle_partitions
+
+    with stream_shuffle_partitions(spark, 8):
+        out = run_stream_to_memory(
+            spark, sf_dir, raw_schema,
+            lambda ev: stream_windowed_counts(ev, window="1 hour", watermark="2 hours"),
+            query_name="q_stream_windowed", glob="events.parquet", ts_fix=ts_fix,
+        )
     return out.select(F.col("window_start").cast("timestamp").alias("window_start"),
                       "event_type", "n_events", "sum_value")
 
@@ -1743,12 +1746,15 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ts_fix(df: DataFrame) -> DataFrame:
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
-    out = run_stream_to_memory(
-        spark, sf_dir, EVENTS_RAW,
-        lambda ev: sessionize_stateful(ev, gap_minutes=30),
-        query_name="q_stream_sessionize", glob="events.parquet",
-        ts_fix=ts_fix, output_mode="update",
-    )
+    from comix_etl_spark.streaming.windowed import stream_shuffle_partitions
+
+    with stream_shuffle_partitions(spark, 8):
+        out = run_stream_to_memory(
+            spark, sf_dir, EVENTS_RAW,
+            lambda ev: sessionize_stateful(ev, gap_minutes=30),
+            query_name="q_stream_sessionize", glob="events.parquet",
+            ts_fix=ts_fix, output_mode="update",
+        )
     return out.orderBy("user_id", "session_id")
 
 
@@ -1799,13 +1805,16 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("user_id", F.col("ts").alias("ts_v")))
     purchases = (read_events().filter(F.col("event_type") == "purchase")
                  .select("user_id", F.col("ts").alias("ts_p")))
+    from comix_etl_spark.streaming.windowed import stream_shuffle_partitions
+
     joined = stream_interval_join(views, purchases, key="user_id",
                                   left_ts="ts_v", right_ts="ts_p",
                                   within="1 hour", watermark="2 hours")
-    q = (joined.writeStream.outputMode("append")
-         .format("memory").queryName("q_stream_join_sink")
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark, 8):
+        q = (joined.writeStream.outputMode("append")
+             .format("memory").queryName("q_stream_join_sink")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
     return spark.sql("""
         SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs
         FROM q_stream_join_sink GROUP BY user_id ORDER BY user_id
