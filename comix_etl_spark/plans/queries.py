@@ -739,6 +739,44 @@ GROUP BY user_id
 # §7 extensions — deduplication over the documents corpus
 # ---------------------------------------------------------------------------
 
+def q_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery pattern, decorrelated: customers whose total
+    spend exceeds 2× their nation's average. The comparison is
+    DIVISION-FREE (spend·count > 2·total in exact decimals) so both
+    engines agree bit-for-bit — the robust way to express relative-to-
+    group-average predicates. Two shuffles (per-customer, per-nation) +
+    one broadcast join back."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    spend = (t["orders"].groupBy("o_custkey")
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_s")))
+    cust = t["customer"].select("c_custkey", "c_nationkey") \
+        .join(spend, F.col("c_custkey") == F.col("o_custkey")).drop("o_custkey")
+    nation = (cust.groupBy("c_nationkey")
+              .agg(F.sum("_s").alias("_tot"), F.count(F.lit(1)).alias("_cnt")))
+    out = (cust.join(F.broadcast(nation), "c_nationkey")
+           .filter(F.col("_s") * F.col("_cnt") > F.lit(2) * F.col("_tot"))
+           .select("c_custkey", "c_nationkey", F.col("_s").cast("double").alias("spend")))
+    return out.orderBy("c_custkey")
+
+
+ORACLE_ABOVE_NATION_AVG = """
+WITH spend AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+  FROM orders GROUP BY o_custkey
+), c AS (
+  SELECT c_custkey, c_nationkey, s
+  FROM customer JOIN spend ON c_custkey = o_custkey
+), n AS (
+  SELECT c_nationkey, sum(s) AS tot, CAST(count(*) AS BIGINT) AS cnt
+  FROM c GROUP BY c_nationkey
+)
+SELECT c.c_custkey, c.c_nationkey, CAST(c.s AS DOUBLE) AS spend
+FROM c JOIN n USING (c_nationkey)
+WHERE c.s * n.cnt > 2 * n.tot
+ORDER BY c_custkey
+"""
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped pricing summary: per (returnflag, linestatus)
     sums/averages with the disc-price and charge expressions. Pure
@@ -1951,6 +1989,8 @@ QUERIES: dict[str, Query] = {
                     "ordered conversion funnel per-step counts", ("events",)),
     "price_outliers": Query(q_price_outliers, ORACLE_PRICE_OUTLIERS,
                             "per-group IQR outlier screen (exact percentiles)", ("part",)),
+    "above_nation_avg": Query(q_above_nation_avg, ORACLE_ABOVE_NATION_AVG,
+                              "division-free relative-to-group-average predicate", ("customer", "orders")),
     "pricing_summary": Query(q_pricing_summary, ORACLE_PRICING_SUMMARY,
                              "TPC-H-Q1-shaped pricing summary", ("lineitem",)),
     "moving_average": Query(q_moving_average, ORACLE_MOVING_AVERAGE,
