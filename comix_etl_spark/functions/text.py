@@ -126,6 +126,33 @@ def fingerprint(c: Column | str) -> Column:
     return F.md5(normalize_for_fingerprint(c))
 
 
+# PII patterns kept to the RE2-compatible subset (no backrefs, no
+# lookaround) so the same pattern string runs on Java regex (Spark) and
+# RE2 (DuckDB/oracle) with identical semantics.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}"
+
+
+def redact_pii(c: Column | str) -> Column:
+    """Mask email addresses and phone numbers with typed placeholders.
+
+    Scan-local regexp_replace (codegen, no shuffle, no UDF) — the shape
+    every PII / boilerplate-strip pass takes in a training-data pipeline.
+    Real deployments extend the pattern list; the plan is identical.
+    """
+    out = F.regexp_replace(_col(c), EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_PATTERN, "<PHONE>")
+
+
+def pii_counts(c: Column | str) -> tuple[Column, Column]:
+    """(n_emails, n_phones) match counts for audit/reporting."""
+    t = _col(c)
+    return (
+        F.regexp_count(t, F.lit(EMAIL_PATTERN)).cast("long"),
+        F.regexp_count(t, F.lit(PHONE_PATTERN)).cast("long"),
+    )
+
+
 def shingles(c: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles (array<string>) for MinHash/Jaccard.
 

@@ -98,6 +98,46 @@ def upsert_bridge(existing: DataFrame, batch: DataFrame, key: Sequence[str]) -> 
     return insert_if_absent(existing, batch.select(*key), key)
 
 
+def snapshot_diff(old: DataFrame, new: DataFrame, key: Sequence[str],
+                  compare_cols: Sequence[str]) -> DataFrame:
+    """CDC-style snapshot diff: classify every key as inserted ('I'),
+    deleted ('D'), or updated ('U'); unchanged rows are dropped.
+
+    Generalizes the reference's upsert family (U1–U5,
+    comixcatalog_starter.zip!etl/load.py) from "apply the change" to
+    "emit the change set" — the primitive behind incremental refresh and
+    audit diffs. Output: key columns, op, then old_<c>/new_<c> per
+    compared column.
+
+    One full-outer sort-merge join on the key — a single shuffle each
+    side, no window, no collect; at 100 TB both snapshots shuffle once
+    and AQE handles key skew. Null-safe comparison (eqNullSafe) so
+    NULL→value and value→NULL transitions classify as updates.
+    """
+    kl = list(key)
+    o = old.select(*kl, *[F.col(c).alias(f"old_{c}") for c in compare_cols]) \
+        .withColumn("_in_old", F.lit(True))
+    n = new.select(*kl, *[F.col(c).alias(f"new_{c}") for c in compare_cols]) \
+        .withColumn("_in_new", F.lit(True))
+    j = o.join(n, kl, "full_outer")
+    changed = None
+    for c in compare_cols:
+        neq = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        changed = neq if changed is None else (changed | neq)
+    op = (
+        F.when(F.col("_in_new").isNull(), F.lit("D"))
+        .when(F.col("_in_old").isNull(), F.lit("I"))
+        .when(changed, F.lit("U"))
+    )
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(*kl, "op",
+                *[F.col(f"old_{c}") for c in compare_cols],
+                *[F.col(f"new_{c}") for c in compare_cols])
+    )
+
+
 def backfill_if_null(existing: DataFrame, patch: DataFrame, key: Sequence[str],
                      fill_col: str) -> DataFrame:
     """U5 — idempotent FK backfill: set the column only where it's NULL.

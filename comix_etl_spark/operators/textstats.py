@@ -1,0 +1,126 @@
+"""Corpus-statistics operators for training-data pipelines: fixed-window
+document chunking, TF-IDF term ranking, and inverted-index construction.
+
+Beyond-reference extensions (SURVEY.md §7): the reference's text handling
+stops at per-row scalar normalization (etl/seed/seed_from_marvel.py:126-135
+token overlap); these operators lift the same tokenizer to corpus scale.
+
+All three stay JVM-side: tokenization/chunking are scan-local array
+expressions inside WholeStageCodegen (no Python, no shuffle), and the
+aggregations shuffle exactly once on their natural key (term), with
+map-side partial aggregation. At 100 TB the term key space is Zipfian —
+stopword terms are hot keys — so the TF stage aggregates (doc_id, term)
+first (high cardinality, well spread) and only then reduces per term,
+which keeps the skewed second shuffle small (one row per distinct
+doc-term, not one per token occurrence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from comix_etl_spark.functions.text import tokens
+
+
+def chunk_documents(df: DataFrame, id_col: str, text_col: str, *,
+                    chunk_size: int = 16, stride: int | None = None) -> DataFrame:
+    """Split each document into fixed-size token-window chunks.
+
+    The core LLM-pretraining prep op: tokenize, then emit one row per
+    window of ``chunk_size`` tokens advancing by ``stride`` (default:
+    non-overlapping, stride == chunk_size). Documents with zero tokens
+    emit no chunks. Output: id, chunk_id (0-based), chunk_text, n_tokens.
+
+    Scale: pure per-row array expressions + one posexplode — no shuffle,
+    no UDF; output size is input token count / stride, linear in corpus
+    size regardless of document-length skew.
+    """
+    stride = stride or chunk_size
+    toks = tokens(text_col)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.slice(toks, s, chunk_size))
+    exploded = (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_chunk"))
+        .filter(F.size("_chunk") > 0)
+    )
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join("_chunk", " ").alias("chunk_text"),
+        F.size("_chunk").cast("long").alias("n_tokens"),
+    )
+
+
+def term_frequencies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document term frequencies: one row per distinct (doc, term).
+
+    The explode→count collapses token occurrences at the (doc_id, term)
+    grain, which is the high-cardinality (well-distributed) key — the
+    right first shuffle before any per-term (skew-prone) reduction.
+    """
+    return (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, *,
+                    k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    The idf factor is the raw ratio N/df folded into an integer score
+    ``score_e6 = (tf * N * 1e6) div df`` — integer arithmetic is
+    bit-identical across engines, unlike ln(), so the ranking is exactly
+    reproducible (at petabyte N swap in log-scaled idf; the plan shape is
+    unchanged). Ties break on term ascending — fully deterministic.
+
+    Plan: tf shuffle on (doc, term), df reduce on term (rows already
+    collapsed to one per doc-term), broadcast of the scalar N, window on
+    doc_id. No skewed shuffle sees raw token rows.
+    """
+    tf = term_frequencies(df, id_col, text_col)
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = df.select(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .join(F.broadcast(n))
+        .withColumn("score_e6", F.expr("tf * n_docs * 1000000 div df"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score_e6"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score_e6", "rank")
+    )
+
+
+def inverted_index(df: DataFrame, id_col: str, text_col: str, *,
+                   posting_cap: int = 10) -> DataFrame:
+    """Inverted index: per term, document frequency, total occurrences,
+    and the first ``posting_cap`` doc ids (ascending) as a CSV string.
+
+    The posting list is capped BEFORE collection (row_number within term,
+    keep ≤ cap) so per-group aggregation state is bounded — collecting a
+    stopword's full posting list at 100 TB is gigabytes in one aggregator.
+    The window and the groupBy share the term partitioning, so the cap
+    costs a sort but no extra shuffle. Consumers needing full lists should
+    keep the (term, doc_id) relation of ``term_frequencies``, which stays
+    relational and spillable.
+    """
+    tf = term_frequencies(df, id_col, text_col)
+    w = Window.partitionBy("term").orderBy(F.asc(id_col))
+    ranked = tf.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.array_join(
+                F.sort_array(F.collect_list(
+                    F.when(F.col("_rn") <= posting_cap, F.col(id_col)))),
+                ",",
+            ).alias("postings_head"),
+        )
+    )
