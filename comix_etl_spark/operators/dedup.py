@@ -43,6 +43,22 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _spread_small_scan(df: DataFrame) -> DataFrame:
+    """Repartition a scan that arrived in fewer splits than cores.
+
+    Shingling is CPU-bound; a small/single-file parquet table reads as
+    ONE input split, serializing the whole tokenize+shingle stage onto
+    one task (measured: the entire sf0.1 documents table shingled on 1
+    of 32 cores). A 100 TB corpus arrives in thousands of splits so this
+    guard is a no-op there — it only pays the (input-sized, one-time)
+    round-robin shuffle when the scan would otherwise under-use the
+    cluster."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def shingle_postings(df: DataFrame, id_col: str, text_col: str, n: int = 3,
                      df_cap: int | None = None) -> DataFrame:
     """(id, shingle) inverted-index postings — deliberately SLIM: the
@@ -51,8 +67,8 @@ def shingle_postings(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     carrying one extra long through the sf0.1 pair shuffle). Optionally
     drop shingles with document frequency > df_cap (boilerplate
     suppression)."""
-    posts = df.select(F.col(id_col).alias("_id"),
-                      F.explode(shingles(text_col, n)).alias("shingle"))
+    base = _spread_small_scan(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")))
+    posts = base.select("_id", F.explode(shingles("_txt", n)).alias("shingle"))
     if df_cap is not None:
         from pyspark.sql import Window
 
@@ -66,20 +82,40 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
                         threshold: float = 0.5, df_cap: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for every co-shingled pair.
 
-    Plan: postings self-join on shingle (id_a < id_b) → per-pair
-    intersection count → join the two set sizes → |∩| / (|A|+|B|-|∩|).
-    Returns (id_a, id_b, jaccard) with jaccard >= threshold.
+    Plan: postings grouped per shingle → sorted id list → the (i<j)
+    pairs expanded INLINE with a codegen transform/slice expression →
+    per-pair intersection count → join the two set sizes →
+    |∩| / (|A|+|B|-|∩|). Returns (id_a, id_b, jaccard) >= threshold.
+
+    The per-shingle group-and-expand replaces the r2 postings self-join:
+    one shuffle on shingle instead of two join sides, and ``df_cap``
+    becomes a plain posting-list size filter (no window pass). The
+    emitted pair volume is identical — O(sum of postings²) by design;
+    cap it (df_cap) or run within LSH buckets at scale.
     """
-    posts = shingle_postings(df, id_col, text_col, n, df_cap)
+    base = _spread_small_scan(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")))
+    sh = base.select("_id", shingles("_txt", n).alias("_sh"))
+    posts = sh.select("_id", F.explode("_sh").alias("shingle"))
     # sizes computed scan-side (no explode); joined AFTER the pair
     # aggregate, when rows have collapsed from |pair postings| (~40M at
     # sf0.1) to |pairs| — AQE broadcasts the small sizes side
-    sizes = df.select(F.col(id_col).alias("_id"), F.size(shingles(text_col, n)).alias("n_sh"))
-    a = posts.alias("a")
-    b = posts.alias("b")
+    sizes = sh.select("_id", F.size("_sh").alias("n_sh"))
+    lists = (posts.groupBy("shingle")
+             .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+             .filter(F.size("ids") >= 2))
+    if df_cap is not None:
+        # boilerplate suppression: a shingle shared by > df_cap docs
+        # contributes df² pair rows and ~0 signal — drop the whole group
+        lists = lists.filter(F.size("ids") <= df_cap)
+    # (x, i) -> pairs of x with every LATER id: transform's index i is
+    # 0-based, slice() is 1-based, so the tail after position i is
+    # slice(ids, i + 2, ...). Stays inside codegen — no UDF, no join.
+    pair_expr = F.explode(F.flatten(F.expr(
+        "transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS id_a, y AS id_b)))")))
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        lists.select(pair_expr.alias("p")).select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     out = (
@@ -191,6 +227,14 @@ def dup_clusters(pairs: DataFrame, *, id_a: str = "id_a", id_b: str = "id_b",
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # labels are only correct at a fixed point — exhausting the
+        # round budget on a still-changing graph (diameter > max_iters,
+        # e.g. one long dup chain) would silently split a component
+        # into several keepers
+        raise RuntimeError(
+            f"dup_clusters did not converge in max_iters={max_iters} rounds; "
+            "component diameter exceeds the budget — raise max_iters")
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("keeper_id"))
 
 

@@ -77,16 +77,19 @@ def q_search_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     over part.p_name; p_partkey tie-break for a deterministic result set.
     """
     t = _t(spark, sf_dir, "part")
+    # 'red' verified non-empty on the synthetic part table at sf0.001
+    # (27 rows) and sf0.01 (257) — a 0-row match would make the oracle
+    # check vacuous (r2 verdict: 'green' matched nothing on either engine)
     return R.search_substring(
         t["part"].select("p_partkey", "p_name", "p_brand"),
-        "p_name", "green", order_by=("p_name", "p_partkey"), limit=50,
+        "p_name", "red", order_by=("p_name", "p_partkey"), limit=50,
     )
 
 
 ORACLE_SEARCH_SUBSTRING = """
 SELECT p_partkey, p_name, p_brand
 FROM part
-WHERE lower(p_name) LIKE '%green%'
+WHERE lower(p_name) LIKE '%red%'
 ORDER BY p_name, p_partkey
 LIMIT 50
 """
@@ -533,9 +536,11 @@ def q_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     best-match, etl/seed/seed_from_marvel.py:126-141)."""
     t = _t(spark, sf_dir, "part")
     p = t["part"].select("p_partkey", "p_name", "p_size")
+    # query tokens chosen to overlap the synthetic p_name vocabulary
+    # (62 scoring rows at sf0.001 / 703 at sf0.01 — non-vacuous)
     scored = p.withColumn(
         "match_score",
-        scalar.token_overlap_score("p_name", F.lit("green metallic steel"), bonus="p_size"),
+        scalar.token_overlap_score("p_name", F.lit("red bolt gizmo"), bonus="p_size"),
     )
     return (
         scored.filter(F.col("match_score") > F.col("p_size"))
@@ -550,7 +555,7 @@ WITH scored AS (
   SELECT p_partkey, p_name,
          CAST(len(list_intersect(
                 list_filter(regexp_split_to_array(lower(trim(p_name)), '\\s+'), x -> x <> ''),
-                ['green','metallic','steel'])) * 10 + p_size AS INT) AS match_score,
+                ['red','bolt','gizmo'])) * 10 + p_size AS INT) AS match_score,
          p_size
   FROM part
 )
@@ -1082,9 +1087,14 @@ GROUP BY 1
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.3) via a shingle
-    inverted index — the verification primitive behind MinHash LSH."""
+    inverted index — the verification primitive behind MinHash LSH.
+    df_cap=20 drops boilerplate shingles before pairing (the r2 verdict's
+    scale fix — a shingle shared by >20 docs adds df² pair rows and no
+    near-dup signal); the cap never binds at the oracle scales (max
+    shingle df is 9 at sf0.001, 7 at sf0.01) so the check stays exact."""
     t = _t(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(t["documents"], "doc_id", "text", n=3, threshold=0.3)
+    return D.ngram_jaccard_pairs(t["documents"], "doc_id", "text", n=3, threshold=0.3,
+                                 df_cap=20)
 
 
 ORACLE_NGRAM_JACCARD = """
@@ -1099,9 +1109,12 @@ WITH toks AS (
   FROM toks WHERE len(t) >= 3
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), shc AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 20)
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
@@ -1118,9 +1131,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard pair graph (threshold 0.3) → (doc_id, keeper_id). An
     iterative Spark algorithm (min-label propagation); the oracle
     recomputes the same components with a recursive-CTE transitive
-    closure — an oracle-checked iterative operator."""
+    closure — an oracle-checked iterative operator. df_cap=20 as in
+    ngram_jaccard (never binds at oracle scales — check stays exact)."""
     t = _t(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(t["documents"], "doc_id", "text", n=3, threshold=0.3)
+    pairs = D.ngram_jaccard_pairs(t["documents"], "doc_id", "text", n=3, threshold=0.3,
+                                  df_cap=20)
     return D.dup_clusters(pairs).orderBy("doc_id")
 
 
@@ -1136,9 +1151,12 @@ WITH RECURSIVE toks AS (
   FROM toks WHERE len(t) >= 3
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), shc AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 20)
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ), pairs AS (
   SELECT id_a, id_b
@@ -1169,6 +1187,19 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(t["documents"], "doc_id", "text",
                                num_hashes=32, bands=8, n=3, threshold=0.3)
+
+
+def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB dedup composition end-to-end: connected components over
+    MinHash+LSH candidate pairs (banded buckets, exact-Jaccard verify on
+    candidates only) — the scale path the quadratic `dedup_clusters`
+    verifies. Rows-only here (seeded banded xxhash is not
+    SQL-expressible); tests/test_dedup.py asserts its clusters equal the
+    exact composition's on seeded corpora."""
+    t = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(t["documents"], "doc_id", "text",
+                                num_hashes=32, bands=8, n=3, threshold=0.3)
+    return D.dup_clusters(pairs).orderBy("doc_id")
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1934,6 +1965,222 @@ FROM d
 """
 
 
+# ---------------------------------------------------------------------------
+# §7 — corpus statistics: chunking + TF-IDF (operators/textstats.py)
+# ---------------------------------------------------------------------------
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window token chunking — the LLM-pretraining prep op.
+    Scan-local array expressions + one posexplode; no shuffle, no UDF."""
+    from comix_etl_spark.operators import textstats as TS
+
+    t = _t(spark, sf_dir, "documents")
+    return TS.chunk_documents(t["documents"], "doc_id", "text", chunk_size=16)
+
+
+ORACLE_CHUNK_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), st AS (
+  SELECT doc_id, t, unnest(range(1, greatest(len(t), 1) + 1, 16)) AS s
+  FROM toks
+), ch AS (
+  SELECT doc_id, CAST((s - 1) // 16 AS BIGINT) AS chunk_id, t[s : s + 15] AS c
+  FROM st
+)
+SELECT doc_id, chunk_id,
+       array_to_string(c, ' ') AS chunk_text,
+       CAST(len(c) AS BIGINT) AS n_tokens
+FROM ch WHERE len(c) > 0
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF, integer
+    score_e6 = tf*N*1e6 div df so the ranking is bit-identical across
+    engines (no ln())."""
+    from comix_etl_spark.operators import textstats as TS
+
+    t = _t(spark, sf_dir, "documents")
+    return TS.tfidf_top_terms(t["documents"], "doc_id", "text", k=3)
+
+
+ORACLE_TFIDF_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), tfc AS (
+  SELECT doc_id, unnest(t) AS term FROM toks
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tfc GROUP BY 1, 2
+), dfx AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, term, tf, df, CAST(tf * n_docs * 1000000 // df AS BIGINT) AS score_e6
+  FROM tf JOIN dfx USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score_e6, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# §7 — PII redaction (functions/text.py redact_pii / pii_counts)
+# ---------------------------------------------------------------------------
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-local PII masking + audit counts. The synthetic corpus has no
+    PII, so deterministic emails/phones are injected per doc_id (mod-3:
+    email only / phone only / untouched) — the redaction patterns are
+    exercised on real matches AND no-match rows, both engines injecting
+    identically."""
+    t = _t(spark, sf_dir, "documents")
+    doc = t["documents"].select("doc_id", "text")
+    m = F.pmod(F.col("doc_id"), F.lit(3))
+    synth = (
+        F.when(m == 0, F.concat(F.col("text"), F.lit(" reach me at user"),
+                                F.col("doc_id").cast("string"), F.lit("@example.com")))
+        .when(m == 1, F.concat(F.col("text"), F.lit(" call +1-555-"),
+                               F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0")))
+        .otherwise(F.col("text"))
+    )
+    n_emails, n_phones = text.pii_counts(synth)
+    return doc.select(
+        "doc_id",
+        text.redact_pii(synth).alias("redacted"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    )
+
+
+ORACLE_PII_SCRUB = """
+WITH synth AS (
+  SELECT doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN text || ' reach me at user' || doc_id || '@example.com'
+           WHEN 1 THEN text || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           ELSE text
+         END AS s
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(s,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}', '<PHONE>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(s, '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}')) AS BIGINT) AS n_phones
+FROM synth
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — CDC snapshot diff (operators/merge.py snapshot_diff)
+# ---------------------------------------------------------------------------
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I/U/D change set between two order snapshots: old is missing every
+    7th key (→ inserts), new is missing every 11th (→ deletes) and flips
+    o_orderstatus on every 13th (→ updates); unchanged keys are dropped.
+    One full-outer sort-merge join, null-safe column compare."""
+    t = _t(spark, sf_dir, "orders")
+    o = t["orders"].select("o_orderkey", "o_totalprice", "o_orderstatus")
+    old = o.filter(F.pmod(F.col("o_orderkey"), F.lit(7)) != 0)
+    new = (
+        o.withColumn(
+            "o_orderstatus",
+            F.when(F.pmod(F.col("o_orderkey"), F.lit(13)) == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus")))
+        .filter(F.pmod(F.col("o_orderkey"), F.lit(11)) != 0)
+    )
+    return M.snapshot_diff(old, new, ["o_orderkey"],
+                           ["o_totalprice", "o_orderstatus"])
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 7 <> 0
+), new AS (
+  SELECT o_orderkey, o_totalprice,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+  FROM orders WHERE o_orderkey % 11 <> 0
+), j AS (
+  SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+         old.o_totalprice AS old_o_totalprice, old.o_orderstatus AS old_o_orderstatus,
+         new.o_totalprice AS new_o_totalprice, new.o_orderstatus AS new_o_orderstatus,
+         old.o_orderkey IS NOT NULL AS in_old, new.o_orderkey IS NOT NULL AS in_new
+  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+), classified AS (
+  SELECT o_orderkey,
+         CASE WHEN NOT in_new THEN 'D'
+              WHEN NOT in_old THEN 'I'
+              WHEN old_o_totalprice IS DISTINCT FROM new_o_totalprice
+                OR old_o_orderstatus IS DISTINCT FROM new_o_orderstatus THEN 'U'
+         END AS op,
+         old_o_totalprice, old_o_orderstatus, new_o_totalprice, new_o_orderstatus
+  FROM j
+)
+SELECT * FROM classified WHERE op IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.6 — O1 numeric-mode issue_number ordering (functions/scalar.py)
+# ---------------------------------------------------------------------------
+
+def q_issue_sort_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sane-mode issue_number ordering: TEXT numbers ('2' < '10' < '1.1'
+    style) sorted by numeric prefix, non-numeric ('annual-1') after, via
+    issue_number_sort_key — the counterpart of the oracle-checked
+    lexicographic quirk (reference app.py:104 sorts TEXT directly).
+    Input bounded to 300 keys, so the rank window is driver-small by
+    construction (the unbounded form is global_rank, O1)."""
+    t = _t(spark, sf_dir, "part")
+    p = t["part"].filter(F.col("p_partkey") <= 300)
+    m = F.pmod(F.col("p_partkey"), F.lit(10))
+    ino = (
+        F.when(m == 0, F.concat(F.lit("annual-"),
+                                F.pmod(F.col("p_partkey"), F.lit(5)).cast("string")))
+        .when(m == 1, F.concat(F.pmod(F.col("p_partkey"), F.lit(40)).cast("string"),
+                               F.lit("."),
+                               F.pmod(F.col("p_partkey"), F.lit(7)).cast("string")))
+        .otherwise(F.pmod(F.col("p_partkey"), F.lit(120)).cast("string"))
+    )
+    df = p.select("p_partkey", ino.alias("issue_number"))
+    key = scalar.issue_number_sort_key("issue_number")
+    w = Window.orderBy(key.asc(), F.col("issue_number").asc(), F.col("p_partkey").asc())
+    return df.select("p_partkey", "issue_number",
+                     F.row_number().over(w).cast("long").alias("sort_rank"))
+
+
+ORACLE_ISSUE_SORT_NUMERIC = """
+WITH src AS (
+  SELECT p_partkey,
+         CASE p_partkey % 10
+           WHEN 0 THEN 'annual-' || (p_partkey % 5)
+           WHEN 1 THEN (p_partkey % 40) || '.' || (p_partkey % 7)
+           ELSE CAST(p_partkey % 120 AS VARCHAR)
+         END AS issue_number
+  FROM part WHERE p_partkey <= 300
+), keyed AS (
+  SELECT p_partkey, issue_number,
+         coalesce(TRY_CAST(regexp_extract(issue_number, '^([0-9]+(\\.[0-9]+)?)', 1) AS DOUBLE),
+                  CAST('inf' AS DOUBLE)) AS k
+  FROM src
+)
+SELECT p_partkey, issue_number,
+       CAST(row_number() OVER (ORDER BY k ASC, issue_number ASC, p_partkey ASC) AS BIGINT) AS sort_rank
+FROM keyed
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -2057,4 +2304,38 @@ QUERIES: dict[str, Query] = {
                                  "binary payload metadata, JVM-side", ("documents",)),
     "multimodal_decode": Query(q_multimodal_decode, ORACLE_MULTIMODAL_DECODE,
                                "Arrow-batched decode stub, sha256-derived features", ("documents",)),
+    "chunk_documents": Query(q_chunk_documents, ORACLE_CHUNK_DOCUMENTS,
+                             "fixed-window token chunking (pretraining prep)", ("documents",)),
+    "tfidf_top_terms": Query(q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS,
+                             "top-3 TF-IDF terms per doc, integer scoring", ("documents",)),
+    "pii_scrub": Query(q_pii_scrub, ORACLE_PII_SCRUB,
+                       "PII masking + match counts, scan-local regex", ("documents",)),
+    "snapshot_diff": Query(q_snapshot_diff, ORACLE_SNAPSHOT_DIFF,
+                           "CDC I/U/D change set via full-outer null-safe diff", ("orders",)),
+    "issue_sort_numeric": Query(q_issue_sort_numeric, ORACLE_ISSUE_SORT_NUMERIC,
+                                "numeric-mode TEXT issue_number ordering", ("part",)),
+    "dedup_clusters_lsh": Query(q_dedup_clusters_lsh, None,
+                                "connected components over MinHash-LSH pairs (scale path)", ("documents",)),
+}
+
+# Registry ORDER is the driver's correctness-check order, and the r2 run
+# exhausted its budget at entry 50, leaving the tail unchecked. Put the
+# queries with no driver verdict yet (r2's last 11 + everything new this
+# round) FIRST, and the most expensive pair/sketch queries LAST so a
+# budget cut costs re-confirmation of old green rows, not first-time
+# verdicts.
+_CHECK_FIRST = [
+    # unchecked in CORRECTNESS_r02 (driver stopped at entry 50)
+    "marvel_normalize", "marvel_credits", "rest_paginated", "keyed_lookup",
+    "incremental_refetch", "cover_enrichment", "stream_windowed",
+    "stream_sessionize", "stream_join", "multimodal_metadata", "multimodal_decode",
+    # new in r3
+    "chunk_documents", "tfidf_top_terms", "pii_scrub", "snapshot_diff",
+    "issue_sort_numeric", "dedup_clusters_lsh",
+]
+_CHECK_LAST = ["minhash_lsh", "simhash_pairs", "ngram_jaccard", "dedup_clusters"]
+QUERIES = {
+    **{n: QUERIES[n] for n in _CHECK_FIRST},
+    **{n: q for n, q in QUERIES.items() if n not in _CHECK_FIRST and n not in _CHECK_LAST},
+    **{n: QUERIES[n] for n in _CHECK_LAST},
 }
