@@ -135,13 +135,20 @@ def global_rank(df: DataFrame, order_col: str, *, out_col: str = "rank",
     """
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
+    # localCheckpoint pins ONE physical range partitioning for both
+    # consumers below. repartitionByRange samples its boundaries, and
+    # _pid is spark_partition_id() — if the offsets branch and the main
+    # branch each re-executed the exchange (exchange reuse off, plan
+    # divergence after a refactor), they could sample DIFFERENT
+    # boundaries and pair ranks with the wrong offsets silently.
+    # Materializing the partitioned frame makes that impossible by
+    # construction instead of by optimizer goodwill.
     parts = (df.repartitionByRange(n, F.col(order_col))
-             .withColumn("_pid", F.spark_partition_id()))
+             .withColumn("_pid", F.spark_partition_id())
+             .localCheckpoint(eager=False))
     # per-partition offsets: a window over the AGGREGATED (pid, count)
     # frame — one row per partition, so the "global" window there is n
-    # rows, not the dataset. The range exchange is shared between the
-    # aggregate branch and the main branch (ReusedExchange), so this is
-    # one shuffle and zero driver actions.
+    # rows, not the dataset. One shuffle, zero driver actions.
     cum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
                .withColumn("_offset", F.coalesce(F.sum("_cnt").over(cum), F.lit(0)))

@@ -61,12 +61,20 @@ def run_marvel_batch(spark: SparkSession, raw: DataFrame, *, target_path: str,
         issues.unpersist()
 
         loaded = spark.read.parquet(target_path)
-        n_total = loaded.count()  # parquet-metadata count of what was written
-        nulls = null_counts(loaded, ["onsale_date", "cover_url"]).collect()[0].asDict()
+        # ONE quality action: total+null conditional counts and the
+        # orphan-credit count are single-row aggregates — crossJoined
+        # they collect as one job (the r2 pipeline ran three)
         credits = explode_credits(raw)
-        orphans = orphan_count(
-            credits.select("marvel_comic_id"), loaded.select("marvel_comic_id"),
-            "marvel_comic_id").collect()[0].orphan_count
+        quality_row = (
+            null_counts(loaded, ["onsale_date", "cover_url"])
+            .crossJoin(orphan_count(
+                credits.select("marvel_comic_id"), loaded.select("marvel_comic_id"),
+                "marvel_comic_id"))
+            .collect()[0].asDict()
+        )
+        n_total = quality_row.pop("total_rows")
+        orphans = quality_row.pop("orphan_count")
+        nulls = quality_row
 
         run.records_loaded = n_total
         run.finish("SUCCESS")

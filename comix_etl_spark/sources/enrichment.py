@@ -67,8 +67,13 @@ def resolve_volumes(spark: SparkSession, titles: DataFrame, *, fetcher: Fetcher,
                             "volume_id": int(vid) if vid is not None else None})
             yield pd.DataFrame(out, columns=[title_col, "volume_id"])
 
+    # localCheckpoint: the fetch runs AT MOST ONCE per flow — without a
+    # lineage cut every downstream action would re-invoke the remote
+    # search for all titles (harmless with fakes, a repeat volley
+    # against a rate-limited partner API in production)
     fetched = (todo.repartition(max_concurrency)
-               .mapInPandas(search, schema=f"{title_col} string, volume_id long"))
+               .mapInPandas(search, schema=f"{title_col} string, volume_id long")
+               .localCheckpoint(eager=False))
     if cache_path:
         hits = fetched.filter(F.col("volume_id").isNotNull())
         hits.write.mode("append").parquet(cache_path)
@@ -99,8 +104,10 @@ def fetch_issue_urls(resolved: DataFrame, *, fetcher: Fetcher,
                 out.append({volume_col: int(vid), issue_col: ino, "img_url": url})
             yield pd.DataFrame(out, columns=[volume_col, issue_col, "img_url"])
 
+    # at-most-once fetch per flow, as in resolve_volumes
     return (pairs.repartition(max_concurrency)
-            .mapInPandas(lookup, schema=f"{volume_col} long, {issue_col} string, img_url string"))
+            .mapInPandas(lookup, schema=f"{volume_col} long, {issue_col} string, img_url string")
+            .localCheckpoint(eager=False))
 
 
 def cover_enrichment(spark: SparkSession, issues: DataFrame, *, fetcher: Fetcher,
@@ -129,7 +136,11 @@ def cover_enrichment(spark: SparkSession, issues: DataFrame, *, fetcher: Fetcher
     urls = fetch_issue_urls(with_vol, fetcher=fetcher, max_concurrency=max_concurrency)
     enriched = with_vol.join(F.broadcast(urls), ["volume_id", "issue_number"], "left")
 
-    skipped = rows.join(actionable, ["series", "issue_number"], "left_anti").select(
+    # skipped = the direct complement of the actionable predicate — NOT
+    # an anti-join on (series, issue_number): that key is non-unique, so
+    # a no-cover row whose key also appears WITH a cover would be
+    # anti-joined away entirely, breaking rows-in == rows-out
+    skipped = rows.filter(F.col("cover_path").isNull() | (F.col("cover_path") == "")).select(
         "series", "issue_number", "cover_path",
         F.lit(None).cast("long").alias("volume_id"),
         F.lit(None).cast("string").alias("img_url"),

@@ -62,7 +62,10 @@ def sessionize_stateful(events: DataFrame, *, user_col: str = "user_id",
                 sid += 1
                 start_us, n = us, 0
             n += 1
-            last_us = us
+            # max(): a cross-micro-batch LATE event (us < the state's
+            # last_us) must not rewind the gap clock — it joins the open
+            # session but keeps end_ts/gap anchored at the newest event
+            last_us = us if last_us is None else max(last_us, us)
         if last_us is not None:
             # open-session snapshot: emitted every batch in update mode
             closed.append((user, sid, start_us, last_us, n, True))

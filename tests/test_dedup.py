@@ -86,3 +86,51 @@ def test_dup_clusters_long_path_converges(spark):
     got = {r.doc_id: r.keeper_id for r in D.dup_clusters(pairs).collect()}
     assert set(got.values()) == {100}
     assert len(got) == 13
+
+
+def test_dup_clusters_raises_on_exhausted_rounds(spark):
+    """Exhausting max_iters on a still-changing graph must be loud —
+    silently emitting split components is data corruption."""
+    import pytest
+
+    edges = [(i, i + 1) for i in range(100, 112)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.dup_clusters(pairs, max_iters=2)
+
+
+def test_dedup_clusters_lsh_matches_exact_composition(spark, sf_small):
+    """The 100 TB composition (LSH candidates → connected components)
+    must produce the same clusters as the exact quadratic composition
+    when LSH recall is total on the corpus."""
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    exact_pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    lsh_pairs = D.minhash_lsh_pairs(docs, "doc_id", "text",
+                                    num_hashes=32, bands=8, n=3, threshold=0.3)
+    exact_cl = {r.doc_id: r.keeper_id for r in D.dup_clusters(exact_pairs).collect()}
+    lsh_cl = {r.doc_id: r.keeper_id for r in D.dup_clusters(lsh_pairs).collect()}
+    # LSH may miss borderline pairs (banding probability), never invent
+    # them — so LSH clusters refine the exact ones: every LSH cluster
+    # member maps into one exact cluster
+    for doc, keeper in lsh_cl.items():
+        assert doc in exact_cl
+        assert exact_cl[doc] == exact_cl[keeper]
+    # and on this corpus recall is high enough that most clusters agree
+    agree = sum(1 for d in lsh_cl if lsh_cl[d] == exact_cl[d])
+    assert agree / max(len(exact_cl), 1) >= 0.8
+
+
+def test_ngram_df_cap_equivalent_to_dropping_hot_shingles(spark):
+    """df_cap must drop pair evidence from boilerplate shingles only:
+    with the cap, docs related ONLY through a hot shingle pair off less,
+    while pairs sharing rare shingles keep their jaccard relationship."""
+    rows = [(i, f"common boiler plate filler{i} extra{i} pad{i}") for i in range(8)]
+    rows += [(100, "rare alpha beta gamma delta"), (101, "rare alpha beta gamma epsilon")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {(r.id_a, r.id_b) for r in
+                D.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.1).collect()}
+    capped = {(r.id_a, r.id_b) for r in
+              D.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.1,
+                                    df_cap=5).collect()}
+    assert (100, 101) in capped  # rare-shingle pair survives
+    assert capped < uncapped     # boilerplate-only pairs are gone

@@ -176,3 +176,27 @@ def test_fingerprint_normalizes_whitespace_and_case(spark):
     df = spark.createDataFrame([("Hello  World",), ("hello world",)], "t string")
     out = [r.out for r in df.select(text.fingerprint("t").alias("out")).collect()]
     assert out[0] == out[1]
+
+
+def test_redact_pii_golden_cases(spark):
+    from comix_etl_spark.functions.text import pii_counts, redact_pii
+
+    cases = [
+        (1, "mail a.b+tag%x@sub.domain.co and b@c.io today"),
+        (2, "call +1-555-0042 or +44-123-456 now"),
+        (3, "mixed: x@y.org then +1-555-123 done"),
+        (4, "no pii here, just an @ sign and 1-555-0042 without plus"),
+        (5, "trailing dot a@b.com."),
+    ]
+    df = spark.createDataFrame(cases, "id long, t string")
+    n_e, n_p = pii_counts("t")
+    got = {r.id: (r.red, r.ne, r.np) for r in df.select(
+        "id", redact_pii("t").alias("red"),
+        n_e.alias("ne"), n_p.alias("np")).collect()}
+    assert got[1] == ("mail <EMAIL> and <EMAIL> today", 2, 0)
+    assert got[2] == ("call <PHONE> or <PHONE> now", 0, 2)
+    assert got[3] == ("mixed: <EMAIL> then <PHONE> done", 1, 1)
+    # '@' alone and an unprefixed number must NOT be masked
+    assert got[4] == ("no pii here, just an @ sign and 1-555-0042 without plus", 0, 0)
+    # TLD match stops before the trailing period
+    assert got[5] == ("trailing dot <EMAIL>.", 1, 0)

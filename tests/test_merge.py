@@ -75,3 +75,36 @@ def test_dedup_batch_last_writer_wins(spark):
         [(1, "old", 1), (1, "new", 2)], "k int, v string, version int")
     out = M.dedup_batch(batch, ["k"], order_by=["version"]).collect()
     assert len(out) == 1 and out[0].v == "new"
+
+
+def test_snapshot_diff_identity_is_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, None, 30)],
+        "k long, s string, v int")
+    assert M.snapshot_diff(df, df, ["k"], ["s", "v"]).count() == 0
+
+
+def test_snapshot_diff_classifies_and_reconstructs(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "k long, s string, v int")
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (3, "c", 33), (5, "e", 50)],
+        "k long, s string, v int")
+    diff = {r.k: r for r in M.snapshot_diff(old, new, ["k"], ["s", "v"]).collect()}
+    assert diff[2].op == "U" and diff[2].new_s == "B"
+    assert diff[3].op == "U" and diff[3].old_v is None and diff[3].new_v == 33
+    assert diff[4].op == "D"
+    assert diff[5].op == "I" and diff[5].old_s is None
+    assert 1 not in diff  # unchanged rows dropped
+    # applying the change set to old reconstructs new exactly
+    applied = {}
+    for r in old.collect():
+        applied[r.k] = (r.s, r.v)
+    for k, r in diff.items():
+        if r.op == "D":
+            applied.pop(k)
+        else:
+            applied[k] = (r.new_s, r.new_v)
+    expect = {r.k: (r.s, r.v) for r in new.collect()}
+    assert applied == expect

@@ -1,0 +1,51 @@
+"""Corpus-statistics operator tests: chunking windows, TF-IDF ranking
+determinism, inverted-index posting cap. (These operators are also
+oracle-checked end-to-end by the chunk_documents / tfidf_top_terms
+registry queries; here we pin the edge-case semantics.)"""
+
+from __future__ import annotations
+
+from comix_etl_spark.operators import textstats as TS
+
+
+def test_chunk_documents_windows_and_empty_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, ""), (3, "   "), (4, "solo")],
+        "doc_id long, text string")
+    out = TS.chunk_documents(df, "doc_id", "text", chunk_size=2)
+    rows = {(r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens) for r in out.collect()}
+    # doc 1: 5 tokens / window 2 → [a b], [c d], [e]
+    assert rows[(1, 0)] == ("a b", 2)
+    assert rows[(1, 1)] == ("c d", 2)
+    assert rows[(1, 2)] == ("e", 1)
+    # empty / whitespace-only docs emit NO chunks
+    assert not any(k[0] in (2, 3) for k in rows)
+    assert rows[(4, 0)] == ("solo", 1)
+
+
+def test_chunk_documents_overlapping_stride(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    out = TS.chunk_documents(df, "doc_id", "text", chunk_size=3, stride=2)
+    chunks = [r.chunk_text for r in out.orderBy("chunk_id").collect()]
+    assert chunks == ["a b c", "c d"]
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    df = spark.createDataFrame(
+        [(1, "shared shared rareword"), (2, "shared filler"), (3, "shared filler")],
+        "doc_id long, text string")
+    out = TS.tfidf_top_terms(df, "doc_id", "text", k=1)
+    top = {r.doc_id: r.term for r in out.collect()}
+    # 'rareword' (df=1) beats 'shared' (df=3) for doc 1 despite lower tf
+    assert top[1] == "rareword"
+
+
+def test_inverted_index_posting_cap_and_totals(spark):
+    rows = [(i, "hot term") for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.term: r for r in
+           TS.inverted_index(df, "doc_id", "text", posting_cap=3).collect()}
+    hot = out["hot"]
+    assert hot.n_docs == 7 and hot.total_tf == 7
+    # postings head is capped at the FIRST 3 doc ids ascending
+    assert hot.postings_head == "1,2,3"
