@@ -215,16 +215,17 @@ def dup_clusters(pairs: DataFrame, *, id_a: str = "id_a", id_b: str = "id_b",
     for _ in range(max_iters):
         neighbor_min = (edges.join(labels, edges.dst == labels.node)
                         .groupBy("src").agg(F.min("label").alias("nmin")))
+        # _chg rides along instead of a separate old-vs-new join: the
+        # convergence probe is then a plain filter over the checkpointed
+        # round output — one shuffle fewer per round, same O(1) lineage
         new_labels = (labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
                       .select(F.col("node"),
                               F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label")))
-                              .alias("label")))
-        # convergence check: one count per round, each round a new
-        # checkpoint so lineage (and plan size) stays O(1), not O(iters)
+                              .alias("label"),
+                              (F.col("nmin") < F.col("label")).alias("_chg")))
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (new_labels.join(labels.withColumnRenamed("label", "_old"), "node")
-                   .filter(F.col("label") != F.col("_old")).limit(1).count())
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     else:
