@@ -96,6 +96,67 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, *,
     )
 
 
+def repetition_stats(df: DataFrame, id_col: str, text_col: str, *,
+                     max_dup_token_frac: float = 0.5,
+                     max_top_bigram_frac: float = 0.2) -> DataFrame:
+    """Gopher/C4-style repetition quality screen per document.
+
+    Emits n_tokens, dup_token_frac (1 - distinct/total tokens),
+    top_bigram + top_bigram_frac (occurrences of the most frequent
+    bigram over total bigram slots, ties broken bigram-ascending), and a
+    ``keep`` gate under the given thresholds — the standard
+    excess-repetition filters from the public Gopher (Rae et al. 2021)
+    and C4 cleaning rules.
+
+    Plan: token stats are scan-local array expressions; the bigram mode
+    needs one shuffle at the (doc, bigram) grain — high cardinality and
+    well spread, same shape as term_frequencies — then a per-doc window
+    over a handful of bigram counts. Bigram slots per doc are known
+    scan-side (n_tokens - 1), so the fraction costs no extra aggregate.
+    """
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("_t"))
+    n = F.size("_t")
+    scan = base.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        F.when(n > 0,
+               F.round(F.lit(1.0) - F.size(F.array_distinct("_t")).cast("double")
+                       / n.cast("double"), 6))
+        .otherwise(F.lit(0.0)).alias("dup_token_frac"),
+    )
+    # all bigram occurrences (NOT distinct — the whole point is counting
+    # repeats); zip_with over shifted slices stays inside codegen
+    w = n - 1
+    grams = F.zip_with(F.slice("_t", 1, w), F.slice("_t", 2, w),
+                       lambda a, b: F.concat(a, F.lit(" "), b))
+    empty = F.array().cast("array<string>")
+    bg = base.select(
+        id_col,
+        F.explode(F.when(n >= 2, grams).otherwise(empty)).alias("bigram"),
+    )
+    counts = bg.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("_n"))
+    win = Window.partitionBy(id_col).orderBy(F.desc("_n"), F.asc("bigram"))
+    top = (counts.withColumn("_rn", F.row_number().over(win))
+           .filter(F.col("_rn") == 1)
+           .select(id_col, F.col("bigram").alias("top_bigram"), "_n"))
+    out = (
+        scan.join(top, id_col, "left")
+        .withColumn(
+            "top_bigram_frac",
+            F.when(F.col("n_tokens") >= 2,
+                   F.round(F.col("_n").cast("double")
+                           / (F.col("n_tokens") - 1).cast("double"), 6))
+            .otherwise(F.lit(0.0)))
+        .drop("_n")
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("dup_token_frac") <= max_dup_token_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac),
+    )
+
+
 def inverted_index(df: DataFrame, id_col: str, text_col: str, *,
                    posting_cap: int = 10) -> DataFrame:
     """Inverted index: per term, document frequency, total occurrences,

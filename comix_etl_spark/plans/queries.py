@@ -2081,6 +2081,88 @@ FROM synth
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style excess-repetition screen: dup-token fraction +
+    top-bigram dominance per doc, with a keep gate (thresholds split the
+    synthetic corpus non-trivially: median dup_token_frac is 0.54 at
+    sf0.01)."""
+    from comix_etl_spark.operators import textstats as TS
+
+    t = _t(spark, sf_dir, "documents")
+    return TS.repetition_stats(t["documents"], "doc_id", "text",
+                               max_dup_token_frac=0.5, max_top_bigram_frac=0.2)
+
+
+ORACLE_REPETITION_STATS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), scan AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         CASE WHEN len(t) > 0
+              THEN round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+              ELSE 0.0 END AS dup_token_frac
+  FROM toks
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks WHERE len(t) >= 2
+), cnt AS (
+  SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, bigram, n,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, bigram ASC) AS rn
+  FROM cnt
+)
+SELECT s.doc_id, s.n_tokens, s.dup_token_frac,
+       t.bigram AS top_bigram,
+       CASE WHEN s.n_tokens >= 2 THEN round(CAST(t.n AS DOUBLE) / (s.n_tokens - 1), 6)
+            ELSE 0.0 END AS top_bigram_frac,
+       (s.dup_token_frac <= 0.5
+        AND (CASE WHEN s.n_tokens >= 2 THEN round(CAST(t.n AS DOUBLE) / (s.n_tokens - 1), 6)
+                  ELSE 0.0 END) <= 0.2) AS keep
+FROM scan s LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+"""
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as a STREAMING aggregation: the file stream groups by
+    content fingerprint (md5 of canonical text) keeping min doc id +
+    copy count — the dedup_exact semantics on an unbounded source.
+    State is one row per distinct content; a 24/7 deployment bounds it
+    with dropDuplicatesWithinWatermark once rows carry event time (the
+    availableNow parity harness needs neither)."""
+    from pyspark.sql import types as T
+
+    from comix_etl_spark.functions.text import fingerprint
+    from comix_etl_spark.streaming.windowed import (run_stream_to_memory,
+                                                    stream_shuffle_partitions)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+
+    def dedup(stream: DataFrame) -> DataFrame:
+        return (stream
+                .select("doc_id", fingerprint("text").alias("fingerprint"))
+                .groupBy("fingerprint")
+                .agg(F.min("doc_id").alias("keep_id"),
+                     F.count(F.lit(1)).alias("n_copies")))
+
+    with stream_shuffle_partitions(spark, 8):
+        return run_stream_to_memory(
+            spark, sf_dir, schema, dedup,
+            query_name="q_stream_dedup", glob="documents.parquet",
+        )
+
+
+# batch/stream parity by construction: the streaming aggregation must
+# reproduce the batch dedup_exact result bit-for-bit
+ORACLE_STREAM_DEDUP = ORACLE_DEDUP_EXACT
+
+
 # ---------------------------------------------------------------------------
 # §2.7 — CDC snapshot diff (operators/merge.py snapshot_diff)
 # ---------------------------------------------------------------------------
@@ -2316,6 +2398,10 @@ QUERIES: dict[str, Query] = {
                                 "numeric-mode TEXT issue_number ordering", ("part",)),
     "dedup_clusters_lsh": Query(q_dedup_clusters_lsh, None,
                                 "connected components over MinHash-LSH pairs (scale path)", ("documents",)),
+    "repetition_stats": Query(q_repetition_stats, ORACLE_REPETITION_STATS,
+                              "Gopher/C4 excess-repetition quality screen", ("documents",)),
+    "stream_dedup": Query(q_stream_dedup, ORACLE_STREAM_DEDUP,
+                          "exact dedup as a streaming aggregation (batch parity)", ("documents",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and the r2 run
@@ -2331,7 +2417,8 @@ _CHECK_FIRST = [
     "stream_sessionize", "stream_join", "multimodal_metadata", "multimodal_decode",
     # new in r3
     "chunk_documents", "tfidf_top_terms", "pii_scrub", "snapshot_diff",
-    "issue_sort_numeric", "dedup_clusters_lsh",
+    "issue_sort_numeric", "dedup_clusters_lsh", "repetition_stats",
+    "stream_dedup",
 ]
 _CHECK_LAST = ["minhash_lsh", "simhash_pairs", "ngram_jaccard", "dedup_clusters"]
 QUERIES = {

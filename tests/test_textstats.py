@@ -49,3 +49,27 @@ def test_inverted_index_posting_cap_and_totals(spark):
     assert hot.n_docs == 7 and hot.total_tf == 7
     # postings head is capped at the FIRST 3 doc ids ascending
     assert hot.postings_head == "1,2,3"
+
+
+def test_repetition_stats_flags_repetitive_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"),          # one token repeated
+         (2, "every token in this longer sentence is fully unique text"),  # no repetition
+         (3, "one"),                          # single token: no bigrams
+         (4, "")],                            # empty: zero everything
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           TS.repetition_stats(df, "doc_id", "text").collect()}
+    assert out[1].dup_token_frac == 0.75 and out[1].top_bigram == "spam spam"
+    assert out[1].top_bigram_frac == 1.0 and not out[1].keep
+    assert out[2].dup_token_frac == 0.0 and out[2].keep
+    assert out[3].n_tokens == 1 and out[3].top_bigram is None
+    assert out[3].top_bigram_frac == 0.0
+    assert out[4].n_tokens == 0 and out[4].dup_token_frac == 0.0
+
+
+def test_repetition_stats_bigram_tiebreak(spark):
+    # 'a b' and 'b a' both occur twice -> tie broken bigram-ascending
+    df = spark.createDataFrame([(1, "a b a b a")], "doc_id long, text string")
+    r = TS.repetition_stats(df, "doc_id", "text").collect()[0]
+    assert r.top_bigram == "a b" and r.top_bigram_frac == 0.5
