@@ -33,6 +33,28 @@ def hash_split(df: DataFrame, key_col: str, *, test_pct: int = 10,
     return df.withColumn(out_col, F.when(b < test_pct, F.lit("test")).otherwise(F.lit("train")))
 
 
+def group_hash_sample(df: DataFrame, group_cols: list[str], key_col: str,
+                      n: int, *, salt: str = "",
+                      out_col: str = "sample_rank") -> DataFrame:
+    """Exactly-n-per-group deterministic sample: rank each group's rows
+    by md5(key || salt) (key as tie-break) and keep rank <= n.
+
+    The deterministic replacement for per-group reservoir sampling —
+    the same n rows survive on any partitioning or rerun, so eval sets
+    drawn per domain/source stay frozen. One shuffle on the group key;
+    per-group state is a sort, bounded by the group's size (for
+    pathological mega-groups, pre-filter with ``hash_bucket`` to cut
+    each group to ~n× a safety factor first, then rank exactly).
+    """
+    from pyspark.sql import Window
+
+    k = F.col(key_col) if isinstance(key_col, str) else key_col
+    h = F.md5(F.concat(k.cast("string"), F.lit(salt)))
+    w = Window.partitionBy(*group_cols).orderBy(h, k)
+    return (df.withColumn(out_col, F.row_number().over(w).cast("long"))
+            .filter(F.col(out_col) <= n))
+
+
 def stratified_hash_sample(df: DataFrame, key_col: str, strata_col: str,
                            fractions: dict[str, float], *, salt: str = "") -> DataFrame:
     """Per-stratum deterministic sample: keep a row iff its key bucket

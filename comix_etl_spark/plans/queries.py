@@ -2213,6 +2213,114 @@ SELECT * FROM classified WHERE op IS NOT NULL
 """
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column — the
+    4× compression step before ANN at scale. Scan-local codegen array
+    math; deterministic floor(x+0.5) rounding so both engines agree
+    bit-for-bit."""
+    t = _t(spark, sf_dir, "embeddings")
+    scale, qvec = vector.quantize_int8("embedding")
+    return t["embeddings"].select(
+        "vec_id", scale.alias("scale"), qvec.alias("qvec"))
+
+
+ORACLE_QUANTIZE_EMBEDDINGS = """
+WITH src AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM src
+)
+SELECT vec_id, scale,
+       CASE WHEN scale > 0
+            THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))
+            ELSE list_transform(v, x -> 0) END AS qvec
+FROM s
+"""
+
+
+def q_corpus_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters: top-20 terms by total occurrences.
+    Two-phase aggregate — the (doc, term) grain collapses token rows
+    map-side before the skew-prone per-term reduction sees them."""
+    from comix_etl_spark.operators import textstats as TS
+
+    t = _t(spark, sf_dir, "documents")
+    tf = TS.term_frequencies(t["documents"], "doc_id", "text")
+    return (tf.groupBy("term")
+            .agg(F.sum("tf").cast("long").alias("total_tf"),
+                 F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .orderBy(F.desc("total_tf"), F.asc("term")).limit(20))
+
+
+ORACLE_CORPUS_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), tf AS (
+  SELECT doc_id, unnest(t) AS term FROM toks
+), per_doc AS (
+  SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2
+)
+SELECT term, CAST(sum(tf) AS BIGINT) AS total_tf, CAST(count(*) AS BIGINT) AS n_docs
+FROM per_doc GROUP BY term
+ORDER BY total_tf DESC, term ASC
+LIMIT 20
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users grouped by first-seen day, distinct
+    active users per (cohort day, day offset). Two shuffles — one at the
+    user grain (first-seen + distinct activity), one at the cohort cell
+    grain."""
+    t = _t(spark, sf_dir, "events")
+    ev = t["events"].select("user_id", F.to_date("ts").alias("day"))
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = ev.distinct()
+    return (act.join(first, "user_id")
+            .groupBy("cohort_day", F.datediff("day", F.col("cohort_day")).alias("day_offset"))
+            .agg(F.count_distinct("user_id").cast("long").alias("n_users")))
+
+
+ORACLE_RETENTION_COHORTS = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+), first AS (
+  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id, day FROM ev
+)
+SELECT f.cohort_day, a.day - f.cohort_day AS day_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM act a JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-10-per-segment deterministic sample of customers (md5
+    rank): the frozen-eval-set primitive — same rows survive any rerun
+    or repartitioning."""
+    from comix_etl_spark.operators.sampling import group_hash_sample
+
+    t = _t(spark, sf_dir, "customer")
+    return group_hash_sample(
+        t["customer"].select("c_custkey", "c_name", "c_mktsegment"),
+        ["c_mktsegment"], "c_custkey", 10)
+
+
+ORACLE_GROUP_SAMPLE = """
+SELECT c_custkey, c_name, c_mktsegment, sample_rank FROM (
+  SELECT c_custkey, c_name, c_mktsegment,
+         CAST(row_number() OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS BIGINT) AS sample_rank
+  FROM customer
+) WHERE sample_rank <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # §2.6 — O1 numeric-mode issue_number ordering (functions/scalar.py)
 # ---------------------------------------------------------------------------
@@ -2402,6 +2510,14 @@ QUERIES: dict[str, Query] = {
                               "Gopher/C4 excess-repetition quality screen", ("documents",)),
     "stream_dedup": Query(q_stream_dedup, ORACLE_STREAM_DEDUP,
                           "exact dedup as a streaming aggregation (batch parity)", ("documents",)),
+    "quantize_embeddings": Query(q_quantize_embeddings, ORACLE_QUANTIZE_EMBEDDINGS,
+                                 "int8 scalar quantization of embeddings", ("embeddings",)),
+    "corpus_top_terms": Query(q_corpus_top_terms, ORACLE_CORPUS_TOP_TERMS,
+                              "corpus heavy hitters, two-phase aggregate", ("documents",)),
+    "retention_cohorts": Query(q_retention_cohorts, ORACLE_RETENTION_COHORTS,
+                               "first-seen cohort x day-offset retention", ("events",)),
+    "group_sample": Query(q_group_sample, ORACLE_GROUP_SAMPLE,
+                          "deterministic exactly-n-per-group sample", ("customer",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and the r2 run
@@ -2418,7 +2534,8 @@ _CHECK_FIRST = [
     # new in r3
     "chunk_documents", "tfidf_top_terms", "pii_scrub", "snapshot_diff",
     "issue_sort_numeric", "dedup_clusters_lsh", "repetition_stats",
-    "stream_dedup",
+    "stream_dedup", "quantize_embeddings", "corpus_top_terms",
+    "retention_cohorts", "group_sample",
 ]
 _CHECK_LAST = ["minhash_lsh", "simhash_pairs", "ngram_jaccard", "dedup_clusters"]
 QUERIES = {

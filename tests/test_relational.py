@@ -80,3 +80,19 @@ def test_stratified_hash_sample_deterministic(spark):
     a_frac = sum(1 for k in s1 if k % 2) / 500
     b_frac = sum(1 for k in s1 if not k % 2) / 500
     assert 0.1 < a_frac < 0.3 and 0.4 < b_frac < 0.6
+
+
+def test_group_hash_sample_exact_n_and_partitioning_invariant(spark):
+    from comix_etl_spark.operators.sampling import group_hash_sample
+
+    rows = [(i, f"g{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, g string")
+    a = group_hash_sample(df, ["g"], "k", 5)
+    got = {(r.g, r.k) for r in a.collect()}
+    per_group = {}
+    for g, k in got:
+        per_group.setdefault(g, set()).add(k)
+    assert all(len(v) == 5 for v in per_group.values())
+    # identical survivors under a different physical partitioning
+    b = group_hash_sample(df.repartition(17), ["g"], "k", 5)
+    assert {(r.g, r.k) for r in b.collect()} == got

@@ -79,3 +79,24 @@ def test_lsh_similarities_match_brute_force_for_found_pairs(spark, sf_small):
     for r in approx:
         if (r.query_id, r.vec_id) in exact:
             assert exact[(r.query_id, r.vec_id)] == r.cosine_sim  # exact re-rank
+
+
+def test_quantize_int8_roundtrip_and_zero(spark):
+    from pyspark.sql import functions as F
+
+    from comix_etl_spark.functions.vector import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    scale, qvec = quantize_int8("embedding")
+    out = {r.vec_id: r for r in
+           df.select("vec_id", scale.alias("s"), qvec.alias("q"), "embedding").collect()}
+    # max-magnitude element always quantizes to ±127
+    assert out[1].q[0] == 127 and out[1].q[1] == -63
+    # zero vector: scale 0, all-zero code (no NaN / division blowup)
+    assert out[2].s == 0.0 and out[2].q == [0, 0, 0, 0]
+    # dequantization error bounded by scale/2 per element
+    s = out[1].s
+    for orig, q in zip(out[1].embedding, out[1].q):
+        assert abs(orig - q * s) <= s / 2 + 1e-12
