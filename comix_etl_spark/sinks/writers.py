@@ -152,6 +152,28 @@ def save_as_table(df: DataFrame, name: str, *, mode: str = "overwrite",
     writer.saveAsTable(name)
 
 
+def save_bucketed_table(df: DataFrame, name: str, bucket_cols: list[str],
+                        n_buckets: int, *, mode: str = "overwrite",
+                        sort_cols: list[str] | None = None) -> None:
+    """Bucketed managed table: rows hash-partitioned into ``n_buckets``
+    files by ``bucket_cols`` AT WRITE TIME.
+
+    The pre-shuffled-join primitive: two tables bucketed on the same key
+    with the same bucket count join with ZERO exchange — the shuffle is
+    paid once at load and amortized over every subsequent join/aggregate
+    on that key. This is the 100 TB answer to a fact table that joins
+    its dimension key in every query (verified by plan assertion in
+    tests/test_sinks_bucketing.py: the bucketed join's physical plan
+    contains no Exchange). ``sort_cols`` additionally sorts within each
+    bucket so sort-merge joins skip their sort too.
+    """
+    writer = df.write.mode(mode).format("parquet") \
+        .bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
+
+
 def bootstrap_tables(spark: SparkSession, ddl: dict[str, T.StructType]) -> None:
     """S13 — ``CREATE TABLE IF NOT EXISTS`` for every declared schema
     (the reference bootstraps its star schema before each run; rerunning
