@@ -58,6 +58,30 @@ def brute_force_topk(corpus: DataFrame, query: DataFrame, *, id_col: str = "vec_
     return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
 
 
+def quantized_brute_topk(corpus: DataFrame, query: DataFrame, *,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         k: int = 10, query_id_col: str = "query_id") -> DataFrame:
+    """Brute-force cosine top-k over int8-QUANTIZED vectors.
+
+    The memory/bandwidth scale path for exact-shaped search: both sides
+    quantize scan-side (functions/vector.py:quantize_int8 — 4× smaller
+    scan, SIMD-able int dot products), and because the symmetric scale
+    factors cancel in cosine, the score is simply the cosine of the two
+    integer code vectors — exact integer dot products, so the ranking is
+    fully deterministic and engine-reproducible (unlike float-sum
+    ordering). Recall vs the float baseline is asserted in
+    tests/test_similarity.py; production re-ranks the top candidates
+    against float vectors when the last percent matters.
+    """
+    from comix_etl_spark.functions.vector import quantize_int8
+
+    _, qv = quantize_int8(vec_col)
+    qc = corpus.select(F.col(id_col), qv.alias(vec_col))
+    qq = query.select(F.col(query_id_col), qv.alias(vec_col))
+    return brute_force_topk(qc, qq, id_col=id_col, vec_col=vec_col, k=k,
+                            query_id_col=query_id_col)
+
+
 def train_ivf_centroids(corpus: DataFrame, *, vec_col: str = "embedding",
                         n_centroids: int = 16, sample_rows: int = 4096,
                         iters: int = 10, seed: int = 42):

@@ -2238,6 +2238,43 @@ FROM s
 """
 
 
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 over int8-QUANTIZED vectors (queries =
+    vec_id 0,1,2): the 4×-compressed search path. Scale factors cancel
+    in cosine, so scores are cosines of exact integer codes — fully
+    engine-deterministic; recall vs the float baseline is pytest-gated."""
+    t = _t(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)) \
+                 .select(F.col("vec_id").alias("query_id"), "embedding")
+    return S.quantized_brute_topk(emb, queries, id_col="vec_id",
+                                  vec_col="embedding", k=10)
+
+
+ORACLE_ANN_QUANTIZED = """
+WITH qz AS (
+  SELECT vec_id,
+         CASE WHEN s > 0 THEN list_transform(v, x -> CAST(floor(x / s + 0.5) AS INT))
+              ELSE list_transform(v, x -> 0) END AS q
+  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))
+), qq AS (
+  SELECT vec_id AS query_id, q AS qv FROM qz WHERE vec_id IN (0, 1, 2)
+), scored AS (
+  SELECT qq.query_id, e.vec_id,
+         round(list_dot_product(CAST(e.q AS DOUBLE[]), CAST(qq.qv AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(e.q AS DOUBLE[]), CAST(e.q AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(qq.qv AS DOUBLE[]), CAST(qq.qv AS DOUBLE[])))), 6)
+           AS cosine_sim
+  FROM qz e, qq
+)
+SELECT query_id, vec_id, cosine_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 10
+"""
+
+
 def q_corpus_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide heavy hitters: top-20 terms by total occurrences.
     Two-phase aggregate — the (doc, term) grain collapses token rows
@@ -2512,6 +2549,8 @@ QUERIES: dict[str, Query] = {
                           "exact dedup as a streaming aggregation (batch parity)", ("documents",)),
     "quantize_embeddings": Query(q_quantize_embeddings, ORACLE_QUANTIZE_EMBEDDINGS,
                                  "int8 scalar quantization of embeddings", ("embeddings",)),
+    "ann_quantized": Query(q_ann_quantized, ORACLE_ANN_QUANTIZED,
+                           "brute-force cosine top-k over int8 codes", ("embeddings",)),
     "corpus_top_terms": Query(q_corpus_top_terms, ORACLE_CORPUS_TOP_TERMS,
                               "corpus heavy hitters, two-phase aggregate", ("documents",)),
     "retention_cohorts": Query(q_retention_cohorts, ORACLE_RETENTION_COHORTS,
@@ -2535,7 +2574,7 @@ _CHECK_FIRST = [
     "chunk_documents", "tfidf_top_terms", "pii_scrub", "snapshot_diff",
     "issue_sort_numeric", "dedup_clusters_lsh", "repetition_stats",
     "stream_dedup", "quantize_embeddings", "corpus_top_terms",
-    "retention_cohorts", "group_sample",
+    "retention_cohorts", "group_sample", "ann_quantized",
 ]
 _CHECK_LAST = ["minhash_lsh", "simhash_pairs", "ngram_jaccard", "dedup_clusters"]
 QUERIES = {

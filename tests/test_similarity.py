@@ -100,3 +100,28 @@ def test_quantize_int8_roundtrip_and_zero(spark):
     s = out[1].s
     for orig, q in zip(out[1].embedding, out[1].q):
         assert abs(orig - q * s) <= s / 2 + 1e-12
+
+
+def test_quantized_topk_recall_vs_float_baseline(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from comix_etl_spark.operators.similarity import (brute_force_topk,
+                                                      quantized_brute_topk)
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)) \
+                 .select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = brute_force_topk(emb, queries, id_col="vec_id",
+                             vec_col="embedding", k=10, query_id_col="query_id")
+    quant = quantized_brute_topk(emb, queries, id_col="vec_id",
+                                 vec_col="embedding", k=10)
+    e = {}
+    for r in exact.collect():
+        e.setdefault(r.query_id, set()).add(r.vec_id)
+    q = {}
+    for r in quant.collect():
+        q.setdefault(r.query_id, set()).add(r.vec_id)
+    # int8 quantization distorts cosine by < 1%; top-10 overlap stays high
+    for qid in e:
+        recall = len(e[qid] & q[qid]) / 10
+        assert recall >= 0.8, f"query {qid}: recall {recall}"
