@@ -889,6 +889,47 @@ ORDER BY gid, o_orderstatus, o_orderpriority
 """
 
 
+def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate: every grouping-set combination of (status,
+    priority) — per-status, per-priority, cells, and grand total — in
+    one pass/one shuffle (grouping sets expand map-side, like ROLLUP)."""
+    t = _t(spark, sf_dir, "orders")
+    return (t["orders"]
+            .cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+                 .alias("total_price"),
+                 F.grouping_id().cast("int").alias("gid"))
+            .orderBy("gid", "o_orderstatus", "o_orderpriority"))
+
+
+ORACLE_SALES_CUBE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus, o_orderpriority
+"""
+
+
+def q_approx_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ cardinalities of customer/part/supplier keys in the
+    fact tables — THE 100 TB distinct-count primitive: constant memory
+    per group vs count_distinct's full shuffle of the key space.
+    Rows-only (HLL sketches are engine-specific so no cross-engine hash
+    parity); the relative-error bound vs exact counts is pytest-gated
+    (tests/test_relational.py, rsd 2%)."""
+    t = _t(spark, sf_dir, "lineitem", "orders")
+    li = t["lineitem"].agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", 0.02).alias("approx_suppliers"))
+    od = t["orders"].agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"))
+    return li.crossJoin(od)
+
+
 def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: day × event_type count matrix with an explicit pivot-value
     list (never let pivot scan for distinct values at scale — that's an
@@ -2551,6 +2592,11 @@ QUERIES: dict[str, Query] = {
                                  "int8 scalar quantization of embeddings", ("embeddings",)),
     "ann_quantized": Query(q_ann_quantized, ORACLE_ANN_QUANTIZED,
                            "brute-force cosine top-k over int8 codes", ("embeddings",)),
+    "sales_cube": Query(q_sales_cube, ORACLE_SALES_CUBE,
+                        "CUBE grouping sets, one shuffle", ("orders",)),
+    "approx_cardinality": Query(q_approx_cardinality, None,
+                                "HLL++ distinct counts (rows-only; error pytest-gated)",
+                                ("lineitem", "orders")),
     "corpus_top_terms": Query(q_corpus_top_terms, ORACLE_CORPUS_TOP_TERMS,
                               "corpus heavy hitters, two-phase aggregate", ("documents",)),
     "retention_cohorts": Query(q_retention_cohorts, ORACLE_RETENTION_COHORTS,
@@ -2574,7 +2620,8 @@ _CHECK_FIRST = [
     "chunk_documents", "tfidf_top_terms", "pii_scrub", "snapshot_diff",
     "issue_sort_numeric", "dedup_clusters_lsh", "repetition_stats",
     "stream_dedup", "quantize_embeddings", "corpus_top_terms",
-    "retention_cohorts", "group_sample", "ann_quantized",
+    "retention_cohorts", "group_sample", "ann_quantized", "sales_cube",
+    "approx_cardinality",
 ]
 _CHECK_LAST = ["minhash_lsh", "simhash_pairs", "ngram_jaccard", "dedup_clusters"]
 QUERIES = {

@@ -96,3 +96,21 @@ def test_group_hash_sample_exact_n_and_partitioning_invariant(spark):
     # identical survivors under a different physical partitioning
     b = group_hash_sample(df.repartition(17), ["g"], "k", 5)
     assert {(r.g, r.k) for r in b.collect()} == got
+
+
+def test_approx_cardinality_error_bound(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from comix_etl_spark.plans.queries import QUERIES
+
+    approx = QUERIES["approx_cardinality"].builder(spark, sf_small).collect()[0]
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_small}/orders.parquet")
+    exact = {
+        "approx_parts": li.select("l_partkey").distinct().count(),
+        "approx_suppliers": li.select("l_suppkey").distinct().count(),
+        "approx_customers": od.select("o_custkey").distinct().count(),
+    }
+    for col, ex in exact.items():
+        rel_err = abs(getattr(approx, col) - ex) / max(ex, 1)
+        assert rel_err < 0.05, f"{col}: approx={getattr(approx, col)} exact={ex}"
