@@ -138,6 +138,64 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: Sequence[str],
     )
 
 
+def scd2_apply(existing: DataFrame, batch: DataFrame, key: Sequence[str],
+               tracked: Sequence[str], *, eff_col: str = "eff_date") -> DataFrame:
+    """Slowly-changing-dimension type-2 merge: version rows instead of
+    overwriting them.
+
+    ``existing`` carries (key…, tracked…, valid_from, valid_to,
+    is_current) with valid_to NULL on current rows; ``batch`` carries
+    (key…, tracked…, eff_col). Semantics per batch key:
+
+    - tracked values differ from the current row → the current row CLOSES
+      (valid_to = eff, is_current = false) and a new current version
+      opens at eff;
+    - tracked values equal → no new version (idempotent re-loads);
+    - key unseen → first version opens at eff.
+    History rows pass through untouched.
+
+    The temporal generalization of the reference's upsert family
+    (comixcatalog_starter.zip!etl/load.py) — "what did this dimension
+    row look like when the fact happened" is unanswerable after U2's
+    in-place update; SCD2 keeps every version join-able by validity
+    range (pair with the as-of join, operators/temporal.py).
+
+    Plan: history passthrough + ONE full-outer join of current rows vs
+    the (deduplicated, last-writer-wins) batch — two shuffles total at
+    any scale, no windows over the full table. Null-safe comparison so
+    NULL→value transitions version correctly.
+    """
+    kl, tl = list(key), list(tracked)
+    cur = existing.filter(F.col("is_current"))
+    hist = existing.filter(~F.col("is_current"))
+    b = dedup_batch(batch.select(*kl, *tl, eff_col), kl, order_by=[eff_col])
+    b = b.select(*kl, *[F.col(c).alias(f"_b_{c}") for c in tl],
+                 F.col(eff_col).alias("_eff")).withColumn("_in_b", F.lit(True))
+    j = cur.withColumn("_in_cur", F.lit(True)).join(b, kl, "full_outer")
+    changed = None
+    for c in tl:
+        neq = ~F.col(c).eqNullSafe(F.col(f"_b_{c}"))
+        changed = neq if changed is None else (changed | neq)
+    is_update = F.col("_in_cur").isNotNull() & F.col("_in_b").isNotNull() & changed
+    is_insert = F.col("_in_cur").isNull()
+    out_cols = [*kl, *tl, "valid_from", "valid_to", "is_current"]
+    # current rows that survive unchanged (no batch row, or equal values)
+    keep = j.filter(~is_update & ~is_insert).select(*out_cols)
+    # closed-out predecessors of updated keys
+    closed = (j.filter(is_update)
+              .withColumn("valid_to", F.col("_eff"))
+              .withColumn("is_current", F.lit(False))
+              .select(*out_cols))
+    # fresh versions: updates + first-time keys
+    opened = (j.filter(is_update | is_insert)
+              .select(*kl,
+                      *[F.col(f"_b_{c}").alias(c) for c in tl],
+                      F.col("_eff").alias("valid_from"),
+                      F.lit(None).cast(dict(existing.dtypes)["valid_to"]).alias("valid_to"),
+                      F.lit(True).alias("is_current")))
+    return hist.select(*out_cols).unionByName(keep).unionByName(closed).unionByName(opened)
+
+
 def backfill_if_null(existing: DataFrame, patch: DataFrame, key: Sequence[str],
                      fill_col: str) -> DataFrame:
     """U5 — idempotent FK backfill: set the column only where it's NULL.

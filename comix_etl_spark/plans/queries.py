@@ -2399,6 +2399,55 @@ SELECT c_custkey, c_name, c_mktsegment, sample_rank FROM (
 """
 
 
+def q_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 merge: a current-only snapshot (keys %7 != 0) takes a
+    batch (keys %3 == 0) that flips o_orderstatus on even keys — even
+    matches version (close + reopen), odd matches are no-ops (the
+    idempotence branch), %21-family keys are first-time inserts."""
+    t = _t(spark, sf_dir, "orders")
+    o = t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice")
+    cur = (o.filter(F.pmod(F.col("o_orderkey"), F.lit(7)) != 0)
+           .withColumn("valid_from", F.lit("1995-01-01").cast("date"))
+           .withColumn("valid_to", F.lit(None).cast("date"))
+           .withColumn("is_current", F.lit(True)))
+    batch = (o.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) == 0)
+             .withColumn("o_orderstatus",
+                         F.when(F.pmod(F.col("o_orderkey"), F.lit(2)) == 0, F.lit("X"))
+                         .otherwise(F.col("o_orderstatus")))
+             .withColumn("eff_date", F.lit("2000-06-01").cast("date")))
+    return M.scd2_apply(cur, batch, ["o_orderkey"],
+                        ["o_orderstatus", "o_totalprice"])
+
+
+ORACLE_SCD2_ORDERS = """
+WITH cur AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+), b AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         o_totalprice, DATE '2000-06-01' AS eff
+  FROM orders WHERE o_orderkey % 3 = 0
+), j AS (
+  SELECT coalesce(c.o_orderkey, b.o_orderkey) AS k,
+         c.o_orderstatus AS cs, c.o_totalprice AS cp,
+         b.o_orderstatus AS bs, b.o_totalprice AS bp,
+         c.o_orderkey IS NOT NULL AS in_c, b.o_orderkey IS NOT NULL AS in_b, b.eff
+  FROM cur c FULL OUTER JOIN b ON c.o_orderkey = b.o_orderkey
+), chg AS (
+  SELECT *, (cs IS DISTINCT FROM bs OR cp IS DISTINCT FROM bp) AS differs FROM j
+)
+SELECT k AS o_orderkey, cs AS o_orderstatus, cp AS o_totalprice,
+       DATE '1995-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+FROM chg WHERE in_c AND (NOT in_b OR NOT differs)
+UNION ALL
+SELECT k, cs, cp, DATE '1995-01-01', eff, FALSE
+FROM chg WHERE in_c AND in_b AND differs
+UNION ALL
+SELECT k, bs, bp, eff, CAST(NULL AS DATE), TRUE
+FROM chg WHERE (in_c AND in_b AND differs) OR NOT in_c
+"""
+
+
 # ---------------------------------------------------------------------------
 # §2.6 — O1 numeric-mode issue_number ordering (functions/scalar.py)
 # ---------------------------------------------------------------------------
@@ -2594,6 +2643,8 @@ QUERIES: dict[str, Query] = {
                            "brute-force cosine top-k over int8 codes", ("embeddings",)),
     "sales_cube": Query(q_sales_cube, ORACLE_SALES_CUBE,
                         "CUBE grouping sets, one shuffle", ("orders",)),
+    "scd2_orders": Query(q_scd2_orders, ORACLE_SCD2_ORDERS,
+                         "SCD type-2 versioning merge", ("orders",)),
     "approx_cardinality": Query(q_approx_cardinality, None,
                                 "HLL++ distinct counts (rows-only; error pytest-gated)",
                                 ("lineitem", "orders")),
@@ -2621,7 +2672,7 @@ _CHECK_FIRST = [
     "issue_sort_numeric", "dedup_clusters_lsh", "repetition_stats",
     "stream_dedup", "quantize_embeddings", "corpus_top_terms",
     "retention_cohorts", "group_sample", "ann_quantized", "sales_cube",
-    "approx_cardinality",
+    "approx_cardinality", "scd2_orders",
 ]
 _CHECK_LAST = ["minhash_lsh", "simhash_pairs", "ngram_jaccard", "dedup_clusters"]
 QUERIES = {

@@ -108,3 +108,47 @@ def test_snapshot_diff_classifies_and_reconstructs(spark):
             applied[k] = (r.new_s, r.new_v)
     expect = {r.k: (r.s, r.v) for r in new.collect()}
     assert applied == expect
+
+
+def _scd2_fixture(spark):
+    cur = spark.createDataFrame(
+        [(1, "a", None, None, True), (2, "b", None, None, True)],
+        "k long, v string, valid_from date, valid_to date, is_current boolean")
+    import datetime as dt
+
+    batch = spark.createDataFrame(
+        [(1, "a2", dt.date(2024, 1, 1)),   # changed -> version
+         (2, "b", dt.date(2024, 1, 1)),    # unchanged -> no-op
+         (3, "c", dt.date(2024, 1, 1))],   # new key -> insert
+        "k long, v string, eff_date date")
+    return cur, batch
+
+
+def test_scd2_versions_close_and_open(spark):
+    import datetime as dt
+
+    cur, batch = _scd2_fixture(spark)
+    out = M.scd2_apply(cur, batch, ["k"], ["v"]).collect()
+    rows = {(r.k, r.v): r for r in out}
+    assert len(out) == 4
+    closed = rows[(1, "a")]
+    assert not closed.is_current and closed.valid_to == dt.date(2024, 1, 1)
+    opened = rows[(1, "a2")]
+    assert opened.is_current and opened.valid_from == dt.date(2024, 1, 1) and opened.valid_to is None
+    assert rows[(2, "b")].is_current          # unchanged row untouched
+    assert rows[(3, "c")].is_current          # first version for new key
+    # exactly one current row per key, never overlapping validity
+    per_key = {}
+    for r in out:
+        per_key.setdefault(r.k, []).append(r)
+    for k, versions in per_key.items():
+        assert sum(1 for r in versions if r.is_current) == 1
+
+
+def test_scd2_reapply_is_idempotent(spark):
+    cur, batch = _scd2_fixture(spark)
+    once = M.scd2_apply(cur, batch, ["k"], ["v"])
+    twice = M.scd2_apply(once, batch, ["k"], ["v"])
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b  # same batch again adds no versions
