@@ -138,6 +138,32 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: Sequence[str],
     )
 
 
+def merge_additive_rollup(existing: DataFrame, delta: DataFrame,
+                          key: Sequence[str],
+                          measures: Sequence[str]) -> DataFrame:
+    """Incremental maintenance of an additive rollup: fold a new batch's
+    aggregate into a stored aggregate without recomputing history.
+
+    Both inputs are at the same (key → measures) grain with additive
+    measures (counts, sums); the merge is one full-outer join +
+    per-measure ``coalesce(a,0) + coalesce(b,0)``. The invariant that
+    makes a 100 TB rollup maintainable — merge(agg(old), agg(delta)) ==
+    agg(old ∪ delta) — holds exactly for additive measures and is
+    oracle-checked by the ``incremental_rollup`` registry query (avg,
+    distinct etc. are NOT additive: keep (sum, count) pairs or sketches
+    instead). Cost is O(|keys touched|), not O(history).
+    """
+    kl = list(key)
+    d = delta.select(*kl, *[F.col(m).alias(f"_d_{m}") for m in measures])
+    j = existing.join(d, kl, "full_outer")
+    out = j.select(
+        *kl,
+        *[(F.coalesce(F.col(m), F.lit(0)) + F.coalesce(F.col(f"_d_{m}"), F.lit(0)))
+          .alias(m) for m in measures],
+    )
+    return out
+
+
 def scd2_apply(existing: DataFrame, batch: DataFrame, key: Sequence[str],
                tracked: Sequence[str], *, eff_col: str = "eff_date") -> DataFrame:
     """Slowly-changing-dimension type-2 merge: version rows instead of

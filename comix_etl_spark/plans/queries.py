@@ -2399,6 +2399,38 @@ SELECT c_custkey, c_name, c_mktsegment, sample_rank FROM (
 """
 
 
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: per-(status, priority) totals kept
+    as a stored aggregate, folded with a new batch's aggregate (orders
+    split by key parity stands in for history vs. new arrivals). The
+    oracle recomputes from scratch over everything — the merge must be
+    indistinguishable from the full recompute."""
+    t = _t(spark, sf_dir, "orders")
+    o = t["orders"]
+
+    def agg(df: DataFrame) -> DataFrame:
+        return (df.groupBy("o_orderstatus", "o_orderpriority")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                     F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                     .alias("_tp")))
+
+    hist = agg(o.filter(F.pmod(F.col("o_orderkey"), F.lit(2)) == 0))
+    delta = agg(o.filter(F.pmod(F.col("o_orderkey"), F.lit(2)) != 0))
+    merged = M.merge_additive_rollup(
+        hist, delta, ["o_orderstatus", "o_orderpriority"], ["n_orders", "_tp"])
+    return merged.select("o_orderstatus", "o_orderpriority", "n_orders",
+                         F.col("_tp").cast("double").alias("total_price"))
+
+
+ORACLE_INCREMENTAL_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY 1, 2
+"""
+
+
 def q_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 merge: a current-only snapshot (keys %7 != 0) takes a
     batch (keys %3 == 0) that flips o_orderstatus on even keys — even
@@ -2645,6 +2677,8 @@ QUERIES: dict[str, Query] = {
                         "CUBE grouping sets, one shuffle", ("orders",)),
     "scd2_orders": Query(q_scd2_orders, ORACLE_SCD2_ORDERS,
                          "SCD type-2 versioning merge", ("orders",)),
+    "incremental_rollup": Query(q_incremental_rollup, ORACLE_INCREMENTAL_ROLLUP,
+                                "additive rollup maintenance == full recompute", ("orders",)),
     "approx_cardinality": Query(q_approx_cardinality, None,
                                 "HLL++ distinct counts (rows-only; error pytest-gated)",
                                 ("lineitem", "orders")),
@@ -2672,7 +2706,7 @@ _CHECK_FIRST = [
     "issue_sort_numeric", "dedup_clusters_lsh", "repetition_stats",
     "stream_dedup", "quantize_embeddings", "corpus_top_terms",
     "retention_cohorts", "group_sample", "ann_quantized", "sales_cube",
-    "approx_cardinality", "scd2_orders",
+    "approx_cardinality", "scd2_orders", "incremental_rollup",
 ]
 _CHECK_LAST = ["minhash_lsh", "simhash_pairs", "ngram_jaccard", "dedup_clusters"]
 QUERIES = {
