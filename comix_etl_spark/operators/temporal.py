@@ -91,3 +91,36 @@ def range_join_points_intervals(points: DataFrame, intervals: DataFrame, *,
     joined = pts.join(ivs, "_bin").filter(
         (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col)))
     return joined.drop("_bin")
+
+
+def gap_fill_daily(df: DataFrame, *, key: str, ts_col: str, value_col: str,
+                   filled_col: str = "filled_value") -> DataFrame:
+    """Dense daily calendar per key with forward-filled values — the
+    standard time-series regularization step before feature windows
+    (the reference's monthly bucket rollup, `etl/etl.py:70-80`, assumes
+    dense periods; this op manufactures that density).
+
+    Plan: aggregate to (key, day), look up each row's successor day with
+    ``lead`` (one window on the key), then explode
+    ``sequence(day, next_day - 1)`` so every observed row EMITS its own
+    fill-forward range — no calendar table, no join, no second pass.
+    Two exchanges total: the (key, day) aggregate and the key-ordered
+    window; the explode is scan-local. Output size is sum(span_days) per
+    key, independent of event count — safe when spans are bounded
+    (days-per-key, not rows), which is the contract.
+    """
+    day = F.to_date(F.col(ts_col)).alias("day")
+    daily = (df.select(F.col(key), day, F.col(value_col))
+             .groupBy(key, "day")
+             .agg(F.sum(F.col(value_col).cast("decimal(18,4)"))
+                  .cast("double").alias("day_value")))
+    w = Window.partitionBy(key).orderBy("day")
+    ranged = daily.withColumn("_until",
+                              F.coalesce(F.date_sub(F.lead("day").over(w), 1),
+                                         F.col("day")))
+    return (ranged
+            .select(F.col(key), F.col("day_value"), F.col("day").alias("_src"),
+                    F.explode(F.sequence("day", "_until")).alias("day"))
+            .select(F.col(key), F.col("day"),
+                    F.col("day_value").alias(filled_col),
+                    (F.col("day") != F.col("_src")).cast("int").alias("is_gap")))

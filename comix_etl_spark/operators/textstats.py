@@ -185,3 +185,42 @@ def inverted_index(df: DataFrame, id_col: str, text_col: str, *,
             ).alias("postings_head"),
         )
     )
+
+
+def contamination_check(corpus: DataFrame, benchmark: DataFrame, *,
+                        id_col: str, text_col: str, n: int = 5) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    n-gram with an evaluation set (the standard exact-substring
+    contamination screen run before pretraining — GPT-3 App. C / PaLM
+    §B style, n-gram exact match).
+
+    Returns one row per contaminated corpus doc:
+    ``(id_col, n_hits, n_grams, contam_e6)`` where ``n_hits`` counts the
+    doc's distinct n-grams that appear anywhere in the benchmark,
+    ``n_grams`` its distinct n-gram total, and ``contam_e6`` the integer
+    ratio ``n_hits*1e6 div n_grams`` (integer so the score is
+    bit-identical across engines).
+
+    Scale shape: benchmark suites are tiny (MBs) next to a 100 TB corpus
+    — their distinct n-gram set is collected into a broadcast hash join,
+    so the corpus side is one scan + scan-local shingling + map-side
+    partial agg + one shuffle on ``id_col``. The corpus never shuffles
+    its text, only (id, gram-hit) pairs.
+    """
+    from comix_etl_spark.functions.text import shingles
+
+    bench_grams = (benchmark
+                   .select(F.explode(shingles(F.col(text_col), n)).alias("_g"))
+                   .distinct())
+    doc_grams = (corpus
+                 .select(F.col(id_col), shingles(F.col(text_col), n).alias("_gs"))
+                 .select(F.col(id_col), F.size("_gs").alias("n_grams"),
+                         F.explode("_gs").alias("_g")))
+    return (doc_grams.join(F.broadcast(bench_grams), "_g")
+            .groupBy(id_col, "n_grams")
+            .agg(F.count(F.lit(1)).alias("n_hits"))  # grams are distinct per doc
+            .select(id_col,
+                    F.col("n_hits").cast("long"),
+                    F.col("n_grams").cast("long"),
+                    # integer div, not float /: bit-identical across engines
+                    F.expr("n_hits * 1000000L div n_grams").alias("contam_e6")))

@@ -2530,6 +2530,303 @@ FROM keyed
 """
 
 
+# ---------------------------------------------------------------------------
+# §2.3/§2.4 — three-table join + agg + top-k (TPC-H Q3 shape)
+# ---------------------------------------------------------------------------
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: filtered dim (BUILDING
+    segment) broadcast onto orders, orders shuffle-joined to lineitem on
+    the fact key, revenue top-10. The canonical selective-dim → big-fact
+    plan: the segment filter prunes customer BEFORE the join (broadcast,
+    no shuffle on the fact for it), and the only exchange is the
+    orderkey equi-join + final partial-agg/top-k."""
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    cust = (t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (t["orders"].filter(F.col("o_orderdate") < cutoff)
+              .join(F.broadcast(cust),
+                    F.col("o_custkey") == F.col("c_custkey"))
+              .select("o_orderkey", "o_orderdate", "o_orderpriority"))
+    li = t["lineitem"].filter(F.col("l_shipdate") > cutoff)
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                       .cast("decimal(18,4)")).cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(),
+                     F.col("l_orderkey").asc())
+            .limit(10))
+
+
+ORACLE_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# §7 — time-series gap fill + forward fill (operators/temporal.py)
+# ---------------------------------------------------------------------------
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user daily purchase series with forward-filled gaps —
+    the regularization step before any fixed-stride feature window. Two
+    exchanges total: the (user, day) aggregate and one lead() window;
+    each observed row emits its own fill range via sequence-explode —
+    no calendar join (see gap_fill_daily's plan note)."""
+    from comix_etl_spark.operators.temporal import gap_fill_daily
+
+    t = _t(spark, sf_dir, "events")
+    e = t["events"].filter(F.col("event_type") == "purchase")
+    return (gap_fill_daily(e, key="user_id", ts_col="ts", value_col="value")
+            .orderBy("user_id", "day"))
+
+
+ORACLE_GAP_FILL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS day_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), span AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+), cal AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM span
+), f AS (
+  SELECT c.user_id, c.day, d.day_value
+  FROM cal c LEFT JOIN daily d USING (user_id, day)
+)
+SELECT user_id, day,
+       last_value(day_value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       CAST(day_value IS NULL AS INT) AS is_gap
+FROM f
+ORDER BY user_id, day
+"""
+
+
+# ---------------------------------------------------------------------------
+# §7 — quantile-fence decile bucketing (scale-safe NTILE replacement)
+# ---------------------------------------------------------------------------
+
+def q_decile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile histogram of customer balances WITHOUT the global-NTILE
+    single-task funnel: nine exact percentile fences (one aggregate,
+    driver-tiny), broadcast back onto the scan, bucket = 1 + #fences
+    below the value via a JVM-side array fold. Scan-parallel at any
+    scale — the bucketing never sorts or windows the full table."""
+    t = _t(spark, sf_dir, "customer")
+    c = t["customer"]
+    qs = [i / 10 for i in range(1, 10)]
+    fences = c.agg(F.percentile("c_acctbal", F.lit(qs)).alias("qs"))
+    bucket = F.aggregate(
+        "qs", F.lit(1),
+        lambda acc, q: acc + F.when(F.col("c_acctbal") > q, 1).otherwise(0))
+    return (c.crossJoin(F.broadcast(fences))
+            .select(bucket.cast("int").alias("decile"), "c_acctbal")
+            .groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.min("c_acctbal").alias("lo"),
+                 F.max("c_acctbal").alias("hi"),
+                 F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+                 .cast("double").alias("sum_bal"))
+            .orderBy("decile"))
+
+
+ORACLE_DECILE_BUCKETS = """
+WITH f AS (
+  SELECT quantile_cont(c_acctbal, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+  FROM customer
+), b AS (
+  SELECT CAST(1 + len(list_filter(f.qs, q -> c.c_acctbal > q)) AS INT) AS decile,
+         c_acctbal
+  FROM customer c, f
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       min(c_acctbal) AS lo,
+       max(c_acctbal) AS hi,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+FROM b GROUP BY 1 ORDER BY decile
+"""
+
+
+# ---------------------------------------------------------------------------
+# §7 — dictionary (label) encoding via scale-safe global rank
+# ---------------------------------------------------------------------------
+
+def q_dict_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense integer ids for a categorical column (feature-store label
+    encoding): distinct values → global_rank (range-partitioned, no
+    single-task window — O1's machinery) → broadcast the tiny dictionary
+    back onto the scan. The id assignment is value-ordered, so it is
+    stable across runs and partitionings."""
+    t = _t(spark, sf_dir, "part")
+    p = t["part"]
+    dims = p.select("p_brand").distinct()
+    ids = R.global_rank(dims, "p_brand", out_col="brand_id")
+    return (p.join(F.broadcast(ids), "p_brand")
+            .select("p_partkey", "p_brand", F.col("brand_id").cast("long").alias("brand_id"))
+            .orderBy("p_partkey"))
+
+
+ORACLE_DICT_ENCODE = """
+WITH ids AS (
+  SELECT p_brand,
+         CAST(row_number() OVER (ORDER BY p_brand) AS BIGINT) AS brand_id
+  FROM (SELECT DISTINCT p_brand FROM part)
+)
+SELECT p_partkey, p_brand, brand_id
+FROM part JOIN ids USING (p_brand)
+ORDER BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# §7 — winsorization (percentile clipping) per group
+# ---------------------------------------------------------------------------
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group p05/p95 winsorized totals — the outlier-robust feature
+    normalization twin of price_outliers (same broadcast-fences plan:
+    one exact-percentile aggregate, fences broadcast onto the scan,
+    clip + re-aggregate; the big table shuffles once for each agg,
+    never sorts)."""
+    t = _t(spark, sf_dir, "lineitem")
+    li = t["lineitem"]
+    fences = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"))
+    j = li.join(F.broadcast(fences), "l_returnflag")
+    clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+    return (j.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(clipped.cast("decimal(18,4)")).cast("double")
+                 .alias("sum_winsorized"),
+                 F.sum((F.col("l_extendedprice") < F.col("lo")).cast("long"))
+                 .alias("n_clipped_lo"),
+                 F.sum((F.col("l_extendedprice") > F.col("hi")).cast("long"))
+                 .alias("n_clipped_hi"))
+            .orderBy("l_returnflag"))
+
+
+ORACLE_WINSORIZE = """
+WITH f AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS lo,
+         quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(least(greatest(l_extendedprice, lo), hi) AS DECIMAL(18,4)))
+            AS DOUBLE) AS sum_winsorized,
+       CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_lo,
+       CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_hi
+FROM lineitem JOIN f USING (l_returnflag)
+GROUP BY 1 ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# §7 — corpus language balance report
+# ---------------------------------------------------------------------------
+
+def q_lang_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus share (docs, whitespace tokens, integer ppm
+    share) — the mixture report every multilingual pretraining run
+    starts from. One scan + one tiny groupBy; the share window runs over
+    the #languages-row aggregate, not the corpus."""
+    t = _t(spark, sf_dir, "documents")
+    d = t["documents"].select("lang", text.token_count("text").alias("nt"))
+    agg = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("n_tokens"))
+    w = Window.partitionBy()
+    return (agg.withColumn("_total", F.sum("n_tokens").over(w))
+            .select("lang", "n_docs", "n_tokens",
+                    F.expr("n_tokens * 1000000L div _total").alias("share_e6"))
+            .orderBy("lang"))
+
+
+ORACLE_LANG_BALANCE = """
+WITH d AS (
+  SELECT lang,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   x -> x <> '')) END AS nt
+  FROM documents
+), a AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+  FROM d GROUP BY 1
+)
+SELECT lang, n_docs, n_tokens,
+       CAST(n_tokens * 1000000 // sum(n_tokens) OVER () AS BIGINT) AS share_e6
+FROM a ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# §7 — benchmark decontamination (operators/textstats.py)
+# ---------------------------------------------------------------------------
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination screen: corpus docs sharing any 5-gram
+    with the (pretend) benchmark slice doc_id % 20 == 0. Benchmark
+    n-grams broadcast; the corpus side is scan-local shingling + one
+    id-keyed aggregate (see contamination_check)."""
+    from comix_etl_spark.operators import textstats as TS
+
+    t = _t(spark, sf_dir, "documents")
+    docs = t["documents"]
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return (TS.contamination_check(corpus, bench,
+                                   id_col="doc_id", text_col="text", n=5)
+            .orderBy("doc_id"))
+
+
+ORACLE_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 5
+              THEN list_distinct([array_to_string(t[i : i + 4], ' ')
+                                  FOR i IN range(1, len(t) - 4 + 1)])
+              ELSE []::VARCHAR[] END AS gs
+  FROM toks
+), bg AS (
+  SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 20 = 0
+), cg AS (
+  SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram FROM g WHERE doc_id % 20 <> 0
+)
+SELECT cg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(count(*) * 1000000 // n_grams AS BIGINT) AS contam_e6
+FROM cg JOIN bg USING (gram)
+GROUP BY cg.doc_id, n_grams
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -2688,6 +2985,21 @@ QUERIES: dict[str, Query] = {
                                "first-seen cohort x day-offset retention", ("events",)),
     "group_sample": Query(q_group_sample, ORACLE_GROUP_SAMPLE,
                           "deterministic exactly-n-per-group sample", ("customer",)),
+    "shipping_priority": Query(q_shipping_priority, ORACLE_SHIPPING_PRIORITY,
+                               "TPC-H Q3 shape: dim-filtered 3-table join top-k",
+                               ("customer", "orders", "lineitem")),
+    "gap_fill": Query(q_gap_fill, ORACLE_GAP_FILL,
+                      "daily calendar densify + forward fill per key", ("events",)),
+    "decile_buckets": Query(q_decile_buckets, ORACLE_DECILE_BUCKETS,
+                            "quantile-fence deciles, no global-sort funnel", ("customer",)),
+    "dict_encode": Query(q_dict_encode, ORACLE_DICT_ENCODE,
+                         "label encoding via range-partitioned global rank", ("part",)),
+    "winsorize": Query(q_winsorize, ORACLE_WINSORIZE,
+                       "per-group p05/p95 clipped totals", ("lineitem",)),
+    "lang_balance": Query(q_lang_balance, ORACLE_LANG_BALANCE,
+                          "per-language corpus mixture report", ("documents",)),
+    "decontaminate": Query(q_decontaminate, ORACLE_DECONTAMINATE,
+                           "benchmark 5-gram contamination screen", ("documents",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and the r2 run
@@ -2707,6 +3019,8 @@ _CHECK_FIRST = [
     "stream_dedup", "quantize_embeddings", "corpus_top_terms",
     "retention_cohorts", "group_sample", "ann_quantized", "sales_cube",
     "approx_cardinality", "scd2_orders", "incremental_rollup",
+    "shipping_priority", "gap_fill", "decile_buckets", "dict_encode",
+    "winsorize", "lang_balance", "decontaminate",
 ]
 _CHECK_LAST = ["minhash_lsh", "simhash_pairs", "ngram_jaccard", "dedup_clusters"]
 QUERIES = {

@@ -70,3 +70,25 @@ def test_range_join_overlapping_intervals_multi_match(spark):
                                        start_col="s", end_col="e",
                                        bin_seconds=24 * 3600).collect()
     assert sorted(r.iid for r in rows) == [1, 2]  # one row per containing interval
+
+
+def test_gap_fill_forward_fills_and_flags_gaps(spark):
+    from comix_etl_spark.operators.temporal import gap_fill_daily
+
+    rows = [
+        (1, _ts("2024-01-01T08:00:00"), 10.0),
+        (1, _ts("2024-01-01T09:00:00"), 5.0),   # same day → summed
+        (1, _ts("2024-01-04T12:00:00"), 7.0),   # 2-day gap before
+        (2, _ts("2024-01-02T00:00:00"), 3.0),   # single-day key: no gaps
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    out = gap_fill_daily(df, key="user_id", ts_col="ts", value_col="value")
+    got = {(r.user_id, str(r.day)): (r.filled_value, r.is_gap)
+           for r in out.collect()}
+    assert got == {
+        (1, "2024-01-01"): (15.0, 0),
+        (1, "2024-01-02"): (15.0, 1),
+        (1, "2024-01-03"): (15.0, 1),
+        (1, "2024-01-04"): (7.0, 0),
+        (2, "2024-01-02"): (3.0, 0),
+    }

@@ -73,3 +73,30 @@ def test_repetition_stats_bigram_tiebreak(spark):
     df = spark.createDataFrame([(1, "a b a b a")], "doc_id long, text string")
     r = TS.repetition_stats(df, "doc_id", "text").collect()[0]
     assert r.top_bigram == "a b" and r.top_bigram_frac == 0.5
+
+
+def test_contamination_check_counts_and_ratio(spark):
+    from comix_etl_spark.operators.textstats import contamination_check
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [
+            # shares the 5-gram "quick brown fox jumps over" (and one more)
+            (1, "a quick brown fox jumps over fences daily it seems"),
+            # no 5-gram overlap
+            (2, "completely unrelated text with many distinct words here"),
+            # too short for any 5-gram
+            (3, "tiny doc"),
+        ],
+        "doc_id long, text string")
+    out = contamination_check(corpus, bench, id_col="doc_id", text_col="text", n=5)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1}
+    r = rows[1]
+    # doc 1 has 6 distinct 5-grams; exactly one ("quick brown fox jumps
+    # over") also occurs in the benchmark text
+    assert r.n_grams == 6
+    assert r.n_hits == 1
+    assert r.contam_e6 == 1_000_000 // 6
