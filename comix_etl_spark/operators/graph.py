@@ -1,0 +1,62 @@
+"""Iterative graph computation: PageRank by distributed power
+iteration (SURVEY.md §7 extension — sibling of the min-label
+propagation in operators/dedup.py::dup_clusters, exercising weighted
+message passing instead of min-fold).
+
+Scale shape: the edge list (with precomputed 1/out-degree weights) is
+localCheckpoint'd ONCE and re-joined every round; each round is one
+shuffle on the destination id plus one driver-scalar aggregate for the
+dangling-node mass. Per-round lineage is O(1) via eager checkpoints, so
+iteration count does not grow the plan. This is the standard Spark
+formulation (what GraphX's staticPageRank lowers to).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
+             iters: int = 8, damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    Returns ``(node, rank)`` for every node appearing as a source or a
+    destination, with ranks summing to 1.0 (dangling-node mass is
+    redistributed uniformly each round, the textbook treatment).
+
+    Fixed ``iters`` (no convergence probe) keeps the round count — and
+    therefore the job count — deterministic; callers needing a
+    tolerance can compare successive runs. Each round runs exactly two
+    jobs: the dangling-mass scalar and the rank update.
+    """
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .distinct())
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    weighted = (e.join(out_deg, "src")
+                .select("src", "dst", (F.lit(1.0) / F.col("_deg")).alias("w"))
+                .localCheckpoint(eager=False))
+
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct())
+    # dangling = appears only as a destination (no out-edges)
+    nodes = (nodes.join(out_deg.withColumnRenamed("src", "node"), "node", "left")
+             .select("node", F.col("_deg").isNull().alias("_dangling"))
+             .localCheckpoint(eager=True))
+    n = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+
+    for _ in range(iters):
+        dm = (ranks.filter(F.col("_dangling"))
+              .agg(F.sum("rank").alias("s")).collect()[0]["s"]) or 0.0
+        contribs = (weighted.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
+                    .groupBy("dst")
+                    .agg(F.sum(F.col("rank") * F.col("w")).alias("_c")))
+        base = (1.0 - damping) / n + damping * dm / n
+        ranks = (nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
+                 .select("node", "_dangling",
+                         (F.lit(base) + F.lit(damping) * F.coalesce(F.col("_c"), F.lit(0.0)))
+                         .alias("rank"))
+                 .localCheckpoint(eager=True))
+    return ranks.select("node", "rank")

@@ -2827,6 +2827,107 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# §7 — iterative graph computation: PageRank (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier→part supply graph (distinct lineitem
+    edges; part ids offset to disjoin the two key spaces — parts are
+    dangling nodes, exercising the mass-redistribution path). Fixed 4
+    iterations (each round is 2 jobs — keep the registry cheap; raise
+    for production convergence); top 25 by rank. Rows-only: iterative floating-point
+    fixpoints are not SQL-expressible — correctness is pytest-gated
+    against a local reference implementation (tests/test_graph.py)."""
+    from comix_etl_spark.operators.graph import pagerank
+
+    t = _t(spark, sf_dir, "lineitem")
+    edges = t["lineitem"].select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"))
+    pr = pagerank(edges, iters=4)
+    return (pr.select("node", F.round("rank", 9).alias("rank"))
+            .orderBy(F.col("rank").desc(), F.col("node").asc())
+            .limit(25))
+
+
+# ---------------------------------------------------------------------------
+# §7 — rolling 7-day distinct active users
+# ---------------------------------------------------------------------------
+
+def q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day. COUNT(DISTINCT)
+    over a sliding window can't partial-aggregate directly, so each
+    active (user, day) EMITS the ≤7 window-end days it supports
+    (sequence-explode, scan-local) and the count collapses by
+    (day, user) first — both shuffles key on well-spread pairs before
+    the final per-day count, so the few-distinct-days skew never sees
+    raw events."""
+    t = _t(spark, sf_dir, "events")
+    e = t["events"]
+    du = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    maxday = e.agg(F.max(F.to_date("ts")).alias("_maxd"))
+    expanded = (du.select(
+        F.explode(F.sequence("day", F.date_add("day", 6))).alias("day"),
+        "user_id")
+        .distinct())
+    return (expanded.crossJoin(F.broadcast(maxday))
+            .filter(F.col("day") <= F.col("_maxd"))
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias("dau_7d"))
+            .orderBy("day"))
+
+
+ORACLE_ROLLING_DAU = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), expanded AS (
+  SELECT DISTINCT
+         unnest(generate_series(day, day + 6, INTERVAL 1 DAY))::DATE AS day,
+         user_id
+  FROM du
+)
+SELECT day, CAST(count(*) AS BIGINT) AS dau_7d
+FROM expanded
+WHERE day <= (SELECT max(CAST(ts AS DATE)) FROM events)
+GROUP BY 1 ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# §7 — join-key skew diagnostic (heavy-hitter report)
+# ---------------------------------------------------------------------------
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 hottest join keys with ppm share of the fact table — the
+    diagnostic run before choosing a salted join (operators/relational
+    .py::salted_join). Per-key counts partial-aggregate map-side; the
+    grand total re-aggregates the per-key frame (tree reduce, never a
+    single-task window over the keys); top-k is TakeOrdered."""
+    t = _t(spark, sf_dir, "lineitem")
+    counts = t["lineitem"].groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("_total"))
+    return (counts.orderBy(F.col("n_rows").desc(), F.col("l_partkey").asc())
+            .limit(20)
+            .crossJoin(F.broadcast(total))
+            .select("l_partkey", "n_rows",
+                    F.expr("n_rows * 1000000L div _total").alias("share_e6"))
+            .orderBy(F.col("n_rows").desc(), F.col("l_partkey").asc()))
+
+
+ORACLE_KEY_SKEW = """
+WITH c AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_rows FROM lineitem GROUP BY 1
+), t AS (SELECT sum(n_rows) AS total FROM c)
+SELECT l_partkey, n_rows,
+       CAST(n_rows * 1000000 // total AS BIGINT) AS share_e6
+FROM c, t
+ORDER BY n_rows DESC, l_partkey ASC
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -3000,6 +3101,14 @@ QUERIES: dict[str, Query] = {
                           "per-language corpus mixture report", ("documents",)),
     "decontaminate": Query(q_decontaminate, ORACLE_DECONTAMINATE,
                            "benchmark 5-gram contamination screen", ("documents",)),
+    "pagerank": Query(q_pagerank, None,
+                      "iterative PageRank over the supply graph (pytest-gated)",
+                      ("lineitem",)),
+    "rolling_dau": Query(q_rolling_dau, ORACLE_ROLLING_DAU,
+                         "trailing-7-day distinct active users", ("events",)),
+    "key_skew": Query(q_key_skew, ORACLE_KEY_SKEW,
+                      "hottest-join-keys ppm report (salting diagnostic)",
+                      ("lineitem",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and the r2 run
@@ -3020,7 +3129,8 @@ _CHECK_FIRST = [
     "retention_cohorts", "group_sample", "ann_quantized", "sales_cube",
     "approx_cardinality", "scd2_orders", "incremental_rollup",
     "shipping_priority", "gap_fill", "decile_buckets", "dict_encode",
-    "winsorize", "lang_balance", "decontaminate",
+    "winsorize", "lang_balance", "decontaminate", "rolling_dau", "key_skew",
+    "pagerank",
 ]
 _CHECK_LAST = ["minhash_lsh", "simhash_pairs", "ngram_jaccard", "dedup_clusters"]
 QUERIES = {
