@@ -55,6 +55,35 @@ def group_hash_sample(df: DataFrame, group_cols: list[str], key_col: str,
             .filter(F.col(out_col) <= n))
 
 
+def balance_downsample(df: DataFrame, key_col: str, group_col: str, *,
+                       salt: str = "") -> DataFrame:
+    """Deterministically downsample every group to (approximately) the
+    smallest group's size — the data-mixture rebalancing step before
+    pretraining (equalize languages / sources so the majority class
+    doesn't drown the mixture).
+
+    Per-group keep rate is the INTEGER ppm ``rate_e6 = min_n * 1e6 div
+    n_group``; a row survives iff its md5 key bucket (out of 1e6) falls
+    under its group's rate. Pure integer arithmetic + the md5 idiom, so
+    the surviving set is a bit-identical pure function of the keys on
+    any engine, partitioning, or rerun. Expected kept size per group is
+    min_n ± binomial noise (exact-n sampling is ``group_hash_sample``;
+    this rate form is one scan-local filter with no per-group sort, the
+    shape that wins at 100 TB).
+
+    Plan: one tiny per-group count aggregate, its scalar min, both
+    broadcast back onto the scan — the corpus itself never shuffles.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    min_n = counts.agg(F.min("_n").alias("_min_n"))
+    rates = (counts.crossJoin(F.broadcast(min_n))
+             .select(group_col, F.expr("_min_n * 1000000L div _n").alias("_rate_e6")))
+    b = hash_bucket(key_col, buckets=1_000_000, salt=salt)
+    return (df.join(F.broadcast(rates), group_col)
+            .filter(b < F.col("_rate_e6"))
+            .drop("_rate_e6"))
+
+
 def stratified_hash_sample(df: DataFrame, key_col: str, strata_col: str,
                            fractions: dict[str, float], *, salt: str = "") -> DataFrame:
     """Per-stratum deterministic sample: keep a row iff its key bucket

@@ -187,6 +187,53 @@ def inverted_index(df: DataFrame, id_col: str, text_col: str, *,
     )
 
 
+def dedup_spans(df: DataFrame, id_col: str, text_col: str, *,
+                chunk_size: int = 16) -> DataFrame:
+    """Span-level (sub-document) exact dedup with document
+    reconstruction — the C4/RefinedWeb-style pass that removes text
+    blocks repeated *across* documents (boilerplate, licence headers,
+    navigation chrome) while keeping each document's unique content.
+
+    Each document is cut into fixed ``chunk_size``-token spans
+    (``chunk_documents``); a span occurrence survives iff its document
+    is the minimum ``id_col`` among all documents containing that exact
+    span text (so exactly one copy of every repeated block remains
+    corpus-wide). Surviving spans are re-joined in original order.
+
+    Returns ``(id_col, n_spans, n_kept, kept_tokens, new_fp)`` with
+    ``new_fp`` the md5 of the reconstructed text (empty-string md5 for
+    fully-boilerplate documents).
+
+    Scale shape: three shuffles, each on a well-spread key — (1) the
+    span-text min-owner aggregate (span texts are near-unique; repeated
+    boilerplate spans are the hot keys but collapse map-side to one row
+    per span per partition), (2) the sort-merge join of spans to owners
+    on span text (both sides corpus-scale: broadcast is wrong here and
+    not used), (3) the per-document reconstruction groupBy. Per-doc
+    aggregation state is bounded by the document's own span list —
+    the same bound the scan already held.
+    """
+    spans = chunk_documents(df, id_col, text_col, chunk_size=chunk_size)
+    owner = (spans.groupBy("chunk_text")
+             .agg(F.min(id_col).alias("_owner")))
+    kept = (spans.join(owner, "chunk_text")
+            .withColumn("_keep", (F.col(id_col) == F.col("_owner")).cast("int")))
+    return (kept.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_spans"),
+                 F.sum("_keep").cast("long").alias("n_kept"),
+                 F.sum(F.col("_keep") * F.col("n_tokens")).cast("long")
+                  .alias("kept_tokens"),
+                 F.md5(F.array_join(
+                     # sort_array on (chunk_id, text) restores original order
+                     F.transform(
+                         F.sort_array(F.collect_list(
+                             F.when(F.col("_keep") == 1,
+                                    F.struct(F.col("chunk_id"),
+                                             F.col("chunk_text"))))),
+                         lambda s: s["chunk_text"]),
+                     " ")).alias("new_fp")))
+
+
 def contamination_check(corpus: DataFrame, benchmark: DataFrame, *,
                         id_col: str, text_col: str, n: int = 5) -> DataFrame:
     """Benchmark decontamination: flag corpus documents sharing any word

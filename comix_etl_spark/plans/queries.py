@@ -2928,6 +2928,135 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# §7 — sequence packing (operators/packing.py)
+# ---------------------------------------------------------------------------
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing over the document corpus: every doc
+    deterministically assigned to a (shard, seq_no) training sequence by
+    md5-shard + per-shard running token total; per-sequence fill report.
+    One shuffle (shard key) + a per-shard window — the packer's
+    sequential pass, sharded to task size."""
+    from comix_etl_spark.operators.packing import pack_sequences, packing_report
+
+    t = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(t["documents"], "doc_id",
+                            text.token_count("text"),
+                            budget=256, n_shards=8)
+    return packing_report(packed, budget=256)
+
+
+ORACLE_PACK_SEQUENCES = """
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) END AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS INT) AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), c AS (
+  SELECT shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM b
+)
+SELECT shard, CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_no,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(n_tokens) * 1000000 // 256 AS BIGINT) AS fill_e6
+FROM c
+GROUP BY 1, 2
+ORDER BY shard, seq_no
+"""
+
+
+# ---------------------------------------------------------------------------
+# §7 — span-level dedup with reconstruction (operators/textstats.py)
+# ---------------------------------------------------------------------------
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup: 16-token spans repeated across docs
+    survive only in their min-doc_id owner; documents are reconstructed
+    from surviving spans in original order (md5 fingerprint of the
+    rebuilt text proves the reconstruction, not just the counts)."""
+    from comix_etl_spark.operators.textstats import dedup_spans
+
+    t = _t(spark, sf_dir, "documents")
+    return dedup_spans(t["documents"], "doc_id", "text", chunk_size=16)
+
+
+ORACLE_DEDUP_SPANS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), st AS (
+  SELECT doc_id, t, unnest(range(1, greatest(len(t), 1) + 1, 16)) AS s
+  FROM toks
+), spans AS (
+  SELECT doc_id, CAST((s - 1) // 16 AS BIGINT) AS chunk_id,
+         array_to_string(t[s : s + 15], ' ') AS chunk_text,
+         len(t[s : s + 15]) AS n_tokens
+  FROM st WHERE len(t[s : s + 15]) > 0
+), owner AS (
+  SELECT chunk_text, min(doc_id) AS owner FROM spans GROUP BY 1
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN doc_id = owner THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN doc_id = owner THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+       md5(coalesce(string_agg(CASE WHEN doc_id = owner THEN chunk_text END,
+                               ' ' ORDER BY chunk_id), '')) AS new_fp
+FROM spans JOIN owner USING (chunk_text)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# §7 — mixture rebalancing (operators/sampling.py::balance_downsample)
+# ---------------------------------------------------------------------------
+
+def q_balance_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture rebalancing: every language deterministically
+    downsampled toward the smallest one (integer ppm rate of the md5
+    key bucket). Report per language: before/after counts + rate. The
+    corpus never shuffles — rates are a broadcast of a tiny aggregate."""
+    from comix_etl_spark.operators.sampling import balance_downsample
+
+    t = _t(spark, sf_dir, "documents")
+    d = t["documents"]
+    kept = balance_downsample(d, "doc_id", "lang")
+    before = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    min_n = before.agg(F.min("n_before").alias("_min_n"))
+    after = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (before.join(after, "lang", "left")
+            .crossJoin(F.broadcast(min_n))
+            .select("lang", "n_before",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.expr("_min_n * 1000000L div n_before").alias("rate_e6"))
+            .orderBy("lang"))
+
+
+ORACLE_BALANCE_CORPUS = """
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_before FROM documents GROUP BY 1
+), m AS (SELECT min(n_before) AS min_n FROM counts),
+kept AS (
+  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+  FROM documents d JOIN counts c ON d.lang = c.lang CROSS JOIN m
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+        < m.min_n * 1000000 // c.n_before
+  GROUP BY 1
+)
+SELECT c.lang, c.n_before,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(m.min_n * 1000000 // c.n_before AS BIGINT) AS rate_e6
+FROM counts c LEFT JOIN kept k ON c.lang = k.lang CROSS JOIN m
+ORDER BY c.lang
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -3109,6 +3238,15 @@ QUERIES: dict[str, Query] = {
     "key_skew": Query(q_key_skew, ORACLE_KEY_SKEW,
                       "hottest-join-keys ppm report (salting diagnostic)",
                       ("lineitem",)),
+    "pack_sequences": Query(q_pack_sequences, ORACLE_PACK_SEQUENCES,
+                            "token-budget sequence packing fill report",
+                            ("documents",)),
+    "dedup_spans": Query(q_dedup_spans, ORACLE_DEDUP_SPANS,
+                         "span-level dedup with doc reconstruction",
+                         ("documents",)),
+    "balance_corpus": Query(q_balance_corpus, ORACLE_BALANCE_CORPUS,
+                            "language-mixture rebalance (deterministic ppm)",
+                            ("documents",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and the r2 run
@@ -3130,7 +3268,7 @@ _CHECK_FIRST = [
     "approx_cardinality", "scd2_orders", "incremental_rollup",
     "shipping_priority", "gap_fill", "decile_buckets", "dict_encode",
     "winsorize", "lang_balance", "decontaminate", "rolling_dau", "key_skew",
-    "pagerank",
+    "pagerank", "pack_sequences", "dedup_spans", "balance_corpus",
 ]
 _CHECK_LAST = ["minhash_lsh", "simhash_pairs", "ngram_jaccard", "dedup_clusters"]
 QUERIES = {

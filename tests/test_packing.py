@@ -1,0 +1,71 @@
+"""Sequence packing + mixture rebalancing invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from comix_etl_spark.operators.packing import pack_sequences, packing_report
+from comix_etl_spark.operators.sampling import balance_downsample
+
+
+def _docs(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 37 + 1).alias("n_tokens"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("grp"),
+    )
+
+
+def test_pack_sequences_offsets_are_contiguous_per_shard(spark):
+    packed = pack_sequences(_docs(spark), "doc_id", "n_tokens",
+                            budget=64, n_shards=4).collect()
+    by_shard = {}
+    for r in packed:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) <= set(range(4))
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.offset)
+        cum = 0
+        for r in rows:
+            assert r.offset == cum            # contiguous stream, no gaps
+            assert r.seq_no == cum // 64      # doc starts in seq cum//budget
+            cum += r.n_tokens
+
+
+def test_pack_sequences_partitioning_invariant(spark):
+    d = _docs(spark)
+    a = {r.doc_id: (r.shard, r.seq_no, r.offset)
+         for r in pack_sequences(d, "doc_id", "n_tokens", budget=64).collect()}
+    b = {r.doc_id: (r.shard, r.seq_no, r.offset)
+         for r in pack_sequences(d.repartition(13), "doc_id", "n_tokens",
+                                 budget=64).collect()}
+    assert a == b
+
+
+def test_packing_report_conserves_tokens(spark):
+    d = _docs(spark)
+    packed = pack_sequences(d, "doc_id", "n_tokens", budget=64)
+    rep = packing_report(packed, budget=64)
+    total = rep.agg(F.sum("n_tokens")).collect()[0][0]
+    want = d.agg(F.sum("n_tokens")).collect()[0][0]
+    assert total == want
+    assert rep.agg(F.sum("n_docs")).collect()[0][0] == d.count()
+
+
+def test_balance_downsample_keeps_min_group_and_subsets(spark):
+    d = _docs(spark)
+    kept = balance_downsample(d, "doc_id", "grp")
+    before = {r.grp: r.n for r in
+              d.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    after = {r.grp: r.n for r in
+             kept.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    min_grp = min(before, key=lambda g: (before[g], g))
+    # the smallest group's rate is exactly 1e6 -> every row survives
+    assert after[min_grp] == before[min_grp]
+    kept_ids = {r.doc_id for r in kept.collect()}
+    all_ids = {r.doc_id for r in d.collect()}
+    assert kept_ids <= all_ids
+    # rerun on different partitioning -> identical surviving set
+    kept2 = {r.doc_id for r in
+             balance_downsample(d.repartition(7), "doc_id", "grp").collect()}
+    assert kept_ids == kept2

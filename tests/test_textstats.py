@@ -100,3 +100,37 @@ def test_contamination_check_counts_and_ratio(spark):
     assert r.n_grams == 6
     assert r.n_hits == 1
     assert r.contam_e6 == 1_000_000 // 6
+
+
+def test_dedup_spans_removes_cross_doc_repeats_keeps_min_owner(spark):
+    from comix_etl_spark.operators.textstats import dedup_spans
+
+    block = " ".join(f"w{i}" for i in range(16))        # one full span
+    uniq_a = " ".join(f"a{i}" for i in range(16))
+    uniq_b = " ".join(f"b{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [(1, block + " " + uniq_a),   # owner of the shared block
+         (2, block + " " + uniq_b),   # loses the shared block
+         (3, uniq_b)],                # loses its only span (doc 2 owns it? no: min doc with uniq_b span is 2)
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           dedup_spans(df, "doc_id", "text", chunk_size=16).collect()}
+    assert got[1].n_spans == 2 and got[1].n_kept == 2
+    assert got[2].n_spans == 2 and got[2].n_kept == 1      # kept only uniq_b
+    assert got[2].kept_tokens == 16
+    assert got[3].n_spans == 1 and got[3].n_kept == 0      # doc 2 owns uniq_b
+    import hashlib
+    assert got[3].new_fp == hashlib.md5(b"").hexdigest()
+    assert got[2].new_fp == hashlib.md5(uniq_b.encode()).hexdigest()
+    assert got[1].new_fp == hashlib.md5((block + " " + uniq_a).encode()).hexdigest()
+
+
+def test_dedup_spans_identity_when_all_unique(spark):
+    from comix_etl_spark.operators.textstats import dedup_spans
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(40))) for i in range(5)],
+        "doc_id long, text string")
+    for r in dedup_spans(df, "doc_id", "text", chunk_size=16).collect():
+        assert r.n_spans == r.n_kept == 3                  # 40 tokens -> 3 spans
+        assert r.kept_tokens == 40
