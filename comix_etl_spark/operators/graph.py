@@ -5,8 +5,9 @@ message passing instead of min-fold).
 
 Scale shape: the edge list (with precomputed 1/out-degree weights) is
 localCheckpoint'd ONCE and re-joined every round; each round is one
-shuffle on the destination id plus one driver-scalar aggregate for the
-dangling-node mass. Per-round lineage is O(1) via eager checkpoints, so
+shuffle on the destination id, with the dangling-node mass folded in as
+a broadcast 1-row aggregate (no per-round driver collect). Per-round
+lineage is O(1) via eager checkpoints, so
 iteration count does not grow the plan. This is the standard Spark
 formulation (what GraphX's staticPageRank lowers to).
 """
@@ -27,8 +28,10 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
 
     Fixed ``iters`` (no convergence probe) keeps the round count — and
     therefore the job count — deterministic; callers needing a
-    tolerance can compare successive runs. Each round runs exactly two
-    jobs: the dangling-mass scalar and the rank update.
+    tolerance can compare successive runs. Each round runs exactly ONE
+    job: the dangling-node mass rides along as a broadcast 1-row
+    aggregate inside the rank-update plan instead of a separate
+    driver-side collect.
     """
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
          .distinct())
@@ -49,14 +52,16 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
 
     for _ in range(iters):
         dm = (ranks.filter(F.col("_dangling"))
-              .agg(F.sum("rank").alias("s")).collect()[0]["s"]) or 0.0
+              .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")))
         contribs = (weighted.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
                     .groupBy("dst")
                     .agg(F.sum(F.col("rank") * F.col("w")).alias("_c")))
-        base = (1.0 - damping) / n + damping * dm / n
         ranks = (nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
+                 .crossJoin(F.broadcast(dm))
                  .select("node", "_dangling",
-                         (F.lit(base) + F.lit(damping) * F.coalesce(F.col("_c"), F.lit(0.0)))
+                         (F.lit((1.0 - damping) / n)
+                          + F.lit(damping) * F.col("_dm") / n
+                          + F.lit(damping) * F.coalesce(F.col("_c"), F.lit(0.0)))
                          .alias("rank"))
                  .localCheckpoint(eager=True))
     return ranks.select("node", "rank")

@@ -1,0 +1,65 @@
+"""Physical-plan hygiene gates: the PLANS.md scale claims asserted
+against `explain` output so a refactor that silently de-optimizes a
+plan (adds an exchange to a scan-local op, drops a broadcast, loses
+parquet pushdown) fails here instead of at 100 TB.
+
+Asserted at sf0.001 — plan SHAPE is scale-independent for these
+queries (broadcast sides are dimension tables that stay under the
+threshold at any SF; scan-local ops have no join at all).
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from comix_etl_spark.plans.queries import QUERIES
+
+# Queries PLANS.md documents as scan-local: pure WholeStageCodegen over
+# the parquet scan, zero Exchange nodes.
+SCAN_LOCAL = [
+    "token_counts", "doc_fingerprint", "pii_scrub", "doc_quality",
+    "chunk_documents", "search_substring",
+]
+
+# Queries whose dimension join must be a broadcast (fact side never
+# shuffles on the join key).
+BROADCAST_DIM = ["stats_topk", "segment_totals", "semi_join"]
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", SCAN_LOCAL)
+def test_scan_local_queries_have_no_exchange(spark, sf_small, name):
+    plan = _plan(QUERIES[name].builder(spark, sf_small))
+    assert "Exchange" not in plan, f"{name} gained a shuffle:\n{plan}"
+
+
+@pytest.mark.parametrize("name", BROADCAST_DIM)
+def test_dimension_joins_broadcast(spark, sf_small, name):
+    plan = _plan(QUERIES[name].builder(spark, sf_small))
+    assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast:\n{plan}"
+    assert "SortMergeJoin" not in plan, f"{name} sort-merges a dimension:\n{plan}"
+
+
+def test_pushdown_reaches_parquet_scan(spark, sf_small):
+    # keyed_scan's equality filter must appear in PushedFilters, and the
+    # scan schema must be pruned to the selected columns only.
+    plan = _plan(QUERIES["keyed_scan"].builder(spark, sf_small))
+    assert "PushedFilters: [" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("EqualTo" in ln or "IsNotNull" in ln for ln in pushed), plan
+
+
+def test_topk_uses_take_ordered(spark, sf_small):
+    # ORDER BY + LIMIT must compile to TakeOrderedAndProject, never a
+    # global sort of the full table.
+    plan = _plan(QUERIES["stats_topk"].builder(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan, plan
