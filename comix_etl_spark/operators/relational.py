@@ -202,6 +202,46 @@ def salted_join(left: DataFrame, right: DataFrame, key: Sequence[str], *,
     return out.drop("_salt")
 
 
+def bloom_prefiltered_join(probe: DataFrame, build: DataFrame, key: str, *,
+                           how: str = "inner", bits: int = 1 << 20) -> DataFrame:
+    """Large-large equi-join with a broadcast bloom prefilter on the
+    probe side. Result is IDENTICAL to ``probe.join(build, key, how)``
+    — the filter only removes probe rows that provably cannot match
+    (bucket absent from the build side), then the exact join runs.
+
+    The 100 TB shape this exists for: build is too big to broadcast-join
+    but its KEY SET summarizes into a tiny bitmap, and probe is a huge
+    fact most of whose rows won't match. Without the prefilter, every
+    probe row pays the shuffle; with it, non-matching rows die at the
+    scan (the bitmap filter sits on the probe's scan side of the
+    exchange). This is what Spark's AQE runtime bloom filter
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) injects
+    automatically for selective joins; the explicit operator makes the
+    plan deterministic and tunable.
+
+    Mechanics: one hash (xxhash64 → bucket in [0, bits)), buckets packed
+    64/word by bit_or aggregation → bits/64 words broadcast (1 M bits =
+    16 K words = 128 KB). False-positive rate ≈ distinct_build_keys/bits
+    (one-hash bloom); false positives cost only wasted shuffle rows,
+    never wrong results. Supported ``how``: inner / left_semi (a pure
+    probe-side filter is unsound for outer joins — rejected loudly).
+    """
+    if how not in ("inner", "left_semi", "semi"):
+        raise ValueError(f"bloom_prefiltered_join supports inner/semi joins, not {how!r}")
+    words = bits // 64
+    bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(bits))
+    word = (bucket / 64).cast("long").alias("_w")
+    mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64({key}), {bits}) % 64 AS INT))")
+    bitmap = (build.select(word, mask.alias("_m"))
+              .groupBy("_w").agg(F.bit_or("_m").alias("_bits")))
+    filtered = (probe.withColumn("_w", (bucket / 64).cast("long"))
+                .join(F.broadcast(bitmap), "_w", "inner")
+                .filter((F.col("_bits").bitwiseAND(mask)) != 0)
+                .drop("_w", "_bits"))
+    _ = words  # documented sizing; the groupBy bounds rows at bits/64
+    return filtered.join(build, key, how)
+
+
 def sessionize(events: DataFrame, user_col: str, ts_col: str, gap_minutes: int = 30) -> DataFrame:
     """Sessionization: new session when gap to previous event > threshold.
 

@@ -229,3 +229,51 @@ def lsh_bucketed_topk(corpus: DataFrame, query: DataFrame, *, dim: int,
 
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.col(id_col))
     return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+
+def kmeans_fit(corpus: DataFrame, *, vec_col: str = "embedding", k: int = 8,
+               iters: int = 5, seed: int = 42, init_sample: int = 4096):
+    """Distributed Lloyd k-means over the FULL corpus (vs
+    train_ivf_centroids' bounded-sample variant): the iterative-algorithm
+    counterpart to operators/graph.py:pagerank, and the standard corpus
+    pre-clustering step (topic balancing, IVF list building) a training
+    pipeline runs before sampling.
+
+    Per iteration: (1) nearest-centroid assignment — one (batch × dim) @
+    (dim × k) matmul per Arrow batch, scan-local, no shuffle
+    (assign_ivf_centroid); (2) mean update — posexplode to (cluster,
+    dim_pos) and avg: ONE shuffle keyed on k·dim groups (well spread even
+    for small k, map-side partial aggregation does most of the work);
+    k·dim doubles come back to the driver per round — bounded by
+    contract, independent of corpus size. Deterministic: seeded
+    hash-ordered init, fixed iteration count.
+
+    Returns (centers ndarray k × dim, assigned DataFrame with
+    ``cluster_id``).
+    """
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError("kmeans_fit: empty corpus")
+    # deterministic init: k centroids from a hash-ordered bounded sample
+    # (same driver-small contract as train_ivf_centroids)
+    rows = (corpus.select(vec_col)
+            .orderBy(F.xxhash64(F.col(vec_col).cast("array<double>")))
+            .limit(init_sample).collect())
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    centers = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+
+    for _ in range(iters):
+        assigned = assign_ivf_centroid(corpus, centers, vec_col=vec_col,
+                                       out_col="cluster_id")
+        means = (assigned
+                 .select("cluster_id", F.posexplode(F.col(vec_col)).alias("_p", "_v"))
+                 .groupBy("cluster_id", "_p")
+                 .agg(F.avg("_v").alias("_m"))
+                 .collect())
+        for r in means:
+            centers[r["cluster_id"]][r["_p"]] = r["_m"]
+
+    assigned = assign_ivf_centroid(corpus, centers, vec_col=vec_col,
+                                   out_col="cluster_id")
+    return centers, assigned

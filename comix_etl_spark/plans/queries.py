@@ -3057,6 +3057,111 @@ ORDER BY c.lang
 """
 
 
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier volume: revenue per ASIA nation
+    where the customer and the line's supplier sit in the SAME nation.
+    The canonical snowflake plan Catalyst should collapse to: region →
+    nation → (customer, supplier) all broadcast (tiny dims), so the only
+    exchanges are the two fact-key equi-joins (orders⋈customer keeps
+    o_custkey, lineitem⋈orders on orderkey) plus the final 25-group agg.
+    The c_nationkey = s_nationkey residual rides ON the supplier join —
+    no extra shuffle. Generalizes the reference's multi-FK join chain
+    (comixcatalog_starter.zip!etl/etl.py:42-67) to a deep snowflake."""
+    t = _t(spark, sf_dir, "region", "nation", "customer", "supplier",
+           "orders", "lineitem")
+    asia_nations = (t["nation"].join(
+        F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name"))
+    cust = (t["customer"].join(F.broadcast(asia_nations),
+                               F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", "c_nationkey", "n_name"))
+    orders = (t["orders"]
+              .filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                      & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+              .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+              .select("o_orderkey", "c_nationkey", "n_name"))
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+                  (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .groupBy("n_name")
+            .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                       .cast("decimal(18,4)")).cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lines"))
+            .orderBy(F.col("revenue").desc(), F.col("n_name").asc()))
+
+
+ORACLE_MARKET_SHARE = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered fact⋈fact join: lineitem probes a broadcast
+    bitmap of URGENT orders' keys BEFORE the shuffle join, so
+    non-matching lines die at the scan instead of paying the exchange
+    (operators/relational.py:bloom_prefiltered_join — the explicit form
+    of AQE's runtime bloom filter). Result identical to the plain join;
+    the oracle IS the plain join. At sf0.01 orders would broadcast
+    anyway — the point at 100 TB is both sides exceeding the broadcast
+    threshold while the key BITMAP (128 KB) still broadcasts."""
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    urgent = (t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_orderkey", "o_orderpriority"))
+    li = t["lineitem"].withColumnRenamed("l_orderkey", "o_orderkey")
+    joined = R.bloom_prefiltered_join(li, urgent, "o_orderkey")
+    return (joined.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                       .cast("decimal(18,4)")).cast("double").alias("revenue"))
+            .orderBy("l_returnflag"))
+
+
+ORACLE_BLOOM_JOIN = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embeddings corpus
+    (operators/similarity.py:kmeans_fit): per-cluster size + mean vector
+    norm. Iterative like pagerank — per-round scan-local assignment +
+    one k·dim-group mean shuffle. Non-SQL-expressible (iterative);
+    rows-only driver check, recall/inertia pytests carry correctness."""
+    from comix_etl_spark.functions.vector import norm as vnorm
+    from comix_etl_spark.operators.similarity import kmeans_fit
+
+    t = _t(spark, sf_dir, "embeddings")
+    _, assigned = kmeans_fit(t["embeddings"], k=8, iters=3)
+    return (assigned
+            .groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.avg(vnorm("embedding")).alias("avg_norm"))
+            .orderBy("cluster_id"))
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -3247,6 +3352,16 @@ QUERIES: dict[str, Query] = {
     "balance_corpus": Query(q_balance_corpus, ORACLE_BALANCE_CORPUS,
                             "language-mixture rebalance (deterministic ppm)",
                             ("documents",)),
+    "market_share": Query(q_market_share, ORACLE_MARKET_SHARE,
+                          "TPC-H Q5-shaped snowflake local-supplier volume",
+                          ("region", "nation", "customer", "supplier",
+                           "orders", "lineitem")),
+    "bloom_join": Query(q_bloom_join, ORACLE_BLOOM_JOIN,
+                        "bloom-bitmap prefiltered fact join (exact result)",
+                        ("orders", "lineitem")),
+    "kmeans_clusters": Query(q_kmeans_clusters, None,
+                             "distributed Lloyd k-means cluster profile",
+                             ("embeddings",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and the r2 run
@@ -3269,6 +3384,7 @@ _CHECK_FIRST = [
     "shipping_priority", "gap_fill", "decile_buckets", "dict_encode",
     "winsorize", "lang_balance", "decontaminate", "rolling_dau", "key_skew",
     "pagerank", "pack_sequences", "dedup_spans", "balance_corpus",
+    "market_share", "bloom_join", "kmeans_clusters",
 ]
 _CHECK_LAST = ["minhash_lsh", "simhash_pairs", "ngram_jaccard", "dedup_clusters"]
 QUERIES = {
