@@ -3162,6 +3162,134 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cluster_id"))
 
 
+def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprint per group: XOR of 60-bit
+    md5-derived row hashes. The migration-parity primitive — two engines
+    (or two copies of a 100 TB table) compare content with ONE aggregate
+    each side, no row transfer; XOR is commutative/associative so the
+    result is independent of partitioning and row order, and partial
+    aggregation does all the work map-side. Hashes only stable-rendered
+    columns (ints/strings, never floats/timestamps) so cross-engine
+    text rendering can't diverge. Generalizes the reference's
+    row-identity digests (etl/sources/marvel_extract.py md5 identity)."""
+    t = _t(spark, sf_dir, "orders")
+    row_h = F.conv(F.substring(F.md5(F.concat_ws(
+        "|", F.col("o_orderkey").cast("string"), F.col("o_orderstatus"),
+        F.col("o_orderpriority"))), 1, 15), 16, 10).cast("long")
+    return (t["orders"]
+            .select("o_orderpriority", row_h.alias("_h"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.bit_xor("_h").alias("fingerprint"))
+            .orderBy("o_orderpriority"))
+
+
+ORACLE_TABLE_FINGERPRINT = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       bit_xor(('0x' || substr(md5(
+           CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+           o_orderpriority), 1, 15))::BIGINT) AS fingerprint
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series forward-fill imputation: per-user last non-null
+    carried forward in event order. One shuffle (partition by user) +
+    one running window — the standard gap-imputation step before
+    feature extraction. Values masked NULL for view/click events to
+    exercise the fill; (ts, event_id) gives a total per-user order so
+    the fill is deterministic."""
+    t = _t(spark, sf_dir, "events")
+    masked = t["events"].withColumn(
+        "_v", F.when(F.col("event_type").isin("view", "click"), F.lit(None))
+               .otherwise(F.col("value")))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (masked
+            .select("event_id", "user_id",
+                    F.last("_v", ignorenulls=True).over(w).alias("value_filled"))
+            .orderBy("event_id"))
+
+
+ORACLE_FORWARD_FILL = """
+SELECT event_id, user_id,
+       last_value(CASE WHEN event_type IN ('view','click') THEN NULL
+                       ELSE value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+FROM events ORDER BY event_id
+"""
+
+
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt of the lineitem measures (stack expression —
+    scan-local, no shuffle for the reshape itself) followed by a
+    4-group profile aggregate. The inverse of event_pivot; the reshape
+    step every metrics store needs before a generic (metric, value)
+    sink."""
+    t = _t(spark, sf_dir, "lineitem")
+    long = t["lineitem"].select(F.expr(
+        "stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice, "
+        "'discount', l_discount, 'tax', l_tax) AS (measure, value)"))
+    return (long.groupBy("measure")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,4)"))
+                  .cast("double").alias("total"))
+            .orderBy("measure"))
+
+
+ORACLE_UNPIVOT_MEASURES = """
+WITH long AS (
+  SELECT 'quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'discount', l_discount FROM lineitem
+  UNION ALL SELECT 'tax', l_tax FROM lineitem
+)
+SELECT measure, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM long GROUP BY measure ORDER BY measure
+"""
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity matching: DISTINCT part names self-joined
+    within a blocking key (the noun — last token) and kept when edit
+    distance ≤ 2. The entity-resolution shape that scales: the
+    quadratic comparison runs per-block over the DISTINCT-name
+    aggregate (vocabulary-sized, not corpus-sized), never over the raw
+    table; raw-scale output only re-attaches by equi-join if needed.
+    Generalizes the reference's best-match resolution
+    (etl/seed/seed_from_marvel.py:126-141) from token overlap to edit
+    distance."""
+    t = _t(spark, sf_dir, "part")
+    names = (t["part"].groupBy("p_name").agg(F.count(F.lit(1)).alias("n"))
+             .withColumn("_block", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2))))
+    a = names.select(F.col("p_name").alias("name_a"), F.col("n").alias("n_a"), "_block")
+    b = names.select(F.col("p_name").alias("name_b"), F.col("n").alias("n_b"), "_block")
+    return (a.join(b, "_block")
+            .filter(F.col("name_a") < F.col("name_b"))
+            .withColumn("dist", F.levenshtein("name_a", "name_b"))
+            .filter(F.col("dist") <= 2)
+            .select("name_a", "name_b", "dist", "n_a", "n_b")
+            .orderBy("name_a", "name_b"))
+
+
+ORACLE_FUZZY_MATCH = """
+WITH names AS (
+  SELECT p_name, CAST(count(*) AS BIGINT) AS n,
+         split_part(p_name, ' ', 2) AS block
+  FROM part GROUP BY p_name
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS dist,
+       a.n AS n_a, b.n AS n_b
+FROM names a JOIN names b ON a.block = b.block AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY name_a, name_b
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -3362,6 +3490,18 @@ QUERIES: dict[str, Query] = {
     "kmeans_clusters": Query(q_kmeans_clusters, None,
                              "distributed Lloyd k-means cluster profile",
                              ("embeddings",)),
+    "table_fingerprint": Query(q_table_fingerprint, ORACLE_TABLE_FINGERPRINT,
+                               "order-insensitive XOR content fingerprint",
+                               ("orders",)),
+    "forward_fill": Query(q_forward_fill, ORACLE_FORWARD_FILL,
+                          "per-key last-non-null forward fill",
+                          ("events",)),
+    "unpivot_measures": Query(q_unpivot_measures, ORACLE_UNPIVOT_MEASURES,
+                              "wide-to-long melt + measure profile",
+                              ("lineitem",)),
+    "fuzzy_match": Query(q_fuzzy_match, ORACLE_FUZZY_MATCH,
+                         "blocked levenshtein entity matching",
+                         ("part",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and the r2 run
@@ -3385,6 +3525,7 @@ _CHECK_FIRST = [
     "winsorize", "lang_balance", "decontaminate", "rolling_dau", "key_skew",
     "pagerank", "pack_sequences", "dedup_spans", "balance_corpus",
     "market_share", "bloom_join", "kmeans_clusters",
+    "table_fingerprint", "forward_fill", "unpivot_measures", "fuzzy_match",
 ]
 _CHECK_LAST = ["minhash_lsh", "simhash_pairs", "ngram_jaccard", "dedup_clusters"]
 QUERIES = {
