@@ -3290,6 +3290,47 @@ ORDER BY name_a, name_b
 """
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment run as a REAL streaming query
+    (file source → availableNow → memory sink): the event stream joins
+    the static customer dimension (broadcast — no join state, stream
+    never shuffles for it) and keeps a running per-segment rollup. The
+    oracle is the identical batch join+agg — parity by construction."""
+    from pyspark.sql import types as T
+
+    from comix_etl_spark.streaming.joins import stream_static_enrich
+    from comix_etl_spark.streaming.windowed import (run_stream_to_memory,
+                                                    stream_shuffle_partitions)
+
+    raw_schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    dim = _t(spark, sf_dir, "customer")["customer"] \
+        .select("c_custkey", "c_mktsegment")
+
+    with stream_shuffle_partitions(spark, 8):
+        out = run_stream_to_memory(
+            spark, sf_dir, raw_schema,
+            lambda ev: stream_static_enrich(ev, dim, key_stream="user_id",
+                                            key_dim="c_custkey",
+                                            group_col="c_mktsegment"),
+            query_name="q_stream_enrich", glob="events.parquet")
+    return out.orderBy("c_mktsegment")
+
+
+ORACLE_STREAM_ENRICH = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -3502,6 +3543,9 @@ QUERIES: dict[str, Query] = {
     "fuzzy_match": Query(q_fuzzy_match, ORACLE_FUZZY_MATCH,
                          "blocked levenshtein entity matching",
                          ("part",)),
+    "stream_enrich": Query(q_stream_enrich, ORACLE_STREAM_ENRICH,
+                           "stream-static broadcast enrichment rollup",
+                           ("events", "customer")),
 }
 
 # Registry ORDER is the driver's correctness-check order, and the r2 run
@@ -3526,6 +3570,7 @@ _CHECK_FIRST = [
     "pagerank", "pack_sequences", "dedup_spans", "balance_corpus",
     "market_share", "bloom_join", "kmeans_clusters",
     "table_fingerprint", "forward_fill", "unpivot_measures", "fuzzy_match",
+    "stream_enrich",
 ]
 _CHECK_LAST = ["minhash_lsh", "simhash_pairs", "ngram_jaccard", "dedup_clusters"]
 QUERIES = {

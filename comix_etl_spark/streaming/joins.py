@@ -41,3 +41,25 @@ def stream_interval_join(left: DataFrame, right: DataFrame, *, key: str,
         & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}"))
     )
     return l.join(r, cond, "inner").drop(r[key])
+
+
+def stream_static_enrich(stream: DataFrame, dim: DataFrame, *, key_stream: str,
+                         key_dim: str, group_col: str) -> DataFrame:
+    """Stream-static broadcast enrichment + running per-group rollup —
+    the fourth streaming pattern next to windowed/stateful/stream-stream:
+    a 24/7 event stream decorated from a slowly-changing dimension.
+
+    The dim side is a plain batch DataFrame: Spark re-resolves it each
+    micro-batch (so a dim refresh is picked up on the next trigger) and
+    broadcasts it — the stream side never shuffles for the join, and no
+    join state is held at all (unlike stream-stream). The only state is
+    the tiny per-group running aggregate. Batch parity: the identical
+    join+agg over static frames is the oracle.
+    """
+    enriched = stream.join(
+        F.broadcast(dim),
+        F.col(key_stream) == F.col(key_dim), "inner")
+    return (enriched.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,4)"))
+                  .cast("double").alias("total_value")))

@@ -63,3 +63,21 @@ def test_topk_uses_take_ordered(spark, sf_small):
     # global sort of the full table.
     plan = _plan(QUERIES["stats_topk"].builder(spark, sf_small))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_small, tmp_path):
+    # A lang-partitioned table read with a lang filter must prune at the
+    # partition level: the filter shows up as a PartitionFilters entry
+    # on the scan, and non-matching partitions are never listed as data
+    # filters (nothing to evaluate row-side). This is the layout that
+    # turns a 100 TB full scan into a single-partition read.
+    from comix_etl_spark.sinks.writers import write_table
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    target = str(tmp_path / "docs_by_lang")
+    write_table(docs, target, partition_by=["lang"])
+    got = spark.read.parquet(target).filter("lang = 'en'")
+    plan = _plan(got)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "lang" in pf[0], plan
+    assert got.count() == docs.filter("lang = 'en'").count() > 0
