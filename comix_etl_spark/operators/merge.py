@@ -235,3 +235,39 @@ def backfill_if_null(existing: DataFrame, patch: DataFrame, key: Sequence[str],
     return joined.withColumn(
         fill_col, F.coalesce(F.col(fill_col), F.col(f"_patch_{fill_col}"))
     ).drop(f"_patch_{fill_col}")
+
+
+def apply_changelog(snapshot: DataFrame, changes: DataFrame,
+                    key: Sequence[str], payload: Sequence[str], *,
+                    seq_col: str = "seq", op_col: str = "op") -> DataFrame:
+    """Apply an ordered CDC change log (I/U/D rows) onto a snapshot:
+    last-op-wins per key, deletes drop the key, inserts/updates replace
+    the payload.
+
+    The inverse of ``snapshot_diff`` — together they round-trip:
+    ``apply_changelog(old, snapshot_diff(old, new)) == new``. This is the
+    primitive behind log-shipping replication and incremental table
+    maintenance (the reference replays its whole extract instead,
+    etl/seed/seed_from_marvel.py:248-254 — set-based netting replaces
+    per-row existence probes).
+
+    Plan: the log first NETS to one row per key (max_by over ``seq_col``
+    — one shuffle on the key, map-side partial via the max_by aggregate
+    state), then a single full-outer join against the snapshot applies
+    it. Cost is O(|snapshot| + |log|) with two shuffles total; history
+    length only affects the netting aggregate, never the join.
+    """
+    kl = list(key)
+    pl = list(payload)
+    # net: keep the terminal operation per key (deterministic if seq is
+    # unique per key — callers own that contract, as in any CDC stream)
+    net = (changes.groupBy(*kl)
+           .agg(F.max_by(F.struct(op_col, *pl), F.col(seq_col)).alias("_last"))
+           .select(*kl, F.col(f"_last.{op_col}").alias("_op"),
+                   *[F.col(f"_last.{c}").alias(f"_new_{c}") for c in pl]))
+    j = snapshot.join(net, kl, "full_outer")
+    survives = F.col("_op").isNull() | (F.col("_op") != "D")
+    return (j.filter(survives)
+            .select(*kl,
+                    *[F.when(F.col("_op").isNotNull(), F.col(f"_new_{c}"))
+                      .otherwise(F.col(c)).alias(c) for c in pl]))

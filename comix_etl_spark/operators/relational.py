@@ -259,3 +259,34 @@ def sessionize(events: DataFrame, user_col: str, ts_col: str, gap_minutes: int =
         .withColumn("session_id", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
         .drop("_new")
     )
+
+
+def salted_agg(df: DataFrame, key: Sequence[str], sum_col: str, *,
+               salts: int = 16) -> DataFrame:
+    """Skew-mitigating two-phase aggregation: identical result to
+    ``df.groupBy(key).agg(sum, count)`` even when one key holds most of
+    the rows.
+
+    Phase 1 groups by (key, salt) — the hot key spreads over ``salts``
+    reducers; phase 2 merges the ≤``salts`` partials per key, a shuffle
+    of the already-tiny partial frame. Spark's hash aggregate already
+    does map-side partials, which usually makes this unnecessary — the
+    explicit form exists for the cases partials can't save: high-
+    cardinality-state aggregates (collect_list/exact distinct) or a
+    sort-aggregate fallback under memory pressure. Sums/counts are
+    associative, so the two-phase split is exact, not approximate.
+
+    The salt is a deterministic row hash (same input → same partials →
+    same result), not rand() — re-execution of a failed stage must not
+    change the answer.
+    """
+    kl = list(key)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+                  F.lit(salts)).cast("int")
+    partial = (df.withColumn("_salt", salt)
+               .groupBy(*kl, "_salt")
+               .agg(F.sum(sum_col).alias("_psum"),
+                    F.count(F.lit(1)).alias("_pcnt")))
+    return (partial.groupBy(*kl)
+            .agg(F.sum("_psum").alias(f"sum_{sum_col}"),
+                 F.sum("_pcnt").cast("long").alias("n_rows")))

@@ -1803,23 +1803,12 @@ def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window rollup executed as a REAL streaming
     query (file source → availableNow → memory sink); the oracle is the
     batch date_trunc equivalent — batch/stream parity by construction."""
-    import os as _os
-
-    from pyspark.sql import types as T
-
+    from comix_etl_spark.session import events_stream_source
     from comix_etl_spark.streaming.windowed import run_stream_to_memory, stream_windowed_counts
 
-    raw_schema = T.StructType([
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ])
-
-    def ts_fix(df: DataFrame) -> DataFrame:
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # schema + unit fix sniffed from the parquet footer — the testdata's
+    # ts column has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    raw_schema, ts_fix = events_stream_source(spark, sf_dir)
 
     from comix_etl_spark.streaming.windowed import stream_shuffle_partitions
 
@@ -1849,18 +1838,17 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream (availableNow → memory sink, update mode). The oracle is the
     batch lag+cumsum sessionization aggregated per session — batch/
     stream parity for arbitrary stateful logic, not just windows."""
-    from comix_etl_spark.schemas import EVENTS_RAW
+    from comix_etl_spark.session import events_stream_source
     from comix_etl_spark.streaming.stateful import sessionize_stateful
     from comix_etl_spark.streaming.windowed import run_stream_to_memory
 
-    def ts_fix(df: DataFrame) -> DataFrame:
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw_schema, ts_fix = events_stream_source(spark, sf_dir)
 
     from comix_etl_spark.streaming.windowed import stream_shuffle_partitions
 
     with stream_shuffle_partitions(spark, 8):
         out = run_stream_to_memory(
-            spark, sf_dir, EVENTS_RAW,
+            spark, sf_dir, raw_schema,
             lambda ev: sessionize_stateful(ev, gap_minutes=30),
             query_name="q_stream_sessionize", glob="events.parquet",
             ts_fix=ts_fix, output_mode="update",
@@ -1903,13 +1891,15 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw matched pairs; the returned rollup (per-user pair counts)
     is batch SQL over that sink — and must equal the batch interval
     theta-join the oracle runs."""
-    from comix_etl_spark.schemas import EVENTS_RAW
+    from comix_etl_spark.session import events_stream_source
     from comix_etl_spark.streaming.joins import stream_interval_join
 
+    raw_schema, ts_fix = events_stream_source(spark, sf_dir)
+
     def read_events() -> DataFrame:
-        raw = (spark.readStream.schema(EVENTS_RAW)
+        raw = (spark.readStream.schema(raw_schema)
                .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return ts_fix(raw)
 
     views = (read_events().filter(F.col("event_type") == "view")
              .select("user_id", F.col("ts").alias("ts_v")))
@@ -2258,11 +2248,19 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 scalar quantization of the embedding column — the
     4× compression step before ANN at scale. Scan-local codegen array
     math; deterministic floor(x+0.5) rounding so both engines agree
-    bit-for-bit."""
+    bit-for-bit. The integer codes are emitted as a comma-joined string
+    plus an integer squared-norm checksum: the driver's canonicalizer
+    sorts result cells with pandas, which cannot hash raw list cells
+    (r3 failure), and a csv+checksum pair proves the same bytes anyway."""
     t = _t(spark, sf_dir, "embeddings")
     scale, qvec = vector.quantize_int8("embedding")
+    qvec_l = F.transform(qvec, lambda x: x.cast("long"))
     return t["embeddings"].select(
-        "vec_id", scale.alias("scale"), qvec.alias("qvec"))
+        "vec_id",
+        F.round(scale, 9).alias("scale"),
+        F.concat_ws(",", qvec.cast("array<string>")).alias("qvec_csv"),
+        F.aggregate(qvec_l, F.lit(0).cast("long"),
+                    lambda acc, x: acc + x * x).alias("qnorm2"))
 
 
 ORACLE_QUANTIZE_EMBEDDINGS = """
@@ -2270,12 +2268,17 @@ WITH src AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), s AS (
   SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM src
+), q AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale > 0
+              THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qvec
+  FROM s
 )
-SELECT vec_id, scale,
-       CASE WHEN scale > 0
-            THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))
-            ELSE list_transform(v, x -> 0) END AS qvec
-FROM s
+SELECT vec_id, round(scale, 9) AS scale,
+       array_to_string(qvec, ',') AS qvec_csv,
+       CAST(list_sum(list_transform(qvec, x -> x * x)) AS BIGINT) AS qnorm2
+FROM q
 """
 
 
@@ -3328,6 +3331,484 @@ SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# §7 r4 — statistical profiling (operators/profile.py)
+# ---------------------------------------------------------------------------
+
+def q_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of extended price per return flag
+    (operators/profile.py::grouped_percentiles) — the describe-a-measure
+    profile the reference approximates with top-k counts
+    (comixcatalog_starter.zip!etl/etl.py:56-67). One aggregation pass;
+    percentile_cont semantics so DuckDB reproduces values exactly."""
+    from comix_etl_spark.operators.profile import grouped_percentiles
+
+    t = _t(spark, sf_dir, "lineitem")
+    return grouped_percentiles(t["lineitem"], "l_returnflag",
+                               "l_extendedprice",
+                               probs=(0.25, 0.5, 0.75, 0.95))
+
+
+ORACLE_PERCENTILE_PROFILE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations among the lineitem measures — all
+    six coefficients from ONE aggregation job, unpivoted to long form
+    via stack (operators/profile.py::corr_matrix)."""
+    from comix_etl_spark.operators.profile import corr_matrix
+
+    t = _t(spark, sf_dir, "lineitem")
+    return corr_matrix(t["lineitem"],
+                       ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
+ORACLE_CORR_MATRIX = """
+SELECT col_a, col_b, round(c, 4) AS corr FROM (
+  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+         corr(l_quantity, l_extendedprice) AS c FROM lineitem
+  UNION ALL SELECT 'l_quantity', 'l_discount', corr(l_quantity, l_discount) FROM lineitem
+  UNION ALL SELECT 'l_quantity', 'l_tax', corr(l_quantity, l_tax) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 'l_discount', corr(l_extendedprice, l_discount) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 'l_tax', corr(l_extendedprice, l_tax) FROM lineitem
+  UNION ALL SELECT 'l_discount', 'l_tax', corr(l_discount, l_tax) FROM lineitem
+)
+"""
+
+
+def q_spend_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier screen: customers whose total spend deviates >2σ
+    from their market segment's mean (operators/profile.py::
+    zscore_outliers). Spend sums go through DECIMAL so every engine and
+    partitioning agrees bit-for-bit; the per-segment moment table is a
+    broadcast — the customer side never shuffles for the screen."""
+    from comix_etl_spark.operators.profile import zscore_outliers
+
+    t = _t(spark, sf_dir, "orders", "customer")
+    spend = (t["orders"].groupBy("o_custkey")
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                  .cast("double").alias("spend")))
+    cust = t["customer"].select(F.col("c_custkey").alias("o_custkey"),
+                                "c_mktsegment")
+    per_cust = spend.join(cust, "o_custkey")
+    return (zscore_outliers(per_cust, "c_mktsegment", "spend",
+                            z_threshold=2.0)
+            .select(F.col("o_custkey").alias("c_custkey"), "c_mktsegment",
+                    F.round("spend", 4).alias("spend"), "zscore"))
+
+
+ORACLE_SPEND_ZSCORE = """
+WITH spend AS (
+  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+), per_cust AS (
+  SELECT c_custkey, c_mktsegment, spend
+  FROM spend JOIN customer ON o_custkey = c_custkey
+), stats AS (
+  SELECT c_mktsegment, avg(spend) AS mu, stddev_pop(spend) AS sigma
+  FROM per_cust GROUP BY c_mktsegment
+)
+SELECT c_custkey, p.c_mktsegment, round(spend, 4) AS spend,
+       round((spend - mu) / sigma, 4) AS zscore
+FROM per_cust p JOIN stats s ON p.c_mktsegment = s.c_mktsegment
+WHERE sigma > 0 AND abs(round((spend - mu) / sigma, 4)) > 2.0
+"""
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (width 25 000, origin 0):
+    scan-local integer bucketing + one count shuffle on the bounded
+    bucket key (operators/profile.py::fixed_histogram). Fixed bounds —
+    no extra min/max pass, bucket ids stable as data grows."""
+    from comix_etl_spark.operators.profile import fixed_histogram
+
+    t = _t(spark, sf_dir, "orders")
+    return fixed_histogram(t["orders"], "o_totalprice", width=25000.0)
+
+
+ORACLE_PRICE_HISTOGRAM = """
+WITH b AS (
+  SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket FROM orders
+), counts AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows FROM b GROUP BY bucket
+)
+SELECT bucket, bucket * 25000.0 AS lo, (bucket + 1) * 25000.0 AS hi, n_rows,
+       CAST(n_rows * 1000000 // (SELECT sum(n_rows) FROM counts) AS BIGINT) AS share_e6
+FROM counts
+"""
+
+
+# ---------------------------------------------------------------------------
+# §7 r4 — set operations: year-over-year churn/retention (EXCEPT/INTERSECT)
+# ---------------------------------------------------------------------------
+
+def q_customer_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op churn analysis: customers active in 1994 split into
+    'churned' (EXCEPT 1995 actives) and 'retained' (INTERSECT). Spark's
+    subtract/intersect lower to distinct + left-anti / left-semi joins —
+    two shuffles on the already-deduplicated key sets, never on raw
+    orders. Completes SURVEY §2.6's set-op gap (the reference's closest
+    analogue is the J4 anti-join-before-insert)."""
+    t = _t(spark, sf_dir, "orders")
+    o = t["orders"]
+    y94 = (o.filter(F.year("o_orderdate") == 1994)
+           .select(F.col("o_custkey").alias("c_custkey")))
+    y95 = (o.filter(F.year("o_orderdate") == 1995)
+           .select(F.col("o_custkey").alias("c_custkey")))
+    churned = y94.subtract(y95).withColumn("status", F.lit("churned"))
+    retained = y94.intersect(y95).withColumn("status", F.lit("retained"))
+    return churned.unionByName(retained)
+
+
+ORACLE_CUSTOMER_CHURN = """
+WITH y94 AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) = 1994),
+     y95 AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) = 1995)
+SELECT c_custkey, 'churned' AS status FROM (SELECT c_custkey FROM y94 EXCEPT SELECT c_custkey FROM y95)
+UNION ALL
+SELECT c_custkey, 'retained' AS status FROM (SELECT c_custkey FROM y94 INTERSECT SELECT c_custkey FROM y95)
+"""
+
+
+# ---------------------------------------------------------------------------
+# §7 r4 — sequence mining: event-type transition matrix
+# ---------------------------------------------------------------------------
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 consecutive event-type transitions (Markov edge counts)
+    across user timelines: lag/lead sequence mining, the event-stream
+    sibling of repetition_stats' bigram mode. One shuffle on user_id for
+    the window, one bounded-key count; (user_id, ts) is unique in the
+    events table so the ordering is total and the result deterministic."""
+    t = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (t["events"]
+             .select("user_id", "ts", "event_id", "event_type",
+                     F.lead("event_type").over(w).alias("next_type"))
+             .filter(F.col("next_type").isNotNull()))
+    return (pairs.groupBy(F.col("event_type").alias("from_type"),
+                          F.col("next_type").alias("to_type"))
+            .agg(F.count(F.lit(1)).alias("n_transitions"))
+            .orderBy(F.desc("n_transitions"), F.asc("from_type"),
+                     F.asc("to_type"))
+            .limit(20))
+
+
+ORACLE_EVENT_TRANSITIONS = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+)
+SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+FROM pairs WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+ORDER BY n_transitions DESC, from_type, to_type
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# §7 r4 — CDC change-log netting + apply (operators/merge.py::apply_changelog)
+# ---------------------------------------------------------------------------
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered CDC log applied onto the orders snapshot: last-op-wins
+    netting (max_by over seq) then one full-outer merge. The synthetic
+    log exercises every path — %7 keys get an UPDATE (seq 1), %21 keys
+    (a subset!) a later DELETE (seq 2) that must win the netting, and
+    fresh negative keys an INSERT. Output = final state of every touched
+    key family; deleted keys prove absence by not appearing."""
+    t = _t(spark, sf_dir, "orders")
+    o = t["orders"]
+    snap = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    upd = (o.filter(F.col("o_orderkey") % 7 == 0)
+           .select("o_orderkey", F.lit(1).alias("seq"), F.lit("U").alias("op"),
+                   F.lit("P").alias("o_orderstatus"),
+                   (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice")))
+    dele = (o.filter(F.col("o_orderkey") % 21 == 0)
+            .select("o_orderkey", F.lit(2).alias("seq"), F.lit("D").alias("op"),
+                    F.lit(None).cast("string").alias("o_orderstatus"),
+                    F.lit(None).cast("double").alias("o_totalprice")))
+    ins = (o.filter(F.col("o_orderkey") % 13 == 0)
+           .select((-F.col("o_orderkey") - 1).alias("o_orderkey"),
+                   F.lit(1).alias("seq"), F.lit("I").alias("op"),
+                   F.lit("N").alias("o_orderstatus"), "o_totalprice"))
+    log = upd.unionByName(dele).unionByName(ins)
+    applied = M.apply_changelog(snap, log, ["o_orderkey"],
+                                ["o_orderstatus", "o_totalprice"])
+    return applied.filter((F.col("o_orderkey") % 7 == 0)
+                          | (F.col("o_orderkey") < 0))
+
+
+ORACLE_CDC_APPLY = """
+WITH log AS (
+  SELECT o_orderkey, 1 AS seq, 'U' AS op, 'P' AS o_orderstatus,
+         o_totalprice + 100.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, 2, 'D', NULL, NULL FROM orders WHERE o_orderkey % 21 = 0
+  UNION ALL
+  SELECT -o_orderkey - 1, 1, 'I', 'N', o_totalprice
+  FROM orders WHERE o_orderkey % 13 = 0
+), net AS (
+  SELECT o_orderkey,
+         arg_max(op, seq) AS op,
+         arg_max(o_orderstatus, seq) AS new_status,
+         arg_max(o_totalprice, seq) AS new_price
+  FROM log GROUP BY o_orderkey
+), merged AS (
+  SELECT coalesce(n.o_orderkey, s.o_orderkey) AS o_orderkey,
+         n.op,
+         CASE WHEN n.op IS NOT NULL THEN n.new_status ELSE s.o_orderstatus END AS o_orderstatus,
+         CASE WHEN n.op IS NOT NULL THEN n.new_price ELSE s.o_totalprice END AS o_totalprice
+  FROM orders s FULL OUTER JOIN net n ON s.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM merged
+WHERE (op IS NULL OR op <> 'D') AND (o_orderkey % 7 = 0 OR o_orderkey < 0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# §7 r4 — per-dimension embedding statistics
+# ---------------------------------------------------------------------------
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension moment profile of the embedding matrix (mean, σ_pop,
+    min, max) — the normalization-stats pass before whitening or
+    quantizer calibration. posexplode keeps the shuffle key (dim) at
+    fixed cardinality = vector width; the aggregate partials collapse
+    map-side so the shuffle moves O(width × partitions) rows, not
+    O(rows × width)."""
+    t = _t(spark, sf_dir, "embeddings")
+    exploded = t["embeddings"].select(
+        F.posexplode("embedding").alias("dim", "x"))
+    return (exploded.groupBy("dim")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("mean"),
+                 F.round(F.stddev_pop(F.col("x").cast("double")), 6).alias("sigma"),
+                 F.round(F.min(F.col("x").cast("double")), 6).alias("vmin"),
+                 F.round(F.max(F.col("x").cast("double")), 6).alias("vmax"))
+            .orderBy("dim"))
+
+
+ORACLE_EMBEDDING_DIM_STATS = """
+WITH ex AS (
+  SELECT (u).d AS dim, (u).x AS x FROM (
+    SELECT unnest(list_transform(range(1, len(v) + 1),
+                                 i -> {'d': i - 1, 'x': v[i]})) AS u
+    FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+  )
+)
+SELECT dim, round(avg(x), 6) AS mean, round(stddev_pop(x), 6) AS sigma,
+       round(min(x), 6) AS vmin, round(max(x), 6) AS vmax
+FROM ex GROUP BY dim ORDER BY dim
+"""
+
+
+# ---------------------------------------------------------------------------
+# §7 r4 — GROUPING SETS via the SQL entry point
+# ---------------------------------------------------------------------------
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — (priority), (status), grand total — via
+    ``spark.sql`` over the registered views (the reference's one raw-SQL
+    entry point, comixcatalog_starter.zip!etl/etl.py:58-67, exercised
+    against Catalyst's parser). One expand+shuffle like rollup/cube;
+    labels coalesced engine-side so no grouping_id bit-layout coupling."""
+    _t(spark, sf_dir, "orders")  # registers the view
+    return spark.sql("""
+        SELECT coalesce(o_orderpriority, '(all)') AS priority,
+               coalesce(o_orderstatus, '(all)') AS status,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """)
+
+
+ORACLE_GROUPING_SETS = """
+SELECT coalesce(o_orderpriority, '(all)') AS priority,
+       coalesce(o_orderstatus, '(all)') AS status,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+# ---------------------------------------------------------------------------
+# §7 r4 — top-k with ties (dense_rank)
+# ---------------------------------------------------------------------------
+
+def q_topk_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 order totals per priority INCLUDING ties — dense_rank, the
+    tie-preserving variant of W2/top1_per_group (row_number drops ties
+    arbitrarily; rank leaves gaps; dense_rank is the 'top 3 values'
+    contract). One shuffle on the partition key."""
+    t = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"))
+    return (t["orders"]
+            .select("o_orderpriority", "o_orderkey", "o_totalprice",
+                    F.dense_rank().over(w).alias("rnk"))
+            .filter(F.col("rnk") <= 3))
+
+
+ORACLE_TOPK_TIES = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# §7 r4 — session-duration percentile profile (composition)
+# ---------------------------------------------------------------------------
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-grain statistics composed over the sessionizer: per-user-
+    session durations and event counts reduced to a one-row percentile
+    profile. The session grain keys on (user_id, session_id) — well
+    spread — and the final reduce sees one row per session."""
+    t = _t(spark, sf_dir, "events")
+    s = R.sessionize(t["events"], "user_id", "ts", gap_minutes=30)
+    per_session = (s.groupBy("user_id", "session_id")
+                   .agg(((F.unix_micros(F.max("ts"))
+                          - F.unix_micros(F.min("ts"))) / 1_000_000.0)
+                        .alias("dur_sec"),
+                        F.count(F.lit(1)).alias("n_events")))
+    return per_session.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.round(F.percentile("dur_sec", 0.5), 6).alias("p50_dur_sec"),
+        F.round(F.percentile("dur_sec", 0.95), 6).alias("p95_dur_sec"),
+        F.round(F.percentile(F.col("n_events").cast("double"), 0.5), 6)
+         .alias("p50_events"),
+        F.max("n_events").cast("long").alias("max_events"))
+
+
+ORACLE_SESSION_STATS = """
+WITH gapped AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gapped
+), per_session AS (
+  SELECT user_id, session_id,
+         (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS dur_sec,
+         count(*) AS n_events
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       round(quantile_cont(dur_sec, 0.5), 6) AS p50_dur_sec,
+       round(quantile_cont(dur_sec, 0.95), 6) AS p95_dur_sec,
+       round(quantile_cont(CAST(n_events AS DOUBLE), 0.5), 6) AS p50_events,
+       CAST(max(n_events) AS BIGINT) AS max_events
+FROM per_session
+"""
+
+
+# ---------------------------------------------------------------------------
+# §7 r4 — skew-safe two-phase aggregation (operators/relational.py::salted_agg)
+# ---------------------------------------------------------------------------
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the 3-value l_returnflag key —
+    the worst-case hot-key shape (every row lands on ≤3 reducers in the
+    naive plan). Sums ride DECIMAL so the salted split is bit-exact;
+    the oracle is the plain GROUP BY, proving salting changes the
+    schedule, never the answer."""
+    t = _t(spark, sf_dir, "lineitem")
+    li = t["lineitem"].select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(18,4)").alias("price_dec"))
+    out = R.salted_agg(li, ["l_returnflag"], "price_dec", salts=16)
+    return out.select("l_returnflag",
+                      F.col("sum_price_dec").cast("double").alias("total_price"),
+                      "n_rows").orderBy("l_returnflag")
+
+
+ORACLE_SALTED_AGG = """
+SELECT l_returnflag,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# §7 r4 — multimodal frame-sampling grid (multimodal/media.py)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: one row per (media, 1s-grid timestamp),
+    duration derived deterministically from doc length (no binary test
+    table). The grid generates JVM-side (sequence/explode) — the decode
+    at each timestamp would be the mapInPandas stage of
+    decode_image_features; output size is Σ duration/step, linear."""
+    from comix_etl_spark.multimodal.media import frame_sample_plan
+
+    t = _t(spark, sf_dir, "documents")
+    media = t["documents"].select(
+        F.col("doc_id").alias("media_id"),
+        F.struct((F.col("n_chars") * 20).cast("long").alias("duration_ms"))
+         .alias("meta"))
+    return frame_sample_plan(media, every_ms=1000)
+
+
+ORACLE_MULTIMODAL_FRAMES = """
+SELECT doc_id AS media_id,
+       unnest(generate_series(0, (n_chars * 20) // 1000)) AS frame_idx,
+       unnest(generate_series(0, (n_chars * 20) // 1000)) * 1000 AS frame_ts_ms
+FROM documents
+"""
+
+
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution in 32-token buckets with ppm share —
+    the sizing histogram a sequence-packing job reads first (pairs with
+    pack_sequences). Same fixed-bucket plan as price_histogram, over the
+    tokenizer output."""
+    from comix_etl_spark.operators.profile import fixed_histogram
+
+    t = _t(spark, sf_dir, "documents")
+    lens = t["documents"].select(
+        text.token_count("text").cast("double").alias("n_tokens"))
+    return fixed_histogram(lens, "n_tokens", width=32.0)
+
+
+ORACLE_TOKEN_HISTOGRAM = """
+WITH lens AS (
+  SELECT CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) END
+           AS n_tokens
+  FROM documents
+), b AS (
+  SELECT CAST(floor(n_tokens / 32.0) AS BIGINT) AS bucket FROM lens
+), counts AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows FROM b GROUP BY bucket
+)
+SELECT bucket, bucket * 32.0 AS lo, (bucket + 1) * 32.0 AS hi, n_rows,
+       CAST(n_rows * 1000000 // (SELECT sum(n_rows) FROM counts) AS BIGINT) AS share_e6
+FROM counts
 """
 
 

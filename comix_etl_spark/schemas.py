@@ -126,15 +126,31 @@ LISTING = T.StructType([
     T.StructField("notes", T.StringType(), True),
 ])
 
-# Raw on-disk shape of the driver's events.parquet. `ts` is parquet
+# Raw on-disk shape of the driver's events.parquet when `ts` is parquet
 # TIMESTAMP(NANOS), which Spark's reader rejects outright unless either
 # (a) spark.sql.legacy.parquet.nanosAsLong is set, or (b) the read is
 # given an explicit schema typing the column as LongType. We rely on (b)
 # so loading works under ANY SparkSession — including ones we didn't
-# build (the correctness driver constructs its own).
+# build (the correctness driver constructs its own). The driver's
+# generator has shipped BOTH nanos and micros revisions of this file, so
+# never assume a unit: session.events_ts_unit() inspects the parquet
+# footer and picks EVENTS_RAW (+ns→µs fix) or EVENTS accordingly.
 EVENTS_RAW = T.StructType([
     T.StructField("event_id", T.LongType()),
     T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long nanos
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+# On-disk shape of the TIMESTAMP(MICROS) revision: parquet stores it
+# NTZ (isAdjustedToUTC=false), so an explicit read schema must say NTZ;
+# loaders cast to TIMESTAMP (LTZ) after the scan — value-preserving
+# under the pinned UTC session timezone.
+EVENTS_NTZ = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampNTZType()),
     T.StructField("user_id", T.LongType()),
     T.StructField("event_type", T.StringType()),
     T.StructField("value", T.DoubleType()),

@@ -61,29 +61,57 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     )
-    # Columns stored as parquet TIMESTAMP(NANOS): Spark's reader throws
-    # PARQUET_TYPE_ILLEGAL on them unless the read supplies an explicit
-    # schema typing the column as LongType (the legacy nanosAsLong conf
-    # would also work, but only on sessions WE build — callers may hand us
-    # any SparkSession, so the explicit schema is the robust path). The
-    # long nanos are converted to microsecond timestamps by integer
-    # division — the same truncation DuckDB applies reading ns parquet.
-    from comix_etl_spark.schemas import EVENTS_RAW
-
-    raw_schemas = {"events": EVENTS_RAW}
-    nanos_columns = {"events": ("ts",)}
+    # events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) (which
+    # Spark's reader throws PARQUET_TYPE_ILLEGAL on without an explicit
+    # LongType schema) and TIMESTAMP(MICROS) (which reads natively) —
+    # the unit is a property of the file, so sniff the footer per sf_dir
+    # instead of assuming either revision.
     out = {}
     for name in names or all_names:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        if name in raw_schemas:
-            df = spark.read.schema(raw_schemas[name]).parquet(path)
+        if name == "events" and events_ts_unit(sf_dir) == "ns":
+            from comix_etl_spark.schemas import EVENTS_RAW
+
+            df = spark.read.schema(EVENTS_RAW).parquet(path)
+            # integer `div` (not double /): ns epoch values exceed
+            # double's 53-bit mantissa and would round incorrectly
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
         else:
             df = spark.read.parquet(path)
-        for c in nanos_columns.get(name, ()):
-            if dict(df.dtypes).get(c) == "bigint":
-                # integer `div` (not double /): ns epoch values exceed
-                # double's 53-bit mantissa and would round incorrectly
-                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+            if name == "events":
+                # micros revision reads as TIMESTAMP_NTZ; operators are
+                # written against TIMESTAMP (unix_micros, windows) — cast
+                # preserves the value under the pinned UTC session tz
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def events_ts_unit(sf_dir: str) -> str:
+    """Unit of events.parquet's `ts` column ('ns' or 'us'), read from the
+    parquet footer (no data scan). Footer-level truth beats guessing: the
+    testdata generator has shipped both revisions, and misreading one as
+    the other shifts every timestamp by 1000×."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    return "ns" if "ns" in str(t) else "us"
+
+
+def events_stream_source(spark: SparkSession, sf_dir: str):
+    """(schema, ts_fix) pair for building a file-source STREAM over the
+    events table — readStream requires an explicit schema, and which
+    schema is correct depends on the file's timestamp unit (see
+    events_ts_unit). ``ts_fix`` is identity for native-timestamp files."""
+    from comix_etl_spark.schemas import EVENTS_NTZ, EVENTS_RAW
+
+    if events_ts_unit(sf_dir) == "ns":
+        def fix(df):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+        return EVENTS_RAW, fix
+
+    def cast_fix(df):
+        # NTZ on disk → LTZ for the operators (value-preserving: UTC session)
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return EVENTS_NTZ, cast_fix
