@@ -3454,29 +3454,32 @@ FROM counts
 # ---------------------------------------------------------------------------
 
 def q_customer_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set-op churn analysis: customers active in 1994 split into
-    'churned' (EXCEPT 1995 actives) and 'retained' (INTERSECT). Spark's
+    """Set-op churn analysis: customers active in 1996 split into
+    'churned' (EXCEPT 1997 actives) and 'retained' (INTERSECT). Spark's
     subtract/intersect lower to distinct + left-anti / left-semi joins —
     two shuffles on the already-deduplicated key sets, never on raw
     orders. Completes SURVEY §2.6's set-op gap (the reference's closest
     analogue is the J4 anti-join-before-insert)."""
     t = _t(spark, sf_dir, "orders")
     o = t["orders"]
-    y94 = (o.filter(F.year("o_orderdate") == 1994)
+    # 1996→1997 verified non-empty on the synthetic orders table
+    # (23 churned / 98 retained at sf0.001) — a 0-row result would make
+    # the oracle check vacuous
+    y96 = (o.filter(F.year("o_orderdate") == 1996)
            .select(F.col("o_custkey").alias("c_custkey")))
-    y95 = (o.filter(F.year("o_orderdate") == 1995)
+    y97 = (o.filter(F.year("o_orderdate") == 1997)
            .select(F.col("o_custkey").alias("c_custkey")))
-    churned = y94.subtract(y95).withColumn("status", F.lit("churned"))
-    retained = y94.intersect(y95).withColumn("status", F.lit("retained"))
+    churned = y96.subtract(y97).withColumn("status", F.lit("churned"))
+    retained = y96.intersect(y97).withColumn("status", F.lit("retained"))
     return churned.unionByName(retained)
 
 
 ORACLE_CUSTOMER_CHURN = """
-WITH y94 AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) = 1994),
-     y95 AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) = 1995)
-SELECT c_custkey, 'churned' AS status FROM (SELECT c_custkey FROM y94 EXCEPT SELECT c_custkey FROM y95)
+WITH y96 AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) = 1996),
+     y97 AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) = 1997)
+SELECT c_custkey, 'churned' AS status FROM (SELECT c_custkey FROM y96 EXCEPT SELECT c_custkey FROM y97)
 UNION ALL
-SELECT c_custkey, 'retained' AS status FROM (SELECT c_custkey FROM y94 INTERSECT SELECT c_custkey FROM y95)
+SELECT c_custkey, 'retained' AS status FROM (SELECT c_custkey FROM y96 INTERSECT SELECT c_custkey FROM y97)
 """
 
 
@@ -4027,31 +4030,78 @@ QUERIES: dict[str, Query] = {
     "stream_enrich": Query(q_stream_enrich, ORACLE_STREAM_ENRICH,
                            "stream-static broadcast enrichment rollup",
                            ("events", "customer")),
+    "percentile_profile": Query(q_percentile_profile, ORACLE_PERCENTILE_PROFILE,
+                                "grouped exact interpolated percentiles",
+                                ("lineitem",)),
+    "corr_matrix": Query(q_corr_matrix, ORACLE_CORR_MATRIX,
+                         "pairwise Pearson correlations, one agg job",
+                         ("lineitem",)),
+    "spend_zscore": Query(q_spend_zscore, ORACLE_SPEND_ZSCORE,
+                          "per-segment z-score outlier screen",
+                          ("orders", "customer")),
+    "price_histogram": Query(q_price_histogram, ORACLE_PRICE_HISTOGRAM,
+                             "fixed-width histogram with ppm shares",
+                             ("orders",)),
+    "customer_churn": Query(q_customer_churn, ORACLE_CUSTOMER_CHURN,
+                            "EXCEPT/INTERSECT year-over-year churn split",
+                            ("orders",)),
+    "event_transitions": Query(q_event_transitions, ORACLE_EVENT_TRANSITIONS,
+                               "Markov event-type transition counts",
+                               ("events",)),
+    "cdc_apply": Query(q_cdc_apply, ORACLE_CDC_APPLY,
+                       "CDC log netting (last-op-wins) + full-outer apply",
+                       ("orders",)),
+    "embedding_dim_stats": Query(q_embedding_dim_stats, ORACLE_EMBEDDING_DIM_STATS,
+                                 "per-dimension embedding moment profile",
+                                 ("embeddings",)),
+    "grouping_sets": Query(q_grouping_sets, ORACLE_GROUPING_SETS,
+                           "explicit GROUPING SETS via the SQL entry point",
+                           ("orders",)),
+    "topk_ties": Query(q_topk_ties, ORACLE_TOPK_TIES,
+                       "dense_rank top-3 per group including ties",
+                       ("orders",)),
+    "session_stats": Query(q_session_stats, ORACLE_SESSION_STATS,
+                           "session-duration percentile profile",
+                           ("events",)),
+    "salted_agg": Query(q_salted_agg, ORACLE_SALTED_AGG,
+                        "two-phase salted aggregation (hot-key safe, exact)",
+                        ("lineitem",)),
+    "multimodal_frames": Query(q_multimodal_frames, ORACLE_MULTIMODAL_FRAMES,
+                               "video frame-sampling grid plan",
+                               ("documents",)),
+    "token_histogram": Query(q_token_histogram, ORACLE_TOKEN_HISTOGRAM,
+                             "document token-length histogram",
+                             ("documents",)),
 }
 
-# Registry ORDER is the driver's correctness-check order, and the r2 run
-# exhausted its budget at entry 50, leaving the tail unchecked. Put the
-# queries with no driver verdict yet (r2's last 11 + everything new this
-# round) FIRST, and the most expensive pair/sketch queries LAST so a
-# budget cut costs re-confirmation of old green rows, not first-time
-# verdicts.
+# Registry ORDER is the driver's correctness-check order, and each round's
+# run covers exactly the FIRST 50 entries (observed r2 and r3). Rotate per
+# round: (1) queries with a FAILED or missing verdict last round, (2) new
+# queries with no verdict ever, (3) the queries whose most recent green
+# verdict is oldest (r2), then everything verified most recently. The
+# expensive pair/sketch queries sit at the very end — a budget cut costs
+# re-confirmation of old green rows, not first-time verdicts.
 _CHECK_FIRST = [
-    # unchecked in CORRECTNESS_r02 (driver stopped at entry 50)
-    "marvel_normalize", "marvel_credits", "rest_paginated", "keyed_lookup",
-    "incremental_refetch", "cover_enrichment", "stream_windowed",
-    "stream_sessionize", "stream_join", "multimodal_metadata", "multimodal_decode",
-    # new in r3
-    "chunk_documents", "tfidf_top_terms", "pii_scrub", "snapshot_diff",
-    "issue_sort_numeric", "dedup_clusters_lsh", "repetition_stats",
-    "stream_dedup", "quantize_embeddings", "corpus_top_terms",
-    "retention_cohorts", "group_sample", "ann_quantized", "sales_cube",
-    "approx_cardinality", "scd2_orders", "incremental_rollup",
-    "shipping_priority", "gap_fill", "decile_buckets", "dict_encode",
-    "winsorize", "lang_balance", "decontaminate", "rolling_dau", "key_skew",
-    "pagerank", "pack_sequences", "dedup_spans", "balance_corpus",
-    "market_share", "bloom_join", "kmeans_clusters",
-    "table_fingerprint", "forward_fill", "unpivot_measures", "fuzzy_match",
-    "stream_enrich",
+    # failed in CORRECTNESS_r03 (array column broke the canonicalizer —
+    # output schema fixed this round)
+    "quantize_embeddings",
+    # new in r4 — no driver verdict yet
+    "percentile_profile", "corr_matrix", "spend_zscore", "price_histogram",
+    "customer_churn", "event_transitions", "cdc_apply", "embedding_dim_stats",
+    "grouping_sets", "topk_ties", "session_stats", "salted_agg",
+    "multimodal_frames", "token_histogram",
+    # last checked in r2 (r3's run spent its 50 slots on the r3 batch);
+    # events-table queries lead — the testdata's ts unit changed this
+    # round and these prove the dual-unit loader under the driver
+    "events_json", "sessionize", "funnel", "asof_join", "moving_average",
+    "event_pivot", "stats_topk", "search_substring", "keyed_scan",
+    "orphan_count", "quality_metrics", "top_customer_per_nation",
+    "order_sequence", "segment_totals", "relevance_search", "prefix_crawl",
+    "insert_if_absent", "upsert_selective", "bridge_upsert",
+    "backfill_if_null", "duplicate_keys", "money_cents", "monthly_buckets",
+    "token_overlap", "variant_flag", "clean_coalesce", "lexicographic_sort",
+    "bridge_roles", "semi_join", "price_outliers", "above_nation_avg",
+    "pricing_summary", "sales_rollup", "range_join", "dedup_exact",
 ]
 _CHECK_LAST = ["minhash_lsh", "simhash_pairs", "ngram_jaccard", "dedup_clusters"]
 QUERIES = {
