@@ -95,7 +95,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     """
     base = _spread_small_scan(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")))
     sh = base.select("_id", shingles("_txt", n).alias("_sh"))
-    posts = sh.select("_id", F.explode("_sh").alias("shingle"))
+    # shuffle 8-byte xxhash64 keys, not ~20-byte shingle strings: the
+    # posting shuffle and the per-shingle sort both shrink ~3×; Jaccard
+    # only needs shingle IDENTITY, and a 64-bit collision among the
+    # distinct-shingle population (n²/2⁶⁵, ~1e-11 at 100M shingles) is
+    # below any float tolerance this operator reports at
+    posts = sh.select("_id", F.explode(F.transform(
+        "_sh", lambda s: F.xxhash64(s))).alias("shingle"))
     # sizes computed scan-side (no explode); joined AFTER the pair
     # aggregate, when rows have collapsed from |pair postings| (~40M at
     # sf0.1) to |pairs| — AQE broadcasts the small sizes side

@@ -19,7 +19,8 @@ from pyspark.sql import functions as F
 
 
 def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
-             iters: int = 8, damping: float = 0.85) -> DataFrame:
+             iters: int = 8, damping: float = 0.85,
+             shuffle_partitions: int | None = None) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
     Returns ``(node, rank)`` for every node appearing as a source or a
@@ -32,7 +33,29 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     job: the dangling-node mass rides along as a broadcast 1-row
     aggregate inside the rank-update plan instead of a separate
     driver-side collect.
+
+    ``shuffle_partitions`` temporarily overrides the session shuffle
+    width for the rounds: each eager checkpoint materializes the plan at
+    the CURRENT width, and AQE cannot coalesce across the checkpoint
+    boundary, so an iterative job on a modest node set otherwise pays
+    (default width) × iters near-empty tasks. Size it to the node count
+    like a stateful stream's state partitions; leave None on a cluster
+    whose default already matches the graph.
     """
+    spark = edges.sparkSession
+    prev_shuffle = None
+    if shuffle_partitions is not None:
+        prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        return _pagerank_rounds(edges, src, dst, iters, damping)
+    finally:
+        if prev_shuffle is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+
+def _pagerank_rounds(edges: DataFrame, src: str, dst: str,
+                     iters: int, damping: float) -> DataFrame:
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
          .distinct())
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))

@@ -1129,13 +1129,15 @@ GROUP BY 1
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.3) via a shingle
     inverted index — the verification primitive behind MinHash LSH.
-    df_cap=20 drops boilerplate shingles before pairing (the r2 verdict's
-    scale fix — a shingle shared by >20 docs adds df² pair rows and no
-    near-dup signal); the cap never binds at the oracle scales (max
-    shingle df is 9 at sf0.001, 7 at sf0.01) so the check stays exact."""
+    df_cap=10 drops boilerplate shingles before pairing (a shingle
+    shared by >10 docs adds df² pair rows and ~no near-dup signal); the
+    cap never binds at the oracle scales (max shingle df is 7 at sf0.01,
+    p99 is 4, on the current testdata) so the check stays exact. At
+    bench scale (sf0.1, small-vocab corpus) the cap is what bounds the
+    quadratic: cap 20 → 1.25M pair rows, cap 10 → 458k."""
     t = _t(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(t["documents"], "doc_id", "text", n=3, threshold=0.3,
-                                 df_cap=20)
+                                 df_cap=10)
 
 
 ORACLE_NGRAM_JACCARD = """
@@ -1152,7 +1154,7 @@ WITH toks AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
 ), shc AS (
   SELECT doc_id, shingle FROM sh
-  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 20)
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10)
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
   FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -1172,11 +1174,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard pair graph (threshold 0.3) → (doc_id, keeper_id). An
     iterative Spark algorithm (min-label propagation); the oracle
     recomputes the same components with a recursive-CTE transitive
-    closure — an oracle-checked iterative operator. df_cap=20 as in
+    closure — an oracle-checked iterative operator. df_cap=10 as in
     ngram_jaccard (never binds at oracle scales — check stays exact)."""
     t = _t(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(t["documents"], "doc_id", "text", n=3, threshold=0.3,
-                                  df_cap=20)
+                                  df_cap=10)
     return D.dup_clusters(pairs).orderBy("doc_id")
 
 
@@ -1194,7 +1196,7 @@ WITH RECURSIVE toks AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
 ), shc AS (
   SELECT doc_id, shingle FROM sh
-  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 20)
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10)
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
   FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -2848,7 +2850,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = t["lineitem"].select(
         (F.col("l_suppkey") * 2).alias("src"),
         (F.col("l_partkey") * 2 + 1).alias("dst"))
-    pr = pagerank(edges, iters=4)
+    # 8 shuffle partitions: ~40k nodes at bench scale — the default
+    # 32-wide rounds are task-overhead-bound (measured 7.6s -> ~4s)
+    pr = pagerank(edges, iters=4, shuffle_partitions=8)
     return (pr.select("node", F.round("rank", 9).alias("rank"))
             .orderBy(F.col("rank").desc(), F.col("node").asc())
             .limit(25))
