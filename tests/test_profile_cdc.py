@@ -1,0 +1,150 @@
+"""Unit tests for the r4 operators: statistical profiling
+(operators/profile.py), CDC changelog apply (operators/merge.py), and
+salted two-phase aggregation (operators/relational.py).
+
+The registry parity tests already diff these against DuckDB end-to-end;
+the tests here pin the algebraic properties the oracles can't express:
+diff/apply round-trip, salted == unsalted, planted-outlier detection,
+and bucket-boundary semantics.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from comix_etl_spark.operators.merge import apply_changelog, snapshot_diff
+from comix_etl_spark.operators.profile import (
+    corr_matrix,
+    fixed_histogram,
+    grouped_percentiles,
+    zscore_outliers,
+)
+from comix_etl_spark.operators.relational import salted_agg
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# apply_changelog
+# ---------------------------------------------------------------------------
+
+def test_apply_changelog_roundtrips_snapshot_diff(spark):
+    """apply_changelog(old, diff(old, new)) == new — the pair of CDC
+    operators must be mutually inverse."""
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k int, s string, v double")
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),          # unchanged
+         (2, "B", 25.0),          # updated
+         (4, "d", 40.0)],         # inserted; 3 deleted
+        "k int, s string, v double")
+    diff = snapshot_diff(old, new, ["k"], ["s", "v"])
+    log = diff.select(
+        "k", F.lit(1).alias("seq"), "op",
+        F.col("new_s").alias("s"), F.col("new_v").alias("v"))
+    applied = apply_changelog(old, log, ["k"], ["s", "v"])
+    assert _rows(applied) == _rows(new)
+
+
+def test_apply_changelog_last_op_wins(spark):
+    """A later DELETE must beat an earlier UPDATE for the same key, and
+    ops on distinct keys must not interfere."""
+    snap = spark.createDataFrame([(1, 100.0), (2, 200.0)], "k int, v double")
+    log = spark.createDataFrame(
+        [(1, 1, "U", 111.0),
+         (1, 2, "D", None),      # terminal: key 1 gone
+         (2, 1, "U", 222.0),
+         (3, 1, "I", 333.0)],
+        "k int, seq int, op string, v double")
+    out = _rows(apply_changelog(snap, log, ["k"], ["v"]))
+    assert out == [(2, 222.0), (3, 333.0)]
+
+
+def test_apply_changelog_empty_log_is_identity(spark):
+    snap = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, v double")
+    log = spark.createDataFrame([], "k int, seq int, op string, v double")
+    assert _rows(apply_changelog(snap, log, ["k"], ["v"])) == _rows(snap)
+
+
+# ---------------------------------------------------------------------------
+# salted_agg
+# ---------------------------------------------------------------------------
+
+def test_salted_agg_equals_plain_groupby(spark):
+    """Two-phase salted aggregation must be exactly the plain GROUP BY —
+    on a deliberately hot-keyed frame, with decimal measures so float
+    ordering can't blur the comparison."""
+    rows = [("hot", i) for i in range(5000)] + [("cold", i) for i in range(7)]
+    df = (spark.createDataFrame(rows, "k string, v long")
+          .select("k", F.col("v").cast("decimal(18,4)").alias("v")))
+    salted = salted_agg(df, ["k"], "v", salts=16)
+    plain = df.groupBy("k").agg(F.sum("v").alias("sum_v"),
+                                F.count(F.lit(1)).cast("long").alias("n_rows"))
+    assert _rows(salted) == _rows(plain)
+
+
+# ---------------------------------------------------------------------------
+# zscore_outliers
+# ---------------------------------------------------------------------------
+
+def test_zscore_flags_planted_outlier(spark):
+    """One planted far-out value must be the only row flagged."""
+    rows = [("g", float(v)) for v in [10, 11, 9, 10, 12, 10, 9, 11, 10, 1000]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = zscore_outliers(df, "g", "v", z_threshold=2.0).collect()
+    assert len(out) == 1 and out[0]["v"] == 1000.0 and out[0]["zscore"] > 2.0
+
+
+def test_zscore_zero_variance_group_emits_nothing(spark):
+    df = spark.createDataFrame([("g", 5.0)] * 4, "g string, v double")
+    assert zscore_outliers(df, "g", "v", z_threshold=1.0).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# fixed_histogram
+# ---------------------------------------------------------------------------
+
+def test_fixed_histogram_boundaries_and_shares(spark):
+    """Values on a bucket edge belong to the HIGHER bucket (floor
+    semantics); negatives land in negative buckets; shares sum ≈ 1e6."""
+    df = spark.createDataFrame(
+        [(x,) for x in [-0.5, 0.0, 9.99, 10.0, 19.99, 25.0]], "v double")
+    got = {r["bucket"]: (r["n_rows"], r["lo"], r["hi"])
+           for r in fixed_histogram(df, "v", width=10.0).collect()}
+    assert got[-1][0] == 1          # -0.5 → bucket -1
+    assert got[0] == (2, 0.0, 10.0)  # 0.0 and 9.99
+    assert got[1][0] == 2           # 10.0 (edge → up) and 19.99
+    assert got[2][0] == 1           # 25.0
+    total_share = sum(r["share_e6"] for r in fixed_histogram(df, "v", width=10.0).collect())
+    assert 1_000_000 - 4 <= total_share <= 1_000_000  # integer-div rounding
+
+
+# ---------------------------------------------------------------------------
+# grouped_percentiles / corr_matrix
+# ---------------------------------------------------------------------------
+
+def test_grouped_percentiles_interpolation(spark):
+    """percentile_cont semantics: p50 of [1,2,3,4] is 2.5 (interpolated),
+    p25 is 1.75."""
+    df = spark.createDataFrame([("g", float(v)) for v in (1, 2, 3, 4)],
+                               "g string, v double")
+    row = grouped_percentiles(df, "g", "v", probs=(0.25, 0.5)).collect()[0]
+    assert row["p25"] == pytest.approx(1.75)
+    assert row["p50"] == pytest.approx(2.5)
+    assert row["n_rows"] == 4
+
+
+def test_corr_matrix_matches_numpy(spark):
+    import numpy as np
+
+    rng = [(float(i), float(2 * i + 1), float((-1) ** i * i)) for i in range(50)]
+    df = spark.createDataFrame(rng, "a double, b double, c double")
+    got = {(r["col_a"], r["col_b"]): r["corr"] for r in corr_matrix(df, ["a", "b", "c"]).collect()}
+    m = np.corrcoef(np.array(rng).T)
+    assert got[("a", "b")] == pytest.approx(round(m[0, 1], 4))
+    assert got[("a", "c")] == pytest.approx(round(m[0, 2], 4))
+    assert got[("b", "c")] == pytest.approx(round(m[1, 2], 4))
