@@ -30,12 +30,22 @@ def main() -> None:
     for df in tables.values():
         df.count()
 
+    import gc
+
     per_query: dict[str, float] = {}
     for name, q in QUERIES.items():
         t0 = time.perf_counter()
         df = q.builder(spark, sf_dir)
         df.count()
         per_query[name] = round(time.perf_counter() - t0, 4)
+        # drop the plan reference and collect promptly: iterative
+        # operators leave localCheckpoint RDD blocks behind, and the
+        # JVM ContextCleaner can only unpersist them once the Python
+        # side releases its handles — otherwise dead checkpoint blocks
+        # accumulate across the 100+ queries and squeeze execution
+        # memory for the late ones
+        del df
+        gc.collect()
 
     total = round(sum(per_query.values()), 4)
     print(json.dumps({

@@ -271,3 +271,45 @@ def contamination_check(corpus: DataFrame, benchmark: DataFrame, *,
                     F.col("n_grams").cast("long"),
                     # integer div, not float /: bit-identical across engines
                     F.expr("n_hits * 1000000L div n_grams").alias("contam_e6")))
+
+
+def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-trained bigram language-model score per document — the
+    perplexity-style quality filter of CCNet/CC-100 style pipelines
+    (Wenzek et al. 2020), with the LM trained on the corpus itself.
+
+    Per document: ``lm_score_e6`` = mean over its bigram occurrences of
+    P(w2 | w1) expressed in ppm, where P = count(bigram)/count(prefix
+    unigram as a bigram prefix) over the whole corpus. Integer ppm per
+    bigram (``*1e6 div``) then an integer mean keeps the score
+    bit-identical across engines — the real pipeline would use mean log
+    prob; the ranking it induces (garbage ≈ unseen transitions → low
+    score) is the same and the plan shape identical.
+
+    Scale shape: one (doc, bigram) explode feeds BOTH the corpus model
+    (two aggregates at bigram/prefix grain — Zipf-hot keys collapse
+    map-side) and the per-doc mean; the model tables join back on the
+    bigram key. A 100 TB corpus trains and scores in 3 shuffles, no
+    driver-side state; to score against a FROZEN reference LM, persist
+    the two model tables and broadcast-join them instead.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    w = n - 1
+    grams = F.zip_with(F.slice(toks, 1, w), F.slice(toks, 2, w),
+                       lambda a, b: F.concat(a, F.lit(" "), b))
+    empty = F.array().cast("array<string>")
+    bg = (df.select(F.col(id_col),
+                    F.explode(F.when(n >= 2, grams).otherwise(empty))
+                    .alias("bigram"))
+          .withColumn("prefix", F.substring_index("bigram", " ", 1)))
+    bigram_counts = bg.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("_nbg"))
+    prefix_counts = bg.groupBy("prefix").agg(
+        F.count(F.lit(1)).alias("_npre"))
+    scored = (bg.join(bigram_counts, "bigram")
+              .join(prefix_counts, "prefix")
+              .withColumn("p_e6", F.expr("_nbg * 1000000L div _npre")))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                 F.expr("sum(p_e6) div count(1)").alias("lm_score_e6")))

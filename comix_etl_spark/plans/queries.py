@@ -3819,6 +3819,78 @@ FROM counts
 """
 
 
+# ---------------------------------------------------------------------------
+# §7 r4b — corpus-LM quality scoring + correlated-aggregate filtering
+# ---------------------------------------------------------------------------
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score per document (CCNet-style
+    perplexity filter, operators/textstats.py::bigram_lm_scores) — the
+    LM trains on the corpus inside the same plan; integer ppm math keeps
+    both engines bit-identical. Top-100 lowest-scoring docs (the ones a
+    quality gate would drop), deterministic tie-break."""
+    from comix_etl_spark.operators.textstats import bigram_lm_scores
+
+    t = _t(spark, sf_dir, "documents")
+    s = bigram_lm_scores(t["documents"], "doc_id", "text")
+    return s.orderBy(F.asc("lm_score_e6"), F.asc("doc_id")).limit(100)
+
+
+ORACLE_LM_SCORE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks WHERE len(t) >= 2
+), bgp AS (
+  SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS prefix FROM bg
+), bc AS (SELECT bigram, count(*) AS nbg FROM bgp GROUP BY bigram),
+pc AS (SELECT prefix, count(*) AS npre FROM bgp GROUP BY prefix)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(nbg * 1000000 // npre) // count(*) AS BIGINT) AS lm_score_e6
+FROM bgp JOIN bc USING (bigram) JOIN pc USING (prefix)
+GROUP BY doc_id
+ORDER BY lm_score_e6 ASC, doc_id ASC
+LIMIT 100
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked up in small-quantity lineitems —
+    lines with quantity below 50% of their part's average. The
+    correlated scalar subquery decorrelates to a per-part aggregate
+    broadcast back onto the fact scan: one shuffle for the per-part
+    averages (20k rows), zero extra shuffle of lineitem. Averages ride
+    DECIMAL so the comparison threshold is partitioning-independent."""
+    t = _t(spark, sf_dir, "lineitem")
+    li = t["lineitem"]
+    per_part = (li.groupBy("l_partkey")
+                .agg((F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+                      / F.count(F.lit(1))).alias("_avg_qty")))
+    return (li.join(F.broadcast(per_part), "l_partkey")
+            .filter(F.col("l_quantity").cast("decimal(18,4)")
+                    < F.col("_avg_qty") * F.lit(0.5))
+            .agg((F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+                  .cast("double") / F.lit(7.0)).alias("avg_yearly"),
+                 F.count(F.lit(1)).cast("long").alias("n_lines")))
+
+
+ORACLE_SMALL_QTY_REVENUE = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(l_quantity AS DECIMAL(18,4))) / count(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN per_part USING (l_partkey)
+WHERE CAST(l_quantity AS DECIMAL(18,4)) < avg_qty * 0.5
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -4076,6 +4148,12 @@ QUERIES: dict[str, Query] = {
     "token_histogram": Query(q_token_histogram, ORACLE_TOKEN_HISTOGRAM,
                              "document token-length histogram",
                              ("documents",)),
+    "lm_score": Query(q_lm_score, ORACLE_LM_SCORE,
+                      "corpus-trained bigram LM quality score (CCNet-style)",
+                      ("documents",)),
+    "small_qty_revenue": Query(q_small_qty_revenue, ORACLE_SMALL_QTY_REVENUE,
+                               "TPC-H Q17 correlated-aggregate filter",
+                               ("lineitem",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -4093,7 +4171,7 @@ _CHECK_FIRST = [
     "percentile_profile", "corr_matrix", "spend_zscore", "price_histogram",
     "customer_churn", "event_transitions", "cdc_apply", "embedding_dim_stats",
     "grouping_sets", "topk_ties", "session_stats", "salted_agg",
-    "multimodal_frames", "token_histogram",
+    "multimodal_frames", "token_histogram", "lm_score", "small_qty_revenue",
     # last checked in r2 (r3's run spent its 50 slots on the r3 batch);
     # events-table queries lead — the testdata's ts unit changed this
     # round and these prove the dual-unit loader under the driver
@@ -4105,7 +4183,7 @@ _CHECK_FIRST = [
     "backfill_if_null", "duplicate_keys", "money_cents", "monthly_buckets",
     "token_overlap", "variant_flag", "clean_coalesce", "lexicographic_sort",
     "bridge_roles", "semi_join", "price_outliers", "above_nation_avg",
-    "pricing_summary", "sales_rollup", "range_join", "dedup_exact",
+    "pricing_summary", "sales_rollup",
 ]
 _CHECK_LAST = ["minhash_lsh", "simhash_pairs", "ngram_jaccard", "dedup_clusters"]
 QUERIES = {

@@ -22,11 +22,18 @@ from comix_etl_spark.plans.queries import QUERIES
 SCAN_LOCAL = [
     "token_counts", "doc_fingerprint", "pii_scrub", "doc_quality",
     "chunk_documents", "search_substring",
+    # r4: int8 quantization and the frame grid are pure array expressions
+    "quantize_embeddings", "multimodal_frames",
 ]
 
 # Queries whose dimension join must be a broadcast (fact side never
 # shuffles on the join key).
-BROADCAST_DIM = ["stats_topk", "segment_totals", "semi_join"]
+BROADCAST_DIM = [
+    "stats_topk", "segment_totals", "semi_join",
+    # r4: the per-group moment/average tables must broadcast back onto
+    # the fact scan — a sort-merge here would shuffle the fact side
+    "spend_zscore", "small_qty_revenue",
+]
 
 
 def _plan(df) -> str:
