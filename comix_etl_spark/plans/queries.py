@@ -3891,6 +3891,98 @@ WHERE CAST(l_quantity AS DECIMAL(18,4)) < avg_qty * 0.5
 """
 
 
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations suite over orders in ONE scan
+    (operators/quality.py::constraint_report): NOT NULL columns, natural
+    -key uniqueness, domain and range checks — the generalization of the
+    reference's two hand-written quality probes
+    (comixcatalog_starter.zip!etl/etl.py:47-54)."""
+    t = _t(spark, sf_dir, "orders")
+    return Q.constraint_report(
+        t["orders"],
+        not_null=("o_custkey", "o_orderdate"),
+        unique=(("o_orderkey",),),
+        checks=(
+            ("totalprice_positive", F.col("o_totalprice") > 0),
+            ("status_domain", F.col("o_orderstatus").isin("O", "F", "P")),
+            ("totalprice_under_400k", F.col("o_totalprice") < 400000),
+        ))
+
+
+ORACLE_CONSTRAINT_AUDIT = """
+WITH agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+         CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v3,
+         CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v4,
+         CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS BIGINT) AS v5,
+         CAST(sum(CASE WHEN o_totalprice < 400000 THEN 0 ELSE 1 END) AS BIGINT) AS v6
+  FROM orders
+)
+SELECT 'not_null:o_custkey' AS constraint, v1 AS n_violations, n_rows FROM agg
+UNION ALL SELECT 'not_null:o_orderdate', v2, n_rows FROM agg
+UNION ALL SELECT 'unique:o_orderkey', v3, n_rows FROM agg
+UNION ALL SELECT 'check:totalprice_positive', v4, n_rows FROM agg
+UNION ALL SELECT 'check:status_domain', v5, n_rows FROM agg
+UNION ALL SELECT 'check:totalprice_under_400k', v6, n_rows FROM agg
+"""
+
+
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in SESSION WINDOWS (F.session_window, 30-min gap) as a real
+    streaming aggregation — the engine-native sibling of the custom
+    applyInPandasWithState sessionizer (stream_sessionize): same gap
+    semantics, state managed by the session-window operator instead of
+    user code. Oracle = the batch lag+cumsum construction at session
+    grain; a session's start is its min event time on both paths."""
+    from comix_etl_spark.session import events_stream_source
+    from comix_etl_spark.streaming.windowed import (
+        run_stream_to_memory, stream_shuffle_partitions)
+
+    raw_schema, ts_fix = events_stream_source(spark, sf_dir)
+
+    def agg(ev: DataFrame) -> DataFrame:
+        return (ev.withWatermark("ts", "2 hours")
+                .groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                         "user_id")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+                      .alias("sum_value"))
+                .select("user_id",
+                        F.col("w.start").cast("timestamp").alias("session_start"),
+                        "n_events", "sum_value"))
+
+    with stream_shuffle_partitions(spark, 8):
+        out = run_stream_to_memory(
+            spark, sf_dir, raw_schema, agg,
+            query_name="q_stream_session_window", glob="events.parquet",
+            ts_fix=ts_fix)
+    return out
+
+
+ORACLE_STREAM_SESSION_WINDOW = """
+WITH gapped AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gapped
+)
+SELECT user_id,
+       make_timestamp(min(epoch_us(ts))) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -4154,6 +4246,12 @@ QUERIES: dict[str, Query] = {
     "small_qty_revenue": Query(q_small_qty_revenue, ORACLE_SMALL_QTY_REVENUE,
                                "TPC-H Q17 correlated-aggregate filter",
                                ("lineitem",)),
+    "constraint_audit": Query(q_constraint_audit, ORACLE_CONSTRAINT_AUDIT,
+                              "one-pass declarative expectations report",
+                              ("orders",)),
+    "stream_session_window": Query(q_stream_session_window, ORACLE_STREAM_SESSION_WINDOW,
+                                   "built-in session windows, real stream run",
+                                   ("events",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -4172,6 +4270,7 @@ _CHECK_FIRST = [
     "customer_churn", "event_transitions", "cdc_apply", "embedding_dim_stats",
     "grouping_sets", "topk_ties", "session_stats", "salted_agg",
     "multimodal_frames", "token_histogram", "lm_score", "small_qty_revenue",
+    "constraint_audit", "stream_session_window",
     # last checked in r2 (r3's run spent its 50 slots on the r3 batch);
     # events-table queries lead — the testdata's ts unit changed this
     # round and these prove the dual-unit loader under the driver
@@ -4183,7 +4282,7 @@ _CHECK_FIRST = [
     "backfill_if_null", "duplicate_keys", "money_cents", "monthly_buckets",
     "token_overlap", "variant_flag", "clean_coalesce", "lexicographic_sort",
     "bridge_roles", "semi_join", "price_outliers", "above_nation_avg",
-    "pricing_summary", "sales_rollup",
+    "pricing_summary",
 ]
 _CHECK_LAST = ["minhash_lsh", "simhash_pairs", "ngram_jaccard", "dedup_clusters"]
 QUERIES = {

@@ -148,3 +148,22 @@ def test_corr_matrix_matches_numpy(spark):
     assert got[("a", "b")] == pytest.approx(round(m[0, 1], 4))
     assert got[("a", "c")] == pytest.approx(round(m[0, 2], 4))
     assert got[("b", "c")] == pytest.approx(round(m[1, 2], 4))
+
+
+# ---------------------------------------------------------------------------
+# constraint_report
+# ---------------------------------------------------------------------------
+
+def test_constraint_report_counts_planted_violations(spark):
+    from comix_etl_spark.operators.quality import constraint_report
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", -5.0), (2, None, 3.0), (3, "c", None)],
+        "k int, s string, v double")
+    rep = {r["constraint"]: (r["n_violations"], r["n_rows"])
+           for r in constraint_report(
+               df, not_null=("s",), unique=(("k",),),
+               checks=(("v_positive", F.col("v") > 0),)).collect()}
+    assert rep["not_null:s"] == (1, 4)
+    assert rep["unique:k"] == (1, 4)       # two k=1 rows
+    assert rep["check:v_positive"] == (2, 4)  # -5 fails, NULL fails
