@@ -277,3 +277,150 @@ def kmeans_fit(corpus: DataFrame, *, vec_col: str = "embedding", k: int = 8,
     assigned = assign_ivf_centroid(corpus, centers, vec_col=vec_col,
                                    out_col="cluster_id")
     return centers, assigned
+
+
+def train_pq_codebooks(corpus: DataFrame, *, vec_col: str = "embedding",
+                       m: int = 8, k: int = 16, sample_rows: int = 4096,
+                       iters: int = 10, seed: int = 42):
+    """Product-quantization codebooks (Jégou et al. 2011, public): the
+    vector splits into ``m`` subspaces and each subspace gets its own
+    ``k``-centroid quantizer, so a D-float vector compresses to m small
+    codes (m bytes at k ≤ 256) — 32× beyond int8, the standard
+    billion-vector memory layout.
+
+    Training is per-subspace Lloyd on the SAME bounded driver sample
+    contract as train_ivf_centroids (sample_rows × D floats, a few MB at
+    any corpus size). Vectors are L2-normalized first so PQ inner
+    product approximates cosine. Returns (m, k, D/m) float64."""
+    rows = (corpus.select(vec_col).limit(sample_rows)).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    x = x[norms > 0] / norms[norms > 0][:, None]
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, sub), dtype=np.float64)
+    for j in range(m):
+        xj = x[:, j * sub:(j + 1) * sub]
+        centers = xj[rng.choice(len(xj), size=min(k, len(xj)), replace=False)]
+        for _ in range(iters):
+            d = ((xj[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(len(centers)):
+                msk = assign == c
+                if msk.any():
+                    centers[c] = xj[msk].mean(axis=0)
+        books[j, :len(centers)] = centers
+    return books
+
+
+def pq_encode(df: DataFrame, codebooks, *, vec_col: str = "embedding",
+              out_col: str = "pq_code") -> DataFrame:
+    """Scan-local PQ encoding: per Arrow batch, one argmin against each
+    subspace codebook (vectorized ‖x−c‖² via the dot-product identity —
+    no per-row Python). Output is array<int> of length m; at rest this
+    is the m-byte-per-vector layout PQ exists for."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, k, sub = books.shape
+
+    @pandas_udf("array<int>")
+    def _enc(v: pd.Series) -> pd.Series:
+        x = np.vstack(v.to_numpy()).astype(np.float64)
+        n = np.linalg.norm(x, axis=1)
+        n[n == 0] = 1.0
+        x = x / n[:, None]
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            xj = x[:, j * sub:(j + 1) * sub]
+            ct = books[j].T                       # sub × k
+            half = (ct * ct).sum(axis=0) / 2.0
+            codes[:, j] = (xj @ ct - half).argmax(axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(out_col, _enc(F.col(vec_col)))
+
+
+def pq_topk(corpus: DataFrame, query: DataFrame, *, codebooks=None,
+            id_col: str = "vec_id", vec_col: str = "embedding", k: int = 10,
+            m: int = 8, n_codes: int = 16, rerank: int = 50, seed: int = 42,
+            query_id_col: str = "query_id") -> DataFrame:
+    """PQ approximate cosine top-k with asymmetric distance (ADC) and
+    exact re-rank — the memory-bandwidth ANN scale path: the scan reads
+    m-byte codes instead of D floats, scores are m table lookups.
+
+    Plan shape: codebooks + per-query lookup tables (m × k inner
+    products per query, built driver-side from the tiny query set)
+    broadcast to every task; a single mapInPandas pass over the encoded
+    corpus emits only each Arrow batch's local top-``rerank`` per query
+    (bounded output — the (corpus × queries) score matrix never
+    materializes); a per-query window takes the global top-``rerank``;
+    exact cosine re-ranks those candidates to the final k. The corpus
+    never shuffles — only candidate rows move."""
+    from pyspark.sql import Window
+
+    from comix_etl_spark.functions.vector import cosine
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(corpus, vec_col=vec_col, m=m,
+                                       k=n_codes, seed=seed)
+    books = np.asarray(codebooks, dtype=np.float64)
+    mm, kk, sub = books.shape
+
+    q = (query.withColumnRenamed(id_col, query_id_col)
+         if query_id_col not in query.columns else query)
+    qrows = q.select(query_id_col, vec_col).collect()  # tiny by contract
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qx = np.array([r[1] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qx, axis=1)
+    qn[qn == 0] = 1.0
+    qx = qx / qn[:, None]
+    # ADC LUTs: lut[q, j, c] = <query_sub_j, centroid_jc>
+    luts = np.einsum("qjs,jcs->qjc", qx.reshape(len(qx), mm, sub), books)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((qids, luts))
+
+    encoded = pq_encode(corpus, books, vec_col=vec_col)
+
+    def score_batches(batches):
+        ids_b, luts_b = bc.value
+        nq = len(ids_b)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.vstack(pdf["pq_code"].to_numpy()).astype(np.int64)  # n × m
+            cids = pdf["_cid"].to_numpy()
+            # scores[n, q] = Σ_j lut[q, j, codes[n, j]]
+            scores = np.zeros((len(codes), nq), dtype=np.float64)
+            for qi in range(nq):
+                scores[:, qi] = np.take_along_axis(
+                    luts_b[qi], codes.T, axis=1).sum(axis=0)
+            out = []
+            top = min(rerank, len(codes))
+            for qi in range(nq):
+                idx = np.argpartition(-scores[:, qi], top - 1)[:top]
+                out.append(pd.DataFrame({
+                    "query_id": ids_b[qi],
+                    "_cid": cids[idx],
+                    "adc_score": scores[idx, qi],
+                }))
+            yield pd.concat(out, ignore_index=True)
+
+    batch_top = (encoded.select(F.col(id_col).alias("_cid"), "pq_code")
+                 .mapInPandas(score_batches,
+                              schema="query_id long, _cid long, adc_score double"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc("_cid"))
+    cand = (batch_top.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= rerank).drop("_rn", "adc_score"))
+    # exact re-rank of candidates only
+    cv = corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"))
+    qv = spark.createDataFrame(
+        [(int(r[0]), list(map(float, r[1]))) for r in qrows],
+        f"query_id long, _qv array<double>")
+    scored = (cand.join(cv, "_cid").join(F.broadcast(qv), "query_id")
+              .select("query_id", F.col("_cid").alias(id_col),
+                      F.round(cosine("_cv", "_qv"), 6).alias("cosine_sim")))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (scored.withColumn("_rn", F.row_number().over(w2))
+            .filter(F.col("_rn") <= k).drop("_rn"))

@@ -167,3 +167,27 @@ def test_constraint_report_counts_planted_violations(spark):
     assert rep["not_null:s"] == (1, 4)
     assert rep["unique:k"] == (1, 4)       # two k=1 rows
     assert rep["check:v_positive"] == (2, 4)  # -5 fails, NULL fails
+
+
+# ---------------------------------------------------------------------------
+# approx percentiles error bound
+# ---------------------------------------------------------------------------
+
+def test_approx_percentile_within_accuracy_bound(spark, sf_small):
+    """percentile_approx(accuracy=1000) must land within 2/1000 of the
+    group's rank range of the exact percentile (2x the documented GK
+    bound — merges across partitions can consume the whole budget)."""
+    from comix_etl_spark.session import load_tables
+
+    li = load_tables(spark, sf_small, ("lineitem",))["lineitem"]
+    joined = (
+        li.groupBy("l_returnflag")
+        .agg(F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx"),
+             F.percentile("l_extendedprice", 0.5).alias("exact"),
+             F.expr("percentile(l_extendedprice, 0.502)").alias("hi"),
+             F.expr("percentile(l_extendedprice, 0.498)").alias("lo"))
+        .collect())
+    for r in joined:
+        assert r["lo"] <= r["approx"] <= r["hi"], (
+            f"{r['l_returnflag']}: approx {r['approx']} outside "
+            f"[{r['lo']}, {r['hi']}] around exact {r['exact']}")

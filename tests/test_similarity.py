@@ -125,3 +125,39 @@ def test_quantized_topk_recall_vs_float_baseline(spark, sf_small):
     for qid in e:
         recall = len(e[qid] & q[qid]) / 10
         assert recall >= 0.8, f"query {qid}: recall {recall}"
+
+
+def test_pq_topk_recall_vs_brute_force(spark, sf_small):
+    """PQ(m=8, k=16) + ADC + rerank=100 must recover most of the exact
+    top-10 on the seeded corpus (random vectors are PQ's worst case —
+    0.6 is a conservative floor; structured embeddings do far better)."""
+    from pyspark.sql import functions as F
+
+    from comix_etl_spark.operators.similarity import brute_force_topk, pq_topk
+    from comix_etl_spark.session import load_tables
+
+    emb = load_tables(spark, sf_small, ("embeddings",))["embeddings"]
+    qdf = (emb.filter(F.col("vec_id").isin(0, 1, 2))
+           .select(F.col("vec_id").alias("query_id"), "embedding"))
+    exact = {(r["query_id"], r["vec_id"])
+             for r in brute_force_topk(emb, emb.filter(F.col("vec_id").isin(0, 1, 2)),
+                                       id_col="vec_id", k=10,
+                                       query_id_col="vec_id").collect()}
+    got = {(r["query_id"], r["vec_id"])
+           for r in pq_topk(emb, qdf, id_col="vec_id", k=10, m=8,
+                            n_codes=16, rerank=100).collect()}
+    assert len(got) == len(exact)
+    assert len(exact & got) / len(exact) >= 0.6
+
+
+def test_pq_encode_shape_and_range(spark, sf_small):
+    from comix_etl_spark.operators.similarity import pq_encode, train_pq_codebooks
+    from comix_etl_spark.session import load_tables
+
+    emb = load_tables(spark, sf_small, ("embeddings",))["embeddings"]
+    books = train_pq_codebooks(emb, m=8, k=16)
+    assert books.shape[0] == 8 and books.shape[1] == 16
+    codes = pq_encode(emb.limit(20), books).select("pq_code").collect()
+    for r in codes:
+        assert len(r["pq_code"]) == 8
+        assert all(0 <= c < 16 for c in r["pq_code"])
