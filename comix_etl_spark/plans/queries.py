@@ -4043,6 +4043,106 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                      k=10, m=8, n_codes=16, rerank=100)
 
 
+def q_revenue_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly screen: every day's revenue z-scored against
+    its own trailing 28-day window (current day excluded — the standard
+    leak-free formulation). One shuffle to the daily grain, then one
+    range-frame window pass; daily sums ride DECIMAL so the series is
+    partitioning-independent, and the flag derives from the ROUNDED z on
+    both engines so the boolean can't straddle a float boundary."""
+    t = _t(spark, sf_dir, "orders")
+    daily = (t["orders"]
+             .groupBy(F.to_date("o_orderdate").alias("day"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                  .cast("double").alias("revenue")))
+    w = (Window.orderBy(F.unix_date("day"))
+         .rangeBetween(-28, -1))
+    out = (daily
+           .withColumn("_mu", F.avg("revenue").over(w))
+           .withColumn("_sigma", F.stddev_pop("revenue").over(w))
+           .withColumn("zscore",
+                       F.when(F.col("_sigma") > 0,
+                              F.round((F.col("revenue") - F.col("_mu"))
+                                      / F.col("_sigma"), 4)))
+           .select("day", F.round("revenue", 4).alias("revenue"), "zscore",
+                   (F.abs(F.col("zscore")) > 2.0).alias("is_anomaly")))
+    return out
+
+
+ORACLE_REVENUE_ANOMALY = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+), scored AS (
+  SELECT day, revenue,
+         avg(revenue) OVER w AS mu,
+         stddev_pop(revenue) OVER w AS sigma
+  FROM daily
+  WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 28 DAY PRECEDING
+                                      AND INTERVAL 1 DAY PRECEDING)
+)
+SELECT day, round(revenue, 4) AS revenue,
+       CASE WHEN sigma > 0 THEN round((revenue - mu) / sigma, 4) END AS zscore,
+       abs(CASE WHEN sigma > 0 THEN round((revenue - mu) / sigma, 4) END) > 2.0
+         AS is_anomaly
+FROM scored
+"""
+
+
+def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting on the co-supply graph (suppliers
+    joined by supplying the same part): the standard edge-join
+    formulation — ordered edges (a<b), then E ⋈ E ⋈ E closing each
+    wedge. Parts with >10 suppliers are dropped before pairing (the same
+    df-cap boilerplate bound as the dedup pair ops: a hot part adds
+    df² edges and no structure). Output is the one-row graph profile;
+    the oracle repeats the 3-way self-join in SQL."""
+    t = _t(spark, sf_dir, "lineitem")
+    sp = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    caps = (sp.groupBy("l_partkey")
+            .agg(F.collect_set("l_suppkey").alias("ss"))
+            .filter(F.size("ss").between(2, 10)))
+    pair_expr = F.explode(F.flatten(F.expr(
+        "transform(ss, (x, i) -> transform(slice(ss, i + 2, size(ss)), "
+        "y -> struct(least(x, y) AS a, greatest(x, y) AS b)))")))
+    edges = (caps.select(F.sort_array("ss").alias("ss"))
+             .select(pair_expr.alias("e")).select("e.a", "e.b").distinct())
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    nodes = (edges.select(F.col("a").alias("n"))
+             .unionByName(edges.select(F.col("b").alias("n"))).distinct())
+    return (tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+            .crossJoin(edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+            .crossJoin(nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))))
+
+
+ORACLE_SUPPLIER_TRIANGLES = """
+WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+counts AS (
+  SELECT l_partkey FROM sp GROUP BY l_partkey HAVING count(*) BETWEEN 2 AND 10
+),
+edges AS (
+  SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS a,
+                  greatest(a.l_suppkey, b.l_suppkey) AS b
+  FROM sp a JOIN sp b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+  WHERE a.l_partkey IN (SELECT l_partkey FROM counts)
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM edges e1 JOIN edges e2 ON e1.b = e2.a JOIN edges e3
+    ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT CAST(n_triangles AS BIGINT) AS n_triangles,
+       CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST((SELECT count(DISTINCT n) FROM (SELECT a AS n FROM edges
+             UNION SELECT b FROM edges)) AS BIGINT) AS n_nodes
+FROM tri
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -4321,6 +4421,12 @@ QUERIES: dict[str, Query] = {
     "ann_pq": Query(q_ann_pq, None,
                     "product-quantization ANN, ADC + exact re-rank (rows-only)",
                     ("embeddings",)),
+    "revenue_anomaly": Query(q_revenue_anomaly, ORACLE_REVENUE_ANOMALY,
+                             "trailing-window z-score time-series anomaly screen",
+                             ("orders",)),
+    "supplier_triangles": Query(q_supplier_triangles, ORACLE_SUPPLIER_TRIANGLES,
+                                "triangle count on the co-supply graph",
+                                ("lineitem",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -4340,7 +4446,7 @@ _CHECK_FIRST = [
     "grouping_sets", "topk_ties", "session_stats", "salted_agg",
     "multimodal_frames", "token_histogram", "lm_score", "small_qty_revenue",
     "constraint_audit", "stream_session_window", "window_profile",
-    "approx_percentiles", "ann_pq",
+    "approx_percentiles", "ann_pq", "revenue_anomaly", "supplier_triangles",
     # last checked in r2 (r3's run spent its 50 slots on the r3 batch);
     # events-table queries lead — the testdata's ts unit changed this
     # round and these prove the dual-unit loader under the driver
@@ -4351,7 +4457,6 @@ _CHECK_FIRST = [
     "insert_if_absent", "upsert_selective", "bridge_upsert",
     "backfill_if_null", "duplicate_keys", "money_cents", "monthly_buckets",
     "token_overlap", "variant_flag", "clean_coalesce", "lexicographic_sort",
-    "bridge_roles", "semi_join",
 ]
 _CHECK_LAST = ["minhash_lsh", "simhash_pairs", "ngram_jaccard", "dedup_clusters"]
 QUERIES = {
