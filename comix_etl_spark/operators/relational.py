@@ -290,3 +290,35 @@ def salted_agg(df: DataFrame, key: Sequence[str], sum_col: str, *,
     return (partial.groupBy(*kl)
             .agg(F.sum("_psum").alias(f"sum_{sum_col}"),
                  F.sum("_pcnt").cast("long").alias("n_rows")))
+
+
+def global_running_sum(df: DataFrame, order_by: Sequence[str], value_col: str, *,
+                       out_col: str = "running", num_partitions: int | None = None,
+                       descending: Sequence[bool] | None = None) -> DataFrame:
+    """Globally-ordered running sum WITHOUT the single-task funnel —
+    the distributed prefix-sum primitive (sibling of ``global_rank``):
+    range-partition on the order key, cumsum within each partition in
+    parallel, then add the preceding partitions' totals (a window over
+    the n-row per-partition aggregate, broadcast back).
+
+    ``order_by`` must be a TOTAL order (add a unique tiebreak column);
+    ``descending`` flags per order column. Result is identical to
+    ``sum(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``.
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    desc = list(descending or [False] * len(order_by))
+    keys = [F.col(c).desc() if d else F.col(c).asc()
+            for c, d in zip(order_by, desc)]
+    parts = (df.repartitionByRange(n, *keys)
+             .withColumn("_pid", F.spark_partition_id())
+             .localCheckpoint(eager=False))
+    cum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (parts.groupBy("_pid").agg(F.sum(value_col).alias("_psum"))
+               .withColumn("_offset", F.coalesce(F.sum("_psum").over(cum), F.lit(0)))
+               .select("_pid", "_offset"))
+    w = (Window.partitionBy("_pid").orderBy(*keys)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (parts.join(F.broadcast(offsets), "_pid")
+            .withColumn(out_col, F.sum(value_col).over(w) + F.col("_offset"))
+            .drop("_pid", "_offset"))

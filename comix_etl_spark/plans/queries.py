@@ -4143,6 +4143,72 @@ FROM tri
 """
 
 
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency: the maximum number of user sessions
+    active at once, and when it first happens. Sessions become ±1
+    boundary events; the running sum rides the DISTRIBUTED prefix-sum
+    primitive (relational.py::global_running_sum — range partition +
+    per-partition cumsum + offset broadcast), never a single-task global
+    window. Starts sort before ends at the same instant (inclusive
+    intervals); (user, session) completes the total order."""
+    t = _t(spark, sf_dir, "events")
+    s = R.sessionize(t["events"], "user_id", "ts", gap_minutes=30)
+    sess = (s.groupBy("user_id", "session_id")
+            .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")))
+    deltas = (sess.select(F.col("start_ts").alias("ts"), F.lit(1).alias("delta"),
+                          "user_id", "session_id")
+              .unionByName(
+                  sess.select(F.col("end_ts").alias("ts"), F.lit(-1).alias("delta"),
+                              "user_id", "session_id")))
+    running = R.global_running_sum(
+        deltas, ["ts", "delta", "user_id", "session_id"], "delta",
+        out_col="concurrent", descending=[False, True, False, False])
+    # the 1-row max rides as a broadcast, not a driver collect — the
+    # whole profile stays one lazy plan
+    mx = running.agg(F.max("concurrent").alias("max_concurrent"))
+    first_peak = (running.crossJoin(F.broadcast(mx))
+                  .filter(F.col("concurrent") == F.col("max_concurrent"))
+                  .groupBy("max_concurrent")
+                  .agg(F.min("ts").alias("peak_ts")))
+    n_sessions = sess.agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    return (n_sessions.crossJoin(F.broadcast(first_peak))
+            .select("n_sessions",
+                    F.col("max_concurrent").cast("long").alias("max_concurrent"),
+                    "peak_ts"))
+
+
+ORACLE_PEAK_CONCURRENCY = """
+WITH gapped AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gapped
+), bounds AS (
+  SELECT user_id, sid, min(ts) AS start_ts, max(ts) AS end_ts
+  FROM sess GROUP BY user_id, sid
+), deltas AS (
+  SELECT start_ts AS ts, 1 AS delta, user_id, sid FROM bounds
+  UNION ALL
+  SELECT end_ts, -1, user_id, sid FROM bounds
+), running AS (
+  SELECT ts, sum(delta) OVER (ORDER BY ts, delta DESC, user_id, sid
+                              ROWS UNBOUNDED PRECEDING) AS concurrent
+  FROM deltas
+)
+SELECT CAST((SELECT count(*) FROM bounds) AS BIGINT) AS n_sessions,
+       CAST((SELECT max(concurrent) FROM running) AS BIGINT) AS max_concurrent,
+       (SELECT min(ts) FROM running
+        WHERE concurrent = (SELECT max(concurrent) FROM running)) AS peak_ts
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -4427,6 +4493,9 @@ QUERIES: dict[str, Query] = {
     "supplier_triangles": Query(q_supplier_triangles, ORACLE_SUPPLIER_TRIANGLES,
                                 "triangle count on the co-supply graph",
                                 ("lineitem",)),
+    "peak_concurrency": Query(q_peak_concurrency, ORACLE_PEAK_CONCURRENCY,
+                              "sweep-line peak concurrency via distributed prefix sum",
+                              ("events",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -4447,6 +4516,7 @@ _CHECK_FIRST = [
     "multimodal_frames", "token_histogram", "lm_score", "small_qty_revenue",
     "constraint_audit", "stream_session_window", "window_profile",
     "approx_percentiles", "ann_pq", "revenue_anomaly", "supplier_triangles",
+    "peak_concurrency",
     # last checked in r2 (r3's run spent its 50 slots on the r3 batch);
     # events-table queries lead — the testdata's ts unit changed this
     # round and these prove the dual-unit loader under the driver
@@ -4456,8 +4526,7 @@ _CHECK_FIRST = [
     "order_sequence", "segment_totals", "relevance_search", "prefix_crawl",
     "insert_if_absent", "upsert_selective", "bridge_upsert",
     "backfill_if_null", "duplicate_keys", "money_cents", "monthly_buckets",
-    "token_overlap", "variant_flag", "clean_coalesce", "lexicographic_sort",
-]
+    "token_overlap", "variant_flag", ]
 _CHECK_LAST = ["minhash_lsh", "simhash_pairs", "ngram_jaccard", "dedup_clusters"]
 QUERIES = {
     **{n: QUERIES[n] for n in _CHECK_FIRST},

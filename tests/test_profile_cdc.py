@@ -191,3 +191,24 @@ def test_approx_percentile_within_accuracy_bound(spark, sf_small):
         assert r["lo"] <= r["approx"] <= r["hi"], (
             f"{r['l_returnflag']}: approx {r['approx']} outside "
             f"[{r['lo']}, {r['hi']}] around exact {r['exact']}")
+
+
+# ---------------------------------------------------------------------------
+# global_running_sum
+# ---------------------------------------------------------------------------
+
+def test_global_running_sum_matches_single_window(spark):
+    """The range-partitioned prefix sum must equal the single-task
+    global window exactly, including with a descending tiebreak."""
+    from pyspark.sql import Window
+
+    from comix_etl_spark.operators.relational import global_running_sum
+
+    rows = [(i % 7, (-1) ** i, i) for i in range(500)]
+    df = spark.createDataFrame(rows, "k int, delta int, uid int")
+    got = global_running_sum(df, ["k", "delta", "uid"], "delta",
+                             out_col="run", descending=[False, True, False])
+    w = (Window.orderBy(F.asc("k"), F.desc("delta"), F.asc("uid"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    want = df.withColumn("run", F.sum("delta").over(w))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
