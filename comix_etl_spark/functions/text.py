@@ -12,6 +12,7 @@ token-overlap scorer, :126-135).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -169,3 +170,35 @@ def shingles(c: Column | str, n: int = 3) -> Column:
                            lambda acc, t: F.concat(acc, F.lit(" "), t))
     empty = F.array().cast("array<string>")
     return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(empty)
+
+
+def compress_ratio_pandas(c: "Column | str") -> "Column":
+    """Deflate compression ratio per document (ppm, integer): the
+    gzip-compressibility quality signal — highly repetitive or
+    templated text compresses far below natural prose, random noise
+    barely compresses (used alongside the Gopher/C4 repetition rules;
+    see e.g. the public CCNet/RefinedWeb cleaning discussions).
+
+    zlib at a fixed level is bit-deterministic for a given input, so
+    the score is stable across engines and retries — but it is NOT
+    SQL-expressible, hence rows-only verification. Arrow-batched
+    pandas_udf (zlib releases the GIL; the loop is per-batch C calls,
+    not per-row Python logic).
+    """
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _ratio(s: pd.Series) -> pd.Series:
+        out = []
+        for txt in s:
+            raw = (txt or "").encode("utf-8")
+            if not raw:
+                out.append(0)
+                continue
+            comp = zlib.compress(raw, 6)
+            out.append(len(comp) * 1_000_000 // len(raw))
+        return pd.Series(out, dtype="int64")
+
+    return _ratio(_col(c))

@@ -4209,6 +4209,23 @@ SELECT CAST((SELECT count(*) FROM bounds) AS BIGINT) AS n_sessions,
 """
 
 
+def q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-compressibility quality screen: per-language profile of the
+    deflate ratio (ppm) — templated/repetitive text sits far below
+    natural prose. Rows-only (zlib isn't SQL-expressible); the ordering
+    property (repetitive ≪ prose ≪ random) is pytest-gated. The scan is
+    one Arrow-batched pass; the rollup keys on the tiny language set."""
+    t = _t(spark, sf_dir, "documents")
+    scored = t["documents"].select(
+        "lang", text.compress_ratio_pandas("text").alias("ratio_e6"))
+    return (scored.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.min("ratio_e6").alias("min_ratio_e6"),
+                 F.expr("sum(ratio_e6) div count(1)").alias("mean_ratio_e6"),
+                 F.max("ratio_e6").alias("max_ratio_e6"))
+            .orderBy("lang"))
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -4496,6 +4513,9 @@ QUERIES: dict[str, Query] = {
     "peak_concurrency": Query(q_peak_concurrency, ORACLE_PEAK_CONCURRENCY,
                               "sweep-line peak concurrency via distributed prefix sum",
                               ("events",)),
+    "compress_ratio": Query(q_compress_ratio, None,
+                            "gzip-compressibility quality profile (rows-only)",
+                            ("documents",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -4516,7 +4536,7 @@ _CHECK_FIRST = [
     "multimodal_frames", "token_histogram", "lm_score", "small_qty_revenue",
     "constraint_audit", "stream_session_window", "window_profile",
     "approx_percentiles", "ann_pq", "revenue_anomaly", "supplier_triangles",
-    "peak_concurrency",
+    "peak_concurrency", "compress_ratio",
     # last checked in r2 (r3's run spent its 50 slots on the r3 batch);
     # events-table queries lead — the testdata's ts unit changed this
     # round and these prove the dual-unit loader under the driver
@@ -4526,7 +4546,7 @@ _CHECK_FIRST = [
     "order_sequence", "segment_totals", "relevance_search", "prefix_crawl",
     "insert_if_absent", "upsert_selective", "bridge_upsert",
     "backfill_if_null", "duplicate_keys", "money_cents", "monthly_buckets",
-    "token_overlap", "variant_flag", ]
+    "token_overlap", ]
 _CHECK_LAST = ["minhash_lsh", "simhash_pairs", "ngram_jaccard", "dedup_clusters"]
 QUERIES = {
     **{n: QUERIES[n] for n in _CHECK_FIRST},

@@ -134,3 +134,28 @@ def test_dedup_spans_identity_when_all_unique(spark):
     for r in dedup_spans(df, "doc_id", "text", chunk_size=16).collect():
         assert r.n_spans == r.n_kept == 3                  # 40 tokens -> 3 spans
         assert r.kept_tokens == 40
+
+
+def test_compress_ratio_orders_text_classes(spark):
+    """Repetitive text must compress far below prose; high-entropy
+    text must barely compress — the ordering the quality gate relies on."""
+    import random
+
+    from comix_etl_spark.functions.text import compress_ratio_pandas
+
+    rng = random.Random(7)
+    noise = " ".join("".join(rng.choices("abcdefghijklmnopqrstuvwxyz0123456789", k=8))
+                     for _ in range(60))
+    rows = [
+        (1, "spam " * 200),
+        (2, "The quick brown fox jumps over the lazy dog and keeps going "
+            "through fields of barley under a wide autumn sky. " * 5),
+        (3, noise),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r["ratio"]
+           for r in df.select("doc_id",
+                              compress_ratio_pandas("text").alias("ratio")).collect()}
+    assert got[1] < got[2] < got[3]
+    assert got[1] < 100_000       # repetitive: compresses to <10%
+    assert got[3] > 600_000       # noise: stays >60%
