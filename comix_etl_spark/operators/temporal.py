@@ -27,36 +27,48 @@ from pyspark.sql import functions as F
 
 def asof_join(left: DataFrame, right: DataFrame, *, key: Sequence[str],
               left_ts: str = "ts", right_ts: str = "ts",
-              value_cols: Sequence[str], tiebreak_col: str | None = None) -> DataFrame:
-    """Backward inclusive as-of join: every left row gains the
-    ``value_cols`` of the latest right row with ``right.ts <= left.ts``
-    in its key group (NULL when no such row exists — left-outer
-    semantics).
+              value_cols: Sequence[str], tiebreak_col: str | None = None,
+              direction: str = "backward") -> DataFrame:
+    """As-of join: every left row gains the ``value_cols`` of its
+    nearest right row in the given ``direction`` — "backward" = latest
+    right with ``right.ts <= left.ts`` (price-at-trade), "forward" =
+    earliest right with ``right.ts >= left.ts`` (next-event attribution).
+    NULL when no such row exists (left-outer semantics).
 
     Ties on the right timestamp resolve to the greatest
     ``tiebreak_col`` (required to be deterministic when right can hold
     equal timestamps per key). Plan: union the tagged sides, one window
-    over (key) ordered by (ts, side) carrying a struct max forward,
-    filter back to left rows — one shuffle total.
+    over (key) ordered by (ts, side) carrying a struct extreme forward —
+    forward direction just flips the scan order (ts desc) and negates
+    the struct's time key so the same lexicographic max picks the
+    EARLIEST candidate. One shuffle total either way.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, not {direction!r}")
     overlap = set(value_cols) & set(left.columns)
     if overlap:
         raise ValueError(f"value_cols collide with left columns: {sorted(overlap)}")
     tb: Column = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
 
+    fwd = direction == "forward"
+    # struct key: forward negates the epoch so max() = earliest ts
+    tkey = (-F.unix_micros(F.col(right_ts).cast("timestamp")) if fwd
+            else F.unix_micros(F.col(right_ts).cast("timestamp")))
     l_tag = left.withColumn("_is_left", F.lit(1))
     r_tag = right.select(
         *key,
         F.col(right_ts).alias(left_ts),
-        F.struct(F.col(right_ts).alias("_t"), tb.alias("_tb"),
+        F.struct(tkey.alias("_t"), tb.alias("_tb"),
                  *[F.col(c) for c in value_cols]).alias("_rv"),
     ).withColumn("_is_left", F.lit(0))
     u = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
-    # right rows sort BEFORE left rows at equal ts (backward INCLUSIVE);
-    # struct max = (ts, tiebreak) lexicographic → deterministic winner
+    # right rows sort BEFORE left rows at equal ts (INCLUSIVE match in
+    # both directions); struct max = (time key, tiebreak) lexicographic
+    # → deterministic winner
     w = (Window.partitionBy(*key)
-         .orderBy(F.col(left_ts).asc(), F.col("_is_left").asc())
+         .orderBy(F.col(left_ts).desc() if fwd else F.col(left_ts).asc(),
+                  F.col("_is_left").asc())
          .rowsBetween(Window.unboundedPreceding, 0))
     best = F.max("_rv").over(w)
     out = (u.withColumn("_best", best)

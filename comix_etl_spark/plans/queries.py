@@ -1063,6 +1063,36 @@ ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
 ORDER BY p.event_id
 """
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each view event picks up the user's next
+    purchase value at-or-after it (next-event attribution) — the
+    direction="forward" mode of the same one-shuffle union+window plan.
+    Oracle: DuckDB native ASOF with the comparator flipped."""
+    from comix_etl_spark.operators.temporal import asof_join
+
+    t = _t(spark, sf_dir, "events")
+    e = t["events"]
+    views = e.filter(F.col("event_type") == "view") \
+             .select("user_id", "event_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase") \
+                 .select("user_id", "ts", "event_id",
+                         F.col("value").alias("purchase_value"))
+    out = asof_join(views, purchases, key=["user_id"],
+                    value_cols=["purchase_value"], tiebreak_col="event_id",
+                    direction="forward")
+    return out.select("user_id", "event_id", "ts", "purchase_value") \
+              .orderBy("event_id")
+
+
+ORACLE_ASOF_FORWARD = """
+SELECT v.user_id, v.event_id, v.ts, p.value AS purchase_value
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id AND v.ts <= p.ts
+ORDER BY v.event_id
+"""
+
+
 _PROMO_WINDOWS = [
     (1, "1995-06-01", "1995-07-15"),
     (2, "1997-01-10", "1997-02-20"),
@@ -4516,6 +4546,9 @@ QUERIES: dict[str, Query] = {
     "compress_ratio": Query(q_compress_ratio, None,
                             "gzip-compressibility quality profile (rows-only)",
                             ("documents",)),
+    "asof_forward": Query(q_asof_forward, ORACLE_ASOF_FORWARD,
+                          "forward as-of join (next-event attribution)",
+                          ("events",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -4536,7 +4569,7 @@ _CHECK_FIRST = [
     "multimodal_frames", "token_histogram", "lm_score", "small_qty_revenue",
     "constraint_audit", "stream_session_window", "window_profile",
     "approx_percentiles", "ann_pq", "revenue_anomaly", "supplier_triangles",
-    "peak_concurrency", "compress_ratio",
+    "peak_concurrency", "compress_ratio", "asof_forward",
     # last checked in r2 (r3's run spent its 50 slots on the r3 batch);
     # events-table queries lead — the testdata's ts unit changed this
     # round and these prove the dual-unit loader under the driver
@@ -4546,7 +4579,7 @@ _CHECK_FIRST = [
     "order_sequence", "segment_totals", "relevance_search", "prefix_crawl",
     "insert_if_absent", "upsert_selective", "bridge_upsert",
     "backfill_if_null", "duplicate_keys", "money_cents", "monthly_buckets",
-    "token_overlap", ]
+    ]
 _CHECK_LAST = ["minhash_lsh", "simhash_pairs", "ngram_jaccard", "dedup_clusters"]
 QUERIES = {
     **{n: QUERIES[n] for n in _CHECK_FIRST},

@@ -212,3 +212,21 @@ def test_global_running_sum_matches_single_window(spark):
          .rowsBetween(Window.unboundedPreceding, 0))
     want = df.withColumn("run", F.sum("delta").over(w))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_apply_changelog_batchwise_composition(spark):
+    """Applying a changelog in seq-ordered micro-batches must equal
+    applying the whole log at once — the property a foreachBatch CDC
+    sink relies on (each batch's seqs all follow the previous batch's)."""
+    snap = spark.createDataFrame(
+        [(i, float(i * 10)) for i in range(1, 8)], "k int, v double")
+    log1 = spark.createDataFrame(
+        [(2, 1, "U", 222.0), (3, 1, "D", None), (9, 1, "I", 900.0)],
+        "k int, seq int, op string, v double")
+    log2 = spark.createDataFrame(
+        [(2, 2, "D", None), (9, 2, "U", 901.0), (5, 2, "U", 555.0)],
+        "k int, seq int, op string, v double")
+    stepped = apply_changelog(
+        apply_changelog(snap, log1, ["k"], ["v"]), log2, ["k"], ["v"])
+    oneshot = apply_changelog(snap, log1.unionByName(log2), ["k"], ["v"])
+    assert _rows(stepped) == _rows(oneshot)
