@@ -29,6 +29,14 @@ def main() -> None:
     tables = load_tables(spark, sf_dir)
     for df in tables.values():
         df.count()
+    # JIT/codegen warm-up: one cheap representative of each execution
+    # path (codegen agg+join, window, Arrow/pandas worker pool) runs
+    # untimed so the first measured queries don't absorb the JVM's
+    # cold-compile cost — standard benchmarking hygiene, same for every
+    # registry order
+    for warm in ("stats_topk", "order_sequence", "token_counts"):
+        if warm in QUERIES:
+            QUERIES[warm].builder(spark, sf_dir).count()
 
     import gc
 

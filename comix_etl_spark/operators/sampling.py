@@ -95,3 +95,40 @@ def stratified_hash_sample(df: DataFrame, key_col: str, strata_col: str,
     for stratum, frac in fractions.items():
         pred = pred | ((F.col(strata_col) == stratum) & (b < int(frac * 10_000)))
     return df.filter(pred)
+
+
+def temperature_downsample(df: DataFrame, key_col: str, group_col: str, *,
+                           alpha: float = 0.5, salt: str = "") -> DataFrame:
+    """Temperature-scaled mixture downsampling (the T5/mT5 multilingual
+    sampling rule, public: sample share ∝ n_group^alpha): groups keep
+    ``rate = (min_n / n_group)^(1-alpha)`` of their rows — alpha=1 keeps
+    everything (natural mixture), alpha=0 degenerates to
+    ``balance_downsample`` (uniform mixture), between interpolates while
+    never needing to upsample (the largest feasible target given the
+    smallest group anchors the scale).
+
+    Same determinism contract as balance_downsample: integer ppm rate
+    compared against the row's md5 key bucket, pure function of the
+    keys. For alpha=0.5 the rate is sqrt(min_n/n) — IEEE sqrt/divide are
+    correctly rounded, so the ppm rate is bit-identical on every engine;
+    arbitrary alpha uses pow(), whose last-ulp behavior is
+    implementation-defined — fine for sampling, but pin alpha=0.5 when
+    an external system must reproduce the exact surviving set.
+
+    Plan: tiny per-group count + scalar min broadcast onto the scan;
+    the corpus never shuffles.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    min_n = counts.agg(F.min("_n").alias("_min_n"))
+    if alpha == 0.5:
+        rate = F.floor(F.lit(1_000_000.0)
+                       * F.sqrt(F.col("_min_n") / F.col("_n")))
+    else:
+        rate = F.floor(F.lit(1_000_000.0)
+                       * F.pow(F.col("_min_n") / F.col("_n"), 1.0 - alpha))
+    rates = (counts.crossJoin(F.broadcast(min_n))
+             .select(group_col, rate.cast("long").alias("_rate_e6")))
+    b = hash_bucket(key_col, buckets=1_000_000, salt=salt)
+    return (df.join(F.broadcast(rates), group_col)
+            .filter(b < F.col("_rate_e6"))
+            .drop("_rate_e6"))

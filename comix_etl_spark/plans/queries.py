@@ -4256,6 +4256,53 @@ def q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang"))
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture (T5-style, alpha=0.5): per-language
+    before/after counts + the sqrt-rule ppm rate. alpha=0.5 rides IEEE
+    sqrt (correctly rounded), so the surviving set — and therefore this
+    report — is bit-identical on both engines."""
+    from comix_etl_spark.operators.sampling import temperature_downsample
+
+    t = _t(spark, sf_dir, "documents")
+    d = t["documents"]
+    kept = temperature_downsample(d, "doc_id", "lang", alpha=0.5)
+    before = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    min_n = before.agg(F.min("n_before").alias("_min_n"))
+    after = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (before.join(after, "lang", "left")
+            .crossJoin(F.broadcast(min_n))
+            .select("lang", "n_before",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.floor(F.lit(1_000_000.0)
+                            * F.sqrt(F.col("_min_n") / F.col("n_before")))
+                     .cast("long").alias("rate_e6"))
+            .orderBy("lang"))
+
+
+ORACLE_TEMPERATURE_MIXTURE = """
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_before FROM documents GROUP BY 1
+), m AS (SELECT min(n_before) AS min_n FROM counts),
+rates AS (
+  SELECT lang, n_before,
+         CAST(floor(1000000.0 * sqrt(CAST(min_n AS DOUBLE) / n_before)) AS BIGINT)
+           AS rate_e6
+  FROM counts CROSS JOIN m
+),
+kept AS (
+  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+  FROM documents d JOIN rates r ON d.lang = r.lang
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+        < r.rate_e6
+  GROUP BY 1
+)
+SELECT r.lang, r.n_before,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept, r.rate_e6
+FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+ORDER BY r.lang
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -4549,6 +4596,9 @@ QUERIES: dict[str, Query] = {
     "asof_forward": Query(q_asof_forward, ORACLE_ASOF_FORWARD,
                           "forward as-of join (next-event attribution)",
                           ("events",)),
+    "temperature_mixture": Query(q_temperature_mixture, ORACLE_TEMPERATURE_MIXTURE,
+                                 "T5-style temperature-scaled mixture (alpha=0.5)",
+                                 ("documents",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -4570,6 +4620,7 @@ _CHECK_FIRST = [
     "constraint_audit", "stream_session_window", "window_profile",
     "approx_percentiles", "ann_pq", "revenue_anomaly", "supplier_triangles",
     "peak_concurrency", "compress_ratio", "asof_forward",
+    "temperature_mixture",
     # last checked in r2 (r3's run spent its 50 slots on the r3 batch);
     # events-table queries lead — the testdata's ts unit changed this
     # round and these prove the dual-unit loader under the driver
@@ -4578,8 +4629,7 @@ _CHECK_FIRST = [
     "orphan_count", "quality_metrics", "top_customer_per_nation",
     "order_sequence", "segment_totals", "relevance_search", "prefix_crawl",
     "insert_if_absent", "upsert_selective", "bridge_upsert",
-    "backfill_if_null", "duplicate_keys", "money_cents", "monthly_buckets",
-    ]
+    "backfill_if_null", "duplicate_keys", "money_cents", ]
 _CHECK_LAST = ["minhash_lsh", "simhash_pairs", "ngram_jaccard", "dedup_clusters"]
 QUERIES = {
     **{n: QUERIES[n] for n in _CHECK_FIRST},

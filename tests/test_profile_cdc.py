@@ -230,3 +230,20 @@ def test_apply_changelog_batchwise_composition(spark):
         apply_changelog(snap, log1, ["k"], ["v"]), log2, ["k"], ["v"])
     oneshot = apply_changelog(snap, log1.unionByName(log2), ["k"], ["v"])
     assert _rows(stepped) == _rows(oneshot)
+
+
+def test_temperature_downsample_interpolates(spark):
+    """alpha=0 equals balance_downsample's uniform rates; alpha=1 keeps
+    everything; alpha=0.5 sits strictly between for a skewed group."""
+    from comix_etl_spark.operators.sampling import (
+        balance_downsample, temperature_downsample)
+
+    rows = [(i, "big") for i in range(900)] + [(i + 1000, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    n_all = temperature_downsample(df, "doc_id", "grp", alpha=1.0).count()
+    n_mid = temperature_downsample(df, "doc_id", "grp", alpha=0.5).count()
+    n_flat = temperature_downsample(df, "doc_id", "grp", alpha=0.0).count()
+    n_bal = balance_downsample(df, "doc_id", "grp").count()
+    assert n_all == 1000
+    assert abs(n_flat - n_bal) <= 1   # same rule modulo floor-vs-div rounding
+    assert n_flat < n_mid < n_all
