@@ -68,6 +68,8 @@ def constraint_report(df: DataFrame, *,
     100 TB the whole report costs one pass over the table plus one
     reduce of a 1-row frame.
     """
+    if not (not_null or unique or checks):
+        raise ValueError("constraint_report: no constraints declared")
     aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     names: list[str] = []
     for c in not_null:
