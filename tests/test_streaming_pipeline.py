@@ -153,3 +153,54 @@ def test_pipeline_guardrail_aborts_short_batch(spark, tmpdir):
     runs = read_audit(spark, audit).collect()
     assert len(runs) == 1 and runs[0].status == "FAILED"
     assert "guardrail" in runs[0].notes
+
+
+def test_stream_cdc_foreachbatch_apply(spark):
+    """End-to-end streaming CDC: a changelog arriving as two ordered
+    micro-batches (maxFilesPerTrigger=1) applied through foreachBatch
+    with apply_changelog must leave the target equal to the one-shot
+    batch apply of the full log — the streaming replication path."""
+    import time as _time
+
+    from comix_etl_spark.operators.merge import apply_changelog
+
+    tmp = tempfile.mkdtemp(prefix="cdc_stream_")
+    target = os.path.join(tmp, "target")
+    logdir = os.path.join(tmp, "log")
+    os.makedirs(logdir)
+    try:
+        snap = spark.createDataFrame(
+            [(i, float(i * 10)) for i in range(1, 8)], "k int, v double")
+        snap.write.mode("overwrite").parquet(target)
+
+        log1 = spark.createDataFrame(
+            [(2, 1, "U", 222.0), (3, 1, "D", None), (9, 1, "I", 900.0)],
+            "k int, seq int, op string, v double")
+        log2 = spark.createDataFrame(
+            [(2, 2, "D", None), (9, 2, "U", 901.0), (5, 2, "U", 555.0)],
+            "k int, seq int, op string, v double")
+        # one file per micro-batch, mtime-ordered so batch order == seq order
+        log1.coalesce(1).write.mode("overwrite").parquet(os.path.join(logdir, "b1"))
+        _time.sleep(1.1)
+        log2.coalesce(1).write.mode("overwrite").parquet(os.path.join(logdir, "b2"))
+
+        def apply_batch(batch_df, _bid):
+            tgt = spark.read.parquet(target)
+            merged = apply_changelog(tgt, batch_df, ["k"], ["v"])
+            merged = merged.localCheckpoint(eager=True)  # cut lineage on files being replaced
+            merged.write.mode("overwrite").parquet(target)
+
+        q = (spark.readStream.schema("k int, seq int, op string, v double")
+             .option("maxFilesPerTrigger", 1)
+             .parquet(os.path.join(logdir, "*"))
+             .writeStream.foreachBatch(apply_batch)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+        got = sorted(tuple(r) for r in spark.read.parquet(target).collect())
+        want = sorted(tuple(r) for r in apply_changelog(
+            snap, log1.unionByName(log2), ["k"], ["v"]).collect())
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
