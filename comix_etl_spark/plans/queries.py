@@ -4816,9 +4816,19 @@ QUERIES: dict[str, Query] = {
 # run covers exactly the FIRST 50 entries (observed r2 and r3). Rotate per
 # round: (1) queries with a FAILED or missing verdict last round, (2) new
 # queries with no verdict ever, (3) the queries whose most recent green
-# verdict is oldest (r2), then everything verified most recently. The
+# verdict is oldest, then everything verified most recently. The
 # expensive pair/sketch queries sit at the very end — a budget cut costs
 # re-confirmation of old green rows, not first-time verdicts.
+#
+# r5 ROTATION BACKLOG (oldest verdicts after the r4 run): the r2-era
+# queries that did not fit r4's window — bridge_upsert backfill_if_null
+# duplicate_keys money_cents monthly_buckets token_overlap variant_flag
+# clean_coalesce lexicographic_sort bridge_roles semi_join price_outliers
+# above_nation_avg pricing_summary sales_rollup range_join dedup_exact
+# ann_cosine_topk ann_lsh dedup_embedding ann_ivf lang_id doc_quality
+# token_counts doc_fingerprint corpus_prep hash_split csv_ingest
+# minhash_lsh simhash_pairs ngram_jaccard dedup_clusters — put these (plus
+# anything new/failed in r5) in _CHECK_FIRST next round.
 _CHECK_FIRST = [
     # failed in CORRECTNESS_r03 (array column broke the canonicalizer —
     # output schema fixed this round)
