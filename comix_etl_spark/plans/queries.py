@@ -4502,6 +4502,76 @@ FROM per_day ORDER BY day
 """
 
 
+def q_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment revenue trend: closed-form OLS slope of daily revenue
+    against the day index, plus Spark's built-in regr_slope as a
+    cross-check column — both reduce to one aggregation pass over the
+    (segment, day) grain (sums of x, y, xy, x²); no iteration, no
+    driver math. Slopes rounded to 4dp (sum-of-products float noise is
+    ~1e-10 relative)."""
+    t = _t(spark, sf_dir, "orders", "customer")
+    daily = (t["orders"]
+             .join(F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+                   F.col("o_custkey") == F.col("c_custkey"))
+             .groupBy("c_mktsegment",
+                      F.unix_date(F.to_date("o_orderdate")).alias("x"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                  .cast("double").alias("y")))
+    return (daily.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_days"),
+                 F.round(F.regr_slope("y", "x"), 4).alias("slope"),
+                 F.round((F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y"))
+                          - F.sum("x") * F.sum("y"))
+                         / (F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
+                            - F.sum("x") * F.sum("x")), 4)
+                  .alias("slope_closed_form"))
+            .orderBy("c_mktsegment"))
+
+
+ORACLE_TREND_SLOPES = """
+WITH daily AS (
+  SELECT c_mktsegment,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(regr_slope(y, x), 4) AS slope,
+       round((count(*) * sum(x * y) - sum(x) * sum(y))
+             / (count(*) * sum(x * x) - sum(x) * sum(x)), 4)
+         AS slope_closed_form
+FROM daily GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p50/p95/p99 bands of the event value stream — the
+    monitoring-dashboard percentile rollup. Exact interpolated
+    percentiles at the (day) grain: one shuffle; per-day state is the
+    day's values (swap percentile_approx in for unbounded days — same
+    plan, bounded sketch)."""
+    t = _t(spark, sf_dir, "events")
+    return (t["events"]
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.round(F.percentile("value", 0.5), 6).alias("p50"),
+                 F.round(F.percentile("value", 0.95), 6).alias("p95"),
+                 F.round(F.percentile("value", 0.99), 6).alias("p99"))
+            .orderBy("day"))
+
+
+ORACLE_VALUE_BANDS = """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY 1 ORDER BY day
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -4810,6 +4880,12 @@ QUERIES: dict[str, Query] = {
     "running_distinct": Query(q_running_distinct, ORACLE_RUNNING_DISTINCT,
                               "cumulative distinct users via first-seen + prefix sum",
                               ("events",)),
+    "trend_slopes": Query(q_trend_slopes, ORACLE_TREND_SLOPES,
+                          "per-group OLS trend (regr_slope + closed form)",
+                          ("orders", "customer")),
+    "value_bands": Query(q_value_bands, ORACLE_VALUE_BANDS,
+                         "daily p50/p95/p99 monitoring bands",
+                         ("events",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -4842,7 +4918,7 @@ _CHECK_FIRST = [
     "approx_percentiles", "ann_pq", "revenue_anomaly", "supplier_triangles",
     "peak_concurrency", "compress_ratio", "asof_forward",
     "temperature_mixture", "fk_audit", "late_suppliers", "group_mode",
-    "running_distinct",
+    "running_distinct", "trend_slopes", "value_bands",
     # last checked in r2 (r3's run spent its 50 slots on the r3 batch);
     # events-table queries lead — the testdata's ts unit changed this
     # round and these prove the dual-unit loader under the driver
@@ -4850,7 +4926,7 @@ _CHECK_FIRST = [
     "event_pivot", "stats_topk", "search_substring", "keyed_scan",
     "orphan_count", "quality_metrics", "top_customer_per_nation",
     "order_sequence", "segment_totals", "relevance_search", "prefix_crawl",
-    "insert_if_absent", "upsert_selective", ]
+    ]
 _CHECK_LAST = ["minhash_lsh", "simhash_pairs", "ngram_jaccard", "dedup_clusters"]
 QUERIES = {
     **{n: QUERIES[n] for n in _CHECK_FIRST},
