@@ -4572,6 +4572,99 @@ FROM events GROUP BY 1 ORDER BY day
 """
 
 
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join (<=> / IS NOT DISTINCT FROM): rows with a
+    NULL join key MATCH each other instead of silently dropping — the
+    semantics a merge on nullable natural keys needs (the reference's
+    coalesce-heavy CSV keys, seed_from_csv.py:60-63, make NULL a real
+    key value). Both sides derive a nullable bucket (key % 7, NULL for
+    %13 keys); the join still hash-partitions — <=> is a first-class
+    equi-join key, not a theta fallback."""
+    t = _t(spark, sf_dir, "orders")
+    o = t["orders"]
+    bucket = F.when(F.col("o_orderkey") % 13 == 0, F.lit(None)) \
+              .otherwise(F.col("o_orderkey") % 7)
+    a = (o.filter(F.col("o_orderkey") % 2 == 0)
+         .select(bucket.alias("b"), F.col("o_totalprice").alias("pa")))
+    b = (o.filter(F.col("o_orderkey") % 2 == 1)
+         .select(bucket.alias("b"), F.col("o_totalprice").alias("pb")))
+    agg_a = a.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_a"),
+        F.sum(F.col("pa").cast("decimal(18,4)")).cast("double").alias("sum_a"))
+    agg_b = b.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum(F.col("pb").cast("decimal(18,4)")).cast("double").alias("sum_b"))
+    return (agg_a.join(agg_b, agg_a["b"].eqNullSafe(agg_b["b"]), "full_outer")
+            .select(F.coalesce(agg_a["b"], agg_b["b"]).alias("bucket_key"),
+                    (agg_a["b"].isNull() & agg_b["b"].isNull()).alias("is_null_key"),
+                    "n_a", "n_b", "sum_a", "sum_b")
+            .orderBy(F.asc_nulls_first("bucket_key")))
+
+
+ORACLE_NULLSAFE_JOIN = """
+WITH src AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_orderkey % 7 END AS b,
+         o_totalprice
+  FROM orders
+), agg_a AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n_a,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_a
+  FROM src WHERE o_orderkey % 2 = 0 GROUP BY b
+), agg_b AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n_b,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_b
+  FROM src WHERE o_orderkey % 2 = 1 GROUP BY b
+)
+SELECT coalesce(agg_a.b, agg_b.b) AS bucket_key,
+       (agg_a.b IS NULL AND agg_b.b IS NULL) AS is_null_key,
+       n_a, n_b, sum_a, sum_b
+FROM agg_a FULL OUTER JOIN agg_b ON agg_a.b IS NOT DISTINCT FROM agg_b.b
+ORDER BY bucket_key NULLS FIRST
+"""
+
+
+def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth in basis points: monthly rollup
+    (bounded key space) + one lag window over months + integer-bps
+    growth so the division is engine-identical; the first month's NULL
+    growth is part of the contract."""
+    t = _t(spark, sf_dir, "orders")
+    monthly = (t["orders"]
+               .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+               .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                    .alias("rev_dec")))
+    w = Window.orderBy("month")
+    return (monthly
+            .withColumn("prev", F.lag("rev_dec").over(w))
+            .select(F.col("month").cast("date").alias("month"),
+                    F.col("rev_dec").cast("double").alias("revenue"),
+                    # floor over doubles: decimal->long casts truncate in
+                    # Spark but round in DuckDB; IEEE double ops + floor
+                    # are identical on both
+                    F.when(F.col("prev").isNotNull(),
+                           F.floor((F.col("rev_dec").cast("double")
+                                    - F.col("prev").cast("double")) * 10000.0
+                                   / F.col("prev").cast("double")).cast("long"))
+                     .alias("growth_bps"))
+            .orderBy("month"))
+
+
+ORACLE_MOM_GROWTH = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_dec
+  FROM orders GROUP BY 1
+)
+SELECT month, CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(floor((CAST(rev_dec AS DOUBLE)
+                   - CAST(lag(rev_dec) OVER (ORDER BY month) AS DOUBLE)) * 10000.0
+                  / CAST(lag(rev_dec) OVER (ORDER BY month) AS DOUBLE)) AS BIGINT)
+         AS growth_bps
+FROM monthly ORDER BY month
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -4886,6 +4979,12 @@ QUERIES: dict[str, Query] = {
     "value_bands": Query(q_value_bands, ORACLE_VALUE_BANDS,
                          "daily p50/p95/p99 monitoring bands",
                          ("events",)),
+    "nullsafe_join": Query(q_nullsafe_join, ORACLE_NULLSAFE_JOIN,
+                           "NULL-safe full-outer equi-join (<=> semantics)",
+                           ("orders",)),
+    "mom_growth": Query(q_mom_growth, ORACLE_MOM_GROWTH,
+                        "month-over-month growth in integer bps",
+                        ("orders",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -4918,15 +5017,15 @@ _CHECK_FIRST = [
     "approx_percentiles", "ann_pq", "revenue_anomaly", "supplier_triangles",
     "peak_concurrency", "compress_ratio", "asof_forward",
     "temperature_mixture", "fk_audit", "late_suppliers", "group_mode",
-    "running_distinct", "trend_slopes", "value_bands",
+    "running_distinct", "trend_slopes", "value_bands", "nullsafe_join",
+    "mom_growth",
     # last checked in r2 (r3's run spent its 50 slots on the r3 batch);
     # events-table queries lead — the testdata's ts unit changed this
     # round and these prove the dual-unit loader under the driver
     "events_json", "sessionize", "funnel", "asof_join", "moving_average",
     "event_pivot", "stats_topk", "search_substring", "keyed_scan",
     "orphan_count", "quality_metrics", "top_customer_per_nation",
-    "order_sequence", "segment_totals", "relevance_search", "prefix_crawl",
-    ]
+    "order_sequence", "segment_totals", ]
 _CHECK_LAST = ["minhash_lsh", "simhash_pairs", "ngram_jaccard", "dedup_clusters"]
 QUERIES = {
     **{n: QUERIES[n] for n in _CHECK_FIRST},

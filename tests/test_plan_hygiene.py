@@ -88,3 +88,20 @@ def test_partitioned_write_prunes_partitions(spark, sf_small, tmp_path):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "lang" in pf[0], plan
     assert got.count() == docs.filter("lang = 'en'").count() > 0
+
+
+def test_plan_summary_structure(spark, sf_small):
+    """plan_summary must see the broadcast join and pushdown in a
+    dimension-join query, and zero exchanges in a scan-local one."""
+    from comix_etl_spark.plans.introspect import plan_summary
+
+    topk = plan_summary(QUERIES["stats_topk"].builder(spark, sf_small))
+    assert topk.n_broadcast_hash_joins >= 1
+    assert topk.n_sort_merge_joins == 0
+    assert topk.n_scans == 2
+    assert topk.pushed_filters  # IsNotNull on the join key reaches parquet
+
+    local = plan_summary(QUERIES["token_counts"].builder(spark, sf_small))
+    assert local.shuffle_free
+    assert local.n_scans == 1
+    assert local.codegen_spans >= 1
