@@ -4665,6 +4665,99 @@ FROM monthly ORDER BY month
 """
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the corpus (operators/textstats.py): per term
+    the document frequency, total occurrences, and the first 10 doc ids
+    as a CSV posting head (capped BEFORE collection — bounded aggregate
+    state). Top-50 terms by total_tf, deterministic tie-break; the
+    oracle rebuilds the same capped postings with ranked string_agg."""
+    from comix_etl_spark.operators.textstats import inverted_index
+
+    t = _t(spark, sf_dir, "documents")
+    idx = inverted_index(t["documents"], "doc_id", "text", posting_cap=10)
+    return (idx.orderBy(F.desc("total_tf"), F.asc("term")).limit(50))
+
+
+ORACLE_INVERTED_INDEX = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  GROUP BY doc_id, term
+), ranked AS (
+  SELECT term, doc_id, tf,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM tf
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       string_agg(CASE WHEN rn <= 10 THEN CAST(doc_id AS VARCHAR) END,
+                  ',' ORDER BY doc_id) AS postings_head
+FROM ranked
+GROUP BY term
+ORDER BY total_tf DESC, term ASC
+LIMIT 50
+"""
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen via Median Absolute Deviation: per return
+    flag, the median price, the MAD, and how many lines sit beyond
+    3 MADs — the heavy-tail-safe alternative to the z-score screen
+    (a single extreme value cannot move the fences). Two exact-median
+    aggregation passes; the tiny per-group fences broadcast back onto
+    the scan for the final conditional count."""
+    t = _t(spark, sf_dir, "lineitem")
+    li = t["lineitem"].select("l_returnflag",
+                              F.col("l_extendedprice").alias("x"))
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("x", 0.5).alias("_med"))
+    mad = (li.join(F.broadcast(med), "l_returnflag")
+           .groupBy("l_returnflag")
+           .agg(F.percentile(F.abs(F.col("x") - F.col("_med")), 0.5)
+                .alias("_mad"),
+                F.first("_med").alias("_med2")))
+    fences = mad.select("l_returnflag",
+                        F.round("_med2", 6).alias("median_price"),
+                        F.round("_mad", 6).alias("mad"),
+                        (F.col("_med2") + 3 * F.col("_mad")).alias("_hi"),
+                        (F.col("_med2") - 3 * F.col("_mad")).alias("_lo"))
+    return (li.join(F.broadcast(fences), "l_returnflag")
+            .groupBy("l_returnflag", "median_price", "mad")
+            .agg(F.sum(F.when((F.col("x") > F.col("_hi"))
+                              | (F.col("x") < F.col("_lo")), 1).otherwise(0))
+                 .cast("long").alias("n_outliers"),
+                 F.count(F.lit(1)).cast("long").alias("n_rows"))
+            .orderBy("l_returnflag"))
+
+
+ORACLE_MAD_OUTLIERS = """
+WITH med AS (
+  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS m
+  FROM lineitem GROUP BY l_returnflag
+), mad AS (
+  SELECT li.l_returnflag, m,
+         quantile_cont(abs(l_extendedprice - m), 0.5) AS d
+  FROM lineitem li JOIN med ON li.l_returnflag = med.l_returnflag
+  GROUP BY li.l_returnflag, m
+)
+SELECT li.l_returnflag,
+       round(m, 6) AS median_price,
+       round(d, 6) AS mad,
+       CAST(sum(CASE WHEN l_extendedprice > m + 3 * d
+                       OR l_extendedprice < m - 3 * d THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem li JOIN mad ON li.l_returnflag = mad.l_returnflag
+GROUP BY li.l_returnflag, m, d
+ORDER BY li.l_returnflag
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -4985,6 +5078,12 @@ QUERIES: dict[str, Query] = {
     "mom_growth": Query(q_mom_growth, ORACLE_MOM_GROWTH,
                         "month-over-month growth in integer bps",
                         ("orders",)),
+    "inverted_index": Query(q_inverted_index, ORACLE_INVERTED_INDEX,
+                            "capped-postings inverted index, top terms",
+                            ("documents",)),
+    "mad_outliers": Query(q_mad_outliers, ORACLE_MAD_OUTLIERS,
+                          "median-absolute-deviation robust outlier screen",
+                          ("lineitem",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -5018,14 +5117,14 @@ _CHECK_FIRST = [
     "peak_concurrency", "compress_ratio", "asof_forward",
     "temperature_mixture", "fk_audit", "late_suppliers", "group_mode",
     "running_distinct", "trend_slopes", "value_bands", "nullsafe_join",
-    "mom_growth",
+    "mom_growth", "inverted_index", "mad_outliers",
     # last checked in r2 (r3's run spent its 50 slots on the r3 batch);
     # events-table queries lead — the testdata's ts unit changed this
     # round and these prove the dual-unit loader under the driver
     "events_json", "sessionize", "funnel", "asof_join", "moving_average",
     "event_pivot", "stats_topk", "search_substring", "keyed_scan",
     "orphan_count", "quality_metrics", "top_customer_per_nation",
-    "order_sequence", "segment_totals", ]
+    ]
 _CHECK_LAST = ["minhash_lsh", "simhash_pairs", "ngram_jaccard", "dedup_clusters"]
 QUERIES = {
     **{n: QUERIES[n] for n in _CHECK_FIRST},
