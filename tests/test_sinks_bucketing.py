@@ -40,3 +40,29 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS bt_facts")
         spark.sql("DROP TABLE IF EXISTS bt_dims")
+
+
+def test_schema_evolution_merge_read(spark):
+    """Parquet schema evolution: a landing zone whose later batches add
+    a column must read as ONE table with mergeSchema, old rows
+    null-backfilled — the append-only bronze contract (new fields appear
+    mid-stream; history never rewrites)."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="schema_evo_")
+    try:
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string") \
+            .write.mode("overwrite").parquet(f"{tmp}/batch=1")
+        spark.createDataFrame([(3, "c", 30.5)], "id int, name string, score double") \
+            .write.mode("overwrite").parquet(f"{tmp}/batch=2")
+        merged = (spark.read.option("mergeSchema", "true")
+                  .option("basePath", tmp).parquet(f"{tmp}/batch=*"))
+        assert set(merged.columns) == {"id", "name", "score", "batch"}
+        rows = {r["id"]: (r["score"], r["batch"]) for r in merged.collect()}
+        assert rows[1] == (None, 1)    # old rows: new column null-backfilled
+        assert rows[3] == (30.5, 2)
+        # pruning still works on the evolved table
+        assert merged.filter("batch = 2").count() == 1
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
