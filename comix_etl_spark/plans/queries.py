@@ -4758,6 +4758,92 @@ ORDER BY li.l_returnflag
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering with a KEEP-BEST policy: connected components
+    over the exact 3-gram pair graph, then each cluster keeps its
+    highest-QUALITY member (quality_score, doc_id tiebreak) instead of
+    the min id — the policy real corpus dedup runs (keep the cleanest
+    copy, not the earliest). Composition: pair graph → min-label CC →
+    per-cluster argmax via min_by over a (-quality, doc_id) struct.
+    Oracle: the recursive-CTE transitive closure + the same argmax."""
+    t = _t(spark, sf_dir, "documents")
+    docs = t["documents"]
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3,
+                                  df_cap=10)
+    clusters = D.dup_clusters(pairs)
+    scored = docs.select("doc_id", text.quality_score("text").alias("q"))
+    member_q = clusters.join(scored, "doc_id")
+    best = (member_q.groupBy("keeper_id")
+            .agg(F.min_by(F.col("doc_id"),
+                          F.struct((F.lit(0.0) - F.col("q")).alias("_nq"),
+                                   F.col("doc_id"))).alias("best_id")))
+    return (member_q.join(F.broadcast(best), "keeper_id")
+            .select("doc_id",
+                    F.col("keeper_id").alias("cluster_id"),
+                    F.round("q", 4).alias("quality"),
+                    (F.col("doc_id") == F.col("best_id")).alias("keep"))
+            .orderBy("doc_id"))
+
+
+_SW_RATIO_SQL = """(CAST(len(list_filter(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> ''),
+                              x -> list_contains(['the','a','of','and','is'], x))) AS DOUBLE)
+           / CAST(CASE WHEN len(trim(text)) = 0 THEN 1
+                       ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) END AS DOUBLE))"""
+
+_Q_EXPR_INLINE = _Q_EXPR.replace("sw_ratio", _SW_RATIO_SQL)
+
+ORACLE_DEDUP_KEEP_BEST = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         )) AS shingle
+  FROM toks WHERE len(t) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), shc AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10)
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.3
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach AS (
+  SELECT src AS node, dst AS r FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+), clusters AS (
+  SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+  FROM reach GROUP BY node
+), quality AS (
+  SELECT doc_id, {q_expr} AS q FROM documents
+), member AS (
+  SELECT c.doc_id, c.cluster_id, q.q
+  FROM clusters c JOIN quality q ON c.doc_id = q.doc_id
+), ranked AS (
+  SELECT doc_id, cluster_id, q,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY q DESC, doc_id ASC) AS rn
+  FROM member
+)
+SELECT doc_id, cluster_id, round(q, 4) AS quality, rn = 1 AS keep
+FROM ranked
+ORDER BY doc_id
+""".replace("{q_expr}", _Q_EXPR_INLINE)
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -5084,6 +5170,9 @@ QUERIES: dict[str, Query] = {
     "mad_outliers": Query(q_mad_outliers, ORACLE_MAD_OUTLIERS,
                           "median-absolute-deviation robust outlier screen",
                           ("lineitem",)),
+    "dedup_keep_best": Query(q_dedup_keep_best, ORACLE_DEDUP_KEEP_BEST,
+                             "near-dup clusters with keep-best-quality policy",
+                             ("documents",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -5117,14 +5206,13 @@ _CHECK_FIRST = [
     "peak_concurrency", "compress_ratio", "asof_forward",
     "temperature_mixture", "fk_audit", "late_suppliers", "group_mode",
     "running_distinct", "trend_slopes", "value_bands", "nullsafe_join",
-    "mom_growth", "inverted_index", "mad_outliers",
+    "mom_growth", "inverted_index", "mad_outliers", "dedup_keep_best",
     # last checked in r2 (r3's run spent its 50 slots on the r3 batch);
     # events-table queries lead — the testdata's ts unit changed this
     # round and these prove the dual-unit loader under the driver
     "events_json", "sessionize", "funnel", "asof_join", "moving_average",
     "event_pivot", "stats_topk", "search_substring", "keyed_scan",
-    "orphan_count", "quality_metrics", "top_customer_per_nation",
-    ]
+    "orphan_count", "quality_metrics", ]
 _CHECK_LAST = ["minhash_lsh", "simhash_pairs", "ngram_jaccard", "dedup_clusters"]
 QUERIES = {
     **{n: QUERIES[n] for n in _CHECK_FIRST},
