@@ -4844,6 +4844,95 @@ ORDER BY doc_id
 """.replace("{q_expr}", _Q_EXPR_INLINE)
 
 
+def q_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of customers by how many
+    orders they placed, INCLUDING zero-order customers — the left outer
+    join no inner aggregate can express, then a second aggregation over
+    the per-customer counts (bounded key space: the count values)."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (t["customer"].select("c_custkey")
+                .join(t["orders"].select("o_custkey"),
+                      F.col("c_custkey") == F.col("o_custkey"), "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_custkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+ORACLE_ORDER_COUNT_DIST = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_custkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_decile_mobility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-mobility matrix: customers' spend decile in 1996 vs 1997 —
+    the cohort-transition analysis behind churn/upsell models. A global
+    ntile is a single-task window (the r1 scale-killer), so each year's
+    decile derives from the RANGE-PARTITIONED global rank
+    (relational.py::global_rank) through ntile's exact quotient formula
+    — the first (n mod 10) deciles hold ceil(n/10) rows — reproducing
+    the oracle's plain ntile bit-for-bit without funneling the
+    customer-grain frame through one task."""
+    t = _t(spark, sf_dir, "orders")
+
+    def deciles(year: int, out: str) -> DataFrame:
+        spend = (t["orders"].filter(F.year("o_orderdate") == year)
+                 .groupBy("o_custkey")
+                 .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                      .alias("_s")))
+        # global_rank needs distinct order keys: (spend, custkey) is
+        # unique, folded into one orderable struct column
+        keyed = spend.select(
+            "o_custkey",
+            F.struct((F.lit(0) - F.col("_s")).alias("_neg"),
+                     F.col("o_custkey").alias("_k")).alias("_ord"))
+        ranked = R.global_rank(keyed, "_ord", out_col="_r")
+        n = ranked.agg(F.count(F.lit(1)).alias("_n"))
+        # ntile(10) from (rank, n): big buckets of size q+1 come first
+        tile = F.expr("""
+            CASE WHEN _r <= (_n div 10 + 1) * (_n % 10)
+                 THEN (_r - 1) div (_n div 10 + 1) + 1
+                 ELSE _n % 10
+                      + (_r - 1 - (_n div 10 + 1) * (_n % 10)) div (_n div 10) + 1
+            END""")
+        return (ranked.crossJoin(F.broadcast(n))
+                .select("o_custkey", tile.cast("int").alias(out)))
+
+    d96 = deciles(1996, "decile_96")
+    d97 = deciles(1997, "decile_97")
+    return (d96.join(d97, "o_custkey")
+            .groupBy("decile_96", "decile_97")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+            .orderBy("decile_96", "decile_97"))
+
+
+ORACLE_DECILE_MOBILITY = """
+WITH s96 AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS s
+  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey
+), s97 AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS s
+  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_custkey
+), d96 AS (
+  SELECT o_custkey, ntile(10) OVER (ORDER BY s DESC, o_custkey ASC) AS decile_96 FROM s96
+), d97 AS (
+  SELECT o_custkey, ntile(10) OVER (ORDER BY s DESC, o_custkey ASC) AS decile_97 FROM s97
+)
+SELECT decile_96, decile_97, CAST(count(*) AS BIGINT) AS n_customers
+FROM d96 JOIN d97 USING (o_custkey)
+GROUP BY decile_96, decile_97
+ORDER BY decile_96, decile_97
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -5173,6 +5262,12 @@ QUERIES: dict[str, Query] = {
     "dedup_keep_best": Query(q_dedup_keep_best, ORACLE_DEDUP_KEEP_BEST,
                              "near-dup clusters with keep-best-quality policy",
                              ("documents",)),
+    "order_count_dist": Query(q_order_count_dist, ORACLE_ORDER_COUNT_DIST,
+                              "TPC-H Q13 customer order-count distribution",
+                              ("customer", "orders")),
+    "decile_mobility": Query(q_decile_mobility, ORACLE_DECILE_MOBILITY,
+                             "year-over-year decile transition matrix",
+                             ("orders",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -5207,12 +5302,13 @@ _CHECK_FIRST = [
     "temperature_mixture", "fk_audit", "late_suppliers", "group_mode",
     "running_distinct", "trend_slopes", "value_bands", "nullsafe_join",
     "mom_growth", "inverted_index", "mad_outliers", "dedup_keep_best",
+    "order_count_dist", "decile_mobility",
     # last checked in r2 (r3's run spent its 50 slots on the r3 batch);
     # events-table queries lead — the testdata's ts unit changed this
     # round and these prove the dual-unit loader under the driver
     "events_json", "sessionize", "funnel", "asof_join", "moving_average",
     "event_pivot", "stats_topk", "search_substring", "keyed_scan",
-    "orphan_count", "quality_metrics", ]
+    ]
 _CHECK_LAST = ["minhash_lsh", "simhash_pairs", "ngram_jaccard", "dedup_clusters"]
 QUERIES = {
     **{n: QUERIES[n] for n in _CHECK_FIRST},
