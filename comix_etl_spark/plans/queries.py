@@ -4933,6 +4933,105 @@ ORDER BY decile_96, decile_97
 """
 
 
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top-20 part pairs appearing on the
+    same order (the frequent-itemset first pass). Pairs expand inline
+    per order from the sorted distinct part set — an order with k parts
+    yields C(k,2) rows, bounded by basket size, never a corpus-wide
+    self-join; the count shuffle keys on the (well-spread) pair."""
+    t = _t(spark, sf_dir, "lineitem")
+    baskets = (t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+               .groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+               .filter(F.size("ps") >= 2))
+    pair_expr = F.explode(F.flatten(F.expr(
+        "transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), "
+        "y -> struct(x AS part_a, y AS part_b)))")))
+    return (baskets.select(pair_expr.alias("p"))
+            .select("p.part_a", "p.part_b")
+            .groupBy("part_a", "part_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+            .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+            .limit(20))
+
+
+ORACLE_BASKET_PAIRS = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a ASC, part_b ASC
+LIMIT 20
+"""
+
+
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: the ppm share held by the top 1% and top
+    10% of customers, plus the Gini coefficient — inequality metrics
+    over a distributed rank. Spend ranks ride global_rank (range
+    partition, no single-task window); the Gini uses the closed rank
+    form G = 2·Σ(r·x)/(n·Σx) − (n+1)/n with decimal-exact sums."""
+    t = _t(spark, sf_dir, "orders")
+    spend = (t["orders"].groupBy("o_custkey")
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                  .alias("_s")))
+    # rank ascending by (spend, custkey) — unique composite key
+    keyed = spend.select(
+        "o_custkey", "_s",
+        F.struct(F.col("_s").alias("_v"),
+                 F.col("o_custkey").alias("_k")).alias("_ord"))
+    ranked = R.global_rank(keyed, "_ord", out_col="_r")
+    totals = ranked.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_s").alias("_tot"),
+        F.sum(F.col("_s") * F.col("_r")).alias("_rx"))
+    shares = (ranked.crossJoin(F.broadcast(totals))
+              .agg(F.max("_n").alias("n_customers"),
+                   F.sum(F.when(F.col("_r") > F.col("_n") - F.expr("_n div 100"),
+                                F.col("_s"))).alias("_top1"),
+                   F.sum(F.when(F.col("_r") > F.col("_n") - F.expr("_n div 10"),
+                                F.col("_s"))).alias("_top10"),
+                   F.max("_tot").alias("_tot2"),
+                   F.max("_rx").alias("_rx2")))
+    # floor over doubles: decimal->long casts truncate in Spark but
+    # round in DuckDB; IEEE double division + floor agree everywhere
+    return shares.select(
+        F.col("n_customers").cast("long").alias("n_customers"),
+        F.floor(F.col("_top1").cast("double") * 1000000.0
+                / F.col("_tot2").cast("double")).cast("long")
+         .alias("top1_share_e6"),
+        F.floor(F.col("_top10").cast("double") * 1000000.0
+                / F.col("_tot2").cast("double")).cast("long")
+         .alias("top10_share_e6"),
+        F.round(2.0 * F.col("_rx2").cast("double")
+                / (F.col("n_customers") * F.col("_tot2")).cast("double")
+                - (F.col("n_customers") + 1).cast("double")
+                / F.col("n_customers").cast("double"), 6).alias("gini"))
+
+
+ORACLE_REVENUE_CONCENTRATION = """
+WITH spend AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS s
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT o_custkey, s,
+         row_number() OVER (ORDER BY s ASC, o_custkey ASC) AS r
+  FROM spend
+), t AS (
+  SELECT count(*) AS n, sum(s) AS tot, sum(s * r) AS rx FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(floor(CAST((SELECT sum(s) FROM ranked, t WHERE r > n - n // 100) AS DOUBLE)
+                  * 1000000.0 / CAST(tot AS DOUBLE)) AS BIGINT) AS top1_share_e6,
+       CAST(floor(CAST((SELECT sum(s) FROM ranked, t WHERE r > n - n // 10) AS DOUBLE)
+                  * 1000000.0 / CAST(tot AS DOUBLE)) AS BIGINT) AS top10_share_e6,
+       round(2.0 * CAST(rx AS DOUBLE) / CAST(n * tot AS DOUBLE)
+             - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+FROM t
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -5268,6 +5367,12 @@ QUERIES: dict[str, Query] = {
     "decile_mobility": Query(q_decile_mobility, ORACLE_DECILE_MOBILITY,
                              "year-over-year decile transition matrix",
                              ("orders",)),
+    "basket_pairs": Query(q_basket_pairs, ORACLE_BASKET_PAIRS,
+                          "market-basket co-occurrence pairs (itemset pass)",
+                          ("lineitem",)),
+    "revenue_concentration": Query(q_revenue_concentration, ORACLE_REVENUE_CONCENTRATION,
+                                   "top-percent shares + Gini via distributed rank",
+                                   ("orders",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -5302,13 +5407,13 @@ _CHECK_FIRST = [
     "temperature_mixture", "fk_audit", "late_suppliers", "group_mode",
     "running_distinct", "trend_slopes", "value_bands", "nullsafe_join",
     "mom_growth", "inverted_index", "mad_outliers", "dedup_keep_best",
-    "order_count_dist", "decile_mobility",
+    "order_count_dist", "decile_mobility", "basket_pairs",
+    "revenue_concentration",
     # last checked in r2 (r3's run spent its 50 slots on the r3 batch);
     # events-table queries lead — the testdata's ts unit changed this
     # round and these prove the dual-unit loader under the driver
     "events_json", "sessionize", "funnel", "asof_join", "moving_average",
-    "event_pivot", "stats_topk", "search_substring", "keyed_scan",
-    ]
+    "event_pivot", "stats_topk", ]
 _CHECK_LAST = ["minhash_lsh", "simhash_pairs", "ngram_jaccard", "dedup_clusters"]
 QUERIES = {
     **{n: QUERIES[n] for n in _CHECK_FIRST},
