@@ -79,13 +79,20 @@ def shingle_postings(df: DataFrame, id_col: str, text_col: str, n: int = 3,
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
-                        threshold: float = 0.5, df_cap: int | None = None) -> DataFrame:
-    """Exact n-gram Jaccard similarity for every co-shingled pair.
+                        threshold: float = 0.5, df_cap: int | None = None,
+                        metric: str = "jaccard") -> DataFrame:
+    """Exact n-gram set similarity for every co-shingled pair.
+
+    ``metric``: "jaccard" = |∩| / |A∪B| (symmetric near-dup);
+    "containment" = |∩| / min(|A|,|B|) — catches a short document
+    embedded inside a longer one, which Jaccard scores near zero (the
+    subset-duplication case RefinedWeb-style cleaning screens for).
+    Same plan either way; only the final scalar differs.
 
     Plan: postings grouped per shingle → sorted id list → the (i<j)
     pairs expanded INLINE with a codegen transform/slice expression →
-    per-pair intersection count → join the two set sizes →
-    |∩| / (|A|+|B|-|∩|). Returns (id_a, id_b, jaccard) >= threshold.
+    per-pair intersection count → join the two set sizes → score.
+    Returns (id_a, id_b, <metric>) >= threshold.
 
     The per-shingle group-and-expand replaces the r2 postings self-join:
     one shuffle on shingle instead of two join sides, and ``df_cap``
@@ -124,16 +131,19 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    if metric == "jaccard":
+        denom = (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+    elif metric == "containment":
+        denom = F.least(F.col("n_a"), F.col("n_b")).cast("double")
+    else:
+        raise ValueError(f"metric must be jaccard|containment, not {metric!r}")
     out = (
         inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
         .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_common").cast("double")
-                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"), 6),
-        )
+        .withColumn(metric,
+                    F.round(F.col("n_common").cast("double") / denom, 6))
     )
-    return out.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+    return out.filter(F.col(metric) >= threshold).select("id_a", "id_b", metric)
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,

@@ -5032,6 +5032,46 @@ FROM t
 """
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs: |∩| / min(|A|,|B|) ≥ 0.6 over 3-gram
+    sets — the subset-duplication screen (a short doc embedded in a
+    longer one scores ~0 Jaccard but ~1 containment). Same capped pair
+    plan as ngram_jaccard; only the denominator changes."""
+    t = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(t["documents"], "doc_id", "text", n=3,
+                                 threshold=0.6, df_cap=10,
+                                 metric="containment")
+
+
+ORACLE_CONTAINMENT_PAIRS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         )) AS shingle
+  FROM toks WHERE len(t) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), shc AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10)
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) AS containment
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.6
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -5373,6 +5413,9 @@ QUERIES: dict[str, Query] = {
     "revenue_concentration": Query(q_revenue_concentration, ORACLE_REVENUE_CONCENTRATION,
                                    "top-percent shares + Gini via distributed rank",
                                    ("orders",)),
+    "containment_pairs": Query(q_containment_pairs, ORACLE_CONTAINMENT_PAIRS,
+                               "subset-duplication screen (containment metric)",
+                               ("documents",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -5408,12 +5451,12 @@ _CHECK_FIRST = [
     "running_distinct", "trend_slopes", "value_bands", "nullsafe_join",
     "mom_growth", "inverted_index", "mad_outliers", "dedup_keep_best",
     "order_count_dist", "decile_mobility", "basket_pairs",
-    "revenue_concentration",
+    "revenue_concentration", "containment_pairs",
     # last checked in r2 (r3's run spent its 50 slots on the r3 batch);
     # events-table queries lead — the testdata's ts unit changed this
     # round and these prove the dual-unit loader under the driver
     "events_json", "sessionize", "funnel", "asof_join", "moving_average",
-    "event_pivot", "stats_topk", ]
+    "event_pivot", ]
 _CHECK_LAST = ["minhash_lsh", "simhash_pairs", "ngram_jaccard", "dedup_clusters"]
 QUERIES = {
     **{n: QUERIES[n] for n in _CHECK_FIRST},
