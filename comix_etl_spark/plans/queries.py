@@ -5072,6 +5072,65 @@ WHERE CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.6
 """
 
 
+def q_quantize_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-calibrated per-dimension int8 quantization: each
+    dimension clips to its own [p01, p99] before scaling, so one
+    outlier cannot waste the code range for every vector (the
+    calibration pass real int8 inference runs; contrasts with
+    quantize_embeddings' plain per-vector max-abs scaling). The
+    per-dim calibration table is a 64-row aggregate broadcast back onto
+    the scan; codes use floor(x+0.5) so both engines agree bit-for-bit;
+    output is the csv+checksum form the correctness harness can hash."""
+    t = _t(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    dims = emb.select("vec_id", F.posexplode("embedding").alias("dim", "x")) \
+              .withColumn("x", F.col("x").cast("double"))
+    calib = (dims.groupBy("dim")
+             .agg(F.percentile("x", 0.01).alias("lo"),
+                  F.percentile("x", 0.99).alias("hi")))
+    clipped = (dims.join(F.broadcast(calib), "dim")
+               .withColumn("xc", F.least(F.greatest(F.col("x"), F.col("lo")),
+                                         F.col("hi")))
+               .withColumn("code",
+                           F.when(F.col("hi") > F.col("lo"),
+                                  F.floor((F.col("xc") - F.col("lo"))
+                                          / (F.col("hi") - F.col("lo"))
+                                          * 255.0 + 0.5) - 128)
+                           .otherwise(F.lit(0)).cast("long")))
+    return (clipped.groupBy("vec_id")
+            .agg(F.concat_ws(",", F.transform(
+                     F.array_sort(F.collect_list(F.struct("dim", "code"))),
+                     lambda s: s["code"].cast("string"))).alias("codes_csv"),
+                 F.sum(F.col("code") * F.col("code")).cast("long")
+                  .alias("qnorm2")))
+
+
+ORACLE_QUANTIZE_CALIBRATED = """
+WITH dims AS (
+  SELECT vec_id, (u).d AS dim, (u).x AS x FROM (
+    SELECT vec_id,
+           unnest(list_transform(range(1, len(v) + 1),
+                                 i -> {'d': i - 1, 'x': v[i]})) AS u
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+  )
+), calib AS (
+  SELECT dim, quantile_cont(x, 0.01) AS lo, quantile_cont(x, 0.99) AS hi
+  FROM dims GROUP BY dim
+), coded AS (
+  SELECT vec_id, dims.dim,
+         CASE WHEN hi > lo
+              THEN CAST(floor((least(greatest(x, lo), hi) - lo)
+                              / (hi - lo) * 255.0 + 0.5) AS BIGINT) - 128
+              ELSE 0 END AS code
+  FROM dims JOIN calib ON dims.dim = calib.dim
+)
+SELECT vec_id,
+       string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim) AS codes_csv,
+       CAST(sum(code * code) AS BIGINT) AS qnorm2
+FROM coded GROUP BY vec_id
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -5416,6 +5475,9 @@ QUERIES: dict[str, Query] = {
     "containment_pairs": Query(q_containment_pairs, ORACLE_CONTAINMENT_PAIRS,
                                "subset-duplication screen (containment metric)",
                                ("documents",)),
+    "quantize_calibrated": Query(q_quantize_calibrated, ORACLE_QUANTIZE_CALIBRATED,
+                                 "percentile-calibrated per-dim int8 quantization",
+                                 ("embeddings",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -5451,12 +5513,12 @@ _CHECK_FIRST = [
     "running_distinct", "trend_slopes", "value_bands", "nullsafe_join",
     "mom_growth", "inverted_index", "mad_outliers", "dedup_keep_best",
     "order_count_dist", "decile_mobility", "basket_pairs",
-    "revenue_concentration", "containment_pairs",
+    "revenue_concentration", "containment_pairs", "quantize_calibrated",
     # last checked in r2 (r3's run spent its 50 slots on the r3 batch);
     # events-table queries lead — the testdata's ts unit changed this
     # round and these prove the dual-unit loader under the driver
     "events_json", "sessionize", "funnel", "asof_join", "moving_average",
-    "event_pivot", ]
+    ]
 _CHECK_LAST = ["minhash_lsh", "simhash_pairs", "ngram_jaccard", "dedup_clusters"]
 QUERIES = {
     **{n: QUERIES[n] for n in _CHECK_FIRST},
