@@ -5131,6 +5131,62 @@ FROM coded GROUP BY vec_id
 """
 
 
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, revenue accumulated over cohort age (integer month
+    arithmetic — no float months_between). The running total is a
+    window PARTITIONED by cohort over the bounded (cohort, age) grain —
+    ≤ a few hundred rows per cohort, so no global-window funnel. First
+    12 months of the first 6 cohorts keep the report compact."""
+    t = _t(spark, sf_dir, "orders")
+    o = t["orders"].select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price"))
+    first = o.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    aged = (o.join(first, "o_custkey")
+            .withColumn("age_months", F.col("ym") - F.col("cohort_ym")))
+    grain = (aged.groupBy("cohort_ym", "age_months")
+             .agg(F.sum("price").alias("rev_dec"),
+                  F.count_distinct("o_custkey").alias("n_active")))
+    w = (Window.partitionBy("cohort_ym").orderBy("age_months")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    out = (grain.withColumn("cume_dec", F.sum("rev_dec").over(w))
+           .filter((F.col("age_months") < 12)
+                   & (F.col("cohort_ym") < F.lit(1995 * 12 + 7)))
+           .select("cohort_ym", "age_months",
+                   F.col("rev_dec").cast("double").alias("revenue"),
+                   F.col("cume_dec").cast("double").alias("cume_revenue"),
+                   F.col("n_active").cast("long").alias("n_active")))
+    return out.orderBy("cohort_ym", "age_months")
+
+
+ORACLE_COHORT_LTV = """
+WITH o AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+         CAST(o_totalprice AS DECIMAL(18,4)) AS price
+  FROM orders
+), first AS (
+  SELECT o_custkey, min(ym) AS cohort_ym FROM o GROUP BY o_custkey
+), grain AS (
+  SELECT cohort_ym, ym - cohort_ym AS age_months,
+         sum(price) AS rev_dec,
+         count(DISTINCT o.o_custkey) AS n_active
+  FROM o JOIN first ON o.o_custkey = first.o_custkey
+  GROUP BY cohort_ym, ym - cohort_ym
+)
+SELECT cohort_ym, age_months,
+       CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(sum(rev_dec) OVER (PARTITION BY cohort_ym ORDER BY age_months
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cume_revenue,
+       CAST(n_active AS BIGINT) AS n_active
+FROM grain
+WHERE age_months < 12 AND cohort_ym < 1995 * 12 + 7
+ORDER BY cohort_ym, age_months
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -5478,6 +5534,9 @@ QUERIES: dict[str, Query] = {
     "quantize_calibrated": Query(q_quantize_calibrated, ORACLE_QUANTIZE_CALIBRATED,
                                  "percentile-calibrated per-dim int8 quantization",
                                  ("embeddings",)),
+    "cohort_ltv": Query(q_cohort_ltv, ORACLE_COHORT_LTV,
+                        "cohort lifetime-value curves (integer month grid)",
+                        ("orders",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -5514,11 +5573,11 @@ _CHECK_FIRST = [
     "mom_growth", "inverted_index", "mad_outliers", "dedup_keep_best",
     "order_count_dist", "decile_mobility", "basket_pairs",
     "revenue_concentration", "containment_pairs", "quantize_calibrated",
+    "cohort_ltv",
     # last checked in r2 (r3's run spent its 50 slots on the r3 batch);
     # events-table queries lead — the testdata's ts unit changed this
     # round and these prove the dual-unit loader under the driver
-    "events_json", "sessionize", "funnel", "asof_join", "moving_average",
-    ]
+    "events_json", "sessionize", "funnel", "asof_join", ]
 _CHECK_LAST = ["minhash_lsh", "simhash_pairs", "ngram_jaccard", "dedup_clusters"]
 QUERIES = {
     **{n: QUERIES[n] for n in _CHECK_FIRST},
