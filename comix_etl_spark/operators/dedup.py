@@ -43,20 +43,7 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _spread_small_scan(df: DataFrame) -> DataFrame:
-    """Repartition a scan that arrived in fewer splits than cores.
-
-    Shingling is CPU-bound; a small/single-file parquet table reads as
-    ONE input split, serializing the whole tokenize+shingle stage onto
-    one task (measured: the entire sf0.1 documents table shingled on 1
-    of 32 cores). A 100 TB corpus arrives in thousands of splits so this
-    guard is a no-op there — it only pays the (input-sized, one-time)
-    round-robin shuffle when the scan would otherwise under-use the
-    cluster."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+from comix_etl_spark.operators.partitioning import spread_small_scan as _spread_small_scan
 
 
 def shingle_postings(df: DataFrame, id_col: str, text_col: str, n: int = 3,
@@ -207,52 +194,81 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, *,
     return verified.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star contraction: every node connects its strictly
+    LARGER neighbors to the minimum of its closed neighborhood. Output
+    edges always point large→small (u > v)."""
+    und = (e.select("u", "v")
+           .unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))))
+    mins = (und.groupBy("u").agg(F.min("v").alias("_mv"))
+            .select("u", F.least(F.col("_mv"), F.col("u")).alias("m")))
+    return (und.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star contraction: every node connects its smaller-or-
+    equal neighborhood (itself included) to that neighborhood's minimum.
+    Input/output edges point large→small (u > v)."""
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    return (e.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
+
+
 def dup_clusters(pairs: DataFrame, *, id_a: str = "id_a", id_b: str = "id_b",
-                 max_iters: int = 50) -> DataFrame:
+                 max_iters: int = 25) -> DataFrame:
     """Connected components over a near-dup pair graph → (doc_id,
     keeper_id): every document labeled with the minimum id reachable
     through dup edges. The step after pair generation in a real dedup
     pipeline — groups {A~B, B~C} must collapse to ONE keeper even though
     A and C were never directly compared.
 
-    Iterative min-label propagation (the standard Spark formulation —
-    GraphX/GraphFrames do the same under the hood): each round every
-    node takes the min label among itself and its neighbors; converged
-    when no label changes. Rounds needed = graph diameter ≤ O(log n)
-    for typical dup clusters (most are stars/cliques: 1-2 rounds). Each
-    round is one shuffle on node id; the edge list is localCheckpoint'd
-    once and reused every round.
+    Alternating large-star / small-star contraction (the public
+    Connected Components in MapReduce formulation, Kiveris et al. 2014):
+    each round rewires every node toward its neighborhood minimum, so a
+    component of diameter d converges in O(log d) ROUNDS — not the O(d)
+    a plain min-label propagation needs (the r2–r4 formulation here; a
+    single 1M-long dup chain at 100 TB would have exhausted any sane
+    round budget under it, and this operator chose to raise rather than
+    silently split the chain). Each half-round is one groupBy-min plus
+    one join keyed on node id; edges stay (large, small)-canonical and
+    the round output is localCheckpoint'd so lineage stays O(1).
+    Converged when the star edge set reaches its fixed point; still
+    raises if ``max_iters`` rounds pass without one (with O(log d)
+    convergence that now indicates a bug or an adversarial graph, not
+    just a long chain).
     """
-    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-             .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    nodes = (pairs.select(F.col(id_a).alias("node"))
+             .unionByName(pairs.select(F.col(id_b).alias("node")))
              .distinct().localCheckpoint(eager=False))
-    labels = (edges.select(F.col("src").alias("node"))
-              .distinct().withColumn("label", F.col("node")))
+    e = (pairs.select(F.greatest(id_a, id_b).alias("u"),
+                      F.least(id_a, id_b).alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .distinct().localCheckpoint(eager=True))
     for _ in range(max_iters):
-        neighbor_min = (edges.join(labels, edges.dst == labels.node)
-                        .groupBy("src").agg(F.min("label").alias("nmin")))
-        # _chg rides along instead of a separate old-vs-new join: the
-        # convergence probe is then a plain filter over the checkpointed
-        # round output — one shuffle fewer per round, same O(1) lineage
-        new_labels = (labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-                      .select(F.col("node"),
-                              F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label")))
-                              .alias("label"),
-                              (F.col("nmin") < F.col("label")).alias("_chg")))
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("_chg")).limit(1).count()
-        labels = new_labels.drop("_chg")
+        e_new = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        changed = (e_new.unionByName(e)
+                   .groupBy("u", "v").agg(F.count(F.lit(1)).alias("_n"))
+                   .filter(F.col("_n") == 1).limit(1).count())
+        e = e_new
         if changed == 0:
             break
     else:
-        # labels are only correct at a fixed point — exhausting the
-        # round budget on a still-changing graph (diameter > max_iters,
-        # e.g. one long dup chain) would silently split a component
-        # into several keepers
         raise RuntimeError(
-            f"dup_clusters did not converge in max_iters={max_iters} rounds; "
-            "component diameter exceeds the budget — raise max_iters")
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("keeper_id"))
+            f"dup_clusters did not converge in max_iters={max_iters} "
+            "star-contraction rounds — with O(log diameter) convergence this "
+            "indicates a degenerate graph; raise max_iters")
+    # fixed point = disjoint stars: (u, root) edges; roots label themselves
+    return (nodes.join(e.select(F.col("u").alias("node"),
+                                F.col("v").alias("_root")), "node", "left")
+            .select(F.col("node").alias("doc_id"),
+                    F.coalesce(F.col("_root"), F.col("node")).alias("keeper_id")))
 
 
 def embedding_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
@@ -278,7 +294,8 @@ def embedding_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
     import numpy as np
 
     spark = df.sparkSession
-    src = df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v"))
+    src = _spread_small_scan(
+        df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v")))
     rows = src.collect()  # driver-small by contract (the broadcast side)
     if len(rows) > max_broadcast_rows:
         raise ValueError(
@@ -332,9 +349,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     formulation shuffled |tokens| rows and evaluated 63 expressions per
     token row — measured 4× slower at sf0.1 with identical output.
     """
-    arrs = df.select(
-        F.col(id_col).alias("_id"),
-        F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("_hs"),
+    # spread BEFORE hashing: the token-hash transform and the Arrow vote
+    # tally are the CPU cost; a one-split scan would run both on 1 core
+    arrs = _spread_small_scan(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+    ).select(
+        "_id",
+        F.transform(tokens("_txt"), lambda t: F.xxhash64(t)).alias("_hs"),
     ).filter(F.size("_hs") > 0)  # docs with no tokens have no sketch
 
     shifts = np.arange(63, dtype=np.uint64)

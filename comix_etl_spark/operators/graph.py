@@ -41,6 +41,14 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     (default width) × iters near-empty tasks. Size it to the node count
     like a stateful stream's state partitions; leave None on a cluster
     whose default already matches the graph.
+
+    NOTE the override is SESSION-GLOBAL for the duration of the rounds
+    (spark.conf, not a per-plan hint — Spark has no per-plan shuffle
+    width): a concurrent query on the same SparkSession would plan at
+    the overridden width, and the restore is not safe against a
+    concurrent setter. Fine in a single-driver batch job; on a shared
+    session run pagerank in its own SparkSession (cloned confs are
+    per-session) or leave the override None.
     """
     spark = edges.sparkSession
     prev_shuffle = None

@@ -50,6 +50,31 @@ def batch_guardrail(batch: DataFrame, expected: int, threshold: float = 0.8) -> 
     return n
 
 
+def guardrail_report(batches: DataFrame, batch_key: Sequence[str],
+                     expected: DataFrame, *, threshold: float = 0.8,
+                     expected_col: str = "expected_rows") -> DataFrame:
+    """Declarative form of the 80% rule over MANY batches at once:
+    (batch_key..., n_rows, expected_rows, load_ratio, passes).
+
+    ``batch_guardrail`` is the driver-side scalar gate (raise before a
+    merge); this is the set-valued report a backfill runs over a whole
+    partition grid — one aggregate + one broadcastable join against the
+    expectation table, so auditing 10k batch partitions costs one pass.
+    Batches with no expectation row pass vacuously (expected NULL);
+    ratio is rounded to 6dp so the boolean derives from the same value
+    on any engine.
+    """
+    keys = [F.col(k) for k in batch_key]
+    counts = batches.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    joined = counts.join(F.broadcast(expected), list(batch_key), "left")
+    ratio = F.when(F.col(expected_col) > 0,
+                   F.round(F.col("n_rows") / F.col(expected_col), 6))
+    return (joined
+            .withColumn("load_ratio", ratio)
+            .withColumn("passes",
+                        F.coalesce(F.col("load_ratio") >= threshold, F.lit(True))))
+
+
 def constraint_report(df: DataFrame, *,
                       not_null: Sequence[str] = (),
                       unique: Sequence[Sequence[str]] = (),

@@ -29,6 +29,7 @@ from comix_etl_spark.functions.vector import (
     hyperplane_buckets_pandas,
     random_hyperplane_bits,
 )
+from comix_etl_spark.operators.partitioning import spread_small_scan
 
 
 def brute_force_topk(corpus: DataFrame, query: DataFrame, *, id_col: str = "vec_id",
@@ -45,7 +46,9 @@ def brute_force_topk(corpus: DataFrame, query: DataFrame, *, id_col: str = "vec_
         *([F.col(query_id_col).alias("_qid")] if query_id_col else []),
         F.col(vec_col).alias("_qvec"),
     )
-    joined = corpus.crossJoin(F.broadcast(q))
+    # the per-row cosine folds are the CPU cost; spread a one-split scan
+    # so the score stage uses every core (no-op on a real multi-split table)
+    joined = spread_small_scan(corpus.select(id_col, vec_col)).crossJoin(F.broadcast(q))
     sim = F.round(cosine(vec_col, "_qvec"), 6).alias("cosine_sim")
     cols = ([F.col("_qid").alias("query_id")] if query_id_col else []) + [F.col(id_col), sim]
     scored = joined.select(*cols)
@@ -141,6 +144,7 @@ def ivf_topk(corpus: DataFrame, query: DataFrame, *, centers=None,
     if centers is None:
         centers = train_ivf_centroids(corpus, vec_col=vec_col,
                                       n_centroids=n_centroids, seed=seed)
+    corpus = spread_small_scan(corpus.select(id_col, vec_col))
     assigned = assign_ivf_centroid(corpus, centers, vec_col=vec_col)
 
     q = (query.withColumnRenamed(id_col, query_id_col)
@@ -175,10 +179,33 @@ def make_hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> list[l
             for _ in range(tables)]
 
 
+def rademacher_hyperplanes(dim: int, bits: int, tables: int) -> list[list[list[float]]]:
+    """±1 (Rademacher) hyperplanes derived from md5 parity — the
+    sign-random-projection LSH family with sparse ±1 entries instead of
+    Gaussians (Achlioptas 2001 shows ±1 projections satisfy the same JL
+    guarantees; for sign-LSH only the direction distribution matters).
+
+    The point of the md5 derivation is CROSS-ENGINE reproducibility:
+    ``sign(t, b, d) = +1 iff ascii(md5("p{t}_{b}_{d}")[0]) is even`` is
+    computable in ANSI-ish SQL (DuckDB: ``ascii(substring(md5(...),1,1))
+    % 2``), so the exact bucket assignment — not just the re-ranked
+    output — can be verified by an independent engine. Used by the
+    ``ann_lsh_det`` registry query's DuckDB oracle.
+    """
+    import hashlib
+
+    def sign(t: int, b: int, d: int) -> float:
+        h = hashlib.md5(f"p{t}_{b}_{d}".encode()).hexdigest()
+        return 1.0 if ord(h[0]) % 2 == 0 else -1.0
+
+    return [[[sign(t, b, d) for d in range(dim)] for b in range(bits)]
+            for t in range(tables)]
+
+
 def lsh_bucketed_topk(corpus: DataFrame, query: DataFrame, *, dim: int,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       k: int = 10, bits: int = 8, tables: int = 4, seed: int = 42,
-                      query_id_col: str = "query_id") -> DataFrame:
+                      query_id_col: str = "query_id", planes=None) -> DataFrame:
     """Approximate cosine top-k: random-hyperplane LSH candidates, exact
     re-rank. Corpus is hashed once for ALL tables (scan-local, no
     shuffle); the candidate join touches only colliding buckets.
@@ -191,7 +218,10 @@ def lsh_bucketed_topk(corpus: DataFrame, query: DataFrame, *, dim: int,
     path is kept for tiny plane counts where a UDF round-trip costs more
     than it saves.
     """
-    planes = make_hyperplanes(dim, bits, tables, seed)
+    if planes is None:
+        planes = make_hyperplanes(dim, bits, tables, seed)
+    else:
+        tables, bits = len(planes), len(planes[0])
     use_pandas = bits * tables > 8
 
     def with_buckets(df: DataFrame, idc: str) -> DataFrame:
@@ -215,7 +245,7 @@ def lsh_bucketed_topk(corpus: DataFrame, query: DataFrame, *, dim: int,
 
     qb = with_buckets(query.withColumnRenamed(id_col, query_id_col)
                       if query_id_col not in query.columns else query, query_id_col)
-    cb = with_buckets(corpus, id_col)
+    cb = with_buckets(spread_small_scan(corpus.select(id_col, vec_col)), id_col)
     candidates = (
         cb.join(F.broadcast(qb), ["table", "bucket"])
         .select(query_id_col, id_col, f"_v_{id_col}", f"_v_{query_id_col}")
@@ -254,6 +284,10 @@ def kmeans_fit(corpus: DataFrame, *, vec_col: str = "embedding", k: int = 8,
     first = corpus.select(vec_col).first()
     if first is None:
         raise ValueError("kmeans_fit: empty corpus")
+    # spread ONCE before the loop (all columns — callers consume the
+    # returned assignment); every iteration's assign + posexplode stage
+    # inherits the width, no per-round repartition
+    corpus = spread_small_scan(corpus).localCheckpoint(eager=False)
     # deterministic init: k centroids from a hash-ordered bounded sample
     # (same driver-small contract as train_ivf_centroids)
     rows = (corpus.select(vec_col)
@@ -301,7 +335,10 @@ def train_pq_codebooks(corpus: DataFrame, *, vec_col: str = "embedding",
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
     rng = np.random.default_rng(seed)
-    books = np.empty((m, k, sub), dtype=np.float64)
+    # zeros, not empty: a degenerate sample (< k distinct vectors) leaves
+    # codebook slots unfilled, and uninitialized memory would make
+    # pq_encode's argmax nondeterministically select garbage centroids
+    books = np.zeros((m, k, sub), dtype=np.float64)
     for j in range(m):
         xj = x[:, j * sub:(j + 1) * sub]
         centers = xj[rng.choice(len(xj), size=min(k, len(xj)), replace=False)]
@@ -381,7 +418,8 @@ def pq_topk(corpus: DataFrame, query: DataFrame, *, codebooks=None,
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast((qids, luts))
 
-    encoded = pq_encode(corpus, books, vec_col=vec_col)
+    encoded = pq_encode(spread_small_scan(corpus.select(id_col, vec_col)),
+                        books, vec_col=vec_col)
 
     def score_batches(batches):
         ids_b, luts_b = bc.value

@@ -96,7 +96,15 @@ def events_ts_unit(sf_dir: str) -> str:
     import pyarrow.parquet as pq
 
     t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
-    return "ns" if "ns" in str(t) else "us"
+    unit = getattr(t, "unit", None)
+    if unit not in ("ns", "us"):
+        # fail loudly on a third revision (ms, plain INT64, ...): silently
+        # taking either known path would shift timestamps by orders of
+        # magnitude instead of surfacing the format change
+        raise ValueError(
+            f"events.parquet ts column is {t!r}; expected timestamp[ns] or "
+            "timestamp[us] — the testdata format changed, update the loader")
+    return unit
 
 
 def events_stream_source(spark: SparkSession, sf_dir: str):

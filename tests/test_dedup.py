@@ -79,13 +79,22 @@ def test_dup_clusters_transitive_chain(spark):
 
 
 def test_dup_clusters_long_path_converges(spark):
-    """A 12-node path graph needs multiple propagation rounds — the
-    label must still reach the far end."""
-    edges = [(i, i + 1) for i in range(100, 112)]
+    """A path graph with diameter FAR above the round budget must still
+    converge — star contraction collapses a diameter-d component in
+    O(log d) rounds, not O(d) (the r4 min-label formulation would have
+    needed 199 rounds here and raised)."""
+    edges = [(i, i + 1) for i in range(100, 299)]  # 200-node path, diameter 199
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-    got = {r.doc_id: r.keeper_id for r in D.dup_clusters(pairs).collect()}
+    got = {r.doc_id: r.keeper_id for r in D.dup_clusters(pairs, max_iters=12).collect()}
     assert set(got.values()) == {100}
-    assert len(got) == 13
+    assert len(got) == 200
+
+
+def test_dup_clusters_reversed_pair_orientation(spark):
+    """Pairs arriving as (big, small) must canonicalize identically."""
+    pairs = spark.createDataFrame([(20, 10), (20, 30)], "id_a long, id_b long")
+    got = {r.doc_id: r.keeper_id for r in D.dup_clusters(pairs).collect()}
+    assert got == {10: 10, 20: 10, 30: 10}
 
 
 def test_dup_clusters_raises_on_exhausted_rounds(spark):
@@ -93,10 +102,10 @@ def test_dup_clusters_raises_on_exhausted_rounds(spark):
     silently emitting split components is data corruption."""
     import pytest
 
-    edges = [(i, i + 1) for i in range(100, 112)]
+    edges = [(i, i + 1) for i in range(100, 164)]
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        D.dup_clusters(pairs, max_iters=2)
+        D.dup_clusters(pairs, max_iters=1)
 
 
 def test_dedup_clusters_lsh_matches_exact_composition(spark, sf_small):
