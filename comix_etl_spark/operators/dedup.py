@@ -134,20 +134,33 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
-                       num_hashes: int = 32, n: int = 3) -> DataFrame:
-    """MinHash signatures: k independent min-aggregates of seeded xxhash64
+                       num_hashes: int = 32, n: int = 3,
+                       hash_fn: str = "xxhash64") -> DataFrame:
+    """MinHash signatures: k independent min-aggregates of seeded hashes
     over the shingle postings — one shuffle, constant output per doc.
-    Docs with no shingles (shorter than n words) are dropped."""
+    Docs with no shingles (shorter than n words) are dropped.
+
+    ``hash_fn``: "xxhash64" (default — 8-byte keys, the fast path) or
+    "md5" (hex-string mins of ``md5("{i}_" + shingle)``) — ~4× more
+    bytes per signature slot, but byte-identical to what any engine's
+    md5 produces, so the FULL banding machinery becomes verifiable by
+    the DuckDB oracle (registry query ``minhash_lsh_det``)."""
     posts = shingle_postings(df, id_col, text_col, n)
-    aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
-            for i in range(num_hashes)]
+    if hash_fn == "xxhash64":
+        aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+                for i in range(num_hashes)]
+    elif hash_fn == "md5":
+        aggs = [F.min(F.md5(F.concat(F.lit(f"{i}_"), F.col("shingle")))).alias(f"mh_{i}")
+                for i in range(num_hashes)]
+    else:
+        raise ValueError(f"hash_fn must be xxhash64|md5, not {hash_fn!r}")
     sigs = posts.groupBy("_id").agg(*aggs)
     return sigs.select("_id", F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("signature"))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, *,
                       num_hashes: int = 32, bands: int = 8, n: int = 3,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5, hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup pairs via banded MinHash LSH, verified with exact Jaccard.
 
     Signature is split into ``bands`` bands of ``num_hashes/bands`` rows;
@@ -156,15 +169,20 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, *,
     collision probability ≈ 1-(1-s^r)^b — tune bands to the threshold.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n, hash_fn)
+
+    def band_key(bi: int):
+        slots = [F.col("signature")[bi * rows_per_band + j]
+                 for j in range(rows_per_band)]
+        if hash_fn == "md5":
+            # engine-reproducible bucket: md5 of the '|'-joined band mins
+            return F.md5(F.concat_ws("|", *slots))
+        return F.xxhash64(*slots)
+
     band_rows = sigs.select(
         "_id",
         F.explode(F.array(*[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(*[F.col("signature")[bi * rows_per_band + j]
-                             for j in range(rows_per_band)]).alias("bucket"),
-            )
+            F.struct(F.lit(bi).alias("band"), band_key(bi).alias("bucket"))
             for bi in range(bands)
         ])).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
@@ -334,12 +352,20 @@ def embedding_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
     return src.mapInPandas(pairs, schema="id_a long, id_b long, cosine_sim double")
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            hash_fn: str = "xxhash64") -> DataFrame:
     """63-bit SimHash per document (bit 63 skipped — it's the sign bit).
 
     Per token: xxhash64 → each of its bits votes ±1 into a counter; the
     sketch's bit i is 1 iff counter i > 0. Near-dups:
     ``bit_count(xor(a, b))`` small.
+
+    ``hash_fn="md5"`` swaps the token hash for the low 60 bits of
+    md5 (``conv(substring(md5(t),1,15),16,10)``) — slower, but byte-
+    reproducible on any engine, so the registry's ``simhash_det`` query
+    can verify sketches/blocking/Hamming against a DuckDB oracle (bits
+    60–62 are then always 0: votes degenerate to −n_tokens, bit = 0 on
+    both engines).
 
     Plan: token hashes are computed JVM-side (``transform`` + xxhash64 —
     identical values to the scalar form), kept as one ``array<long>`` per
@@ -349,13 +375,21 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     formulation shuffled |tokens| rows and evaluated 63 expressions per
     token row — measured 4× slower at sf0.1 with identical output.
     """
+    if hash_fn == "xxhash64":
+        def tok_hash(t):
+            return F.xxhash64(t)
+    elif hash_fn == "md5":
+        def tok_hash(t):
+            return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"hash_fn must be xxhash64|md5, not {hash_fn!r}")
     # spread BEFORE hashing: the token-hash transform and the Arrow vote
     # tally are the CPU cost; a one-split scan would run both on 1 core
     arrs = _spread_small_scan(
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
     ).select(
         "_id",
-        F.transform(tokens("_txt"), lambda t: F.xxhash64(t)).alias("_hs"),
+        F.transform(tokens("_txt"), tok_hash).alias("_hs"),
     ).filter(F.size("_hs") > 0)  # docs with no tokens have no sketch
 
     shifts = np.arange(63, dtype=np.uint64)
@@ -380,7 +414,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
-                       max_hamming: int = 8, prefix_bits: int = 16) -> DataFrame:
+                       max_hamming: int = 8, prefix_bits: int = 16,
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
     Blocking: pairs are only compared when they share one of 4 16-bit
@@ -391,7 +426,7 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
     # without a lineage cut the self-join below computes it TWICE (AQE
     # broadcasts one side — no exchange to reuse). localCheckpoint
     # materializes it once (measured ~2× on the whole operator at sf0.1).
-    sk = simhash(df, id_col, text_col).localCheckpoint(eager=False)
+    sk = simhash(df, id_col, text_col, hash_fn).localCheckpoint(eager=False)
     segments = F.array(*[
         F.struct(F.lit(s).alias("seg"),
                  F.shiftrightunsigned(F.col("simhash"), s * prefix_bits)

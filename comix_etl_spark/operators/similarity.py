@@ -437,7 +437,13 @@ def pq_topk(corpus: DataFrame, query: DataFrame, *, codebooks=None,
             out = []
             top = min(rerank, len(codes))
             for qi in range(nq):
-                idx = np.argpartition(-scores[:, qi], top - 1)[:top]
+                # keep ALL rows tied with the top-th score: PQ code
+                # collisions make exact ADC ties common, and dropping a
+                # boundary tie here would make the global top-R depend
+                # on batch order instead of the deterministic
+                # (score desc, id) window tie-break downstream
+                kth = np.partition(scores[:, qi], len(codes) - top)[len(codes) - top]
+                idx = np.nonzero(scores[:, qi] >= kth)[0]
                 out.append(pd.DataFrame({
                     "query_id": ids_b[qi],
                     "_cid": cids[idx],

@@ -1255,20 +1255,269 @@ ORDER BY doc_id
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates verified by exact Jaccard — the
     100 TB dedup path (constant-size signatures, banded buckets).
-    Non-SQL-expressible (seeded banded xxhash); recall vs the exact
-    operator is asserted in tests/test_dedup.py."""
+    Rows-only (seeded banded xxhash); recall vs the exact operator is
+    asserted in tests/test_dedup.py, and the md5-family sibling
+    `minhash_lsh_det` puts the identical banding code path under a
+    hash-checked DuckDB oracle."""
     t = _t(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(t["documents"], "doc_id", "text",
                                num_hashes=32, bands=8, n=3, threshold=0.3)
+
+
+def q_ann_pq_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN (ADC + exact re-rank) with FIXED codebooks — subspace
+    slices of 16 designated L2-normalized corpus vectors instead of
+    sampled k-means — so the DuckDB oracle independently recomputes the
+    per-subspace encode argmax, every query's ADC lookup table, the
+    top-100 ADC candidate window, and the exact-cosine top-10. Together
+    with the tie-keeping batch pruning in similarity.pq_topk this makes
+    the WHOLE PQ pipeline engine-reproducible. Det anchor for `ann_pq`
+    (same code path, different codebook source)."""
+    import numpy as np
+
+    t = _t(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    cent_rows = (emb.filter(F.col("vec_id").isin(*_IVF_DET_CENTROID_IDS))
+                 .orderBy("vec_id").select("embedding").collect())
+    x = np.array([r[0] for r in cent_rows], dtype=np.float64)
+    x = x / np.linalg.norm(x, axis=1)[:, None]
+    # books[j][c] = subvector j of designated vector c  (m=8, k=16, sub=8)
+    books = x.reshape(16, 8, 8).transpose(1, 0, 2)
+    queries = (emb.filter(F.col("vec_id").isin(0, 1, 2))
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return S.pq_topk(emb, queries, codebooks=books, id_col="vec_id",
+                     vec_col="embedding", k=10, rerank=100)
+
+
+ORACLE_ANN_PQ_DET = """
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), nv AS (
+  SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nvv
+  FROM vecs
+), cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, nvv
+  FROM nv WHERE vec_id IN (5,10,15,20,25,30,35,40,45,50,55,60,65,70,75,80)
+), books AS (
+  SELECT j.j, c, list_slice(nvv, j.j * 8 + 1, j.j * 8 + 8) AS bv
+  FROM cents, range(8) j(j)
+), codes AS (
+  -- per-subspace encode: argmax(x_j . c_jc - |c_jc|^2/2), ties to lowest c
+  SELECT vec_id, j, c FROM (
+    SELECT s.vec_id, s.j, s.c,
+           row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY s.s DESC, s.c) AS rn
+    FROM (SELECT n.vec_id, b.j, b.c,
+                 list_dot_product(list_slice(n.nvv, b.j * 8 + 1, b.j * 8 + 8), b.bv)
+                 - list_dot_product(b.bv, b.bv) / 2.0 AS s
+          FROM nv n, books b) s
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, nvv AS qv FROM nv WHERE vec_id IN (0, 1, 2)
+), luts AS (
+  SELECT q.query_id, b.j, b.c,
+         list_dot_product(list_slice(q.qv, b.j * 8 + 1, b.j * 8 + 8), b.bv) AS lut
+  FROM q, books b
+), adc AS (
+  SELECT l.query_id, cd.vec_id, sum(l.lut) AS adc_score
+  FROM codes cd JOIN luts l ON l.j = cd.j AND l.c = cd.c
+  GROUP BY 1, 2
+), cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY adc_score DESC, vec_id) AS rn
+    FROM adc
+  ) WHERE rn <= 100
+), scored AS (
+  SELECT c.query_id, c.vec_id,
+         round(list_dot_product(e.v, qr.v)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qr.v, qr.v))), 6) AS cosine_sim
+  FROM cand c JOIN vecs e ON e.vec_id = c.vec_id JOIN vecs qr ON qr.vec_id = c.query_id
+)
+SELECT query_id, vec_id, cosine_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 10
+"""
+
+
+def q_dedup_clusters_lsh_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full 100 TB dedup COMPOSITION under a hash-checked oracle:
+    md5-family MinHash+LSH candidates (engine-reproducible banding) →
+    exact-Jaccard verify → large-star/small-star connected components →
+    (doc_id, keeper_id). The DuckDB oracle recomputes the pairs from
+    scratch and closes the transitive reachability with a recursive CTE
+    — so candidate generation, verification, AND clustering are all
+    independently recomputed. Det anchor for `dedup_clusters_lsh`."""
+    t = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(t["documents"], "doc_id", "text",
+                                num_hashes=16, bands=4, n=3, threshold=0.3,
+                                hash_fn="md5")
+    return D.dup_clusters(pairs).orderBy("doc_id")
+
+
+ORACLE_DEDUP_CLUSTERS_LSH_DET = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         )) AS shingle
+  FROM toks WHERE len(t) >= 3
+), mins AS (
+  SELECT doc_id, h.i, min(md5(h.i || '_' || shingle)) AS mh
+  FROM sh, range(16) h(i) GROUP BY doc_id, h.i
+), sigs AS (
+  SELECT doc_id, list(mh ORDER BY i) AS sig FROM mins GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, b.b,
+         md5(sig[b.b * 4 + 1] || '|' || sig[b.b * 4 + 2] || '|'
+             || sig[b.b * 4 + 3] || '|' || sig[b.b * 4 + 4]) AS bucket
+  FROM sigs, range(4) b(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bucket = b2.bucket
+                             AND a.doc_id < b2.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.3
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach AS (
+  SELECT src AS node, dst AS r FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT node AS doc_id, least(node, min(r)) AS keeper_id
+FROM reach GROUP BY node
+ORDER BY doc_id
+"""
+
+
+def q_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the md5 token-hash family (low 60
+    md5 bits per token) — the ENGINE-REPRODUCIBLE variant of
+    `simhash_pairs`: the DuckDB oracle recomputes every per-bit vote
+    tally, the packed 63-bit sketch, the 16-bit segment blocking, and
+    the Hamming filter. Hash-checked anchor for the xxhash64 production
+    sketch (identical code path — operators/dedup.py:simhash — only the
+    token hash differs)."""
+    t = _t(spark, sf_dir, "documents")
+    return (D.simhash_near_pairs(t["documents"], "doc_id", "text",
+                                 max_hamming=8, hash_fn="md5")
+            .orderBy("id_a", "id_b"))
+
+
+ORACLE_SIMHASH_DET = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), th AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(unnest(t)), 1, 15)) AS BIGINT) AS h
+  FROM toks WHERE len(t) > 0
+), votes AS (
+  SELECT doc_id, b.b,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, range(63) b(b) GROUP BY doc_id, b.b
+), sk AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+), seg AS (
+  SELECT doc_id, simhash, s.s, (simhash >> (s.s * 16)) & 65535 AS key
+  FROM sk, range(4) s(s)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+         CAST(bit_count(xor(a.simhash, b2.simhash)) AS INT) AS hamming
+  FROM seg a JOIN seg b2 ON a.s = b2.s AND a.key = b2.key
+                         AND a.doc_id < b2.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 8 ORDER BY id_a, id_b
+"""
+
+
+def q_minhash_lsh_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with md5-string hashes (16 hashes ×
+    4 bands, exact-Jaccard verify at 0.3) — the ENGINE-REPRODUCIBLE
+    variant of `minhash_lsh`: min-of-md5 signatures and md5 band buckets
+    are byte-identical on any engine, so the DuckDB oracle independently
+    recomputes every signature slot, every band bucket, the candidate
+    set, AND the verified output. Hash-checked anchor for the seeded
+    xxhash64 production path (same code path, different hash family;
+    banding recall is a property of (bands, rows) either way)."""
+    t = _t(spark, sf_dir, "documents")
+    return (D.minhash_lsh_pairs(t["documents"], "doc_id", "text",
+                                num_hashes=16, bands=4, n=3, threshold=0.3,
+                                hash_fn="md5")
+            .orderBy("id_a", "id_b"))
+
+
+ORACLE_MINHASH_LSH_DET = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         )) AS shingle
+  FROM toks WHERE len(t) >= 3
+), mins AS (
+  SELECT doc_id, h.i, min(md5(h.i || '_' || shingle)) AS mh
+  FROM sh, range(16) h(i) GROUP BY doc_id, h.i
+), sigs AS (
+  SELECT doc_id, list(mh ORDER BY i) AS sig FROM mins GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, b.b,
+         md5(sig[b.b * 4 + 1] || '|' || sig[b.b * 4 + 2] || '|'
+             || sig[b.b * 4 + 3] || '|' || sig[b.b * 4 + 4]) AS bucket
+  FROM sigs, range(4) b(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bucket = b2.bucket
+                             AND a.doc_id < b2.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b,
+       round(CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.3
+ORDER BY id_a, id_b
+"""
 
 
 def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB dedup composition end-to-end: connected components over
     MinHash+LSH candidate pairs (banded buckets, exact-Jaccard verify on
     candidates only) — the scale path the quadratic `dedup_clusters`
-    verifies. Rows-only here (seeded banded xxhash is not
-    SQL-expressible); tests/test_dedup.py asserts its clusters equal the
-    exact composition's on seeded corpora."""
+    verifies. Rows-only here (seeded banded xxhash); tests/test_dedup.py
+    asserts its clusters equal the exact composition's on seeded
+    corpora, and the md5-family sibling `dedup_clusters_lsh_det` puts
+    the identical candidates→verify→CC composition under a hash-checked
+    recursive-CTE oracle."""
     t = _t(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(t["documents"], "doc_id", "text",
                                 num_hashes=32, bands=8, n=3, threshold=0.3)
@@ -1277,7 +1526,9 @@ def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit sketches + segment-blocked Hamming pairs — the
-    constant-memory near-dup sketch. Non-SQL-expressible."""
+    constant-memory near-dup sketch. Rows-only (xxhash64 token hashes);
+    the md5-family sibling `simhash_det` puts the identical sketch /
+    blocking / Hamming code path under a hash-checked DuckDB oracle."""
     t = _t(spark, sf_dir, "documents")
     return D.simhash_near_pairs(t["documents"], "doc_id", "text", max_hamming=8)
 
@@ -1321,8 +1572,10 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables × 4 bits, exact re-rank of candidates) — the scale path.
     Few bits per table because this corpus's neighbors sit near cosine
     0.3 (random vectors): P(bit agree) ≈ 0.6, so 4 bits × 8 tables ≈
-    0.67 hit probability. Non-SQL-expressible; recall vs brute force
-    asserted in tests."""
+    0.67 hit probability. Rows-only (seeded Gaussian planes); recall vs
+    brute force asserted in tests, and the Rademacher sibling
+    `ann_lsh_det` puts the identical bucket/re-rank code path under a
+    hash-checked DuckDB oracle."""
     t = _t(spark, sf_dir, "embeddings")
     emb = t["embeddings"]
     queries = emb.filter(F.col("vec_id").isin(0, 1, 2)) \
@@ -2871,9 +3124,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges; part ids offset to disjoin the two key spaces — parts are
     dangling nodes, exercising the mass-redistribution path). Fixed 4
     iterations (each round is 2 jobs — keep the registry cheap; raise
-    for production convergence); top 25 by rank. Rows-only: iterative floating-point
-    fixpoints are not SQL-expressible — correctness is pytest-gated
-    against a local reference implementation (tests/test_graph.py)."""
+    for production convergence); top 25 by 6dp-rounded rank (id
+    tie-break). FIXED iteration count makes this SQL-expressible after
+    all: the DuckDB oracle unrolls the 4 rounds as chained CTEs
+    (ORACLE_PAGERANK below, generated) — every round's dangling mass,
+    per-dst contribution sum, and damping arithmetic is recomputed
+    independently. A local reference implementation additionally
+    pytest-gates the operator (tests/test_graph.py)."""
     from comix_etl_spark.operators.graph import pagerank
 
     t = _t(spark, sf_dir, "lineitem")
@@ -2883,9 +3140,57 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 8 shuffle partitions: ~40k nodes at bench scale — the default
     # 32-wide rounds are task-overhead-bound (measured 7.6s -> ~4s)
     pr = pagerank(edges, iters=4, shuffle_partitions=8)
-    return (pr.select("node", F.round("rank", 9).alias("rank"))
+    # round to 6dp and SORT BY THE ROUNDED VALUE: per-partition float
+    # summation order differs between engines at ~1e-13, so the raw rank
+    # can't anchor either the hash or the top-25 cut — the rounded value
+    # (boundary-hit probability ~1e-6 per row) can, with id tie-break
+    return (pr.select("node", F.round("rank", 6).alias("rank"))
             .orderBy(F.col("rank").desc(), F.col("node").asc())
             .limit(25))
+
+
+def _pagerank_oracle_sql(iters: int = 4, damping: float = 0.85) -> str:
+    """Generate the unrolled-iteration PageRank oracle: one (dangling
+    mass, contribution, rank-update) CTE triple per round, mirroring
+    operators/graph.py:_pagerank_rounds term by term (same expression
+    shapes ⇒ same IEEE evaluation order; only the per-group SUM order
+    differs between engines, which the 6dp round absorbs)."""
+    parts = ["""
+WITH e AS (
+  SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem
+), deg AS (
+  SELECT src, count(*) AS d FROM e GROUP BY src
+), w AS (
+  SELECT e.src, e.dst, 1.0 / deg.d AS w FROM e JOIN deg USING (src)
+), nodes AS (
+  SELECT n.node, deg.src IS NULL AS dangling
+  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) n
+  LEFT JOIN deg ON n.node = deg.src
+), nn AS (
+  SELECT count(*) AS n FROM nodes
+), r0 AS (
+  SELECT node, dangling, 1.0 / nn.n AS rank FROM nodes, nn
+)"""]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        parts.append(f""", d{i} AS (
+  SELECT coalesce(sum(rank), 0.0) AS dm FROM {p} WHERE dangling
+), c{i} AS (
+  SELECT w.dst, sum(r.rank * w.w) AS c FROM w JOIN {p} r ON r.node = w.src GROUP BY w.dst
+), r{i} AS (
+  SELECT nodes.node, nodes.dangling,
+         (1.0 - {damping}) / nn.n + {damping} * d{i}.dm / nn.n
+         + {damping} * coalesce(c{i}.c, 0.0) AS rank
+  FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.dst, nn, d{i}
+)""")
+    parts.append(f"""
+SELECT node, round(rank, 6) AS rank FROM r{iters}
+ORDER BY round(rank, 6) DESC, node LIMIT 25
+""")
+    return "".join(parts)
+
+
+ORACLE_PAGERANK = _pagerank_oracle_sql(iters=4, damping=0.85)
 
 
 # ---------------------------------------------------------------------------
@@ -5641,8 +5946,9 @@ QUERIES: dict[str, Query] = {
                           "per-language corpus mixture report", ("documents",)),
     "decontaminate": Query(q_decontaminate, ORACLE_DECONTAMINATE,
                            "benchmark 5-gram contamination screen", ("documents",)),
-    "pagerank": Query(q_pagerank, None,
-                      "iterative PageRank over the supply graph (pytest-gated)",
+    "pagerank": Query(q_pagerank, ORACLE_PAGERANK,
+                      "iterative PageRank over the supply graph "
+                      "(unrolled-iteration SQL oracle + pytest reference impl)",
                       ("lineitem",)),
     "rolling_dau": Query(q_rolling_dau, ORACLE_ROLLING_DAU,
                          "trailing-7-day distinct active users", ("events",)),
@@ -5835,6 +6141,21 @@ QUERIES: dict[str, Query] = {
     "audit_trail": Query(q_audit_trail, ORACLE_AUDIT_TRAIL,
                          "A4 etl_run lifecycle through the parquet audit sink",
                          ("customer",)),
+    "minhash_lsh_det": Query(q_minhash_lsh_det, ORACLE_MINHASH_LSH_DET,
+                             "MinHash+LSH with md5 hash family — banding "
+                             "machinery under a hash-checked oracle",
+                             ("documents",)),
+    "simhash_det": Query(q_simhash_det, ORACLE_SIMHASH_DET,
+                         "SimHash with md5 token hashes — sketch/blocking/"
+                         "Hamming under a hash-checked oracle",
+                         ("documents",)),
+    "dedup_clusters_lsh_det": Query(
+        q_dedup_clusters_lsh_det, ORACLE_DEDUP_CLUSTERS_LSH_DET,
+        "LSH candidates -> verify -> star-contraction CC, all "
+        "recomputed by a recursive-CTE oracle", ("documents",)),
+    "ann_pq_det": Query(q_ann_pq_det, ORACLE_ANN_PQ_DET,
+                        "PQ ANN with fixed codebooks — encode/ADC/re-rank "
+                        "under a hash-checked oracle", ("embeddings",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
