@@ -5773,6 +5773,517 @@ FROM runs GROUP BY source_system ORDER BY source_system
 """
 
 
+# ---------------------------------------------------------------------------
+# §2 breadth — the remaining classic TPC-H query shapes over the driver's
+# star schema (Q1/Q3/Q5/Q13/Q17/Q21 landed earlier rounds; this batch adds
+# the Q2/Q4/Q7/Q9/Q10/Q11/Q14/Q15/Q16/Q18/Q19/Q20/Q22 shapes, adapted to
+# the columns the testdata carries — no partsupp table, no comment/phone/
+# shipmode columns, so the correlated-subquery and disjunctive-predicate
+# STRUCTURE is preserved while predicates use available fields).
+# ---------------------------------------------------------------------------
+
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders in a quarter having at least one late
+    lineitem (shipped > 60 days after order), counted per priority.
+    The EXISTS decorrelates to a left-semi join on the order key with
+    the lateness inequality as a join residual — one orderkey shuffle,
+    no row multiplication (semi stops at first match), then a
+    5-group aggregate. The date filter prunes the orders scan."""
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    late = o.join(li, (F.col("l_orderkey") == F.col("o_orderkey"))
+                  & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+                  "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+            .orderBy("o_orderpriority"))
+
+
+ORACLE_ORDER_PRIORITY_CHECK = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-border revenue between designated supplier
+    nations (18, 21) and customer nations (11, 19), by directional pair
+    and ship year. Both nation filters push into the tiny dim scans and
+    broadcast onto the facts, so the only real shuffles are the two
+    fact-key equi-joins (lineitem⋈orders on orderkey) and the final
+    bounded-cardinality aggregate."""
+    t = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation")
+    n = t["nation"].select("n_nationkey", "n_name")
+    supp = (t["supplier"].filter(F.col("s_nationkey").isin(18, 21))
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cust = (t["customer"].filter(F.col("c_nationkey").isin(11, 19))
+            .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    orders = (t["orders"].join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+              .select("o_orderkey", "cust_nation"))
+    li = (t["lineitem"]
+          .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+          .select("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount",
+                  "supp_nation"))
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("ship_year"))
+            .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                       .cast("decimal(18,4)")).cast("double").alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "ship_year"))
+
+
+ORACLE_TRADE_VOLUME = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE s_nationkey IN (18, 21) AND c_nationkey IN (11, 19)
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: pseudo-profit (revenue minus half retail price as
+    the stand-in for supply cost — no partsupp table) on 'red'-named
+    parts, by supplier nation and order year. The part-name filter
+    broadcasts onto lineitem before either fact shuffle; nation names
+    broadcast onto the supplier dim. One orderkey join + one bounded
+    aggregate is the whole shuffle budget."""
+    t = _t(spark, sf_dir, "lineitem", "orders", "part", "supplier", "nation")
+    red = (t["part"].filter(F.col("p_name").contains("red"))
+           .select("p_partkey", "p_retailprice"))
+    supp = (t["supplier"]
+            .join(F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    li = (t["lineitem"]
+          .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+          .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")))
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - 0.5 * F.col("p_retailprice") * F.col("l_quantity"))
+    return (li.join(t["orders"].select("o_orderkey", "o_orderdate"),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("supp_nation", F.year("o_orderdate").alias("order_year"))
+            .agg(F.sum(profit.cast("decimal(18,4)")).cast("double").alias("profit"))
+            .orderBy("supp_nation", "order_year"))
+
+
+ORACLE_PROFIT_BY_NATION = """
+SELECT n_name AS supp_nation,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                     - 0.5 * p_retailprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+         AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top 20 customers by revenue lost to returns
+    (returnflag R) on a quarter of orders. The order-date filter prunes
+    the orders scan, the filtered orders broadcast onto lineitem, and
+    the customer dim joins AFTER the aggregate — the top-k runs on
+    (custkey, revenue) alone, so the wide name/nation columns never
+    enter the shuffle."""
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    o = (t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
+        .select("o_orderkey", "o_custkey"))
+    rev = (t["lineitem"].filter(F.col("l_returnflag") == "R")
+           .join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+           .groupBy("o_custkey")
+           .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                      .cast("decimal(18,4)")).cast("double").alias("revenue"))
+           .orderBy(F.col("revenue").desc(), F.col("o_custkey"))
+           .limit(20))
+    cust = (t["customer"]
+            .join(F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", "c_name", "n_name"))
+    return (rev.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_custkey", "c_name", "n_name", "revenue")
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey")))
+
+
+ORACLE_RETURNED_ITEMS = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue
+FROM customer
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose total extended-price value exceeds
+    1.6× the mean part value — the global-threshold correlated scalar.
+    One partkey aggregate builds the per-part values; the threshold is
+    a 1-row aggregate OVER THAT RESULT broadcast back (no second scan
+    of the fact), exactly the two-pass global-fraction plan you'd run
+    at 100 TB. Threshold is mean-relative (not total-relative) so the
+    filter stays selective at every scale factor."""
+    t = _t(spark, sf_dir, "lineitem")
+    pv = (t["lineitem"].groupBy(F.col("l_partkey").alias("p_partkey"))
+          .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+               .cast("double").alias("part_value")))
+    thresh = pv.agg(
+        (F.sum(F.col("part_value").cast("decimal(18,4)")).cast("double")
+         / F.count(F.lit(1))).alias("_mean"))
+    return (pv.crossJoin(F.broadcast(thresh))
+            .filter(F.col("part_value") > 1.6 * F.col("_mean"))
+            .select("p_partkey", "part_value")
+            .orderBy(F.col("part_value").desc(), F.col("p_partkey")))
+
+
+ORACLE_IMPORTANT_PARTS = """
+WITH pv AS (
+  SELECT l_partkey AS p_partkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS part_value
+  FROM lineitem GROUP BY 1
+), m AS (
+  SELECT CAST(sum(CAST(part_value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS _mean
+  FROM pv
+)
+SELECT p_partkey, part_value FROM pv, m
+WHERE part_value > 1.6 * _mean
+ORDER BY part_value DESC, p_partkey
+"""
+
+
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of one month's revenue from PROMO-type
+    parts. The part dim broadcasts; the month filter prunes the
+    lineitem scan; the whole answer is one conditional-sum aggregate
+    collapsing map-side to a single row."""
+    t = _t(spark, sf_dir, "lineitem", "part")
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    joined = li.join(F.broadcast(t["part"].select("p_partkey", "p_type")),
+                     F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        F.round(100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                              .otherwise(F.lit(0).cast("decimal(18,4)"))).cast("double")
+                / F.sum(rev).cast("double"), 6).alias("promo_share_pct"))
+
+
+ORACLE_PROMO_SHARE = """
+SELECT CAST(round(
+         100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+         6) AS DOUBLE) AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving the maximum quarterly
+    revenue — the scalar-max correlated subquery. One suppkey aggregate,
+    a 1-row max broadcast back for the equality filter (ties all kept,
+    as in the spec), and the supplier dim broadcast-joined onto the
+    surviving handful of rows."""
+    t = _t(spark, sf_dir, "lineitem", "supplier")
+    rev = (t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+        .groupBy("l_suppkey")
+        .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                   .cast("decimal(18,4)")).cast("double").alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (rev.crossJoin(F.broadcast(mx))
+            .filter(F.col("total_revenue") == F.col("_mx"))
+            .join(F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "total_revenue")
+            .orderBy("s_suppkey"))
+
+
+ORACLE_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    for a size whitelist, excluding one brand and suppliers failing a
+    quality screen (negative balance — the stand-in for the complaints
+    NOT IN). The exclusion list is tiny → broadcast ANTI join on the
+    fact; the count-distinct shuffles (group, suppkey) pairs once then
+    collapses — the exact two-level plan Spark's distinct-agg rewrite
+    produces, scale-safe because group cardinality is bounded."""
+    t = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    p = (t["part"].filter((F.col("p_brand") != "Brand#1")
+                          & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+         .select("p_partkey", "p_brand", "p_type", "p_size"))
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = (t["lineitem"].select("l_partkey", "l_suppkey")
+          .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+                "left_anti"))
+    return (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+            .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+            .limit(50))
+
+
+ORACLE_SUPPLIER_VARIETY = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 50
+"""
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders (total quantity > 150) with
+    their customers, top 100 by order value. The HAVING runs on the
+    orderkey aggregate BEFORE any dim join — only qualifying orders
+    (a tiny fraction) join to orders/customer, both broadcastable at
+    that point. The fact shuffles once on its natural key."""
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (t["lineitem"].groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+                .cast("double").alias("total_qty"))
+           .filter(F.col("total_qty") > 150))
+    o = t["orders"].select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    c = t["customer"].select("c_custkey", "c_name")
+    return (big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                    F.col("o_totalprice").cast("double").alias("o_totalprice"),
+                    "total_qty")
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .limit(100))
+
+
+ORACLE_BIG_ORDERS = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1, 2, 3, 4, 5
+HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 150
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+def q_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: one revenue total under three disjunctive
+    (brand × size-range × quantity-range) brackets — the classic
+    OR-of-ANDs join predicate. The brand/size arms prune the part dim
+    to a broadcast; the residual quantity arms evaluate row-local after
+    the hash join, and the answer collapses map-side to one row."""
+    t = _t(spark, sf_dir, "lineitem", "part")
+    p = t["part"].select("p_partkey", "p_brand", "p_size")
+    joined = t["lineitem"].join(F.broadcast(p),
+                                F.col("l_partkey") == F.col("p_partkey"))
+    bracket = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 35))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 50)))
+    return joined.filter(bracket).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+              .cast("decimal(18,4)")).cast("double").alias("revenue"))
+
+
+ORACLE_BRACKET_REVENUE = """
+SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+def q_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped an above-average quantity
+    of 'red'-named parts (> 1× the mean per-supplier red quantity) —
+    the nested-aggregate IN. The part filter broadcasts onto lineitem,
+    one suppkey aggregate builds per-supplier quantities, the mean is a
+    1-row broadcast back over that aggregate, and the supplier dim
+    joins only the survivors."""
+    t = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    red = t["part"].filter(F.col("p_name").contains("red")).select("p_partkey")
+    per_supp = (t["lineitem"]
+                .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+                .groupBy("l_suppkey")
+                .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+                     .cast("double").alias("red_qty")))
+    mean = per_supp.agg(
+        (F.sum(F.col("red_qty").cast("decimal(18,4)")).cast("double")
+         / F.count(F.lit(1))).alias("_mean"))
+    return (per_supp.crossJoin(F.broadcast(mean))
+            .filter(F.col("red_qty") > F.col("_mean"))
+            .join(F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "red_qty")
+            .orderBy("s_suppkey"))
+
+
+ORACLE_PROMO_SUPPLIERS = """
+WITH red AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS red_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%red%' GROUP BY 1
+), m AS (
+  SELECT CAST(sum(CAST(red_qty AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS _mean
+  FROM red
+)
+SELECT s_suppkey, s_name, red_qty
+FROM red JOIN supplier ON l_suppkey = s_suppkey, m
+WHERE red_qty > _mean
+ORDER BY s_suppkey
+"""
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers gone quiet — account
+    balance above the positive-balance mean of their cohort (nations
+    0–9, the country-code stand-in) with no order since 1999. The
+    threshold is a 1-row broadcast; the recency screen is a broadcast
+    ANTI join against the date-pruned orders scan; output is one
+    bounded per-nation rollup."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    eligible = t["customer"].filter(F.col("c_nationkey") < 10)
+    thresh = (eligible.filter(F.col("c_acctbal") > 0)
+              .agg((F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+                    / F.count(F.lit(1))).alias("_avg")))
+    recent = (t["orders"]
+              .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+              .select("o_custkey"))
+    return (eligible.crossJoin(F.broadcast(thresh))
+            .filter(F.col("c_acctbal") > F.col("_avg"))
+            .join(F.broadcast(recent), F.col("c_custkey") == F.col("o_custkey"),
+                  "left_anti")
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_cust"),
+                 F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+                 .cast("double").alias("total_acctbal"))
+            .orderBy("c_nationkey"))
+
+
+ORACLE_IDLE_CUSTOMERS = """
+WITH eligible AS (SELECT * FROM customer WHERE c_nationkey < 10),
+thresh AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS _avg
+  FROM eligible WHERE c_acctbal > 0
+)
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+FROM eligible, thresh
+WHERE c_acctbal > _avg
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the cheapest supplier per part (for STANDARD
+    parts sized ≤ 15), unit price derived from lineitem history
+    (total price / total quantity — exact decimal arithmetic, so the
+    min-equality join is bit-stable across engines; no partsupp table).
+    The per-(part, supplier) offer aggregate shuffles once on partkey —
+    the correlated MIN then reuses that partitioning for a partition-
+    local window min instead of a second shuffle + self-join."""
+    t = _t(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    offer = (t["lineitem"]
+             .groupBy("l_partkey", "l_suppkey")
+             .agg((F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                   / F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"))
+                  .alias("unit_price")))
+    w = Window.partitionBy("l_partkey")
+    best = (offer.withColumn("_best", F.min("unit_price").over(w))
+            .filter(F.col("unit_price") == F.col("_best")))
+    p = (t["part"].filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15))
+         .select("p_partkey", "p_name"))
+    s = (t["supplier"]
+         .join(F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+               F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", "s_name", "n_name"))
+    return (best.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("p_partkey", "p_name", "s_suppkey", "s_name", "n_name",
+                    F.round("unit_price", 6).alias("unit_price"))
+            .orderBy("p_partkey", "s_suppkey"))
+
+
+ORACLE_MIN_COST_SUPPLIER = """
+WITH offer AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           / CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS unit_price
+  FROM lineitem GROUP BY 1, 2
+), best AS (
+  SELECT l_partkey, min(unit_price) AS best_price FROM offer GROUP BY 1
+)
+SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+       round(unit_price, 6) AS unit_price
+FROM offer
+JOIN best ON offer.l_partkey = best.l_partkey AND offer.unit_price = best.best_price
+JOIN part ON offer.l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type = 'STANDARD' AND p_size <= 15
+ORDER BY p_partkey, s_suppkey
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -6156,6 +6667,46 @@ QUERIES: dict[str, Query] = {
     "ann_pq_det": Query(q_ann_pq_det, ORACLE_ANN_PQ_DET,
                         "PQ ANN with fixed codebooks — encode/ADC/re-rank "
                         "under a hash-checked oracle", ("embeddings",)),
+    "order_priority_check": Query(q_order_priority_check, ORACLE_ORDER_PRIORITY_CHECK,
+                                  "TPC-H Q4 shape: EXISTS late-lineitem priority counts",
+                                  ("orders", "lineitem")),
+    "trade_volume": Query(q_trade_volume, ORACLE_TRADE_VOLUME,
+                          "TPC-H Q7 shape: nation-pair revenue by ship year",
+                          ("lineitem", "orders", "customer", "supplier", "nation")),
+    "profit_by_nation": Query(q_profit_by_nation, ORACLE_PROFIT_BY_NATION,
+                              "TPC-H Q9 shape: part-filtered profit by supplier "
+                              "nation and year",
+                              ("lineitem", "orders", "part", "supplier", "nation")),
+    "returned_items": Query(q_returned_items, ORACLE_RETURNED_ITEMS,
+                            "TPC-H Q10 shape: top-20 customers by returned revenue",
+                            ("customer", "orders", "lineitem", "nation")),
+    "important_parts": Query(q_important_parts, ORACLE_IMPORTANT_PARTS,
+                             "TPC-H Q11 shape: parts above a global value threshold",
+                             ("lineitem",)),
+    "promo_share": Query(q_promo_share, ORACLE_PROMO_SHARE,
+                         "TPC-H Q14 shape: promo revenue share of one month",
+                         ("lineitem", "part")),
+    "top_supplier": Query(q_top_supplier, ORACLE_TOP_SUPPLIER,
+                          "TPC-H Q15 shape: scalar-max quarterly top supplier",
+                          ("lineitem", "supplier")),
+    "supplier_variety": Query(q_supplier_variety, ORACLE_SUPPLIER_VARIETY,
+                              "TPC-H Q16 shape: distinct-supplier counts with "
+                              "NOT-IN screen", ("lineitem", "part", "supplier")),
+    "big_orders": Query(q_big_orders, ORACLE_BIG_ORDERS,
+                        "TPC-H Q18 shape: HAVING-filtered large-volume orders",
+                        ("customer", "orders", "lineitem")),
+    "bracket_revenue": Query(q_bracket_revenue, ORACLE_BRACKET_REVENUE,
+                             "TPC-H Q19 shape: disjunctive bracket revenue",
+                             ("lineitem", "part")),
+    "promo_suppliers": Query(q_promo_suppliers, ORACLE_PROMO_SUPPLIERS,
+                             "TPC-H Q20 shape: nested-aggregate supplier screen",
+                             ("lineitem", "part", "supplier")),
+    "idle_customers": Query(q_idle_customers, ORACLE_IDLE_CUSTOMERS,
+                            "TPC-H Q22 shape: above-average balances with no "
+                            "recent orders", ("customer", "orders")),
+    "min_cost_supplier": Query(q_min_cost_supplier, ORACLE_MIN_COST_SUPPLIER,
+                               "TPC-H Q2 shape: correlated-min cheapest supplier "
+                               "per part", ("lineitem", "part", "supplier", "nation")),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
