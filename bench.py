@@ -34,7 +34,10 @@ def main() -> None:
     # untimed so the first measured queries don't absorb the JVM's
     # cold-compile cost — standard benchmarking hygiene, same for every
     # registry order
-    for warm in ("stats_topk", "order_sequence", "token_counts"):
+    # (agg+join codegen, window, text regex/split exprs, embeddings scan
+    # + Arrow/pandas worker pool — one representative per hot path)
+    for warm in ("stats_topk", "order_sequence", "token_counts",
+                 "doc_quality", "ann_cosine_topk"):
         if warm in QUERIES:
             QUERIES[warm].builder(spark, sf_dir).count()
 

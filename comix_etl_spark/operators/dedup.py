@@ -220,11 +220,14 @@ def _large_star(e: DataFrame) -> DataFrame:
            .unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))))
     mins = (und.groupBy("u").agg(F.min("v").alias("_mv"))
             .select("u", F.least(F.col("_mv"), F.col("u")).alias("m")))
+    # no distinct here: duplicate (u, v) rows are harmless to the
+    # small-star groupBy-min that always follows, and skipping it saves
+    # a full edge shuffle per round (small-star's final distinct is the
+    # canonical dedup point)
     return (und.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct())
+            .filter(F.col("u") != F.col("v")))
 
 
 def _small_star(e: DataFrame) -> DataFrame:
@@ -240,27 +243,39 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def dup_clusters(pairs: DataFrame, *, id_a: str = "id_a", id_b: str = "id_b",
-                 max_iters: int = 25) -> DataFrame:
+                 max_iters: int = 25,
+                 local_edge_cutoff: int = 5_000_000) -> DataFrame:
     """Connected components over a near-dup pair graph → (doc_id,
     keeper_id): every document labeled with the minimum id reachable
     through dup edges. The step after pair generation in a real dedup
     pipeline — groups {A~B, B~C} must collapse to ONE keeper even though
     A and C were never directly compared.
 
-    Alternating large-star / small-star contraction (the public
-    Connected Components in MapReduce formulation, Kiveris et al. 2014):
-    each round rewires every node toward its neighborhood minimum, so a
-    component of diameter d converges in O(log d) ROUNDS — not the O(d)
-    a plain min-label propagation needs (the r2–r4 formulation here; a
-    single 1M-long dup chain at 100 TB would have exhausted any sane
-    round budget under it, and this operator chose to raise rather than
-    silently split the chain). Each half-round is one groupBy-min plus
-    one join keyed on node id; edges stay (large, small)-canonical and
-    the round output is localCheckpoint'd so lineage stays O(1).
-    Converged when the star edge set reaches its fixed point; still
-    raises if ``max_iters`` rounds pass without one (with O(log d)
-    convergence that now indicates a bug or an adversarial graph, not
-    just a long chain).
+    Two-tier plan, both tiers exact and both emitting min-label roots:
+
+    * **small graphs** (≤ ``local_edge_cutoff`` canonical edges — the
+      overwhelmingly common case: near-dup pair sets are a sliver of
+      the corpus) finish in ONE executor task: the checkpointed edge
+      set coalesces to a single partition and a union-find with path
+      compression resolves every component in-memory. One stage
+      instead of ~6 shuffles × O(log d) rounds of scheduler latency —
+      the standard "stop iterating once the frontier fits in a task"
+      hybrid. NOT a driver collect: the work runs executor-side on
+      Arrow batches, bounded by the cutoff (~16 B/edge ⇒ ~80 MB at the
+      5M default).
+    * **large graphs** run alternating large-star / small-star
+      contraction (the public Connected Components in MapReduce
+      formulation, Kiveris et al. 2014): each round rewires every node
+      toward its neighborhood minimum, so a component of diameter d
+      converges in O(log d) ROUNDS — not the O(d) a plain min-label
+      propagation needs. Each half-round is one groupBy-min plus one
+      join keyed on node id; edges stay (large, small)-canonical and
+      the round output is localCheckpoint'd so lineage stays O(1).
+      Round change-detection is a single-stage (count, Σu, Σv, Σhash)
+      aggregate; the exact set-difference confirmation runs only at
+      the fixed point. Still raises if ``max_iters`` rounds pass
+      without convergence (with O(log d) convergence that indicates a
+      degenerate graph, not just a long chain).
     """
     nodes = (pairs.select(F.col(id_a).alias("node"))
              .unionByName(pairs.select(F.col(id_b).alias("node")))
@@ -269,12 +284,73 @@ def dup_clusters(pairs: DataFrame, *, id_a: str = "id_a", id_b: str = "id_b",
                       F.least(id_a, id_b).alias("v"))
          .filter(F.col("u") != F.col("v"))
          .distinct().localCheckpoint(eager=True))
+
+    if e.count() <= local_edge_cutoff:
+        def _union_find(batches):
+            import numpy as np
+            import pandas as pd
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for pdf in batches:
+                for u, v in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
+                    u, v = int(u), int(v)
+                    parent.setdefault(u, u)
+                    parent.setdefault(v, v)
+                    ru, rv = find(u), find(v)
+                    if ru != rv:
+                        # union by MIN id so roots are min-labels
+                        if ru < rv:
+                            parent[rv] = ru
+                        else:
+                            parent[ru] = rv
+            ks = list(parent)
+            yield pd.DataFrame({
+                "node": np.fromiter(ks, dtype=np.int64, count=len(ks)),
+                "_root": np.fromiter((find(k) for k in ks),
+                                     dtype=np.int64, count=len(ks)),
+            })
+
+        labels = e.coalesce(1).mapInPandas(_union_find,
+                                           schema="node long, _root long")
+        return (nodes.join(labels, "node", "left")
+                .select(F.col("node").alias("doc_id"),
+                        F.coalesce(F.col("_root"), F.col("node"))
+                        .alias("keeper_id")))
+
+    def _stats(edges: DataFrame):
+        # one cheap single-stage aggregate over the checkpointed edge
+        # set: (count, Σu, Σv, Σhash) — unequal stats prove the round
+        # changed something WITHOUT the full symmetric-difference
+        # shuffle; equal stats still get the exact diff below
+        # decimal(38,0) sums: long sums overflow under ANSI mode once
+        # Σhash exceeds 2^63
+        return edges.agg(
+            F.count(F.lit(1)),
+            F.sum(F.col("u").cast("decimal(38,0)")),
+            F.sum(F.col("v").cast("decimal(38,0)")),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))).collect()[0]
+
+    prev_stats = _stats(e)
     for _ in range(max_iters):
         e_new = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        changed = (e_new.unionByName(e)
-                   .groupBy("u", "v").agg(F.count(F.lit(1)).alias("_n"))
-                   .filter(F.col("_n") == 1).limit(1).count())
-        e = e_new
+        new_stats = _stats(e_new)
+        if new_stats == prev_stats:
+            # stats agree → confirm with the exact set difference (paid
+            # once, at the fixed point — not every round)
+            changed = (e_new.unionByName(e)
+                       .groupBy("u", "v").agg(F.count(F.lit(1)).alias("_n"))
+                       .filter(F.col("_n") == 1).limit(1).count())
+        else:
+            changed = 1
+        e, prev_stats = e_new, new_stats
         if changed == 0:
             break
     else:

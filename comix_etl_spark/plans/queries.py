@@ -4426,24 +4426,36 @@ FROM scored
 
 
 def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed triangle counting on the co-supply graph (suppliers
-    joined by supplying the same part): the standard edge-join
-    formulation — ordered edges (a<b), then E ⋈ E ⋈ E closing each
-    wedge. Only parts with 2–30 suppliers contribute edges (the same
-    df-cap boilerplate bound as the dedup pair ops: a hot part adds
-    df² edges and no structure; singletons add none — matches the
-    oracle's BETWEEN 2 AND 30). Output is the one-row graph profile;
-    the oracle repeats the 3-way self-join in SQL."""
+    """Colorful triangle counting on the co-supply graph (suppliers
+    joined by supplying the same part; parts with 2–30 suppliers
+    contribute edges). The co-supply graph of a uniform bipartite
+    assignment is near-COMPLETE — exact E ⋈ E ⋈ E wedge closing is
+    O(Σ deg²) wedges (166 M triangles at sf0.1, n³/6 at any scale) —
+    so the scale path is the colorful sampling estimator (Pagh &
+    Tsourakakis, 2012 — public): color each node ``suppkey % 8``, keep
+    only monochromatic edges (p = 1/8, deterministic, pure integer
+    math), count exactly on the sample, scale by c² = 64 for the
+    unbiased estimate (every triangle survives iff its 3 nodes share a
+    color: 1/c²). The color split happens BEFORE pair generation —
+    supplier sets group by (part, color), so the pair explode shrinks
+    c× and the edge-dedup shuffle c×. The sampled edge set is
+    checkpointed once and reused by all three join branches and the
+    node/edge profile."""
     t = _t(spark, sf_dir, "lineitem")
     sp = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
-    caps = (sp.groupBy("l_partkey")
-            .agg(F.collect_set("l_suppkey").alias("ss"))
-            .filter(F.size("ss").between(2, 30)))
+    ok_parts = (sp.groupBy("l_partkey")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n").between(2, 30)).select("l_partkey"))
+    groups = (sp.join(F.broadcast(ok_parts), "l_partkey")
+              .groupBy("l_partkey", (F.col("l_suppkey") % 8).alias("_c"))
+              .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
+              .filter(F.size("ss") >= 2))
     pair_expr = F.explode(F.flatten(F.expr(
         "transform(ss, (x, i) -> transform(slice(ss, i + 2, size(ss)), "
         "y -> struct(least(x, y) AS a, greatest(x, y) AS b)))")))
-    edges = (caps.select(F.sort_array("ss").alias("ss"))
-             .select(pair_expr.alias("e")).select("e.a", "e.b").distinct())
+    edges = (groups.select(pair_expr.alias("e"))
+             .select("e.a", "e.b").distinct()
+             .localCheckpoint(eager=False))
     e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
     e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
@@ -4451,6 +4463,8 @@ def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = (edges.select(F.col("a").alias("n"))
              .unionByName(edges.select(F.col("b").alias("n"))).distinct())
     return (tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+            .select("n_triangles",
+                    (F.col("n_triangles") * 64).alias("n_triangles_est"))
             .crossJoin(edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
             .crossJoin(nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))))
 
@@ -4465,6 +4479,7 @@ edges AS (
                   greatest(a.l_suppkey, b.l_suppkey) AS b
   FROM sp a JOIN sp b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
   WHERE a.l_partkey IN (SELECT l_partkey FROM counts)
+    AND a.l_suppkey % 8 = b.l_suppkey % 8
 ),
 tri AS (
   SELECT count(*) AS n_triangles
@@ -4472,6 +4487,7 @@ tri AS (
     ON e3.a = e1.a AND e3.b = e2.b
 )
 SELECT CAST(n_triangles AS BIGINT) AS n_triangles,
+       CAST(n_triangles * 64 AS BIGINT) AS n_triangles_est,
        CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
        CAST((SELECT count(DISTINCT n) FROM (SELECT a AS n FROM edges
              UNION SELECT b FROM edges)) AS BIGINT) AS n_nodes
@@ -5507,7 +5523,11 @@ def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_expr = F.explode(F.flatten(F.expr(
         "transform(ss, (x, i) -> transform(slice(ss, i + 2, size(ss)), "
         "y -> struct(least(x, y) AS a, greatest(x, y) AS b)))")))
-    edges = (caps.select(pair_expr.alias("e")).select("e.a", "e.b").distinct())
+    # checkpoint: the union below walks the edge set twice, and the
+    # collect_set + 8.7M-row explode + distinct behind it is the whole
+    # cost of this query — materialize it once
+    edges = (caps.select(pair_expr.alias("e")).select("e.a", "e.b").distinct()
+             .localCheckpoint(eager=False))
     degrees = (edges.select(F.col("a").alias("node"))
                .unionByName(edges.select(F.col("b").alias("node")))
                .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))

@@ -85,7 +85,9 @@ def test_dup_clusters_long_path_converges(spark):
     needed 199 rounds here and raised)."""
     edges = [(i, i + 1) for i in range(100, 299)]  # 200-node path, diameter 199
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-    got = {r.doc_id: r.keeper_id for r in D.dup_clusters(pairs, max_iters=12).collect()}
+    got = {r.doc_id: r.keeper_id
+           for r in D.dup_clusters(pairs, max_iters=12,
+                                   local_edge_cutoff=0).collect()}
     assert set(got.values()) == {100}
     assert len(got) == 200
 
@@ -105,7 +107,24 @@ def test_dup_clusters_raises_on_exhausted_rounds(spark):
     edges = [(i, i + 1) for i in range(100, 164)]
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        D.dup_clusters(pairs, max_iters=1)
+        D.dup_clusters(pairs, max_iters=1, local_edge_cutoff=0)
+
+
+def test_dup_clusters_local_and_star_paths_agree(spark):
+    """The single-task union-find fast path and the distributed
+    star-contraction path must emit IDENTICAL min-label clusters on the
+    same graph (chains, a star, a cycle, reversed orientations,
+    singleton-free)."""
+    edges = ([(i, i + 1) for i in range(0, 40)]          # long chain
+             + [(100, k) for k in range(101, 110)]        # star
+             + [(200, 201), (201, 202), (202, 200)]       # cycle
+             + [(303, 300)])                              # reversed pair
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    local = {r.doc_id: r.keeper_id for r in D.dup_clusters(pairs).collect()}
+    star = {r.doc_id: r.keeper_id
+            for r in D.dup_clusters(pairs, local_edge_cutoff=0).collect()}
+    assert local == star
+    assert set(local.values()) == {0, 100, 200, 300}
 
 
 def test_dedup_clusters_lsh_matches_exact_composition(spark, sf_small):
