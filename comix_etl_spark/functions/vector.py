@@ -121,3 +121,27 @@ def hyperplane_buckets_pandas(vec_col: Column | str, planes: list[list[list[floa
         return pd.Series(list(signs @ weights))                # batch × tables
 
     return _buckets(_col(vec_col))
+
+
+def project_matrix(vec_col: Column | str, proj: list[list[float]],
+                   *, decimals: int = 6):
+    """Scan-local linear projection x ↦ round(P·x, d) as one vectorized
+    Pandas UDF — the dimensionality-reduction primitive (Johnson–
+    Lindenstrauss random projection, PCA with precomputed components,
+    whitening). ``proj`` is (out_dim × in_dim); every Arrow batch runs a
+    single (batch × in_dim) @ (in_dim × out_dim) BLAS matmul and no
+    Python-per-row work. Rounding to ``decimals`` makes the output
+    engine-reproducible (matmul accumulation order is fixed per row).
+
+    At 100 TB this is the map-side compression pass before ANN or
+    clustering: a 64→16 projection cuts downstream shuffle and memory
+    4× and runs entirely inside the scan stage — zero exchanges.
+    """
+    mat = np.asarray(proj, dtype=np.float64).T  # in_dim × out_dim
+
+    @pandas_udf("array<double>")
+    def _proj(v: pd.Series) -> pd.Series:
+        x = np.vstack(v.to_numpy()).astype(np.float64)  # batch × in_dim
+        return pd.Series(list(np.round(x @ mat, decimals)))
+
+    return _proj(_col(vec_col))

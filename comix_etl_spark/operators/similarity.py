@@ -468,3 +468,39 @@ def pq_topk(corpus: DataFrame, query: DataFrame, *, codebooks=None,
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc(id_col))
     return (scored.withColumn("_rn", F.row_number().over(w2))
             .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def group_centroid_cosine(df: DataFrame, group_col: str, id_col: str,
+                          vec_col: str = "embedding") -> DataFrame:
+    """Per-group embedding-cluster cohesion: the mean vector (centroid)
+    of each group and every member's cosine to it, reduced to a
+    per-group profile (n_vecs, avg/min cosine, 6dp) — the cluster-
+    quality probe run after any grouping (language, source, k-means
+    assignment) to decide whether the group is semantically tight.
+
+    Plan: posexplode keys the centroid aggregate on (group, dim) —
+    bounded cardinality (groups × width), partials collapse map-side so
+    the shuffle moves O(width × partitions) rows. The member⋈centroid
+    join is co-keyed on the SAME (group, dim) partitioning (no extra
+    exchange under AQE), the per-member dot/norm reduce keys on the
+    member id, and the final rollup is bounded by group count. The raw
+    vectors never shuffle — only their exploded (group, dim) partials.
+    Zero-norm members emit NULL cosine (excluded from avg/min, matching
+    the `cosine` Column function contract).
+    """
+    ex = df.select(F.col(group_col).alias("_g"), F.col(id_col).alias("_id"),
+                   F.posexplode(vec_col).alias("_d", "_x"))
+    ex = ex.withColumn("_x", F.col("_x").cast("double"))
+    cent = ex.groupBy("_g", "_d").agg(F.avg("_x").alias("_c"))
+    joined = ex.join(cent, ["_g", "_d"])
+    per_member = (joined.groupBy("_g", "_id")
+                  .agg(F.sum(F.col("_x") * F.col("_c")).alias("_dot"),
+                       F.sum(F.col("_x") * F.col("_x")).alias("_n2"),
+                       F.sum(F.col("_c") * F.col("_c")).alias("_c2")))
+    cos = F.when((F.col("_n2") > 0) & (F.col("_c2") > 0),
+                 F.col("_dot") / (F.sqrt("_n2") * F.sqrt("_c2")))
+    return (per_member.select("_g", cos.alias("_cos"))
+            .groupBy(F.col("_g").alias(group_col))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                 F.round(F.avg("_cos"), 6).alias("avg_cos"),
+                 F.round(F.min("_cos"), 6).alias("min_cos")))

@@ -313,3 +313,48 @@ def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return (scored.groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
                  F.expr("sum(p_e6) div count(1)").alias("lm_score_e6")))
+
+
+def bm25_scores(df: DataFrame, id_col: str, text_col: str,
+                terms: list[str], *, k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed keyword
+    query (Robertson & Walker, public) — the ranking upgrade over the
+    reference's additive relevance_score (app.py:182 substring search):
+    term-frequency saturation (k1) and length normalization (b).
+
+    Plan: per-term tf is a scan-local ``size(filter(tokens, ...))``
+    array expression — the corpus is never exploded for a fixed query
+    (contrast the inverted-index path, which serves ad-hoc queries).
+    The corpus statistics the formula needs (N, avg doc length, per-term
+    document frequency) collapse map-side into ONE 1-row conditional
+    aggregate that broadcasts back. Total cost at any scale: two scans,
+    zero wide shuffles. idf uses the standard ln(1 + (N-df+.5)/(df+.5))
+    form; the 6dp round keeps the score engine-reproducible.
+    """
+    toks = tokens(text_col)
+
+    def _eq(term):
+        # single-arg lambda only: a two-arg lambda would make filter()
+        # pass the array INDEX as the second argument
+        return lambda x: x == term
+
+    tf_cols = [F.size(F.filter(toks, _eq(t))).alias(f"_tf_{i}")
+               for i, t in enumerate(terms)]
+    base = df.select(F.col(id_col), F.size(toks).alias("_dl"), *tf_cols)
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_dl").cast("long").alias("_sum_dl"),
+        *[F.sum(F.when(F.col(f"_tf_{i}") > 0, 1).otherwise(0)).cast("long")
+          .alias(f"_df_{i}") for i in range(len(terms))])
+    scored = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("_sum_dl").cast("double") / F.col("_n").cast("double")
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"_tf_{i}").cast("double")
+        dfx = F.col(f"_df_{i}").cast("double")
+        idf = F.log(F.lit(1.0) + (F.col("_n").cast("double") - dfx + 0.5)
+                    / (dfx + 0.5))
+        score = score + idf * tf * (k1 + 1) / (
+            tf + k1 * (1 - b + b * F.col("_dl").cast("double") / avgdl))
+    return (scored.select(F.col(id_col), F.round(score, 6).alias("bm25"))
+            .filter(F.col("bm25") > 0))

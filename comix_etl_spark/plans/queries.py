@@ -6304,6 +6304,135 @@ ORDER BY p_partkey, s_suppkey
 """
 
 
+# ---------------------------------------------------------------------------
+# §7 r5 — JL projection, BM25 ranking, per-group centroid cohesion
+# ---------------------------------------------------------------------------
+
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection 64 → 16 dims with
+    md5-derived Rademacher planes (±1 entries, scaled 1/√16) — the
+    map-side compression pass before ANN/clustering at scale
+    (functions/vector.py::project_matrix: one BLAS matmul per Arrow
+    batch, zero exchanges). The md5 coin makes the plane matrix
+    engine-reproducible, so the DuckDB oracle recomputes the projection
+    bit-for-bit (same det-hash family as ann_lsh_det)."""
+    import hashlib
+
+    planes = [[(1.0 if ord(hashlib.md5(f"jl{t}_{d}".encode())
+                          .hexdigest()[0]) % 2 == 0 else -1.0) / 4.0
+               for d in range(64)] for t in range(16)]
+    t = _t(spark, sf_dir, "embeddings")
+    return (t["embeddings"]
+            .select("vec_id",
+                    vector.project_matrix("embedding", planes).alias("proj"))
+            .orderBy("vec_id"))
+
+
+ORACLE_JL_PROJECTION = """
+WITH planes AS (
+  SELECT t.t,
+         list(CASE WHEN ascii(substring(md5('jl' || t.t || '_' || d.d), 1, 1)) % 2 = 0
+                   THEN 0.25 ELSE -0.25 END ORDER BY d.d) AS w
+  FROM range(16) t(t), range(64) d(d) GROUP BY t.t
+), vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT vec_id, list(round(list_dot_product(v, w), 6) ORDER BY t) AS proj
+FROM vecs, planes GROUP BY vec_id, v ORDER BY vec_id
+"""
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for the fixed query {spark, merge, window}
+    (operators/textstats.py::bm25_scores): scan-local per-term tf, one
+    1-row corpus-stats broadcast, no explode — two scans total at any
+    corpus size."""
+    from comix_etl_spark.operators import textstats as TS
+
+    t = _t(spark, sf_dir, "documents")
+    return (TS.bm25_scores(t["documents"], "doc_id", "text",
+                           ["spark", "merge", "window"])
+            .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+            .limit(20))
+
+
+ORACLE_BM25_SEARCH = """
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '')) AS dl,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x = 'spark'))  AS tf0,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x = 'merge'))  AS tf1,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x = 'window')) AS tf2
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n, sum(dl) AS sum_dl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM base
+), scored AS (
+  SELECT doc_id, round(
+      ln(1.0 + (CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+        * CAST(tf0 AS DOUBLE) * (1.2 + 1)
+        / (CAST(tf0 AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+             / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE))))
+    + ln(1.0 + (CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+        * CAST(tf1 AS DOUBLE) * (1.2 + 1)
+        / (CAST(tf1 AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+             / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE))))
+    + ln(1.0 + (CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+        * CAST(tf2 AS DOUBLE) * (1.2 + 1)
+        / (CAST(tf2 AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+             / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE)))), 6) AS bm25
+  FROM base, stats
+)
+SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
+def q_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language embedding-cluster cohesion: centroid of each lang
+    group and members' avg/min cosine to it (similarity.py::
+    group_centroid_cosine) — documents⋈embeddings on the shared id,
+    centroid aggregate keyed (group, dim) with map-side partials."""
+    t = _t(spark, sf_dir, "documents", "embeddings")
+    joined = (t["embeddings"]
+              .join(t["documents"].select(F.col("doc_id").alias("vec_id"), "lang"),
+                    "vec_id"))
+    return (S.group_centroid_cosine(joined, "lang", "vec_id", "embedding")
+            .orderBy("lang"))
+
+
+ORACLE_CENTROID_COHESION = """
+WITH ex AS (
+  SELECT d.lang AS g, e.vec_id AS id, (u).d AS dim, (u).x AS x
+  FROM (SELECT vec_id,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> {'d': i - 1, 'x': CAST(embedding[i] AS DOUBLE)})) AS u
+        FROM embeddings) e
+  JOIN documents d ON d.doc_id = e.vec_id
+), cent AS (
+  SELECT g, dim, avg(x) AS c FROM ex GROUP BY g, dim
+), per_member AS (
+  SELECT ex.g, id, sum(x * c) AS dot, sum(x * x) AS n2, sum(c * c) AS c2
+  FROM ex JOIN cent ON ex.g = cent.g AND ex.dim = cent.dim
+  GROUP BY ex.g, id
+)
+SELECT g AS lang,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(CASE WHEN n2 > 0 AND c2 > 0
+                      THEN dot / (sqrt(n2) * sqrt(c2)) END), 6) AS avg_cos,
+       round(min(CASE WHEN n2 > 0 AND c2 > 0
+                      THEN dot / (sqrt(n2) * sqrt(c2)) END), 6) AS min_cos
+FROM per_member GROUP BY g ORDER BY g
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -6727,6 +6856,17 @@ QUERIES: dict[str, Query] = {
     "min_cost_supplier": Query(q_min_cost_supplier, ORACLE_MIN_COST_SUPPLIER,
                                "TPC-H Q2 shape: correlated-min cheapest supplier "
                                "per part", ("lineitem", "part", "supplier", "nation")),
+    "jl_projection": Query(q_jl_projection, ORACLE_JL_PROJECTION,
+                           "Johnson–Lindenstrauss 64→16 projection with "
+                           "md5 Rademacher planes (hash-checked)",
+                           ("embeddings",)),
+    "bm25_search": Query(q_bm25_search, ORACLE_BM25_SEARCH,
+                         "Okapi BM25 keyword ranking, scan-local tf + "
+                         "1-row stats broadcast", ("documents",)),
+    "centroid_cohesion": Query(q_centroid_cohesion, ORACLE_CENTROID_COHESION,
+                               "per-language embedding centroid cohesion "
+                               "(avg/min cosine to centroid)",
+                               ("documents", "embeddings")),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's

@@ -161,3 +161,52 @@ def test_pq_encode_shape_and_range(spark, sf_small):
     for r in codes:
         assert len(r["pq_code"]) == 8
         assert all(0 <= c < 16 for c in r["pq_code"])
+
+
+def test_group_centroid_cosine_tight_and_spread_groups(spark):
+    """A group of identical vectors is perfectly cohesive (avg = min =
+    1); a group of orthogonal vectors scores strictly lower; zero
+    vectors drop out of the cosine aggregates but still count as
+    members."""
+    from comix_etl_spark.operators.similarity import group_centroid_cosine
+
+    rows = [("tight", 1, [1.0, 0.0, 0.0]),
+            ("tight", 2, [1.0, 0.0, 0.0]),
+            ("spread", 3, [1.0, 0.0, 0.0]),
+            ("spread", 4, [0.0, 1.0, 0.0]),
+            ("spread", 5, [0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "g string, id long, v array<double>")
+    got = {r.g: r for r in group_centroid_cosine(df, "g", "id", "v").collect()}
+    assert got["tight"].n_vecs == 2
+    assert got["tight"].avg_cos == 1.0 and got["tight"].min_cos == 1.0
+    assert got["spread"].n_vecs == 3
+    assert got["spread"].avg_cos < 1.0
+
+
+def test_project_matrix_jl_preserves_relative_distance(spark):
+    """The JL projection is linear (exactly) and roughly
+    distance-preserving: after a 64->16 Rademacher projection the
+    near pair must stay nearer than the far pair."""
+    import hashlib
+
+    import numpy as np
+
+    from comix_etl_spark.functions.vector import project_matrix
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=64)
+    near = a + rng.normal(scale=0.05, size=64)
+    far = rng.normal(size=64) * 3
+    df = spark.createDataFrame(
+        [(1, a.tolist()), (2, near.tolist()), (3, far.tolist())],
+        "id long, v array<double>")
+    planes = [[(1.0 if ord(hashlib.md5(f"jl{t}_{d}".encode())
+                          .hexdigest()[0]) % 2 == 0 else -1.0) / 4.0
+               for d in range(64)] for t in range(16)]
+    got = {r.id: np.array(r.p)
+           for r in df.select("id", project_matrix("v", planes).alias("p"))
+                      .collect()}
+    assert all(len(v) == 16 for v in got.values())
+    d_near = np.linalg.norm(got[1] - got[2])
+    d_far = np.linalg.norm(got[1] - got[3])
+    assert d_near < d_far

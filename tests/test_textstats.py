@@ -159,3 +159,33 @@ def test_compress_ratio_orders_text_classes(spark):
     assert got[1] < got[2] < got[3]
     assert got[1] < 100_000       # repetitive: compresses to <10%
     assert got[3] > 600_000       # noise: stays >60%
+
+
+def test_bm25_orders_by_term_density(spark):
+    """More query-term occurrences (at comparable length) must score
+    higher; documents with no query term must not appear."""
+    from comix_etl_spark.operators.textstats import bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, "spark merge spark window extra pad pad"),
+         (2, "spark pad pad pad pad pad pad"),
+         (3, "nothing relevant here at all pad pad")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.bm25
+           for r in bm25_scores(df, "doc_id", "text",
+                                ["spark", "merge", "window"]).collect()}
+    assert set(got) == {1, 2}
+    assert got[1] > got[2] > 0
+
+
+def test_bm25_length_normalization(spark):
+    """Same tf: the shorter document outranks the longer one (b > 0)."""
+    from comix_etl_spark.operators.textstats import bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, "spark pad"),
+         (2, "spark " + "pad " * 30)],
+        "doc_id long, text string")
+    got = {r.doc_id: r.bm25
+           for r in bm25_scores(df, "doc_id", "text", ["spark"]).collect()}
+    assert got[1] > got[2]
