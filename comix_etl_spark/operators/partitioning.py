@@ -24,3 +24,28 @@ def spread_small_scan(df: DataFrame, min_factor: int = 1) -> DataFrame:
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df
+
+
+def zorder_key(x, y, *, bits: int = 8):
+    """Morton (z-order) key: interleave the low ``bits`` of two integer
+    dimension columns — bit i of x lands at position 2i, bit i of y at
+    2i+1. Pure integer Column arithmetic (shift/and/add), scan-local.
+
+    The multi-dimensional clustering primitive for physical layout:
+    ``repartitionByRange(zorder_key(a, b))`` before a write yields
+    files whose min/max stats are narrow in BOTH dimensions, so a
+    predicate on EITHER column prunes most files — the standard
+    data-skipping layout (z-ordering, public: Morton 1966; used by
+    every lakehouse table format). Callers bucket/clamp dims into
+    [0, 2^bits) first.
+    """
+    from pyspark.sql import functions as F
+
+    xc = x if not isinstance(x, str) else F.col(x)
+    yc = y if not isinstance(y, str) else F.col(y)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (z
+             + F.shiftleft(F.shiftright(xc.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+             + F.shiftleft(F.shiftright(yc.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return z

@@ -322,3 +322,41 @@ def global_running_sum(df: DataFrame, order_by: Sequence[str], value_col: str, *
     return (parts.join(F.broadcast(offsets), "_pid")
             .withColumn(out_col, F.sum(value_col).over(w) + F.col("_offset"))
             .drop("_pid", "_offset"))
+
+
+def skyline_2d(df: DataFrame, id_col: str, x_col: str, y_col: str,
+               *, num_partitions: int | None = None) -> DataFrame:
+    """2-D Pareto frontier (skyline): rows where no other row has
+    strictly-better x (lower) without worse y, i.e. keep p unless some
+    q has (q.x < p.x AND q.y >= p.y) OR (q.x <= p.x AND q.y > p.y).
+    Equal (x, y) points all survive (neither dominates).
+
+    The naive formulation is an O(n²) NOT EXISTS self-join. The 2-D
+    structure collapses it to a prefix max: p survives iff its y equals
+    its own x-group's max AND beats the running max of all strictly
+    smaller x. That prefix max runs DISTRIBUTED at the x-grain —
+    range-partition on x, strict per-partition window, preceding
+    partitions' inclusive maxima broadcast back (same shape as
+    global_running_sum; no single-task global window) — then one
+    broadcast join back onto the full rows. Two bounded shuffles total
+    at any row count.
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    g = df.groupBy(F.col(x_col).alias("_x")).agg(F.max(y_col).alias("_ymax"))
+    parts = (g.repartitionByRange(n, F.col("_x").asc())
+             .withColumn("_pid", F.spark_partition_id())
+             .localCheckpoint(eager=False))
+    prev = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (parts.groupBy("_pid").agg(F.max("_ymax").alias("_pmax"))
+               .withColumn("_offset", F.max("_pmax").over(prev))
+               .select("_pid", "_offset"))
+    w = (Window.partitionBy("_pid").orderBy(F.col("_x").asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    pm = (parts.join(F.broadcast(offsets), "_pid")
+          .withColumn("_pm", F.greatest(F.max("_ymax").over(w), F.col("_offset")))
+          .select("_x", "_ymax", "_pm"))
+    return (df.join(F.broadcast(pm), F.col(x_col) == F.col("_x"))
+            .filter((F.col(y_col) == F.col("_ymax"))
+                    & (F.col("_pm").isNull() | (F.col(y_col) > F.col("_pm"))))
+            .drop("_x", "_ymax", "_pm"))

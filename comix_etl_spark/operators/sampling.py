@@ -132,3 +132,29 @@ def temperature_downsample(df: DataFrame, key_col: str, group_col: str, *,
     return (df.join(F.broadcast(rates), group_col)
             .filter(b < F.col("_rate_e6"))
             .drop("_rate_e6"))
+
+
+def weighted_sample(df: DataFrame, key_col: str, weight_col: str, k: int,
+                    *, salt: str = "", out_col: str = "es_key") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k rows
+    (Efraimidis–Spirakis 2006, public): each row draws
+    u ∈ (0, 1) from the md5 of its key and scores
+    ``es_key = -ln(u) / w`` — the k SMALLEST scores are a weighted
+    sample without replacement (the exponential-race formulation:
+    higher weight ⇒ smaller expected key). The md5 coin replaces rand()
+    for the same reason as hash_split: re-execution, repartitioning,
+    and other engines all reproduce the identical sample.
+
+    Scan-local scoring + one TakeOrdered top-k — no shuffle of the
+    full table at any scale. Weights must be > 0 (rows with w <= 0 are
+    excluded, matching the estimator's domain).
+    """
+    c = F.col(key_col)
+    h = F.conv(F.substring(
+        F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, 8), 16, 10)
+    u = (h.cast("double") + 0.5) / F.lit(4294967296.0)
+    w = F.col(weight_col).cast("double")
+    return (df.filter(w > 0)
+            .withColumn(out_col, -F.log(u) / w)
+            .orderBy(F.col(out_col).asc(), c.asc())
+            .limit(k))

@@ -6433,6 +6433,115 @@ FROM per_member GROUP BY g ORDER BY g
 """
 
 
+# ---------------------------------------------------------------------------
+# §7 r5 — skyline, weighted sampling, z-order layout
+# ---------------------------------------------------------------------------
+
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier of parts on (price ↓ better, size ↑ better)
+    via relational.py::skyline_2d — the prefix-max formulation, NOT the
+    O(n²) dominance self-join the oracle runs: range-partitioned strict
+    running max at the price grain, broadcast back. Two bounded
+    shuffles at any row count."""
+    t = _t(spark, sf_dir, "part")
+    p = t["part"].select("p_partkey", "p_name",
+                         F.col("p_retailprice").cast("double").alias("price"),
+                         "p_size")
+    return (R.skyline_2d(p, "p_partkey", "price", "p_size")
+            .orderBy("price", "p_partkey"))
+
+
+ORACLE_PARETO_FRONTIER = """
+SELECT p_partkey, p_name, CAST(p_retailprice AS DOUBLE) AS price, p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE (q.p_retailprice < p.p_retailprice AND q.p_size >= p.p_size)
+     OR (q.p_retailprice <= p.p_retailprice AND q.p_size > p.p_size))
+ORDER BY price, p_partkey
+"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """50 orders sampled without replacement, probability ∝ totalprice
+    (Efraimidis–Spirakis exponential keys over an md5 coin —
+    operators/sampling.py::weighted_sample). Deterministic across
+    engines, partitionings, and re-executions; selection is a
+    scan-local score + TakeOrdered — the corpus never shuffles."""
+    from comix_etl_spark.operators.sampling import weighted_sample
+
+    t = _t(spark, sf_dir, "orders")
+    return (weighted_sample(t["orders"], "o_orderkey", "o_totalprice", 50)
+            .select("o_orderkey",
+                    F.col("o_totalprice").cast("double").alias("weight"),
+                    F.round("es_key", 12).alias("es_key"))
+            .orderBy("es_key", "o_orderkey"))
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+WITH scored AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS weight,
+         -ln((CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+              AS BIGINT) + 0.5) / 4294967296.0) / CAST(o_totalprice AS DOUBLE)
+           AS raw_key
+  FROM orders WHERE o_totalprice > 0
+)
+SELECT o_orderkey, weight, round(raw_key, 12) AS es_key
+FROM scored ORDER BY raw_key, o_orderkey LIMIT 50
+"""
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering profile of orders on
+    (custkey % 256, month index): interleave the two dims' bits
+    (operators/partitioning.py::zorder_key, scan-local integer math),
+    bucket the key (z div 1024 ≈ one file's worth), and emit each
+    bucket's row count + min/max of BOTH dims — the min/max stats a
+    z-ordered write would give every file, narrow in both dimensions,
+    so predicates on EITHER column prune most buckets. The aggregate
+    keys on the bounded bucket id; at scale the write path is
+    ``repartitionByRange(z)`` + parquet, same key."""
+    from comix_etl_spark.operators.partitioning import zorder_key
+
+    t = _t(spark, sf_dir, "orders")
+    o = t["orders"].select(
+        (F.col("o_custkey") % 256).alias("_cx"),
+        ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1)
+        .alias("_my"))
+    z = zorder_key("_cx", "_my", bits=8)
+    return (o.select(F.shiftright(z, 10).alias("zbucket"), "_cx", "_my")
+            .groupBy("zbucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.min("_cx").alias("min_cust"), F.max("_cx").alias("max_cust"),
+                 F.min("_my").alias("min_month"), F.max("_my").alias("max_month"))
+            .orderBy("zbucket"))
+
+
+ORACLE_ZORDER_LAYOUT = """
+WITH dims AS (
+  SELECT o_custkey % 256 AS cx,
+         (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS my
+  FROM orders
+), zed AS (
+  SELECT cx, my,
+         (((cx >> 0) & 1) << 0)  + (((my >> 0) & 1) << 1)
+       + (((cx >> 1) & 1) << 2)  + (((my >> 1) & 1) << 3)
+       + (((cx >> 2) & 1) << 4)  + (((my >> 2) & 1) << 5)
+       + (((cx >> 3) & 1) << 6)  + (((my >> 3) & 1) << 7)
+       + (((cx >> 4) & 1) << 8)  + (((my >> 4) & 1) << 9)
+       + (((cx >> 5) & 1) << 10) + (((my >> 5) & 1) << 11)
+       + (((cx >> 6) & 1) << 12) + (((my >> 6) & 1) << 13)
+       + (((cx >> 7) & 1) << 14) + (((my >> 7) & 1) << 15) AS z
+  FROM dims
+)
+SELECT CAST(z >> 10 AS BIGINT) AS zbucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       min(cx) AS min_cust, max(cx) AS max_cust,
+       min(my) AS min_month, max(my) AS max_month
+FROM zed GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -6867,6 +6976,15 @@ QUERIES: dict[str, Query] = {
                                "per-language embedding centroid cohesion "
                                "(avg/min cosine to centroid)",
                                ("documents", "embeddings")),
+    "pareto_frontier": Query(q_pareto_frontier, ORACLE_PARETO_FRONTIER,
+                             "2-D skyline via distributed prefix-max "
+                             "(oracle: NOT EXISTS dominance)", ("part",)),
+    "weighted_sample": Query(q_weighted_sample, ORACLE_WEIGHTED_SAMPLE,
+                             "Efraimidis–Spirakis weighted sample without "
+                             "replacement (md5 coin)", ("orders",)),
+    "zorder_layout": Query(q_zorder_layout, ORACLE_ZORDER_LAYOUT,
+                           "Morton z-order clustering profile with per-bucket "
+                           "min/max pruning stats", ("orders",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's

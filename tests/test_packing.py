@@ -69,3 +69,30 @@ def test_balance_downsample_keeps_min_group_and_subsets(spark):
     kept2 = {r.doc_id for r in
              balance_downsample(d.repartition(7), "doc_id", "grp").collect()}
     assert kept_ids == kept2
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    """Same inputs → identical sample on re-run; an overwhelming weight
+    is always selected; k >= n returns every positive-weight row."""
+    from comix_etl_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1.0) for i in range(1, 40)] + [(99, 1e9), (100, -1.0)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    s1 = sorted(r.k for r in weighted_sample(df, "k", "w", 10).collect())
+    s2 = sorted(r.k for r in weighted_sample(df, "k", "w", 10).collect())
+    assert s1 == s2 and len(s1) == 10
+    assert 99 in s1                      # P(miss) ~ 1e-9 per draw — deterministic here
+    everything = weighted_sample(df, "k", "w", 1000).collect()
+    assert len(everything) == 40         # the w <= 0 row is excluded
+
+
+def test_zorder_key_bit_interleave(spark):
+    """Hand-checked Morton codes: z(1,0)=1, z(0,1)=2, z(3,5)=39."""
+    from pyspark.sql import functions as F
+
+    from comix_etl_spark.operators.partitioning import zorder_key
+
+    df = spark.createDataFrame([(1, 0), (0, 1), (3, 5)], "x int, y int")
+    got = [r.z for r in df.select(zorder_key("x", "y").alias("z"))
+           .orderBy(F.col("z")).collect()]
+    assert got == [1, 2, 39]

@@ -114,3 +114,18 @@ def test_approx_cardinality_error_bound(spark, sf_small):
     for col, ex in exact.items():
         rel_err = abs(getattr(approx, col) - ex) / max(ex, 1)
         assert rel_err < 0.05, f"{col}: approx={getattr(approx, col)} exact={ex}"
+
+
+def test_skyline_2d_hand_graded(spark):
+    """Frontier on (x lower-better, y higher-better): dominated rows
+    drop, equal-(x,y) duplicates both survive, same-x smaller-y drops."""
+    from comix_etl_spark.operators.relational import skyline_2d
+
+    rows = [(1, 1.0, 5), (2, 2.0, 9), (3, 2.0, 9),   # 2,3: equal pair, both stay
+            (4, 2.0, 4),                              # same x as 2, worse y
+            (5, 3.0, 9),                              # worse x, same y as 2
+            (6, 5.0, 10),                             # best y — frontier
+            (7, 0.5, 1)]                              # best x — frontier
+    df = spark.createDataFrame(rows, "id long, x double, y long")
+    got = sorted(r.id for r in skyline_2d(df, "id", "x", "y").collect())
+    assert got == [1, 2, 3, 6, 7]
