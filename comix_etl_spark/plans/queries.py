@@ -7003,6 +7003,16 @@ QUERIES: dict[str, Query] = {
 # then the remaining 44 stale in registry order with the four expensive
 # pair/sketch queries closing the window. Everything r3/r4-green sits
 # after slot 50.
+#
+# r6 BACKLOG (never driver-checked — rotate these into the first slots
+# next round): the r5 additions after the window was frozen — the det
+# siblings (minhash_lsh_det, simhash_det, dedup_clusters_lsh_det,
+# ann_pq_det), pagerank (oracle since r5), the 13 TPC-H analogs
+# (order_priority_check … min_cost_supplier), jl_projection,
+# bm25_search, centroid_cohesion, pareto_frontier, weighted_sample,
+# zorder_layout (~22 entries); fill remaining slots with the oldest
+# r3-era greens. supplier_triangles needs a re-check too — its sampling
+# semantics (and oracle) changed in r5.
 _CHECK_FIRST = [
     # vacuous r2 verdicts (0 rows) — re-prove with spark_rows > 0
     "search_substring", "token_overlap",
@@ -7019,8 +7029,13 @@ _CHECK_FIRST = [
     "moving_average", "sales_rollup", "event_pivot", "asof_join",
     "range_join", "dedup_exact", "ann_cosine_topk", "ann_lsh",
     "dedup_embedding", "ann_ivf", "lang_id", "doc_quality",
-    "token_counts", "doc_fingerprint", "corpus_prep", "hash_split",
+    "token_counts", "doc_fingerprint", "corpus_prep",
     "csv_ingest",
+    # r4-green but its sampling semantics + oracle changed in r5 —
+    # needs a fresh verdict more than hash_split (whose md5-bucket
+    # machinery the r4-green balance_corpus already re-proves) needs a
+    # re-check; hash_split heads the r6 backlog instead
+    "supplier_triangles",
     # stale AND expensive — close the 50-slot window
     "ngram_jaccard", "minhash_lsh", "simhash_pairs", "dedup_clusters",
 ]
