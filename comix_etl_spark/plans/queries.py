@@ -2218,6 +2218,75 @@ ORDER BY v.user_id
 """
 
 
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT-OUTER interval join as a real
+    stream: views that did or did NOT convert to a purchase within an
+    hour. Null-padded unmatched views emit only once the watermark
+    passes ts_v + 1h (the engine must PROVE no match is coming), so
+    rows inside the final watermark horizon are still held in state
+    when a finite run ends — the rollup therefore compares the
+    bounded-lag region ts_v < max_ts − 3 h (watermark 2 h + bound 1 h),
+    where stream and batch results are provably identical. That is the
+    honest verification contract for outer stream joins; the 24/7
+    state-eviction story is identical to the inner join's."""
+    from comix_etl_spark.session import events_stream_source
+    from comix_etl_spark.streaming.joins import stream_interval_join
+    from comix_etl_spark.streaming.windowed import stream_shuffle_partitions
+
+    raw_schema, ts_fix = events_stream_source(spark, sf_dir)
+
+    def read_events() -> DataFrame:
+        raw = (spark.readStream.schema(raw_schema)
+               .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+        return ts_fix(raw)
+
+    views = (read_events().filter(F.col("event_type") == "view")
+             .select("user_id", F.col("ts").alias("ts_v")))
+    purchases = (read_events().filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("ts").alias("ts_p")))
+    joined = stream_interval_join(views, purchases, key="user_id",
+                                  left_ts="ts_v", right_ts="ts_p",
+                                  within="1 hour", watermark="2 hours",
+                                  how="left_outer")
+    with stream_shuffle_partitions(spark, 8):
+        q = (joined.writeStream.outputMode("append")
+             .format("memory").queryName("q_stream_outer_join_sink")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    t = _t(spark, sf_dir, "events")
+    cutoff = t["events"].agg(
+        (F.max("ts") - F.expr("INTERVAL 3 HOURS")).alias("_cut"))
+    return (spark.table("q_stream_outer_join_sink")
+            .crossJoin(F.broadcast(cutoff))
+            .filter(F.col("ts_v") < F.col("_cut"))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.sum(F.when(F.col("ts_p").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_unconverted"))
+            .orderBy("user_id"))
+
+
+ORACLE_STREAM_OUTER_JOIN = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+v AS (SELECT user_id, ts AS ts_v FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id AS u2, ts AS ts_p FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT v.user_id, v.ts_v, p.ts_p
+  FROM v LEFT JOIN p
+    ON p.u2 = v.user_id
+   AND epoch_us(p.ts_p) >= epoch_us(v.ts_v)
+   AND epoch_us(p.ts_p) <= epoch_us(v.ts_v) + 3600000000
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN ts_p IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unconverted
+FROM j, mx
+WHERE ts_v < m - INTERVAL 3 HOUR
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # §7 — multimodal binary columns
 # ---------------------------------------------------------------------------
@@ -6985,6 +7054,9 @@ QUERIES: dict[str, Query] = {
     "zorder_layout": Query(q_zorder_layout, ORACLE_ZORDER_LAYOUT,
                            "Morton z-order clustering profile with per-bucket "
                            "min/max pruning stats", ("orders",)),
+    "stream_outer_join": Query(q_stream_outer_join, ORACLE_STREAM_OUTER_JOIN,
+                               "left-outer stream-stream interval join, "
+                               "bounded-lag parity region", ("events",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's

@@ -22,17 +22,29 @@ from pyspark.sql import functions as F
 def stream_interval_join(left: DataFrame, right: DataFrame, *, key: str,
                          left_ts: str, right_ts: str,
                          within: str = "1 hour",
-                         watermark: str = "2 hours") -> DataFrame:
-    """Inner-join right rows to left rows of the same ``key`` with
+                         watermark: str = "2 hours",
+                         how: str = "inner") -> DataFrame:
+    """Join right rows to left rows of the same ``key`` with
     ``left_ts <= right_ts <= left_ts + within``.
 
     ``left_ts`` and ``right_ts`` must be DISTINCT column names (rename
     before calling) — the joined row carries both. Works on batch
     DataFrames too (watermark is a no-op there), which is what the
     parity oracle exploits.
+
+    ``how="left_outer"`` additionally emits null-padded left rows that
+    found no match — but ONLY once the watermark passes ``left_ts +
+    within`` (that is when the engine can PROVE no match is coming).
+    Consequence: rows newer than (max event time − watermark − within)
+    are still held in state when a finite run ends and never emit as
+    unmatched, so batch parity for outer results holds on the
+    bounded-lag region ``left_ts < max_ts − watermark − within`` only —
+    compare there (the registry's stream_outer_join does exactly that).
     """
     if left_ts == right_ts:
         raise ValueError("rename the event-time columns to distinct names first")
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner|left_outer, not {how!r}")
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
     cond = (
@@ -40,7 +52,7 @@ def stream_interval_join(left: DataFrame, right: DataFrame, *, key: str,
         & (r[right_ts] >= l[left_ts])
         & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner").drop(r[key])
+    return l.join(r, cond, how).drop(r[key])
 
 
 def stream_static_enrich(stream: DataFrame, dim: DataFrame, *, key_stream: str,

@@ -204,3 +204,26 @@ def test_stream_cdc_foreachbatch_apply(spark):
         assert got == want
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_interval_join_how_validation(spark):
+    """Only inner/left_outer are meaningful for the watermarked interval
+    join; anything else must fail loudly before a stream starts."""
+    import pytest
+
+    from comix_etl_spark.streaming.joins import stream_interval_join
+
+    l = spark.createDataFrame([(1, "2024-01-01 00:00:00")], "k long, ts_l string") \
+        .selectExpr("k", "CAST(ts_l AS TIMESTAMP) AS ts_l")
+    r = spark.createDataFrame([(1, "2024-01-01 00:30:00")], "k long, ts_r string") \
+        .selectExpr("k", "CAST(ts_r AS TIMESTAMP) AS ts_r")
+    with pytest.raises(ValueError, match="inner|left_outer"):
+        stream_interval_join(l, r, key="k", left_ts="ts_l", right_ts="ts_r",
+                             how="full_outer")
+    # batch execution path: outer keeps the unmatched-left contract
+    l2 = l.unionByName(spark.createDataFrame([(2, "2024-01-01 05:00:00")],
+                                             "k long, ts_l string")
+                       .selectExpr("k", "CAST(ts_l AS TIMESTAMP) AS ts_l"))
+    out = stream_interval_join(l2, r, key="k", left_ts="ts_l", right_ts="ts_r",
+                               how="left_outer").collect()
+    assert len(out) == 2 and sum(1 for x in out if x.ts_r is None) == 1
