@@ -6611,6 +6611,41 @@ FROM zed GROUP BY 1 ORDER BY 1
 """
 
 
+def q_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-range window frames (RANGE BETWEEN … PRECEDING/FOLLOWING —
+    the one window-frame family the registry didn't cover): for every
+    order, the same customer's order count and revenue within ±30 days
+    of it. The frame bound is on the VALUE of the epoch-seconds sort
+    key, not row offsets, so gaps and duplicate timestamps behave
+    correctly. One shuffle on custkey; frames evaluate within each
+    partition's sorted run. Revenue sums go through DECIMAL so the
+    frame total is order-independent."""
+    t = _t(spark, sf_dir, "orders")
+    o = t["orders"].select(
+        "o_orderkey", "o_custkey",
+        F.unix_timestamp("o_orderdate").alias("_ep"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("_tp"))
+    w = (Window.partitionBy("o_custkey").orderBy("_ep")
+         .rangeBetween(-30 * 86400, 30 * 86400))
+    return (o.select(
+        "o_orderkey", "o_custkey",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_near"),
+        F.sum("_tp").over(w).cast("double").alias("near_revenue"))
+        .orderBy("o_orderkey"))
+
+
+ORACLE_RANGE_FRAME_WINDOW = """
+SELECT o_orderkey, o_custkey,
+       CAST(count(*) OVER w AS BIGINT) AS n_near,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+         AS near_revenue
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 2592000 PRECEDING AND 2592000 FOLLOWING)
+ORDER BY o_orderkey
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -7057,6 +7092,9 @@ QUERIES: dict[str, Query] = {
     "stream_outer_join": Query(q_stream_outer_join, ORACLE_STREAM_OUTER_JOIN,
                                "left-outer stream-stream interval join, "
                                "bounded-lag parity region", ("events",)),
+    "range_frame_window": Query(q_range_frame_window, ORACLE_RANGE_FRAME_WINDOW,
+                                "value-RANGE window frames (±30-day epoch "
+                                "bound per customer)", ("orders",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
