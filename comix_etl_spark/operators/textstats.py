@@ -358,3 +358,26 @@ def bm25_scores(df: DataFrame, id_col: str, text_col: str,
             tf + k1 * (1 - b + b * F.col("_dl").cast("double") / avgdl))
     return (scored.select(F.col(id_col), F.round(score, 6).alias("bm25"))
             .filter(F.col("bm25") > 0))
+
+
+def char_bigram_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus-wide adjacent character-pair frequencies — the statistic
+    behind the FIRST merge step of BPE tokenizer training (Sennrich et
+    al. 2016, public): the most frequent pair is the first merge rule.
+    Iterating merges re-runs this count on re-paired symbols; one round
+    is the Spark-shaped primitive (the re-pairing loop is driver logic
+    over a shrinking vocabulary, not a new operator).
+
+    Plan: tokenize scan-local, slice every token into its adjacent
+    2-grams with a codegen'd sequence+substr transform (tokens shorter
+    than 2 chars contribute nothing), explode, and count. The explode
+    is linear in corpus characters; the aggregate's key space is the
+    character-pair alphabet (tiny), so map-side partial aggregation
+    collapses almost everything before the one shuffle.
+    """
+    toks = (df.select(F.explode(tokens(text_col)).alias("_tok"))
+            .filter(F.length("_tok") >= 2))
+    pairs = toks.select(F.explode(F.expr(
+        "transform(sequence(1, length(_tok) - 1), i -> substr(_tok, i, 2))"
+    )).alias("pair"))
+    return pairs.groupBy("pair").agg(F.count(F.lit(1)).cast("long").alias("n"))

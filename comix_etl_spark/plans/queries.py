@@ -6611,6 +6611,35 @@ FROM zed GROUP BY 1 ORDER BY 1
 """
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 adjacent character pairs across the corpus (ties broken
+    pair-ascending) — the statistic that picks BPE tokenizer training's
+    first merge rule (operators/textstats.py::char_bigram_counts). The
+    explode is linear in corpus characters; the count's key space is
+    the tiny pair alphabet, so partials collapse map-side."""
+    from comix_etl_spark.operators.textstats import char_bigram_counts
+
+    t = _t(spark, sf_dir, "documents")
+    return (char_bigram_counts(t["documents"], "text")
+            .orderBy(F.col("n").desc(), F.col("pair"))
+            .limit(20))
+
+
+ORACLE_BPE_PAIR_COUNTS = """
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(range(1, length(tok)),
+                               i -> substr(tok, i, 2))) AS pair
+  FROM toks WHERE length(tok) >= 2
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+"""
+
+
 def q_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VALUE-range window frames (RANGE BETWEEN … PRECEDING/FOLLOWING —
     the one window-frame family the registry didn't cover): for every
@@ -7095,6 +7124,9 @@ QUERIES: dict[str, Query] = {
     "range_frame_window": Query(q_range_frame_window, ORACLE_RANGE_FRAME_WINDOW,
                                 "value-RANGE window frames (±30-day epoch "
                                 "bound per customer)", ("orders",)),
+    "bpe_pair_counts": Query(q_bpe_pair_counts, ORACLE_BPE_PAIR_COUNTS,
+                             "BPE first-merge candidate: corpus char-pair "
+                             "frequencies top-20", ("documents",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's

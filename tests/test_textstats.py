@@ -189,3 +189,13 @@ def test_bm25_length_normalization(spark):
     got = {r.doc_id: r.bm25
            for r in bm25_scores(df, "doc_id", "text", ["spark"]).collect()}
     assert got[1] > got[2]
+
+
+def test_char_bigram_counts_hand_graded(spark):
+    """'aaa ab x' → pairs aa, aa, ab; single-char tokens contribute
+    nothing."""
+    from comix_etl_spark.operators.textstats import char_bigram_counts
+
+    df = spark.createDataFrame([(1, "aaa ab x")], "doc_id long, text string")
+    got = {r.pair: r.n for r in char_bigram_counts(df, "text").collect()}
+    assert got == {"aa": 2, "ab": 1}
