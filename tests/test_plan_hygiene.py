@@ -33,6 +33,10 @@ BROADCAST_DIM = [
     # r4: the per-group moment/average tables must broadcast back onto
     # the fact scan — a sort-merge here would shuffle the fact side
     "spend_zscore", "small_qty_revenue",
+    # r5 TPC-H batch: every dim (and the date-pruned orders slice in
+    # Q10) must broadcast onto lineitem — a sort-merge would shuffle
+    # the fact table for a filter-sized side
+    "promo_share", "bracket_revenue", "returned_items",
 ]
 
 
@@ -105,3 +109,22 @@ def test_plan_summary_structure(spark, sf_small):
     assert local.shuffle_free
     assert local.n_scans == 1
     assert local.codegen_spans >= 1
+
+
+def test_bm25_stays_broadcast_and_take_ordered(spark, sf_small):
+    """bm25_search's corpus-stats must ride a broadcast (nested-loop on
+    a 1-row aggregate), never a sort-merge, and the top-20 must compile
+    to TakeOrderedAndProject — not a global sort."""
+    plan = _plan(QUERIES["bm25_search"].builder(spark, sf_small))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_weighted_sample_take_ordered(spark, sf_small):
+    """The Efraimidis–Spirakis selection is ORDER BY + LIMIT over a
+    scan-local score: TakeOrderedAndProject, no full-table exchange
+    before the top-k."""
+    plan = _plan(QUERIES["weighted_sample"].builder(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
