@@ -6611,6 +6611,44 @@ FROM zed GROUP BY 1 ORDER BY 1
 """
 
 
+def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION-distinct over yearly buyer sets — the
+    §2.6 set-op family beyond O7's UNION ALL: customers who bought in
+    both 1996 and 1997, each year only, and either. Spark lowers
+    INTERSECT to a distinct left-semi and EXCEPT to a distinct
+    left-anti — no full-table sort — and the four counts ride one plan
+    as broadcast 1-row aggregates."""
+    t = _t(spark, sf_dir, "orders")
+    o = t["orders"].select("o_custkey", F.year("o_orderdate").alias("_y"))
+    y96 = o.filter(F.col("_y") == 1996).select("o_custkey")
+    y97 = o.filter(F.col("_y") == 1997).select("o_custkey")
+    both = y96.intersect(y97).agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    only96 = y96.subtract(y97) \
+        .agg(F.count(F.lit(1)).cast("long").alias("n_1996_only"))
+    only97 = y97.subtract(y96) \
+        .agg(F.count(F.lit(1)).cast("long").alias("n_1997_only"))
+    either = y96.union(y97).distinct() \
+        .agg(F.count(F.lit(1)).cast("long").alias("n_either"))
+    return (both.crossJoin(F.broadcast(only96))
+            .crossJoin(F.broadcast(only97))
+            .crossJoin(F.broadcast(either)))
+
+
+ORACLE_SET_OPERATIONS = """
+WITH y96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+y97 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+SELECT
+  CAST((SELECT count(*) FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)) AS BIGINT)
+    AS n_both,
+  CAST((SELECT count(*) FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)) AS BIGINT)
+    AS n_1996_only,
+  CAST((SELECT count(*) FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y96)) AS BIGINT)
+    AS n_1997_only,
+  CAST((SELECT count(*) FROM (SELECT * FROM y96 UNION SELECT * FROM y97)) AS BIGINT)
+    AS n_either
+"""
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top 20 adjacent character pairs across the corpus (ties broken
     pair-ascending) — the statistic that picks BPE tokenizer training's
@@ -7127,6 +7165,9 @@ QUERIES: dict[str, Query] = {
     "bpe_pair_counts": Query(q_bpe_pair_counts, ORACLE_BPE_PAIR_COUNTS,
                              "BPE first-merge candidate: corpus char-pair "
                              "frequencies top-20", ("documents",)),
+    "set_operations": Query(q_set_operations, ORACLE_SET_OPERATIONS,
+                            "INTERSECT/EXCEPT/UNION-distinct buyer-set "
+                            "profile", ("orders",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
