@@ -6611,6 +6611,50 @@ FROM zed GROUP BY 1 ORDER BY 1
 """
 
 
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet file generations — the lake
+    reality every long-lived 100 TB table hits: generation 1 (1996
+    orders) is written WITHOUT the priority column, generation 2 (1997
+    orders) adds it; a ``mergeSchema`` read unions the physical schemas
+    and null-fills the missing column in old files, and the rollup
+    groups over the evolved column. The oracle recomputes the same
+    frame from the source table (pre-1997 rows get NULL priority), so
+    what's verified is exactly the null-fill semantics of the merged
+    read. Footer-schema merge is a metadata operation — no data
+    rewrite, which is the point at 100 TB."""
+    import tempfile
+
+    t = _t(spark, sf_dir, "orders")
+    o = t["orders"]
+    base = tempfile.mkdtemp(prefix="comix_evo_")
+    (o.filter(F.year("o_orderdate") == 1996)
+     .select("o_orderkey", "o_totalprice")
+     .write.mode("overwrite").parquet(f"{base}/gen1"))
+    (o.filter(F.year("o_orderdate") == 1997)
+     .select("o_orderkey", "o_totalprice", "o_orderpriority")
+     .write.mode("overwrite").parquet(f"{base}/gen2"))
+    merged = (spark.read.option("mergeSchema", "true")
+              .parquet(f"{base}/gen1", f"{base}/gen2"))
+    return (merged.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("(pre-schema)"))
+        .alias("priority"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+             .cast("double").alias("revenue"))
+        .orderBy("priority"))
+
+
+ORACLE_SCHEMA_EVOLUTION = """
+SELECT coalesce(CASE WHEN year(o_orderdate) = 1997 THEN o_orderpriority END,
+                '(pre-schema)') AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders
+WHERE year(o_orderdate) IN (1996, 1997)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT / UNION-distinct over yearly buyer sets — the
     §2.6 set-op family beyond O7's UNION ALL: customers who bought in
@@ -7168,6 +7212,9 @@ QUERIES: dict[str, Query] = {
     "set_operations": Query(q_set_operations, ORACLE_SET_OPERATIONS,
                             "INTERSECT/EXCEPT/UNION-distinct buyer-set "
                             "profile", ("orders",)),
+    "schema_evolution": Query(q_schema_evolution, ORACLE_SCHEMA_EVOLUTION,
+                              "mergeSchema read across evolved parquet "
+                              "generations (null-fill semantics)", ("orders",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
