@@ -277,17 +277,20 @@ def dup_clusters(pairs: DataFrame, *, id_a: str = "id_a", id_b: str = "id_b",
       without convergence (with O(log d) convergence that indicates a
       degenerate graph, not just a long chain).
     """
-    e = (pairs.select(F.greatest(id_a, id_b).alias("u"),
+    # ONE materialization of the (often expensive) pair-generation
+    # lineage; edges AND nodes both derive from this checkpoint — the
+    # earlier formulation walked the raw pairs plan twice (once for
+    # edges, once for nodes), re-running the whole shingle/band/verify
+    # pipeline for the final label join.
+    p = (pairs.select(F.greatest(id_a, id_b).alias("u"),
                       F.least(id_a, id_b).alias("v"))
-         .filter(F.col("u") != F.col("v"))
+         .localCheckpoint(eager=True))
+    e = (p.filter(F.col("u") != F.col("v"))
          .distinct().localCheckpoint(eager=True))
-    # nodes derive from the CHECKPOINTED edges, not the raw pairs plan —
-    # every node of a (u≠v)-canonical pair appears in e, and walking the
-    # pairs lineage again would re-run the whole (often expensive) pair
-    # generation a second time. Self-pairs (id_a == id_b) are their own
-    # keeper and carry no edge, so they are correctly absent here.
-    nodes = (e.select(F.col("u").alias("node"))
-             .unionByName(e.select(F.col("v").alias("node")))
+    # nodes keep self-pairs (u == v): a doc paired only with itself has
+    # no edge but is still its own keeper in the output
+    nodes = (p.select(F.col("u").alias("node"))
+             .unionByName(p.select(F.col("v").alias("node")))
              .distinct().localCheckpoint(eager=False))
 
     if e.count() <= local_edge_cutoff:

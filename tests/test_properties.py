@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis): the operators with small pure
+reference implementations are checked against them on randomized
+inputs — duplicates, ties, singletons, adversarial shapes the
+hand-written cases miss. Example counts are tuned low (Spark round
+trip per example); the generators bias toward collision-heavy small
+domains so ties actually occur.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+PROP = settings(max_examples=10, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                       HealthCheck.too_slow])
+
+
+@PROP
+@given(pts=st.lists(st.tuples(st.integers(0, 7), st.integers(0, 7)),
+                    min_size=1, max_size=40))
+def test_skyline_matches_brute_force(spark, pts):
+    """skyline_2d (prefix-max formulation) == O(n²) dominance screen,
+    on a tiny value domain where duplicate x, duplicate y, and fully
+    duplicated points are all common."""
+    from comix_etl_spark.operators.relational import skyline_2d
+
+    rows = [(i, float(x), y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x double, y long")
+    got = sorted(r.id for r in skyline_2d(df, "id", "x", "y").collect())
+    want = sorted(
+        i for i, (x, y) in enumerate(pts)
+        if not any((qx < x and qy >= y) or (qx <= x and qy > y)
+                   for qx, qy in pts))
+    assert got == want
+
+
+def _uf_reference(edges):
+    parent = {}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for u, v in edges:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {k: find(k) for k in parent}
+
+
+@PROP
+@given(edges=st.lists(st.tuples(st.integers(0, 25), st.integers(0, 25)),
+                      min_size=1, max_size=60))
+def test_dup_clusters_matches_union_find_reference(spark, edges):
+    """dup_clusters' single-task fast path == a pure-Python min-root
+    union-find on random multigraphs (self-loops, duplicate and
+    reversed edges included). Self-loop-only nodes are their own
+    keeper."""
+    from comix_etl_spark.operators import dedup as D
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.doc_id: r.keeper_id for r in D.dup_clusters(df).collect()}
+    real_edges = [e for e in edges if e[0] != e[1]]
+    want = _uf_reference(real_edges)
+    for u, v in edges:
+        if u == v:                      # self-loop: own keeper
+            want.setdefault(u, u)
+    assert got == want
+
+
+@PROP
+@given(vals=st.lists(st.integers(-50, 50), min_size=1, max_size=80))
+def test_global_running_sum_matches_cumsum(spark, vals):
+    """The range-partitioned prefix sum == a sequential cumsum under a
+    total order, including negative values and duplicated order keys
+    (broken by the unique position column)."""
+    from comix_etl_spark.operators.relational import global_running_sum
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "pos long, v long")
+    got = {r.pos: r.running
+           for r in global_running_sum(df, ["pos"], "v").collect()}
+    acc, want = 0, {}
+    for i, v in enumerate(vals):
+        acc += v
+        want[i] = acc
+    assert got == want
+
+
+@PROP
+@given(words=st.lists(st.text(alphabet="abcd", min_size=1, max_size=4),
+                      min_size=0, max_size=30),
+       size=st.integers(1, 7))
+def test_chunking_reconstructs_token_stream(spark, words, size):
+    """Non-overlapping chunks concatenated in chunk order == the
+    original token stream, for any chunk size and document length
+    (including the empty document, which emits no chunks)."""
+    from comix_etl_spark.operators.textstats import chunk_documents
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = (chunk_documents(df, "doc_id", "text", chunk_size=size)
+              .orderBy("chunk_id").collect())
+    rebuilt = " ".join(c.chunk_text for c in chunks)
+    assert rebuilt == " ".join(words)
+    assert all(1 <= c.n_tokens <= size for c in chunks)
