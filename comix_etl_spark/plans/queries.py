@@ -6611,6 +6611,91 @@ FROM zed GROUP BY 1 ORDER BY 1
 """
 
 
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² independence test between customer market segment and
+    order priority — the categorical-association screen behind any
+    "does dimension A predict dimension B" question. One contingency
+    aggregate (bounded 5×5 key space, map-side collapse), marginals as
+    broadcast re-aggregates of that tiny table, expected counts and the
+    χ² statistic as row-local arithmetic summed to one row. The fact
+    tables shuffle once (the custkey join); everything after is
+    bounded-cardinality."""
+    t = _t(spark, sf_dir, "orders", "customer")
+    joined = (t["orders"].select("o_custkey", "o_orderpriority")
+              .join(F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+                    F.col("o_custkey") == F.col("c_custkey")))
+    obs = (joined.groupBy("c_mktsegment", "o_orderpriority")
+           .agg(F.count(F.lit(1)).cast("double").alias("_o")))
+    row_m = obs.groupBy("c_mktsegment").agg(F.sum("_o").alias("_rm"))
+    col_m = obs.groupBy("o_orderpriority").agg(F.sum("_o").alias("_cm"))
+    tot = obs.agg(F.sum("_o").alias("_n"))
+    cells = (obs.join(F.broadcast(row_m), "c_mktsegment")
+             .join(F.broadcast(col_m), "o_orderpriority")
+             .crossJoin(F.broadcast(tot))
+             .select(((F.col("_o") - F.col("_rm") * F.col("_cm") / F.col("_n"))
+                      ** 2 / (F.col("_rm") * F.col("_cm") / F.col("_n")))
+                     .alias("_term")))
+    return cells.agg(
+        F.round(F.sum("_term"), 6).alias("chi_square"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"))
+
+
+ORACLE_CHI_SQUARE = """
+WITH obs AS (
+  SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+         CAST(count(*) AS DOUBLE) AS o
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), rm AS (SELECT seg, sum(o) AS r FROM obs GROUP BY 1),
+cm AS (SELECT pri, sum(o) AS c FROM obs GROUP BY 1),
+n AS (SELECT sum(o) AS n FROM obs)
+SELECT round(sum(pow(o - r * c / n.n, 2) / (r * c / n.n)), 6) AS chi_square,
+       CAST(count(*) AS BIGINT) AS n_cells
+FROM obs JOIN rm USING (seg) JOIN cm USING (pri), n
+"""
+
+
+def q_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen over order totals — the classic audit
+    test for fabricated numeric data: observed leading-digit shares vs
+    the Benford expectation log10(1 + 1/d), with per-digit deviation in
+    parts-per-million. Digit extraction is scan-local string math; the
+    aggregate key space is the 9 digits, so everything collapses
+    map-side; the total rides back as one broadcast row."""
+    t = _t(spark, sf_dir, "orders")
+    d = (t["orders"]
+         .select(F.substring(F.abs(F.col("o_totalprice")).cast("string"), 1, 1)
+                 .cast("int").alias("digit"))
+         .filter(F.col("digit").between(1, 9)))
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = counts.agg(F.sum("n").cast("double").alias("_t"))
+    expected = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (counts.crossJoin(F.broadcast(tot))
+            .select("digit", "n",
+                    F.round(F.col("n") / F.col("_t"), 6).alias("observed_share"),
+                    F.round(expected, 6).alias("benford_share"),
+                    F.round((F.col("n") / F.col("_t") - expected) * 1000000, 0)
+                    .cast("long").alias("deviation_ppm"))
+            .orderBy("digit"))
+
+
+ORACLE_BENFORD_DEVIATION = """
+WITH d AS (
+  SELECT CAST(substring(CAST(abs(o_totalprice) AS VARCHAR), 1, 1) AS INTEGER)
+           AS digit
+  FROM orders
+), f AS (SELECT digit FROM d WHERE digit BETWEEN 1 AND 9),
+counts AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM counts)
+SELECT digit, n,
+       round(n / t, 6) AS observed_share,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford_share,
+       CAST(round((n / t - log10(1.0 + 1.0 / digit)) * 1000000, 0) AS BIGINT)
+         AS deviation_ppm
+FROM counts, tot ORDER BY digit
+"""
+
+
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution across parquet file generations — the lake
     reality every long-lived 100 TB table hits: generation 1 (1996
@@ -7215,6 +7300,12 @@ QUERIES: dict[str, Query] = {
     "schema_evolution": Query(q_schema_evolution, ORACLE_SCHEMA_EVOLUTION,
                               "mergeSchema read across evolved parquet "
                               "generations (null-fill semantics)", ("orders",)),
+    "chi_square": Query(q_chi_square, ORACLE_CHI_SQUARE,
+                        "Pearson chi-square independence: segment vs order "
+                        "priority", ("orders", "customer")),
+    "benford_deviation": Query(q_benford_deviation, ORACLE_BENFORD_DEVIATION,
+                               "Benford first-digit audit screen over order "
+                               "totals", ("orders",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
