@@ -7326,14 +7326,16 @@ QUERIES: dict[str, Query] = {
 # after slot 50.
 #
 # r6 BACKLOG (never driver-checked — rotate these into the first slots
-# next round): the r5 additions after the window was frozen — the det
-# siblings (minhash_lsh_det, simhash_det, dedup_clusters_lsh_det,
-# ann_pq_det), pagerank (oracle since r5), the 13 TPC-H analogs
-# (order_priority_check … min_cost_supplier), jl_projection,
+# next round, ~29 entries): the det siblings (minhash_lsh_det,
+# simhash_det, dedup_clusters_lsh_det, ann_pq_det), pagerank (oracle
+# since r5), the 13 TPC-H analogs (order_priority_check …
+# min_cost_supplier), and the late-r5 batch: jl_projection,
 # bm25_search, centroid_cohesion, pareto_frontier, weighted_sample,
-# zorder_layout (~22 entries); fill remaining slots with the oldest
-# r3-era greens. supplier_triangles needs a re-check too — its sampling
-# semantics (and oracle) changed in r5.
+# zorder_layout, stream_outer_join, range_frame_window,
+# bpe_pair_counts, set_operations, schema_evolution, chi_square,
+# benford_deviation. Fill remaining slots with the oldest r3-era
+# greens; hash_split (dropped from the r5 window for
+# supplier_triangles' semantics change) goes first among those.
 _CHECK_FIRST = [
     # vacuous r2 verdicts (0 rows) — re-prove with spark_rows > 0
     "search_substring", "token_overlap",
