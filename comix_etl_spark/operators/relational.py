@@ -360,3 +360,40 @@ def skyline_2d(df: DataFrame, id_col: str, x_col: str, y_col: str,
             .filter((F.col(y_col) == F.col("_ymax"))
                     & (F.col("_pm").isNull() | (F.col(y_col) > F.col("_pm"))))
             .drop("_x", "_ymax", "_pm"))
+
+
+def gaps_in_sequence(df: DataFrame, key_col: str,
+                     *, num_partitions: int | None = None) -> DataFrame:
+    """Missing runs in an integer key sequence — the completeness probe
+    for ingest auditing (dropped batches show up as key gaps). Returns
+    (gap_start, gap_end, gap_len) for every maximal missing run between
+    the observed min and max.
+
+    The naive formulation is lead() over a GLOBAL order — a single-task
+    window. Here the lead is distributed the same way as global_rank /
+    global_running_sum: range-partition the distinct keys, lead within
+    each partition in parallel, and close the partition seams with a
+    broadcast of each partition's first key (every partition's last row
+    peeks at the NEXT non-empty partition's minimum — n rows, driver-
+    free). Two bounded shuffles at any key count.
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    d = (df.select(F.col(key_col).cast("long").alias("_k")).distinct()
+         .repartitionByRange(n, F.col("_k").asc())
+         .withColumn("_pid", F.spark_partition_id())
+         .localCheckpoint(eager=False))
+    # each partition's min key, shifted to the PRECEDING partition as
+    # its "next seam key" (window over the tiny n-row aggregate)
+    seam = Window.orderBy("_pid")
+    firsts = (d.groupBy("_pid").agg(F.min("_k").alias("_first"))
+              .withColumn("_seam_next", F.lead("_first").over(seam))
+              .select("_pid", "_seam_next"))
+    w = Window.partitionBy("_pid").orderBy("_k")
+    return (d.join(F.broadcast(firsts), "_pid")
+            .withColumn("_next", F.coalesce(F.lead("_k").over(w),
+                                            F.col("_seam_next")))
+            .filter(F.col("_next") - F.col("_k") > 1)
+            .select((F.col("_k") + 1).alias("gap_start"),
+                    (F.col("_next") - 1).alias("gap_end"),
+                    (F.col("_next") - F.col("_k") - 1).alias("gap_len")))

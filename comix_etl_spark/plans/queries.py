@@ -6611,6 +6611,68 @@ FROM zed GROUP BY 1 ORDER BY 1
 """
 
 
+def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-completeness probe: maximal missing runs in the orderkey
+    sequence of high-value orders (the filter manufactures gaps; in
+    production the key set is a batch's expected id range). The lead()
+    this needs is DISTRIBUTED (relational.py::gaps_in_sequence):
+    range-partitioned keys, per-partition lead, partition seams closed
+    by a broadcast of each partition's first key — never a single-task
+    global window. Top 20 widest gaps, key tie-break."""
+    t = _t(spark, sf_dir, "orders")
+    hv = t["orders"].filter(F.col("o_totalprice") > 100000)
+    return (R.gaps_in_sequence(hv, "o_orderkey")
+            .orderBy(F.col("gap_len").desc(), F.col("gap_start"))
+            .limit(20))
+
+
+ORACLE_SEQUENCE_GAPS = """
+WITH k AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_totalprice > 100000
+), led AS (
+  SELECT k, lead(k) OVER (ORDER BY k) AS nxt FROM k
+)
+SELECT k + 1 AS gap_start, nxt - 1 AS gap_end, nxt - k - 1 AS gap_len
+FROM led WHERE nxt - k > 1
+ORDER BY gap_len DESC, gap_start LIMIT 20
+"""
+
+
+def q_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode column absent — linestatus stands in
+    for the mode dimension): per linestatus, how many 1996-shipped
+    lines belong to urgent/high-priority orders vs the rest — the
+    conditional-count-after-join pattern. The date filter prunes the
+    lineitem scan; the orders side carries only (key, priority); one
+    orderkey join + a 2-group aggregate."""
+    t = _t(spark, sf_dir, "lineitem", "orders")
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    o = t["orders"].select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).cast("long")
+                 .alias("high_line_count"),
+                 F.sum(F.when(high, 0).otherwise(1)).cast("long")
+                 .alias("low_line_count"))
+            .orderBy("l_linestatus"))
+
+
+ORACLE_PRIORITY_MIX = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson χ² independence test between customer market segment and
     order priority — the categorical-association screen behind any
@@ -7306,6 +7368,12 @@ QUERIES: dict[str, Query] = {
     "benford_deviation": Query(q_benford_deviation, ORACLE_BENFORD_DEVIATION,
                                "Benford first-digit audit screen over order "
                                "totals", ("orders",)),
+    "sequence_gaps": Query(q_sequence_gaps, ORACLE_SEQUENCE_GAPS,
+                           "ingest completeness: distributed-lead key-gap "
+                           "detection", ("orders",)),
+    "priority_mix": Query(q_priority_mix, ORACLE_PRIORITY_MIX,
+                          "TPC-H Q12 shape: high/low priority line counts "
+                          "per status", ("lineitem", "orders")),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's

@@ -129,3 +129,18 @@ def test_skyline_2d_hand_graded(spark):
     df = spark.createDataFrame(rows, "id long, x double, y long")
     got = sorted(r.id for r in skyline_2d(df, "id", "x", "y").collect())
     assert got == [1, 2, 3, 6, 7]
+
+
+def test_gaps_in_sequence_hand_graded(spark):
+    """Keys {1,2,5,6,10} → gaps (3-4, len 2) and (7-9, len 3); a dense
+    run has none. Forced onto many range partitions so the seam logic
+    (last row of one partition peeking at the next partition's min)
+    actually executes."""
+    from comix_etl_spark.operators.relational import gaps_in_sequence
+
+    df = spark.createDataFrame([(k,) for k in (1, 2, 5, 6, 10)], "k long")
+    got = sorted((r.gap_start, r.gap_end, r.gap_len)
+                 for r in gaps_in_sequence(df, "k", num_partitions=4).collect())
+    assert got == [(3, 4, 2), (7, 9, 3)]
+    dense = spark.createDataFrame([(k,) for k in range(50)], "k long")
+    assert gaps_in_sequence(dense, "k", num_partitions=8).count() == 0
