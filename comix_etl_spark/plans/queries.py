@@ -6611,6 +6611,69 @@ FROM zed GROUP BY 1 ORDER BY 1
 """
 
 
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between 1996 and 1997 order totals —
+    the standard ML-ops distribution-drift monitor: bin edges are the
+    reference period's exact deciles, both periods' bin shares are
+    conditional counts against the broadcast edge list, and
+    PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref). Two passes over the fact
+    (one for edges — exact percentiles need a full pass — one for the
+    binned counts of both periods together), edges ride as ONE
+    broadcast row; no per-bin scans."""
+    t = _t(spark, sf_dir, "orders")
+    o = t["orders"].select(F.year("o_orderdate").alias("_y"),
+                           F.col("o_totalprice").alias("_x"))
+    ref = o.filter(F.col("_y") == 1996)
+    edges = ref.agg(F.percentile(
+        "_x", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])).alias("_e"))
+    # bucket = #edges strictly below x (0..9); both periods bin in one pass
+    binned = (o.filter(F.col("_y").isin(1996, 1997))
+              .crossJoin(F.broadcast(edges))
+              .select("_y", F.size(F.filter(
+                  "_e", lambda e: e < F.col("_x"))).alias("bucket")))
+    counts = (binned.groupBy("bucket")
+              .agg(F.sum(F.when(F.col("_y") == 1996, 1).otherwise(0))
+                   .cast("double").alias("_ra"),
+                   F.sum(F.when(F.col("_y") == 1997, 1).otherwise(0))
+                   .cast("double").alias("_rb")))
+    tot = counts.agg(F.sum("_ra").alias("_ta"), F.sum("_rb").alias("_tb"))
+    per_bin = (counts.crossJoin(F.broadcast(tot))
+               .select("bucket",
+                       (F.col("_ra") / F.col("_ta")).alias("p_ref"),
+                       (F.col("_rb") / F.col("_tb")).alias("p_cur")))
+    term = (F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref"))
+    return (per_bin.select("bucket",
+                           F.round("p_ref", 6).alias("p_ref"),
+                           F.round("p_cur", 6).alias("p_cur"),
+                           F.round(term * 1000000, 0).cast("long")
+                           .alias("psi_term_ppm"))
+            .orderBy("bucket"))
+
+
+ORACLE_DRIFT_PSI = """
+WITH o AS (
+  SELECT year(o_orderdate) AS y, o_totalprice AS x FROM orders
+  WHERE year(o_orderdate) IN (1996, 1997)
+), e AS (
+  SELECT quantile_cont(x, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS edges
+  FROM o WHERE y = 1996
+), binned AS (
+  SELECT y, len(list_filter(edges, v -> v < x)) AS bucket FROM o, e
+), counts AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN y = 1996 THEN 1 ELSE 0 END) AS DOUBLE) AS ra,
+         CAST(sum(CASE WHEN y = 1997 THEN 1 ELSE 0 END) AS DOUBLE) AS rb
+  FROM binned GROUP BY 1
+), tot AS (SELECT sum(ra) AS ta, sum(rb) AS tb FROM counts)
+SELECT bucket,
+       round(ra / ta, 6) AS p_ref,
+       round(rb / tb, 6) AS p_cur,
+       CAST(round((rb / tb - ra / ta) * ln((rb / tb) / (ra / ta)) * 1000000, 0)
+            AS BIGINT) AS psi_term_ppm
+FROM counts, tot ORDER BY bucket
+"""
+
+
 def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-completeness probe: maximal missing runs in the orderkey
     sequence of high-value orders (the filter manufactures gaps; in
@@ -7374,6 +7437,9 @@ QUERIES: dict[str, Query] = {
     "priority_mix": Query(q_priority_mix, ORACLE_PRIORITY_MIX,
                           "TPC-H Q12 shape: high/low priority line counts "
                           "per status", ("lineitem", "orders")),
+    "drift_psi": Query(q_drift_psi, ORACLE_DRIFT_PSI,
+                       "PSI distribution-drift monitor over reference-period "
+                       "deciles", ("orders",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
