@@ -262,7 +262,10 @@ def dup_clusters(pairs: DataFrame, *, id_a: str = "id_a", id_b: str = "id_b",
       the standard "stop iterating once the frontier fits in a task"
       hybrid. NOT a driver collect: the work runs executor-side on
       Arrow batches, bounded by the cutoff (~16 B/edge ⇒ ~80 MB at the
-      5M default).
+      5M default). Taken only for integral id columns (the tier packs
+      ids into int64 arrays); any other orderable id type — string doc
+      ids, decimals — routes to the star-contraction tier, whose
+      greatest/least/min/hash Column ops are type-agnostic.
     * **large graphs** run alternating large-star / small-star
       contraction (the public Connected Components in MapReduce
       formulation, Kiveris et al. 2014): each round rewires every node
@@ -293,7 +296,14 @@ def dup_clusters(pairs: DataFrame, *, id_a: str = "id_a", id_b: str = "id_b",
              .unionByName(p.select(F.col("v").alias("node")))
              .distinct().localCheckpoint(eager=False))
 
-    if e.count() <= local_edge_cutoff:
+    # the single-task tier materializes ids as int64 numpy arrays; for
+    # non-integral id types (string doc ids, decimals) only the
+    # star-contraction tier — pure greatest/least/min Column ops, type
+    # agnostic — is safe
+    from pyspark.sql.types import IntegralType
+    ids_integral = isinstance(e.schema["u"].dataType, IntegralType)
+
+    if ids_integral and e.count() <= local_edge_cutoff:
         def _union_find(batches):
             import numpy as np
             import pandas as pd
@@ -339,11 +349,13 @@ def dup_clusters(pairs: DataFrame, *, id_a: str = "id_a", id_b: str = "id_b",
         # changed something WITHOUT the full symmetric-difference
         # shuffle; equal stats still get the exact diff below
         # decimal(38,0) sums: long sums overflow under ANSI mode once
-        # Σhash exceeds 2^63
+        # Σhash exceeds 2^63. Hash each side rather than summing raw ids
+        # so the stats work for ANY id type (string doc ids included),
+        # not just numerics
         return edges.agg(
             F.count(F.lit(1)),
-            F.sum(F.col("u").cast("decimal(38,0)")),
-            F.sum(F.col("v").cast("decimal(38,0)")),
+            F.sum(F.xxhash64("u").cast("decimal(38,0)")),
+            F.sum(F.xxhash64("v").cast("decimal(38,0)")),
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))).collect()[0]
 
     prev_stats = _stats(e)

@@ -127,6 +127,18 @@ def test_dup_clusters_local_and_star_paths_agree(spark):
     assert set(local.values()) == {0, 100, 200, 300}
 
 
+def test_dup_clusters_string_ids_route_to_star_path(spark):
+    """Non-integral id types (string doc ids) must work: the int64
+    union-find fast path is skipped and the type-agnostic
+    star-contraction tier labels clusters by lexicographic minimum."""
+    edges = [("doc_b", "doc_a"), ("doc_b", "doc_c"),   # chain → doc_a
+             ("x9", "x2"), ("x2", "x5")]               # chain → x2
+    pairs = spark.createDataFrame(edges, "id_a string, id_b string")
+    got = {r.doc_id: r.keeper_id for r in D.dup_clusters(pairs).collect()}
+    assert got == {"doc_a": "doc_a", "doc_b": "doc_a", "doc_c": "doc_a",
+                   "x2": "x2", "x5": "x2", "x9": "x2"}
+
+
 def test_dedup_clusters_lsh_matches_exact_composition(spark, sf_small):
     """The 100 TB composition (LSH candidates → connected components)
     must produce the same clusters as the exact quadratic composition
