@@ -39,9 +39,14 @@ def main() -> None:
     # simhash_det exercises the text→sketch pandas_udf family: without it
     # the first sketch query in the run absorbs ~3 s of Arrow-worker +
     # codegen spin-up (measured r5: simhash_pairs 4.5 s cold vs 1.23 s
-    # steady-state)
+    # steady-state). ann_ivf_det likewise warms the IVF
+    # assign-pandas_udf → broadcast-probe-join → window plan shape:
+    # whichever IVF query ran first absorbed ~3.5 s one-time (the r3→r5
+    # ann_ivf "trend" was exactly this first-touch cost moving with
+    # registry order; steady state is ~1.3 s for the whole family)
     for warm in ("stats_topk", "order_sequence", "token_counts",
-                 "doc_quality", "ann_cosine_topk", "simhash_det"):
+                 "doc_quality", "ann_cosine_topk", "simhash_det",
+                 "ann_ivf_det"):
         if warm in QUERIES:
             QUERIES[warm].builder(spark, sf_dir).count()
 
