@@ -6985,6 +6985,154 @@ ORDER BY o_orderkey
 """
 
 
+def q_approx_cardinality_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived exact check for the HLL path (`approx_cardinality` stays
+    rows-only because sketch values are engine-internal): the SAME
+    approx_count_distinct sketches run next to exact distinct counts,
+    and what's emitted — and hash-checked — is the exact counts plus
+    one boolean per key asserting |approx − exact| ≤ 6 %·exact (3σ at
+    rsd 0.02; HLL++ is deterministic per dataset, so the flags are
+    stable). The oracle recomputes the exact counts and expects TRUE."""
+    t = _t(spark, sf_dir, "lineitem", "orders")
+    li = t["lineitem"].agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("_ap"),
+        F.approx_count_distinct("l_suppkey", 0.02).alias("_as"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_suppkey").alias("exact_suppliers"))
+    od = t["orders"].agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("_ac"),
+        F.count_distinct("o_custkey").alias("exact_customers"))
+
+    def _ok(approx: str, exact: str) -> Column:
+        return (F.abs(F.col(approx).cast("double") - F.col(exact))
+                <= F.lit(0.06) * F.col(exact))
+
+    return (li.crossJoin(F.broadcast(od)).select(
+        F.col("exact_parts").cast("long").alias("exact_parts"),
+        F.col("exact_suppliers").cast("long").alias("exact_suppliers"),
+        F.col("exact_customers").cast("long").alias("exact_customers"),
+        _ok("_ap", "exact_parts").alias("parts_ok"),
+        _ok("_as", "exact_suppliers").alias("suppliers_ok"),
+        _ok("_ac", "exact_customers").alias("customers_ok")))
+
+
+ORACLE_APPROX_CARDINALITY_CHECK = """
+SELECT CAST((SELECT count(DISTINCT l_partkey) FROM lineitem) AS BIGINT)
+         AS exact_parts,
+       CAST((SELECT count(DISTINCT l_suppkey) FROM lineitem) AS BIGINT)
+         AS exact_suppliers,
+       CAST((SELECT count(DISTINCT o_custkey) FROM orders) AS BIGINT)
+         AS exact_customers,
+       TRUE AS parts_ok, TRUE AS suppliers_ok, TRUE AS customers_ok
+"""
+
+
+def q_approx_percentiles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived exact check for the percentile sketch path
+    (`approx_percentiles` stays rows-only — sketch merge order is
+    engine-internal): exact interpolated percentiles per return flag,
+    hash-checked against DuckDB's quantile_cont, plus booleans
+    asserting the percentile_approx outputs (accuracy 1000) land
+    within 2 % of exact. Two aggregates over the same grouped scan —
+    one shuffle."""
+    t = _t(spark, sf_dir, "lineitem")
+    g = (t["lineitem"].groupBy("l_returnflag")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+              F.percentile("l_extendedprice", 0.5).alias("_ep50"),
+              F.percentile("l_extendedprice", 0.95).alias("_ep95"),
+              F.percentile_approx("l_extendedprice", 0.5, 1000).alias("_ap50"),
+              F.percentile_approx("l_extendedprice", 0.95, 1000).alias("_ap95")))
+
+    def _ok(approx: str, exact: str) -> Column:
+        return (F.abs(F.col(approx).cast("double") - F.col(exact))
+                <= F.lit(0.02) * F.col(exact))
+
+    return (g.select("l_returnflag", "n_rows",
+                     F.round("_ep50", 4).alias("exact_p50"),
+                     F.round("_ep95", 4).alias("exact_p95"),
+                     _ok("_ap50", "_ep50").alias("p50_ok"),
+                     _ok("_ap95", "_ep95").alias("p95_ok"))
+            .orderBy("l_returnflag"))
+
+
+ORACLE_APPROX_PERCENTILES_CHECK = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95,
+       TRUE AS p50_ok, TRUE AS p95_ok
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+_KMEANS_DET_CENTROID_IDS = tuple(range(7, 400, 50))  # 8 fixed corpus vectors
+
+
+def q_kmeans_assign_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-checked anchor for `kmeans_clusters`: ONE
+    Lloyd assignment step with FIXED data-derived centroids (8
+    designated corpus vectors) — exactly the per-iteration kernel
+    kmeans_fit runs (operators/similarity.py:assign_ivf_centroid, the
+    scan-local batch matmul) — reported as per-cluster size, Σ vec_id
+    (exact integers) and inertia Σ‖x−c‖² (double, 2dp). The DuckDB
+    oracle recomputes the argmin assignment and inertia from the same
+    8 vectors, so the assignment machinery itself is hash-verified;
+    the seeded full fit stays rows-only with pytest inertia bounds."""
+    import numpy as np
+
+    from comix_etl_spark.functions.vector import dot
+
+    t = _t(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    cent_rows = (emb.filter(F.col("vec_id").isin(*_KMEANS_DET_CENTROID_IDS))
+                 .orderBy("vec_id").select("embedding").collect())
+    centers = np.array([r[0] for r in cent_rows], dtype=np.float64)
+    assigned = S.assign_ivf_centroid(
+        S.spread_small_scan(emb.select("vec_id", "embedding")), centers,
+        out_col="cluster_id")
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in centers[i]]) for i in range(len(centers))],
+        "cluster_id int, _cvec array<double>")
+    d2 = (dot("embedding", "embedding") - 2 * dot("embedding", "_cvec")
+          + dot("_cvec", "_cvec"))
+    return (assigned.join(F.broadcast(cent_df), "cluster_id")
+            .groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
+                 F.sum("vec_id").cast("long").alias("sum_vec_ids"),
+                 F.round(F.sum(d2), 2).alias("inertia"))
+            .orderBy("cluster_id"))
+
+
+ORACLE_KMEANS_ASSIGN_DET = """
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+  FROM vecs WHERE vec_id IN (7,57,107,157,207,257,307,357)
+), assigned AS (
+  -- argmax(x·c − ‖c‖²/2) ≡ nearest centroid; ties break to the lowest
+  -- centroid index (numpy argmax picks the first maximum)
+  SELECT vec_id, c AS cluster_id,
+         list_dot_product(v, v) - 2 * list_dot_product(v, cv)
+         + list_dot_product(cv, cv) AS d2
+  FROM (
+    SELECT vecs.vec_id, vecs.v, cents.c, cents.cv,
+           row_number() OVER (
+             PARTITION BY vecs.vec_id
+             ORDER BY list_dot_product(vecs.v, cents.cv)
+                      - list_dot_product(cents.cv, cents.cv) / 2.0 DESC,
+                      cents.c) AS rn
+    FROM vecs, cents
+  ) WHERE rn = 1
+)
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(vec_id) AS BIGINT) AS sum_vec_ids,
+       round(sum(d2), 2) AS inertia
+FROM assigned GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -7458,6 +7606,19 @@ QUERIES: dict[str, Query] = {
     "drift_psi": Query(q_drift_psi, ORACLE_DRIFT_PSI,
                        "PSI distribution-drift monitor over reference-period "
                        "deciles", ("orders",)),
+    "approx_cardinality_check": Query(
+        q_approx_cardinality_check, ORACLE_APPROX_CARDINALITY_CHECK,
+        "HLL sketches vs exact distinct counts: exact values + 3-sigma "
+        "error-bound flags, hash-checked", ("lineitem", "orders")),
+    "approx_percentiles_check": Query(
+        q_approx_percentiles_check, ORACLE_APPROX_PERCENTILES_CHECK,
+        "percentile_approx vs exact interpolated percentiles: exact "
+        "values + 2% error flags, hash-checked", ("lineitem",)),
+    "kmeans_assign_det": Query(
+        q_kmeans_assign_det, ORACLE_KMEANS_ASSIGN_DET,
+        "one Lloyd assignment step with fixed data-derived centroids: "
+        "per-cluster size, id-sum, inertia vs DuckDB argmin recompute",
+        ("embeddings",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -7491,12 +7652,14 @@ _CHECK_FIRST = [
     "schema_evolution", "weighted_sample", "pareto_frontier",
     "zorder_layout", "bpe_pair_counts", "jl_projection", "bm25_search",
     "centroid_cohesion",
+    # new in r6 — derived exact checks for the sketch paths (VERDICT #5)
+    "approx_cardinality_check", "approx_percentiles_check",
+    "kmeans_assign_det",
     # oldest r3-era greens (cheap core shapes)
     "keyed_lookup", "rest_paginated", "cover_enrichment",
     "incremental_refetch", "issue_sort_numeric", "lang_balance",
     "market_share", "shipping_priority", "decile_buckets",
-    "forward_fill", "gap_fill", "unpivot_measures", "winsorize",
-    "decontaminate",
+    "forward_fill", "gap_fill",
     # r5-green but its node coloring changed this round (residue →
     # md5 hash per ADVICE) — semantics change forces a fresh verdict
     "supplier_triangles",
