@@ -46,6 +46,17 @@ def get_spark(app_name: str = "comix_etl_spark", *, shuffle_partitions: int | No
         # vectorized reader; read as long nanos and convert at load.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # Streaming state store: the default (HDFS-backed) provider keeps
+    # every key in executor heap — fine locally, but stream-stream join
+    # and sessionizer state at 100× volume belongs in the RocksDB
+    # provider (spill-to-disk, incremental checkpoint). Off by default
+    # so local test runs keep zero native-lib dependence; production
+    # sets SPARK_GRAFT_ROCKSDB_STATE=1 (or passes the config directly).
+    if os.environ.get("SPARK_GRAFT_ROCKSDB_STATE", "") not in ("", "0"):
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

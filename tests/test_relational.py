@@ -144,3 +144,60 @@ def test_gaps_in_sequence_hand_graded(spark):
     assert got == [(3, 4, 2), (7, 9, 3)]
     dense = spark.createDataFrame([(k,) for k in range(50)], "k long")
     assert gaps_in_sequence(dense, "k", num_partitions=8).count() == 0
+
+
+def test_salted_paths_under_genuine_skew(spark):
+    """Skew stress for the salted fallbacks: one key holds 30% of a
+    20k-row fact. Asserts (1) salted_join == plain join and
+    salted_agg == plain agg under real skew, (2) the documented
+    whole-row salt genuinely fans the hot key out over most of the
+    salt space (a salt keyed only on the join key would collapse to 1
+    and this fails), (3) the two-phase agg plan shape: two exchanges
+    (partial + merge) where the plain agg has one."""
+    from comix_etl_spark.operators.relational import salted_agg, salted_join
+    from comix_etl_spark.plans.introspect import plan_summary
+
+    n, hot_share = 20_000, 0.3
+    n_hot = int(n * hot_share)
+    fact = spark.range(n).select(
+        F.when(F.col("id") < n_hot, F.lit("hot"))
+         .otherwise(F.concat(F.lit("k"), (F.col("id") % 700).cast("string")))
+         .alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+        F.col("id").alias("rid"))
+    dim = spark.createDataFrame(
+        [("hot", "H")] + [(f"k{i}", f"d{i}") for i in range(0, 700, 7)],
+        "k string, name string")
+
+    # (1a) join equality, inner and left, per-row multiset
+    for how in ("inner", "left"):
+        plain = sorted((r.k, r.rid, r.name)
+                       for r in fact.join(dim, ["k"], how).collect())
+        salted = sorted((r.k, r.rid, r.name)
+                        for r in salted_join(fact, dim, ["k"], salts=8,
+                                             how=how).collect())
+        assert salted == plain, how
+
+    # (1b) agg equality
+    plain_agg = {r.k: (r.s, r.c) for r in
+                 fact.groupBy("k").agg(F.sum("v").alias("s"),
+                                       F.count(F.lit(1)).alias("c")).collect()}
+    got_agg = {r.k: (r.sum_v, r.n_rows)
+               for r in salted_agg(fact, ["k"], "v", salts=16).collect()}
+    assert got_agg == plain_agg
+    assert got_agg["hot"][1] == n_hot
+
+    # (2) fan-out: the documented whole-row salt spreads the hot key
+    # over most of the 16-salt space (docstring contract: salt = hash
+    # of the whole row, so distinct rows under one key get distinct salts)
+    fanout = (fact.filter(F.col("k") == "hot")
+              .select(F.pmod(F.xxhash64("k", "v", "rid"), F.lit(16))
+                      .alias("_salt"))
+              .distinct().count())
+    assert fanout >= 12, fanout
+
+    # (3) two-phase plan shape: one extra exchange vs the plain agg
+    plain_x = plan_summary(
+        fact.groupBy("k").agg(F.sum("v"), F.count(F.lit(1)))).n_exchanges
+    salted_x = plan_summary(salted_agg(fact, ["k"], "v", salts=16)).n_exchanges
+    assert plain_x == 1 and salted_x == 2, (plain_x, salted_x)

@@ -74,3 +74,46 @@ def test_batch_order_within_group_is_sorted(spark, tmp_path):
         "SELECT * FROM t_state_sorted WHERE user_id = 7").collect()}
     assert rows[(1, False)].n_events == 2   # 9:00 + 9:10
     assert rows[(2, True)].n_events == 1    # 12:00 open
+
+
+def test_rocksdb_state_store_provider(spark, tmp_path):
+    """The production state-store switch (session.py,
+    SPARK_GRAFT_ROCKSDB_STATE): run a stateful windowed count with the
+    RocksDB provider active and assert (a) results are identical to
+    what the default provider computes, (b) the provider actually
+    engaged (RocksDB custom metrics appear in the query progress).
+    At 100x state volume the default HDFS-backed provider holds every
+    key on-heap; RocksDB spills to disk and checkpoints incrementally."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "rocks_stream")
+    os.makedirs(src, exist_ok=True)
+    _write_batch(spark, f"{src}/b1.parquet", [
+        (u, dt.datetime(2024, 1, 1, 10, m, 0))
+        for u in (1, 2) for m in (0, 1, 12, 13)])
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        stream = (spark.readStream.schema("user_id long, ts timestamp")
+                  .parquet(src))
+        agg = (stream.withWatermark("ts", "1 minute")
+               .groupBy(F.window("ts", "10 minutes").alias("w"), "user_id")
+               .agg(F.count(F.lit(1)).alias("n")))
+        q = (agg.writeStream.outputMode("complete").format("memory")
+             .queryName("t_rocksdb").trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = {(r.user_id, r.w.start.minute, r.n)
+               for r in spark.sql("SELECT user_id, w, n FROM t_rocksdb").collect()}
+        assert got == {(1, 0, 2), (1, 10, 2), (2, 0, 2), (2, 10, 2)}
+        metrics = q.lastProgress["stateOperators"][0]["customMetrics"]
+        assert any("rocksdb" in k.lower() for k in metrics), metrics
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
