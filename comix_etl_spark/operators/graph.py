@@ -96,3 +96,52 @@ def _pagerank_rounds(edges: DataFrame, src: str, dst: str,
                          .alias("rank"))
                  .localCheckpoint(eager=True))
     return ranks.select("node", "rank")
+
+
+def tree_ancestry(parents: DataFrame, *, id_col: str = "node",
+                  parent_col: str = "parent",
+                  max_doublings: int = 20) -> DataFrame:
+    """(node, root, depth) for every node of a forest given (node,
+    parent) rows — the hierarchy-flattening primitive (BOM explosion,
+    org-chart rollup, category-tree ancestry, thread roots). Roots are
+    rows whose parent is NULL or equals the node itself.
+
+    POINTER DOUBLING (path doubling — the classic PRAM list-ranking
+    technique, Wyllie 1979; folklore as a MapReduce pattern): state is
+    (node, anc, d) with ``anc`` a known ancestor at distance ``d``.
+    Each round self-joins the state on ``anc = other.node`` and
+    composes the two jumps, so the known distance DOUBLES per round —
+    a depth-D forest resolves in ceil(log2 D) shuffle joins instead of
+    the D sequential joins of naive parent-chasing. That is the 100 TB
+    difference: a 1 M-deep chain needs 20 rounds, not 1 M. Per round:
+    one equi-join shuffle + an O(1)-lineage eager checkpoint;
+    convergence is a 1-row aggregate (Σd is strictly monotone until
+    every anc is a root, then fixes — same cheap change-detection as
+    dedup.dup_clusters)."""
+    state = (parents.select(
+        F.col(id_col).alias("node"),
+        F.coalesce(F.col(parent_col), F.col(id_col)).alias("anc"))
+        .withColumn("d", F.when(F.col("anc") == F.col("node"),
+                                F.lit(0)).otherwise(F.lit(1)))
+        .localCheckpoint(eager=True))
+    prev = object()
+    for _ in range(max_doublings):
+        jump = state.select(F.col("node").alias("_jn"),
+                            F.col("anc").alias("_ja"),
+                            F.col("d").alias("_jd"))
+        state = (state.join(jump, state["anc"] == jump["_jn"])
+                 .select("node", F.col("_ja").alias("anc"),
+                         (F.col("d") + F.col("_jd")).alias("d"))
+                 .localCheckpoint(eager=True))
+        total = state.agg(F.sum("d")).collect()[0][0]
+        if total == prev:
+            break
+        prev = total
+    else:
+        raise RuntimeError(
+            f"tree_ancestry did not converge in {max_doublings} doubling "
+            f"rounds (supports depth up to 2^{max_doublings}) — a cycle in "
+            "the 'parent' pointers would loop forever; check the input is "
+            "a forest or raise max_doublings")
+    return state.select("node", F.col("anc").alias("root"),
+                        F.col("d").alias("depth"))

@@ -136,3 +136,53 @@ def gap_fill_daily(df: DataFrame, *, key: str, ts_col: str, value_col: str,
             .select(F.col(key), F.col("day"),
                     F.col("day_value").alias(filled_col),
                     (F.col("day") != F.col("_src")).cast("int").alias("is_gap")))
+
+
+def interval_overlap_pairs(df: DataFrame, *, id_col: str, start_col: str,
+                           end_col: str, group_cols: Sequence[str] = (),
+                           cell_days: int | None = None) -> DataFrame:
+    """All overlapping interval pairs (id_a < id_b) with their overlap
+    length in whole days — the interval-INTERVAL join (sibling of
+    range_join_points_intervals' point-in-interval). Start/end are
+    timestamp columns, inclusive on both ends; overlap_days counts the
+    shared days (≥ 1 for any true overlap).
+
+    Scale shape: a naive formulation is an O(n²) theta-join. Here the
+    equi-join key is ``group_cols`` plus (when ``cell_days`` is set) a
+    time-grid cell each interval explodes onto, so candidate pairs are
+    bounded per (group, cell) — the standard distributed interval-join
+    recipe (what Databricks' range-join "bin" hint and PostGIS grid
+    joins do). Each true pair is emitted EXACTLY ONCE without any
+    dedup shuffle: a pair is evaluated only in the cell containing the
+    LATER of the two starts (both intervals provably cover that cell,
+    and only one cell contains a given day)."""
+    g = list(group_cols)
+    day = lambda c: F.expr(f"unix_timestamp({c}) div 86400")  # noqa: E731
+    base = df.select(*g, F.col(id_col).alias("_id"),
+                     day(start_col).alias("_s"), day(end_col).alias("_e"))
+    if cell_days:
+        cells = F.sequence(F.expr(f"_s div {cell_days}"),
+                           F.expr(f"_e div {cell_days}"))
+        base = base.withColumn("_cell", F.explode(cells))
+        keys = g + ["_cell"]
+    else:
+        keys = g
+    a = base.select(*[F.col(c) for c in keys],
+                    F.col("_id").alias("id_a"),
+                    F.col("_s").alias("_sa"), F.col("_e").alias("_ea"))
+    b = base.select(*[F.col(c) for c in keys],
+                    F.col("_id").alias("id_b"),
+                    F.col("_s").alias("_sb"), F.col("_e").alias("_eb"))
+    pairs = (a.join(b, keys)
+             .filter(F.col("id_a") < F.col("id_b"))
+             .filter((F.col("_sa") <= F.col("_eb"))
+                     & (F.col("_sb") <= F.col("_ea"))))
+    if cell_days:
+        # evaluate each pair only in the later-start cell
+        pairs = pairs.filter(
+            F.expr(f"greatest(_sa, _sb) div {cell_days}") == F.col("_cell"))
+    return pairs.select(
+        *g,
+        "id_a", "id_b",
+        (F.least("_ea", "_eb") - F.greatest("_sa", "_sb") + 1)
+        .cast("long").alias("overlap_days"))

@@ -7133,6 +7133,283 @@ FROM assigned GROUP BY cluster_id ORDER BY cluster_id
 """
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the one classic multi-join silhouette the
+    analog set lacked: revenue per nation from 1996 orders where the
+    CUSTOMER and the LINE'S SUPPLIER sit in the same nation, scoped to
+    one region. Six tables, one plan: the three dims (supplier,
+    nation⋈region) broadcast; orders⋈lineitem is the only
+    fact-fact shuffle, keyed on orderkey; the same-nation predicate
+    rides the supplier broadcast join. Revenue through DECIMAL."""
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem", "supplier",
+           "nation", "region")
+    nr = (t["nation"].join(F.broadcast(t["region"]),
+                           F.col("n_regionkey") == F.col("r_regionkey"))
+          .filter(F.col("r_name") == "ASIA").select("n_nationkey", "n_name"))
+    cust = (t["customer"].join(F.broadcast(nr),
+                               F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", "c_nationkey", "n_name"))
+    o = (t["orders"].filter(F.year("o_orderdate") == 1996)
+         .select("o_orderkey", "o_custkey"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,4)")
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", rev.alias("_rev"))
+    sup = t["supplier"].select("s_suppkey", "s_nationkey")
+    return (o.join(cust.withColumnRenamed("c_custkey", "o_custkey"),
+                   "o_custkey")
+            .join(li.withColumnRenamed("l_orderkey", "o_orderkey"),
+                  "o_orderkey")
+            .join(F.broadcast(sup.withColumnRenamed("s_suppkey", "l_suppkey")),
+                  "l_suppkey")
+            .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+            .groupBy("n_name")
+            .agg(F.sum("_rev").cast("double").alias("revenue"),
+                 F.count(F.lit(1)).cast("long").alias("n_lines"))
+            .orderBy(F.col("revenue").desc(), "n_name"))
+
+
+ORACLE_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA' AND year(o_orderdate) = 1996
+GROUP BY n_name ORDER BY revenue DESC, n_name
+"""
+
+
+def q_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-predicate revenue delta — what
+    would revenue change if discounts in a band were eliminated. ZERO
+    joins, zero wide operators: filter + one global DECIMAL sum; every
+    predicate reaches the parquet scan (plan-hygiene-testable pushdown
+    poster child)."""
+    t = _t(spark, sf_dir, "lineitem")
+    li = t["lineitem"].filter(
+        (F.year("l_shipdate") == 1996)
+        & (F.col("l_discount").between(0.04, 0.06))
+        & (F.col("l_quantity") < 24))
+    return li.agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount"))
+              .cast("decimal(18,4)")).cast("double").alias("revenue_delta"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"))
+
+
+ORACLE_DISCOUNT_REVENUE = """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue_delta,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE year(l_shipdate) = 1996 AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy flattening by POINTER DOUBLING
+    (operators/graph.py:tree_ancestry): every part keys into a derived
+    forest (parent = partkey div 4; keys below 4 are roots — a stand-in
+    for the category/BOM hierarchies real catalogs carry), and each
+    node resolves (root, depth) in O(log depth) self-join rounds
+    instead of depth-many parent hops. Rolled up per depth level; the
+    oracle recomputes ancestry with a recursive CTE."""
+    from comix_etl_spark.operators.graph import tree_ancestry
+
+    t = _t(spark, sf_dir, "part")
+    parents = t["part"].select(
+        F.col("p_partkey").alias("node"),
+        F.when(F.col("p_partkey") >= 4, F.expr("p_partkey div 4"))
+        .otherwise(F.col("p_partkey")).alias("parent"))
+    anc = tree_ancestry(parents, id_col="node", parent_col="parent")
+    return (anc.groupBy("depth")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                 F.sum("node").cast("long").alias("sum_node_ids"),
+                 F.count_distinct("root").cast("long").alias("n_roots"))
+            .orderBy("depth"))
+
+
+ORACLE_HIERARCHY_ROLLUP = """
+WITH RECURSIVE walk AS (
+  SELECT p_partkey AS node,
+         CASE WHEN p_partkey >= 4 THEN p_partkey // 4
+              ELSE p_partkey END AS anc,
+         CASE WHEN p_partkey >= 4 THEN 1 ELSE 0 END AS depth
+  FROM part
+  UNION ALL
+  SELECT node, anc // 4, depth + 1 FROM walk WHERE anc >= 4
+)
+SELECT depth,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(node) AS BIGINT) AS sum_node_ids,
+       CAST(count(DISTINCT anc) AS BIGINT) AS n_roots
+FROM walk WHERE anc < 4
+GROUP BY depth ORDER BY depth
+"""
+
+
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-INTERVAL overlap join
+    (operators/temporal.py:interval_overlap_pairs): each lineitem
+    becomes a handling window [shipdate, shipdate + floor(qty/2) days];
+    pairs of windows on the SAME PART that overlap in time are counted
+    with their shared days — top 20 parts by total overlap. The pair
+    space is bounded per (part, 16-day grid cell) and each pair is
+    evaluated in exactly one cell (later-start rule), so no quadratic
+    blowup and no dedup pass; the oracle is the plain theta-join."""
+    from comix_etl_spark.operators.temporal import interval_overlap_pairs
+
+    t = _t(spark, sf_dir, "lineitem")
+    li = t["lineitem"].select(
+        "l_partkey",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("uid"),
+        F.col("l_shipdate").alias("_start"),
+        (F.col("l_shipdate")
+         + F.make_interval(days=F.floor(F.col("l_quantity") / 2).cast("int")))
+        .alias("_end"))
+    pairs = interval_overlap_pairs(li, id_col="uid", start_col="_start",
+                                   end_col="_end", group_cols=("l_partkey",),
+                                   cell_days=16)
+    return (pairs.groupBy("l_partkey")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.sum("overlap_days").cast("long").alias("total_overlap_days"))
+            .orderBy(F.col("total_overlap_days").desc(), "l_partkey")
+            .limit(20))
+
+
+ORACLE_INTERVAL_OVERLAP = """
+WITH li AS (
+  SELECT l_partkey, l_orderkey * 10 + l_linenumber AS uid,
+         epoch(l_shipdate) // 86400 AS s,
+         epoch(l_shipdate) // 86400 + CAST(floor(l_quantity / 2) AS BIGINT)
+           AS e
+  FROM lineitem
+)
+SELECT l_partkey,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(least(a.e, b.e) - greatest(a.s, b.s) + 1) AS BIGINT)
+         AS total_overlap_days
+FROM li a JOIN li b USING (l_partkey)
+WHERE a.uid < b.uid AND a.s <= b.e AND b.s <= a.e
+GROUP BY l_partkey ORDER BY total_overlap_days DESC, l_partkey LIMIT 20
+"""
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift monitor over the daily revenue series — the
+    sequential-analysis changepoint screen (Page 1954, public) that
+    drift dashboards run beside PSI: standardized daily deviations from
+    the global mean accumulate (the cumulative sum drifts away from 0
+    after a level shift), flagged at |CUSUM| > 3. Global mean/std ride
+    one broadcast row (DECIMAL sums, deterministic); the running sum is
+    the DISTRIBUTED prefix-sum primitive (relational.py:
+    global_running_sum — range partition + partition-local cumsum +
+    offset broadcast), never a single-task global window."""
+    t = _t(spark, sf_dir, "orders")
+    daily = (t["orders"]
+             .groupBy(F.to_date("o_orderdate").alias("day"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                  .alias("_rev")))
+    stats = daily.agg(
+        (F.sum("_rev") / F.count(F.lit(1))).cast("double").alias("_mu"),
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum((F.col("_rev") * F.col("_rev")).cast("decimal(38,8)"))
+        .cast("double").alias("_ss"))
+    z = (daily.crossJoin(F.broadcast(stats))
+         .select("day",
+                 F.col("_rev").cast("double").alias("revenue"),
+                 ((F.col("_rev").cast("double") - F.col("_mu"))
+                  / F.sqrt(F.col("_ss") / F.col("_n")
+                           - F.col("_mu") * F.col("_mu"))).alias("_z")))
+    run = R.global_running_sum(z, ["day"], "_z", out_col="_cusum")
+    # + 0.0 normalizes IEEE negative zero: the full-series z-sum is
+    # EXACTLY zero, and the engines disagree on its sign bit
+    return (run.select("day",
+                       F.round("revenue", 2).alias("revenue"),
+                       (F.round("_cusum", 4) + F.lit(0.0)).alias("cusum"),
+                       (F.abs(F.col("_cusum")) > 3).alias("is_shift"))
+            .orderBy("day"))
+
+
+ORACLE_CUSUM_CHANGEPOINT = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders GROUP BY 1
+), stats AS (
+  SELECT CAST(sum(rev) / count(*) AS DOUBLE) AS mu,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(rev * rev AS DECIMAL(38,8))) AS DOUBLE) AS ss
+  FROM daily
+), z AS (
+  SELECT day, CAST(rev AS DOUBLE) AS revenue,
+         (CAST(rev AS DOUBLE) - mu) / sqrt(ss / n - mu * mu) AS zv
+  FROM daily, stats
+)
+SELECT day, round(revenue, 2) AS revenue,
+       round(sum(zv) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 4) + 0.0
+         AS cusum,
+       abs(sum(zv) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)) > 3
+         AS is_shift
+FROM z ORDER BY day
+"""
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage screen: build a 200-token
+    vocabulary (highest document frequency, ties token-ascending — the
+    deterministic proxy for a fixed tokenizer vocab) and measure
+    per-language OOV: what share of token OCCURRENCES falls outside
+    the vocab. The high-OOV language is the one whose text the
+    tokenizer will fragment. Two passes over the token explode (DF
+    ranking, then coverage), vocab rides back as one broadcast;
+    integer ppm so the report is engine-exact."""
+    t = _t(spark, sf_dir, "documents")
+    toks = (t["documents"]
+            .select("doc_id", "lang",
+                    F.explode(F.split(F.lower(F.trim("text")), r"\s+"))
+                    .alias("tok"))
+            .filter(F.col("tok") != ""))
+    vocab = (toks.groupBy("tok")
+             .agg(F.count_distinct("doc_id").alias("_df"))
+             .orderBy(F.col("_df").desc(), "tok").limit(200)
+             .select("tok", F.lit(True).alias("_in_vocab")))
+    cov = (toks.join(F.broadcast(vocab), "tok", "left")
+           .groupBy("lang")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+                .cast("long").alias("n_oov")))
+    return (cov.select("lang", "n_tokens", "n_oov",
+                       F.expr("n_oov * 1000000 div n_tokens")
+                       .alias("oov_ppm"))
+            .orderBy("lang"))
+
+
+ORACLE_VOCAB_COVERAGE = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+  ) ORDER BY df DESC, tok LIMIT 200
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN tok NOT IN (SELECT tok FROM vocab)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(sum(CASE WHEN tok NOT IN (SELECT tok FROM vocab)
+                     THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS oov_ppm
+FROM toks GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -7619,6 +7896,31 @@ QUERIES: dict[str, Query] = {
         "one Lloyd assignment step with fixed data-derived centroids: "
         "per-cluster size, id-sum, inertia vs DuckDB argmin recompute",
         ("embeddings",)),
+    "local_supplier_volume": Query(
+        q_local_supplier_volume, ORACLE_LOCAL_SUPPLIER_VOLUME,
+        "TPC-H Q5 shape: 6-table same-nation revenue, dims broadcast, "
+        "one fact-fact shuffle", ("customer", "orders", "lineitem",
+                                  "supplier", "nation", "region")),
+    "discount_revenue": Query(
+        q_discount_revenue, ORACLE_DISCOUNT_REVENUE,
+        "TPC-H Q6 shape: pure pushed-predicate scan + global DECIMAL sum",
+        ("lineitem",)),
+    "hierarchy_rollup": Query(
+        q_hierarchy_rollup, ORACLE_HIERARCHY_ROLLUP,
+        "pointer-doubling tree ancestry (O(log depth) rounds) vs "
+        "recursive-CTE oracle", ("part",)),
+    "interval_overlap": Query(
+        q_interval_overlap, ORACLE_INTERVAL_OVERLAP,
+        "grid-bucketed interval-interval overlap join, later-start "
+        "cell dedup-free pairing", ("lineitem",)),
+    "cusum_changepoint": Query(
+        q_cusum_changepoint, ORACLE_CUSUM_CHANGEPOINT,
+        "CUSUM level-shift monitor on the distributed prefix-sum "
+        "primitive", ("orders",)),
+    "vocab_coverage": Query(
+        q_vocab_coverage, ORACLE_VOCAB_COVERAGE,
+        "tokenizer vocab coverage: top-200 DF vocab, per-language OOV "
+        "ppm", ("documents",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -7655,11 +7957,13 @@ _CHECK_FIRST = [
     # new in r6 — derived exact checks for the sketch paths (VERDICT #5)
     "approx_cardinality_check", "approx_percentiles_check",
     "kmeans_assign_det",
-    # oldest r3-era greens (cheap core shapes)
+    # new in r6 — Q5/Q6 analogs, pointer-doubling ancestry, interval
+    # join, CUSUM, vocab coverage (first-timers outrank re-checks)
+    "local_supplier_volume", "discount_revenue", "hierarchy_rollup",
+    "interval_overlap", "cusum_changepoint", "vocab_coverage",
+    # oldest r3-era greens (cheap core shapes; the rest rotate in r7)
     "keyed_lookup", "rest_paginated", "cover_enrichment",
-    "incremental_refetch", "issue_sort_numeric", "lang_balance",
-    "market_share", "shipping_priority", "decile_buckets",
-    "forward_fill", "gap_fill",
+    "incremental_refetch", "issue_sort_numeric",
     # r5-green but its node coloring changed this round (residue →
     # md5 hash per ADVICE) — semantics change forces a fresh verdict
     "supplier_triangles",

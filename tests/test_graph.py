@@ -43,3 +43,31 @@ def test_pagerank_uniform_on_cycle(spark):
     got = {r.node: r.rank for r in pagerank(df, iters=4).collect()}
     for v in (1, 2, 3):
         assert got[v] == pytest.approx(1.0 / 3.0, rel=1e-12)
+
+
+def test_tree_ancestry_deep_chain_and_forest(spark):
+    """A 300-deep chain plus a separate star and singletons: pointer
+    doubling must resolve exact (root, depth) in ~log2(300)=9 rounds
+    (max_doublings=12 would fail if doubling didn't double)."""
+    from comix_etl_spark.operators.graph import tree_ancestry
+
+    rows = [(i, i - 1) for i in range(1, 301)] + [(0, 0)]     # chain 0..300
+    rows += [(1000, 1000)] + [(1000 + k, 1000) for k in (1, 2, 3)]  # star
+    rows += [(5000, None)]                                     # NULL-parent root
+    df = spark.createDataFrame(rows, "node long, parent long")
+    got = {r.node: (r.root, r.depth)
+           for r in tree_ancestry(df, max_doublings=12).collect()}
+    assert len(got) == 306
+    assert got[300] == (0, 300) and got[150] == (0, 150) and got[0] == (0, 0)
+    assert got[1002] == (1000, 1) and got[1000] == (1000, 0)
+    assert got[5000] == (5000, 0)
+
+
+def test_tree_ancestry_cycle_raises(spark):
+    from comix_etl_spark.operators.graph import tree_ancestry
+
+    import pytest
+
+    df = spark.createDataFrame([(1, 2), (2, 1)], "node long, parent long")
+    with pytest.raises(RuntimeError, match="cycle"):
+        tree_ancestry(df, max_doublings=4)

@@ -92,3 +92,38 @@ def test_gap_fill_forward_fills_and_flags_gaps(spark):
         (1, "2024-01-04"): (7.0, 0),
         (2, "2024-01-02"): (3.0, 0),
     }
+
+
+def test_interval_overlap_pairs_matches_brute_force(spark):
+    """Grid-bucketed pair generation (cells + later-start rule) must
+    equal the plain theta-join exactly — including pairs whose
+    intervals span many cells and pairs that only touch at one day."""
+    import datetime as dt
+    import itertools
+
+    from comix_etl_spark.operators.temporal import interval_overlap_pairs
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, "g", base, base + dt.timedelta(days=40)),       # long
+            (2, "g", base + dt.timedelta(days=5), base + dt.timedelta(days=6)),
+            (3, "g", base + dt.timedelta(days=40), base + dt.timedelta(days=41)),  # touches 1
+            (4, "g", base + dt.timedelta(days=100), base + dt.timedelta(days=130)),
+            (5, "h", base, base + dt.timedelta(days=400)),      # other group
+            (6, "h", base + dt.timedelta(days=350), base + dt.timedelta(days=360))]
+    df = spark.createDataFrame(rows, "uid long, grp string, s timestamp, e timestamp")
+    got = sorted((r.grp, r.id_a, r.id_b, r.overlap_days) for r in
+                 interval_overlap_pairs(df, id_col="uid", start_col="s",
+                                        end_col="e", group_cols=("grp",),
+                                        cell_days=7).collect())
+    want = []
+    days = {u: (s.date().toordinal(), e.date().toordinal())
+            for u, g, s, e in rows}
+    grp = {u: g for u, g, _, _ in rows}
+    for a, b in itertools.combinations(sorted(days), 2):
+        if grp[a] != grp[b]:
+            continue
+        (sa, ea), (sb, eb) = days[a], days[b]
+        if sa <= eb and sb <= ea:
+            want.append((grp[a], a, b, min(ea, eb) - max(sa, sb) + 1))
+    assert got == sorted(want)
+    assert ("g", 1, 3, 1) in got  # touch-only pair survives
