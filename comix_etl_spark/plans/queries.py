@@ -7410,6 +7410,227 @@ FROM toks GROUP BY lang ORDER BY lang
 """
 
 
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE-AGGREGATABLE distinct-count sketches — the property that makes
+    a 100 TB cube feasible: per-(segment, priority) HLL sketches
+    (`hll_sketch_agg`, Apache DataSketches) UNION to segment level
+    (`hll_union_agg`) WITHOUT rescanning the fact — the thing exact
+    distinct counts fundamentally cannot do. Emitted per segment: the
+    exact distinct customer count (hash-checked) plus flags that (a)
+    the unioned sketch estimate lands within 6 % of exact, (b) the
+    union of fine-grained sketches equals re-sketching at the coarse
+    level (merge associativity on this data). Oracle recomputes exact
+    and expects TRUE."""
+    t = _t(spark, sf_dir, "orders", "customer")
+    o = (t["orders"].join(t["customer"],
+                          F.col("o_custkey") == F.col("c_custkey"))
+         .select("c_mktsegment", "o_orderpriority", "o_custkey"))
+    fine = (o.groupBy("c_mktsegment", "o_orderpriority")
+            .agg(F.hll_sketch_agg("o_custkey").alias("_sk")))
+    unioned = (fine.groupBy("c_mktsegment")
+               .agg(F.hll_sketch_estimate(F.hll_union_agg("_sk"))
+                    .alias("_est_union")))
+    coarse = (o.groupBy("c_mktsegment")
+              .agg(F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey"))
+                   .alias("_est_direct"),
+                   F.count_distinct("o_custkey").alias("exact_customers")))
+    return (coarse.join(unioned, "c_mktsegment")
+            .select("c_mktsegment",
+                    F.col("exact_customers").cast("long")
+                    .alias("exact_customers"),
+                    (F.abs(F.col("_est_union") - F.col("exact_customers"))
+                     <= F.lit(0.06) * F.col("exact_customers"))
+                    .alias("union_ok"),
+                    (F.col("_est_union") == F.col("_est_direct"))
+                    .alias("merge_consistent"))
+            .orderBy("c_mktsegment"))
+
+
+ORACLE_HLL_ROLLUP = """
+SELECT c_mktsegment,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+       TRUE AS union_ok, TRUE AS merge_consistent
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per group — the robust-statistics primitive
+    plain percentile() lacks (each row counts with its weight): the
+    smallest price whose cumulative QUANTITY reaches half the group
+    total. One shuffle on the group key; the cumulative crossing rides
+    an in-partition window (each return flag is one partition's sorted
+    run), and the half-total comes from a window total, not a second
+    scan. Quantities are integral doubles, so the crossing point — and
+    therefore the output — is engine-exact."""
+    t = _t(spark, sf_dir, "lineitem")
+    li = t["lineitem"].select("l_returnflag", "l_extendedprice",
+                              F.col("l_quantity").cast("decimal(18,4)")
+                              .alias("_w"))
+    wq = (Window.partitionBy("l_returnflag")
+          .orderBy("l_extendedprice")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag", "l_extendedprice",
+        F.sum("_w").over(wq).alias("_cum"),
+        F.sum("_w").over(wt).alias("_tot"))
+    return (cum.filter(F.col("_cum") * 2 >= F.col("_tot"))
+            .groupBy("l_returnflag")
+            .agg(F.min("l_extendedprice").alias("weighted_median_price"),
+                 F.max(F.col("_tot").cast("double")).alias("total_qty"))
+            .orderBy("l_returnflag"))
+
+
+ORACLE_WEIGHTED_MEDIAN = """
+WITH cum AS (
+  SELECT l_returnflag, l_extendedprice,
+         sum(CAST(l_quantity AS DECIMAL(18,4)))
+           OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                 ROWS UNBOUNDED PRECEDING) AS c,
+         sum(CAST(l_quantity AS DECIMAL(18,4)))
+           OVER (PARTITION BY l_returnflag) AS tot
+  FROM lineitem
+)
+SELECT l_returnflag,
+       min(l_extendedprice) AS weighted_median_price,
+       CAST(max(tot) AS DOUBLE) AS total_qty
+FROM cum WHERE c * 2 >= tot
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution — the events-surface query
+    marketing pipelines run hourly: each purchase credits the LAST
+    non-purchase event by the same user within the preceding 7 days
+    (lag-style window walk, one shuffle on user), and conversions roll
+    up per crediting event type. Purchases with no qualifying touch
+    report as 'direct'. Window + conditional last(): no self-join, no
+    per-purchase scan."""
+    t = _t(spark, sf_dir, "events")
+    e = t["events"].select("user_id", "ts", "event_type", "event_id")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    touched = e.select(
+        "user_id", "ts", "event_type",
+        F.last(F.when(F.col("event_type") != "purchase",
+                      F.struct("ts", "event_type")), ignorenulls=True)
+        .over(w).alias("_touch"))
+    conv = (touched.filter(F.col("event_type") == "purchase")
+            .select(F.when(
+                F.col("_touch").isNotNull()
+                & (F.col("_touch.ts") >= F.col("ts")
+                   - F.expr("INTERVAL 7 DAYS")),
+                F.col("_touch.event_type")).otherwise("direct")
+                .alias("credited_to")))
+    return (conv.groupBy("credited_to")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_conversions"))
+            .orderBy("credited_to"))
+
+
+ORACLE_ATTRIBUTION = """
+WITH touched AS (
+  SELECT user_id, ts, event_type,
+         last_value(CASE WHEN event_type <> 'purchase'
+                         THEN struct_pack(ts := ts, event_type := event_type)
+                    END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM events
+)
+SELECT CASE WHEN touch IS NOT NULL
+             AND touch.ts >= ts - INTERVAL 7 DAY
+            THEN touch.event_type ELSE 'direct' END AS credited_to,
+       CAST(count(*) AS BIGINT) AS n_conversions
+FROM touched WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics profile — what a cost-based
+    optimizer collects before planning a 100 TB join: per column of
+    `orders`, the row count, null count, exact distinct count, and
+    min/max rendered to text. ONE pass over the fact computes every
+    column's stats together (a single wide aggregate, no per-column
+    scans); the unpivot to (column, stat) rows is a literal stack of
+    the 1-row aggregate."""
+    t = _t(spark, sf_dir, "orders")
+    o = t["orders"]
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"]
+    aggs = []
+
+    def _txt(agg_col, c):
+        # aggregate in the NATIVE type (numeric min, not lexicographic),
+        # then render; doubles go through DECIMAL because Java and
+        # DuckDB disagree on raw double→text (scientific-notation
+        # thresholds) while decimal text is identical in both engines
+        if c == "o_totalprice":
+            return agg_col.cast("decimal(18,2)").cast("string")
+        return agg_col.cast("string")
+
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.count_distinct(c).alias(f"{c}__ndv"),
+            _txt(F.min(F.col(c)), c).alias(f"{c}__min"),
+            _txt(F.max(F.col(c)), c).alias(f"{c}__max"),
+        ]
+    one = o.agg(*aggs)
+    rows = [
+        F.struct(F.lit(c).alias("column"),
+                 F.col(f"{c}__n").cast("long").alias("n_rows"),
+                 F.col(f"{c}__nulls").cast("long").alias("n_nulls"),
+                 F.col(f"{c}__ndv").cast("long").alias("ndv"),
+                 F.col(f"{c}__min").alias("min_text"),
+                 F.col(f"{c}__max").alias("max_text"))
+        for c in cols
+    ]
+    return (one.select(F.explode(F.array(*rows)).alias("_s"))
+            .select("_s.*").orderBy("column"))
+
+
+ORACLE_ANALYZE_STATS = """
+SELECT 'o_orderkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ndv,
+       CAST(min(o_orderkey) AS VARCHAR) AS min_text,
+       CAST(max(o_orderkey) AS VARCHAR) AS max_text
+FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT),
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+       min(o_orderstatus), max(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_totalprice) AS BIGINT),
+       CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+       CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+       min(o_orderpriority), max(o_orderpriority)
+FROM orders
+ORDER BY "column"
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -7921,6 +8142,23 @@ QUERIES: dict[str, Query] = {
         q_vocab_coverage, ORACLE_VOCAB_COVERAGE,
         "tokenizer vocab coverage: top-200 DF vocab, per-language OOV "
         "ppm", ("documents",)),
+    "hll_rollup": Query(
+        q_hll_rollup, ORACLE_HLL_ROLLUP,
+        "re-aggregatable HLL sketches: fine sketches union to coarse "
+        "without rescan; exact counts + error/merge flags",
+        ("orders", "customer")),
+    "weighted_median": Query(
+        q_weighted_median, ORACLE_WEIGHTED_MEDIAN,
+        "weighted median via cumulative-weight crossing, engine-exact",
+        ("lineitem",)),
+    "attribution": Query(
+        q_attribution, ORACLE_ATTRIBUTION,
+        "last-touch conversion attribution within 7 days, window walk",
+        ("events",)),
+    "analyze_stats": Query(
+        q_analyze_stats, ORACLE_ANALYZE_STATS,
+        "ANALYZE-style per-column stats profile in one wide aggregate "
+        "pass", ("orders",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -7961,9 +8199,10 @@ _CHECK_FIRST = [
     # join, CUSUM, vocab coverage (first-timers outrank re-checks)
     "local_supplier_volume", "discount_revenue", "hierarchy_rollup",
     "interval_overlap", "cusum_changepoint", "vocab_coverage",
-    # oldest r3-era greens (cheap core shapes; the rest rotate in r7)
-    "keyed_lookup", "rest_paginated", "cover_enrichment",
-    "incremental_refetch", "issue_sort_numeric",
+    # new in r6 — sketch rollup, weighted median, attribution, ANALYZE
+    "hll_rollup", "weighted_median", "attribution", "analyze_stats",
+    # oldest r3-era green (core REST lookup; the rest rotate in r7)
+    "keyed_lookup",
     # r5-green but its node coloring changed this round (residue →
     # md5 hash per ADVICE) — semantics change forces a fresh verdict
     "supplier_triangles",
