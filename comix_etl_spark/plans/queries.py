@@ -7631,6 +7631,185 @@ ORDER BY "column"
 """
 
 
+def q_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (Rabin-style, the rsync/backup-dedup
+    primitive): a position starts a new chunk when the md5 of its
+    4-char window begins with hex '0' (p=1/16 → ~16-char expected
+    chunks), so chunk boundaries survive insertions/deletions — the
+    property fixed-width blocks lack and the reason CDC is how binary/
+    incremental-edit corpora dedup at scale. The whole
+    boundary-scan + split runs as SCAN-LOCAL Catalyst array exprs
+    (sequence → filter → zip_with substr; zero exchanges until the
+    corpus rollup); md5 windows make the rule engine-reproducible, so
+    the DuckDB oracle recomputes identical chunks. Reported: corpus
+    chunk count, distinct chunk count, duplicated-chunk ppm, mean
+    chunk length."""
+    t = _t(spark, sf_dir, "documents")
+    d = t["documents"].select("doc_id", F.col("text").alias("_tx"))
+    ln = F.length("_tx")
+    cond = "i -> substring(md5(substring(_tx, i, 4)), 1, 1) = '0'"
+    starts = F.expr(
+        f"concat(array(1), filter(sequence(2, greatest(length(_tx) - 3, 1)),"
+        f" {cond}))")
+    d = d.filter(ln >= 8).withColumn("_st", starts)
+    stops = F.expr(
+        "concat(transform(slice(_st, 2, size(_st) - 1), p -> p - 1),"
+        " array(length(_tx)))")
+    chunks = F.expr(
+        "zip_with(_st, _stops, (s, e) -> md5(substring(_tx, s, e - s + 1)))")
+    ch = (d.withColumn("_stops", stops)
+          .select("doc_id", ln.alias("_len"), chunks.alias("_ch"))
+          .select("doc_id", "_len", F.size("_ch").alias("_n"),
+                  F.explode("_ch").alias("chunk_hash")))
+    return (ch.agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.count_distinct("chunk_hash").cast("long").alias("n_distinct_chunks"),
+        F.expr("(count(1) - count(DISTINCT chunk_hash)) * 1000000 "
+               "div count(1)").alias("dup_ppm"),
+        F.expr("sum(_len div _n) div count(1)").alias("mean_chunk_len_floor")))
+
+
+ORACLE_CDC_CHUNKING = """
+WITH d AS (
+  SELECT doc_id, text AS tx, length(text) AS len FROM documents
+  WHERE length(text) >= 8
+), st AS (
+  SELECT doc_id, tx, len,
+         list_concat([1], list_filter(range(2, greatest(len - 3, 1) + 1),
+           i -> substring(md5(substring(tx, i, 4)), 1, 1) = '0')) AS starts
+  FROM d
+), sp AS (
+  SELECT doc_id, tx, len, starts,
+         list_concat(list_transform(starts[2:], p -> p - 1), [len]) AS stops
+  FROM st
+), ch AS (
+  SELECT doc_id, len, len(starts) AS n,
+         unnest(list_transform(range(1, len(starts) + 1),
+           k -> md5(substring(tx, starts[k], stops[k] - starts[k] + 1))))
+           AS chunk_hash
+  FROM sp
+)
+SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT chunk_hash) AS BIGINT) AS n_distinct_chunks,
+       CAST((count(*) - count(DISTINCT chunk_hash)) * 1000000 // count(*)
+            AS BIGINT) AS dup_ppm,
+       CAST(sum(len // n) // count(*) AS BIGINT) AS mean_chunk_len_floor
+FROM ch
+"""
+
+
+def q_gram_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance/Gram matrix over the embedding corpus —
+    the one-pass kernel under PCA/whitening/linear probes: each Arrow
+    batch emits its PARTIAL X^T X + column sums as k² tiny rows (BLAS
+    matmul batch-side via mapInPandas), partials merge by key (map-side
+    combine does the work), and the covariance assembles from the
+    merged sums — the corpus is scanned ONCE and never shuffled,
+    independent of row count. Restricted to the leading 8 dims for the
+    report (upper triangle, 36 rows, 6dp)."""
+    import pandas as pd
+
+    t = _t(spark, sf_dir, "embeddings")
+    k = 8
+
+    def _partials(batches):
+        import numpy as np
+        for pdf in batches:
+            x = np.vstack(pdf["embedding"].to_numpy())[:, :k].astype("float64")
+            g = x.T @ x
+            s = x.sum(axis=0)
+            rows = [(i, j, float(g[i, j]), float(s[i]), float(len(x)))
+                    for i in range(k) for j in range(i, k)]
+            yield pd.DataFrame(rows,
+                               columns=["i", "j", "sxy", "sx_i", "n"])
+
+    part = t["embeddings"].select("embedding").mapInPandas(
+        _partials, schema="i int, j int, sxy double, sx_i double, n double")
+    merged = (part.groupBy("i", "j")
+              .agg(F.sum("sxy").alias("_sxy"),
+                   F.sum(F.when(F.col("j") == F.col("i"), F.col("n"))
+                         .otherwise(0.0)).alias("_nd")))
+    sums = (part.filter(F.col("i") == F.col("j"))
+            .groupBy(F.col("i").alias("_d"))
+            .agg(F.sum("sx_i").alias("_sx"), F.sum("n").alias("_n")))
+    si = sums.select(F.col("_d").alias("i"), F.col("_sx").alias("_sxi"),
+                     F.col("_n").alias("_nn"))
+    sj = sums.select(F.col("_d").alias("j"), F.col("_sx").alias("_sxj"))
+    return (merged.join(F.broadcast(si), "i").join(F.broadcast(sj), "j")
+            .select("i", "j",
+                    F.round((F.col("_sxy") / F.col("_nn"))
+                            - (F.col("_sxi") / F.col("_nn"))
+                            * (F.col("_sxj") / F.col("_nn")), 6)
+                    .alias("cov"))
+            .orderBy("i", "j"))
+
+
+ORACLE_GRAM_COVARIANCE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), flat AS (
+  SELECT vec_id, d.d AS dim, v[d.d + 1] AS x
+  FROM e, (SELECT unnest(range(0, 8)) AS d) d
+), pairs AS (
+  SELECT a.dim AS i, b.dim AS j,
+         sum(a.x * b.x) AS sxy, count(*) AS n,
+         sum(a.x) AS sxi, sum(b.x) AS sxj
+  FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+  GROUP BY 1, 2
+)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       round(sxy / n - (sxi / n) * (sxj / n), 6) AS cov
+FROM pairs ORDER BY i, j
+"""
+
+
+def q_percent_rank_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist — the two normalized-rank window
+    functions the registry didn't exercise: each customer's account
+    balance positioned within its market segment's distribution,
+    reported for the per-segment balance extremes (top/bottom 2 by
+    percent_rank, deterministic tie-break on custkey)."""
+    t = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    ranked = t["customer"].select(
+        "c_mktsegment", "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdf"))
+    w2 = Window.partitionBy("c_mktsegment").orderBy("pct_rank", "c_custkey")
+    w3 = (Window.partitionBy("c_mktsegment")
+          .orderBy(F.col("pct_rank").desc(), F.col("c_custkey").desc()))
+    return (ranked
+            .withColumn("_lo", F.row_number().over(w2))
+            .withColumn("_hi", F.row_number().over(w3))
+            .filter((F.col("_lo") <= 2) | (F.col("_hi") <= 2))
+            .select("c_mktsegment", "c_custkey", "acctbal", "pct_rank", "cdf")
+            .orderBy("c_mktsegment", "c_custkey"))
+
+
+ORACLE_PERCENT_RANK_CDF = """
+WITH ranked AS (
+  SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS acctbal,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cdf
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+), bounded AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY pct_rank, c_custkey) AS lo,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY pct_rank DESC, c_custkey DESC) AS hi
+  FROM ranked
+)
+SELECT c_mktsegment, c_custkey, acctbal, pct_rank, cdf
+FROM bounded WHERE lo <= 2 OR hi <= 2
+ORDER BY c_mktsegment, c_custkey
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -8159,6 +8338,18 @@ QUERIES: dict[str, Query] = {
         q_analyze_stats, ORACLE_ANALYZE_STATS,
         "ANALYZE-style per-column stats profile in one wide aggregate "
         "pass", ("orders",)),
+    "cdc_chunking": Query(
+        q_cdc_chunking, ORACLE_CDC_CHUNKING,
+        "content-defined chunking (md5 rolling windows): scan-local "
+        "split, corpus chunk-dedup stats", ("documents",)),
+    "gram_covariance": Query(
+        q_gram_covariance, ORACLE_GRAM_COVARIANCE,
+        "one-pass distributed covariance via per-batch BLAS partials, "
+        "corpus never shuffled", ("embeddings",)),
+    "percent_rank_cdf": Query(
+        q_percent_rank_cdf, ORACLE_PERCENT_RANK_CDF,
+        "percent_rank/cume_dist segment distribution extremes",
+        ("customer",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -8175,9 +8366,10 @@ QUERIES: dict[str, Query] = {
 # 33 first-timers (cheap analytics shapes first), then 10 of the oldest
 # r3-era greens, with the expensive det-sibling/stream/pagerank queries
 # closing the window so a budget cut costs re-confirmation, not
-# first-time verdicts. r7 BACKLOG: the remaining ~33 r3-era greens
-# (stats_topk, marvel_normalize, stream_windowed family,
-# dedup_clusters_lsh, bloom_join, …) rotate in next.
+# first-time verdicts. r7 BACKLOG, in priority order: (1) r6 queries
+# that missed this window — gram_covariance, percent_rank_cdf; (2) the
+# ~33 r3-era greens (keyed_lookup, stats_topk, marvel_normalize, the
+# stream_windowed family, dedup_clusters_lsh, bloom_join, …).
 _CHECK_FIRST = [
     # stale r2 verdict — dropped from the r5 window; re-check first
     "hash_split",
@@ -8199,10 +8391,10 @@ _CHECK_FIRST = [
     # join, CUSUM, vocab coverage (first-timers outrank re-checks)
     "local_supplier_volume", "discount_revenue", "hierarchy_rollup",
     "interval_overlap", "cusum_changepoint", "vocab_coverage",
-    # new in r6 — sketch rollup, weighted median, attribution, ANALYZE
+    # new in r6 — sketch rollup, weighted median, attribution, ANALYZE,
+    # content-defined chunking
     "hll_rollup", "weighted_median", "attribution", "analyze_stats",
-    # oldest r3-era green (core REST lookup; the rest rotate in r7)
-    "keyed_lookup",
+    "cdc_chunking",
     # r5-green but its node coloring changed this round (residue →
     # md5 hash per ADVICE) — semantics change forces a fresh verdict
     "supplier_triangles",
