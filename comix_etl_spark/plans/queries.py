@@ -7633,34 +7633,51 @@ ORDER BY "column"
 
 def q_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (Rabin-style, the rsync/backup-dedup
-    primitive): a position starts a new chunk when the md5 of its
-    4-char window begins with hex '0' (p=1/16 → ~16-char expected
+    primitive): a position starts a new chunk when the polynomial
+    fingerprint of its 4-char window (Σ code·31^k, the Rabin–Karp
+    rolling-hash family) hits 0 mod 16 (p=1/16 → ~16-char expected
     chunks), so chunk boundaries survive insertions/deletions — the
     property fixed-width blocks lack and the reason CDC is how binary/
-    incremental-edit corpora dedup at scale. The whole
-    boundary-scan + split runs as SCAN-LOCAL Catalyst array exprs
-    (sequence → filter → zip_with substr; zero exchanges until the
-    corpus rollup); md5 windows make the rule engine-reproducible, so
-    the DuckDB oracle recomputes identical chunks. Reported: corpus
-    chunk count, distinct chunk count, duplicated-chunk ppm, mean
-    chunk length."""
+    incremental-edit corpora dedup at scale.
+
+    Plan shape: the boundary scan is ONE linear pass of Catalyst array
+    exprs per document (chars decode to an int array once; window
+    hashes assemble from four shifted SLICES zipped together — never
+    element_at(codes, i) inside a per-position lambda, which
+    CollapseProject would inline into an O(len²) rescan). Boundary
+    positions EXPLODE immediately — the arrays are consumed once, so
+    projection collapsing cannot multiply their evaluation — and
+    consecutive starts pair up with one lead() window keyed on doc_id
+    (a single exchange of ~len/16 boundary rows, not the corpus).
+    The integer rule is engine-reproducible, so the DuckDB oracle
+    recomputes identical chunks. Reported: corpus chunk count,
+    distinct chunk count, duplicated-chunk ppm, mean chunk length."""
     t = _t(spark, sf_dir, "documents")
-    d = t["documents"].select("doc_id", F.col("text").alias("_tx"))
-    ln = F.length("_tx")
-    cond = "i -> substring(md5(substring(_tx, i, 4)), 1, 1) = '0'"
-    starts = F.expr(
-        f"concat(array(1), filter(sequence(2, greatest(length(_tx) - 3, 1)),"
-        f" {cond}))")
-    d = d.filter(ln >= 8).withColumn("_st", starts)
-    stops = F.expr(
-        "concat(transform(slice(_st, 2, size(_st) - 1), p -> p - 1),"
-        " array(length(_tx)))")
-    chunks = F.expr(
-        "zip_with(_st, _stops, (s, e) -> md5(substring(_tx, s, e - s + 1)))")
-    ch = (d.withColumn("_stops", stops)
-          .select("doc_id", ln.alias("_len"), chunks.alias("_ch"))
-          .select("doc_id", "_len", F.size("_ch").alias("_n"),
-                  F.explode("_ch").alias("chunk_hash")))
+    d = (t["documents"].filter(F.length("text") >= 8)
+         .select("doc_id", F.col("text").alias("_tx")))
+    starts = (
+        "concat(array(1), filter(transform("
+        " zip_with("
+        "  zip_with(slice(_codes, 2, length(_tx) - 4),"
+        "           slice(_codes, 3, length(_tx) - 4),"
+        "           (x, y) -> x * 29791 + y * 961),"
+        "  zip_with(slice(_codes, 4, length(_tx) - 4),"
+        "           slice(_codes, 5, length(_tx) - 4),"
+        "           (x, y) -> x * 31 + y),"
+        "  (u, v) -> (u + v) % 16 = 0),"
+        " (f, k) -> if(f, k + 2, -1)), p -> p > 0))")
+    pos = (d.withColumn("_codes", F.expr(
+        "transform(sequence(1, length(_tx)), i -> ascii(substring(_tx, i, 1)))"))
+        .select("doc_id", "_tx", F.length("_tx").alias("_len"),
+                F.explode(F.expr(starts)).alias("_s")))
+    w = Window.partitionBy("doc_id").orderBy("_s")
+    ch = (pos.withColumn("_e", F.coalesce(F.lead("_s").over(w) - 1,
+                                          F.col("_len")))
+          .select("doc_id", "_len",
+                  F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+                  .alias("_n"),
+                  F.md5(F.expr("substring(_tx, _s, _e - _s + 1)"))
+                  .alias("chunk_hash")))
     return (ch.agg(
         F.count_distinct("doc_id").cast("long").alias("n_docs"),
         F.count(F.lit(1)).cast("long").alias("n_chunks"),
@@ -7674,11 +7691,17 @@ ORACLE_CDC_CHUNKING = """
 WITH d AS (
   SELECT doc_id, text AS tx, length(text) AS len FROM documents
   WHERE length(text) >= 8
+), enc AS (
+  SELECT doc_id, tx, len,
+         list_transform(range(1, len + 1),
+                        i -> ascii(substring(tx, i, 1))) AS codes
+  FROM d
 ), st AS (
   SELECT doc_id, tx, len,
          list_concat([1], list_filter(range(2, greatest(len - 3, 1) + 1),
-           i -> substring(md5(substring(tx, i, 4)), 1, 1) = '0')) AS starts
-  FROM d
+           i -> (codes[i] * 29791 + codes[i + 1] * 961
+                 + codes[i + 2] * 31 + codes[i + 3]) % 16 = 0)) AS starts
+  FROM enc
 ), sp AS (
   SELECT doc_id, tx, len, starts,
          list_concat(list_transform(starts[2:], p -> p - 1), [len]) AS stops
