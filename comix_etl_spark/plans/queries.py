@@ -7748,8 +7748,12 @@ def q_gram_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows,
                                columns=["i", "j", "sxy", "sx_i", "n"])
 
+    # the partial frame is TINY (k² rows per Arrow batch) but three
+    # branches consume it (pair sums, i-sums, j-sums) — materialize it
+    # once or each branch re-scans the corpus and re-runs the UDF
     part = t["embeddings"].select("embedding").mapInPandas(
-        _partials, schema="i int, j int, sxy double, sx_i double, n double")
+        _partials, schema="i int, j int, sxy double, sx_i double, n double") \
+        .localCheckpoint(eager=True)
     merged = (part.groupBy("i", "j")
               .agg(F.sum("sxy").alias("_sxy"),
                    F.sum(F.when(F.col("j") == F.col("i"), F.col("n"))
@@ -7830,6 +7834,38 @@ WITH ranked AS (
 SELECT c_mktsegment, c_custkey, acctbal, pct_rank, cdf
 FROM bounded WHERE lo <= 2 OR hi <= 2
 ORDER BY c_mktsegment, c_custkey
+"""
+
+
+def q_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING (hopping) windows — the window family the registry only
+    had in tumbling form: 60-minute windows every 15 minutes, so each
+    event lands in exactly 4 overlapping windows (Spark materializes
+    the per-event window list and explodes it — replication factor
+    window/slide, the documented cost of sliding aggregation). Counts
+    per (window start, event type); the oracle derives the same 4
+    epoch-aligned window starts per event arithmetically."""
+    t = _t(spark, sf_dir, "events")
+    return (t["events"]
+            .groupBy(F.window("ts", "60 minutes", "15 minutes").alias("w"),
+                     "event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events")
+            .orderBy("window_start", "event_type"))
+
+
+ORACLE_HOPPING_WINDOWS = """
+WITH hops AS (
+  -- integer microsecond division: CAST(epoch(ts) AS BIGINT) would
+  -- ROUND fractional seconds and misplace boundary-adjacent events
+  SELECT event_type,
+         make_timestamp((epoch_us(ts) // 900000000 - k.k) * 900000000)
+           AS window_start
+  FROM events, (SELECT unnest(range(0, 4)) AS k) k
+)
+SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM hops GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
@@ -8373,6 +8409,10 @@ QUERIES: dict[str, Query] = {
         q_percent_rank_cdf, ORACLE_PERCENT_RANK_CDF,
         "percent_rank/cume_dist segment distribution extremes",
         ("customer",)),
+    "hopping_windows": Query(
+        q_hopping_windows, ORACLE_HOPPING_WINDOWS,
+        "sliding 60min/15min windows (4x replication), counts per "
+        "window x type", ("events",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's

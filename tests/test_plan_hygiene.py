@@ -128,3 +128,37 @@ def test_weighted_sample_take_ordered(spark, sf_small):
     plan = _plan(QUERIES["weighted_sample"].builder(spark, sf_small))
     assert "TakeOrderedAndProject" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_discount_revenue_pure_pushdown(spark, sf_small):
+    """The Q6 shape must be one scan, one exchange (the 1-row global
+    agg), zero joins, with predicates reaching parquet."""
+    from comix_etl_spark.plans.introspect import plan_summary
+
+    s = plan_summary(QUERIES["discount_revenue"].builder(spark, sf_small))
+    assert s.n_scans == 1 and s.n_exchanges == 1
+    assert s.n_broadcast_hash_joins == 0 and s.n_sort_merge_joins == 0
+    assert s.pushed_filters, "Q6 predicates must reach the parquet scan"
+
+
+def test_local_supplier_volume_broadcasts_dims(spark, sf_small):
+    """The Q5 shape must broadcast every dimension — no sort-merge
+    joins at test scale."""
+    from comix_etl_spark.plans.introspect import plan_summary
+
+    s = plan_summary(QUERIES["local_supplier_volume"].builder(spark, sf_small))
+    assert s.n_broadcast_hash_joins >= 3
+    assert s.n_sort_merge_joins == 0
+
+
+def test_gram_covariance_never_shuffles_corpus(spark, sf_small):
+    """The covariance partials must merge without a sort-merge join,
+    and the three consuming branches must read the CHECKPOINTED
+    partial frame — zero parquet scans in the final plan (the corpus
+    was scanned exactly once, at checkpoint materialization)."""
+    from comix_etl_spark.plans.introspect import plan_summary
+
+    df = QUERIES["gram_covariance"].builder(spark, sf_small)
+    s = plan_summary(df)
+    assert s.n_sort_merge_joins == 0
+    assert "parquet" not in _plan(df).lower()

@@ -109,3 +109,53 @@ def test_chunking_reconstructs_token_stream(spark, words, size):
     rebuilt = " ".join(c.chunk_text for c in chunks)
     assert rebuilt == " ".join(words)
     assert all(1 <= c.n_tokens <= size for c in chunks)
+
+
+@PROP
+@given(parents=st.lists(st.integers(0, 25), min_size=1, max_size=30))
+def test_tree_ancestry_matches_pointer_walk(spark, parents):
+    """Pointer doubling == plain parent-chasing on random forests.
+    parent[i] drawn from [0, 25] then clamped to < i (guarantees
+    acyclicity, node 0 self-roots); many collisions → wide and deep
+    shapes both occur."""
+    from comix_etl_spark.operators.graph import tree_ancestry
+
+    p = {i: (v % i if i > 0 else 0) for i, v in enumerate(parents)}
+    df = spark.createDataFrame(list(p.items()), "node long, parent long")
+    got = {r.node: (r.root, r.depth)
+           for r in tree_ancestry(df, max_doublings=8).collect()}
+
+    def walk(n):
+        d = 0
+        while p[n] != n:
+            n, d = p[n], d + 1
+        return n, d
+
+    assert got == {n: walk(n) for n in p}
+
+
+@PROP
+@given(iv=st.lists(st.tuples(st.integers(0, 60), st.integers(0, 20)),
+                   min_size=1, max_size=25))
+def test_interval_overlap_matches_brute_force_random(spark, iv):
+    """Grid-bucketed interval join == O(n²) screen on random intervals
+    spanning 0-80 days with a 7-day cell — start-equal ties, touching
+    endpoints, and many-cell spans all occur."""
+    import datetime as dt
+    import itertools
+
+    from comix_etl_spark.operators.temporal import interval_overlap_pairs
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(days=s), base + dt.timedelta(days=s + d))
+            for i, (s, d) in enumerate(iv)]
+    df = spark.createDataFrame(rows, "uid long, s timestamp, e timestamp")
+    got = sorted((r.id_a, r.id_b, r.overlap_days) for r in
+                 interval_overlap_pairs(df, id_col="uid", start_col="s",
+                                        end_col="e", cell_days=7).collect())
+    spans = {i: (s, s + d) for i, (s, d) in enumerate(iv)}
+    want = sorted(
+        (a, b, min(spans[a][1], spans[b][1]) - max(spans[a][0], spans[b][0]) + 1)
+        for a, b in itertools.combinations(spans, 2)
+        if spans[a][0] <= spans[b][1] and spans[b][0] <= spans[a][1])
+    assert got == want
