@@ -504,3 +504,45 @@ def group_centroid_cosine(df: DataFrame, group_col: str, id_col: str,
             .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
                  F.round(F.avg("_cos"), 6).alias("avg_cos"),
                  F.round(F.min("_cos"), 6).alias("min_cos")))
+
+
+def knn_join_lsh(corpus: DataFrame, *, dim: int, id_col: str = "vec_id",
+                 vec_col: str = "embedding", k: int = 3, bits: int = 8,
+                 tables: int = 4, seed: int = 42, planes=None) -> DataFrame:
+    """All-rows approximate kNN SELF-join: every corpus vector gets its
+    top-k cosine neighbors (self excluded) from its LSH bucket
+    collisions — the graph-construction primitive behind kNN graphs,
+    embedding-dedup clustering, and label propagation. This is the
+    shape fixed-query ANN cannot serve: the query set IS the corpus,
+    so neither side broadcasts.
+
+    Scale shape: the corpus is hashed once for all tables (scan-local
+    Arrow matmul, hyperplane_buckets_pandas); the self-join keys on
+    (table, bucket) so pair work is bounded per bucket (never
+    corpus×corpus); duplicate pairs from multi-table collisions
+    collapse once before scoring; the per-vector top-k is a window
+    over candidates only. Returns (id_a, id_b, cosine_sim)."""
+    if planes is None:
+        planes = make_hyperplanes(dim, bits, tables, seed)
+    else:
+        tables, bits = len(planes), len(planes[0])
+    base = spread_small_scan(corpus.select(id_col, vec_col))
+    hashed = base.select(
+        F.col(id_col), F.col(vec_col),
+        F.posexplode(hyperplane_buckets_pandas(vec_col, planes))
+        .alias("_t", "_b"))
+    a = hashed.select(F.col(id_col).alias("id_a"),
+                      F.col(vec_col).alias("_va"), "_t", "_b")
+    b = hashed.select(F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("_vb"), "_t", "_b")
+    cand = (a.join(b, ["_t", "_b"])
+            .filter(F.col("id_a") != F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    scored = cand.select(
+        "id_a", "id_b",
+        F.round(cosine("_va", "_vb"), 6).alias("cosine_sim"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine_sim"), F.col("id_b"))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))

@@ -7869,6 +7869,102 @@ FROM hops GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_knn_join_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-rows kNN self-join (operators/similarity.py:knn_join_lsh)
+    with REPRODUCIBLE md5-parity Rademacher planes: every embedding's
+    top-3 cosine neighbors among its LSH bucket collisions — the kNN
+    GRAPH construction primitive (query set == corpus, nothing
+    broadcasts; pair work bounded per bucket). The DuckDB oracle
+    recomputes every bucket, the collision set, and the per-vector
+    top-3, so the whole graph is hash-checked."""
+    t = _t(spark, sf_dir, "embeddings")
+    # 6 tables x 6 bits: 64 buckets keeps the per-bucket pair count
+    # bounded as the corpus grows (4-bit buckets quadrupled pair work
+    # at sf0.1 for no recall gain on top-3)
+    planes = S.rademacher_hyperplanes(dim=64, bits=6, tables=6)
+    return (S.knn_join_lsh(t["embeddings"], dim=64, id_col="vec_id",
+                           k=3, planes=planes)
+            .orderBy("id_a", "id_b"))
+
+
+ORACLE_KNN_JOIN_DET = """
+WITH planes AS (
+  SELECT t.t, b.b,
+         list(CASE WHEN ascii(substring(md5('p' || t.t || '_' || b.b || '_' || d.d), 1, 1)) % 2 = 0
+                   THEN 1.0 ELSE -1.0 END ORDER BY d.d) AS w
+  FROM range(6) t(t), range(6) b(b), range(64) d(d)
+  GROUP BY t.t, b.b
+), vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), buckets AS (
+  SELECT vec_id, t,
+         CAST(sum(CASE WHEN list_dot_product(v, w) > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
+  FROM vecs, planes GROUP BY vec_id, t
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
+  WHERE a.vec_id <> b.vec_id
+), scored AS (
+  SELECT c.id_a, c.id_b,
+         round(list_dot_product(x.v, y.v)
+               / (sqrt(list_dot_product(x.v, x.v))
+                  * sqrt(list_dot_product(y.v, y.v))), 6) AS cosine_sim
+  FROM cand c JOIN vecs x ON x.vec_id = c.id_a JOIN vecs y ON y.vec_id = c.id_b
+)
+SELECT id_a, id_b, cosine_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY id_a
+                               ORDER BY cosine_sim DESC, id_b) AS rn
+  FROM scored
+) WHERE rn <= 3 ORDER BY id_a, id_b
+"""
+
+
+def q_subtree_value_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value rollup along the ancestry: every part's retail price
+    aggregates to its ROOT (tree_ancestry labels, pointer doubling) —
+    the BOM-cost / category-total pattern. One join of the ancestry
+    labels back to the priced scan, one rollup keyed on the handful of
+    roots; DECIMAL sums."""
+    from comix_etl_spark.operators.graph import tree_ancestry
+
+    t = _t(spark, sf_dir, "part")
+    p = t["part"]
+    parents = p.select(
+        F.col("p_partkey").alias("node"),
+        F.when(F.col("p_partkey") >= 4, F.expr("p_partkey div 4"))
+        .otherwise(F.col("p_partkey")).alias("parent"))
+    anc = tree_ancestry(parents, id_col="node", parent_col="parent")
+    priced = p.select(F.col("p_partkey").alias("node"),
+                      F.col("p_retailprice").cast("decimal(18,4)").alias("_v"))
+    return (anc.join(priced, "node")
+            .groupBy("root")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                 F.sum("_v").cast("double").alias("total_value"),
+                 F.max("depth").cast("long").alias("max_depth"))
+            .orderBy("root"))
+
+
+ORACLE_SUBTREE_VALUE_ROLLUP = """
+WITH RECURSIVE walk AS (
+  SELECT p_partkey AS node,
+         CASE WHEN p_partkey >= 4 THEN p_partkey // 4
+              ELSE p_partkey END AS anc,
+         CASE WHEN p_partkey >= 4 THEN 1 ELSE 0 END AS depth
+  FROM part
+  UNION ALL
+  SELECT node, anc // 4, depth + 1 FROM walk WHERE anc >= 4
+)
+SELECT w.anc AS root,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(CAST(p.p_retailprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS total_value,
+       CAST(max(w.depth) AS BIGINT) AS max_depth
+FROM walk w JOIN part p ON p.p_partkey = w.node
+WHERE w.anc < 4
+GROUP BY w.anc ORDER BY root
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -8413,6 +8509,14 @@ QUERIES: dict[str, Query] = {
         q_hopping_windows, ORACLE_HOPPING_WINDOWS,
         "sliding 60min/15min windows (4x replication), counts per "
         "window x type", ("events",)),
+    "knn_join_det": Query(
+        q_knn_join_det, ORACLE_KNN_JOIN_DET,
+        "all-rows kNN self-join within det LSH buckets: the kNN-graph "
+        "primitive, fully hash-checked", ("embeddings",)),
+    "subtree_value_rollup": Query(
+        q_subtree_value_rollup, ORACLE_SUBTREE_VALUE_ROLLUP,
+        "BOM-style value rollup to ancestry roots via pointer-doubling "
+        "labels", ("part",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -8430,8 +8534,9 @@ QUERIES: dict[str, Query] = {
 # r3-era greens, with the expensive det-sibling/stream/pagerank queries
 # closing the window so a budget cut costs re-confirmation, not
 # first-time verdicts. r7 BACKLOG, in priority order: (1) r6 queries
-# that missed this window — gram_covariance, percent_rank_cdf; (2) the
-# ~33 r3-era greens (keyed_lookup, stats_topk, marvel_normalize, the
+# that missed this window — gram_covariance, percent_rank_cdf,
+# hopping_windows, knn_join_det, subtree_value_rollup; (2) the
+# ~34 r3-era greens (keyed_lookup, stats_topk, marvel_normalize, the
 # stream_windowed family, dedup_clusters_lsh, bloom_join, …).
 _CHECK_FIRST = [
     # stale r2 verdict — dropped from the r5 window; re-check first
