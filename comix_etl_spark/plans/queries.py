@@ -7965,6 +7965,99 @@ GROUP BY w.anc ORDER BY root
 """
 
 
+def q_stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING windows as a REAL streaming query (file source →
+    availableNow → memory sink): 60-minute windows every 15 minutes
+    with a 2-hour watermark — each event lands in 4 overlapping
+    windows, so streaming STATE also grows 4×, which is exactly why
+    the watermark bound matters more for sliding aggregation. The
+    oracle derives the same epoch-aligned hops arithmetically —
+    batch/stream parity for the sliding family, completing the
+    tumbling (`stream_windowed`) / session (`stream_session_window`)
+    / sliding trio."""
+    from comix_etl_spark.session import events_stream_source
+    from comix_etl_spark.streaming.windowed import (
+        run_stream_to_memory,
+        stream_shuffle_partitions,
+        stream_windowed_counts,
+    )
+
+    raw_schema, ts_fix = events_stream_source(spark, sf_dir)
+    with stream_shuffle_partitions(spark, 8):
+        out = run_stream_to_memory(
+            spark, sf_dir, raw_schema,
+            lambda ev: stream_windowed_counts(
+                ev, window="1 hour", slide="15 minutes", watermark="2 hours"),
+            query_name="q_stream_hopping", glob="events.parquet",
+            ts_fix=ts_fix,
+        )
+    return out.select(F.col("window_start").cast("timestamp")
+                      .alias("window_start"),
+                      "event_type", "n_events", "sum_value")
+
+
+ORACLE_STREAM_HOPPING = """
+WITH hops AS (
+  SELECT event_type, value,
+         make_timestamp((epoch_us(ts) // 900000000 - k.k) * 900000000)
+           AS window_start
+  FROM events, (SELECT unnest(range(0, 4)) AS k) k
+)
+SELECT window_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM hops GROUP BY 1, 2
+"""
+
+
+def q_order_lines_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested reassembly (the denormalization step before writing a
+    document-shaped lake table): each order's lines collect into ONE
+    ordered array of (linenumber, qty) structs — `sort_array` AFTER
+    `collect_list` because collect order is partition-dependent, the
+    classic nondeterminism trap — then the per-order array fingerprints
+    (md5 of a canonical rendering) and the corpus rolls up per order
+    status: orders, lines, and an order-insensitive XOR of the
+    fingerprints proving BOTH engines assembled identical arrays."""
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    li = t["lineitem"].select(F.col("l_orderkey").alias("o_orderkey"),
+                              "l_linenumber",
+                              F.col("l_quantity").cast("int").alias("_q"))
+    nested = (li.groupBy("o_orderkey")
+              .agg(F.sort_array(F.collect_list(
+                  F.struct("l_linenumber", "_q"))).alias("_lines")))
+    fp = (nested.select(
+        "o_orderkey", F.size("_lines").alias("_n"),
+        F.conv(F.substring(F.md5(F.expr(
+            "array_join(transform(_lines, x -> x.l_linenumber || ':' || x._q), ',')"
+        )), 1, 15), 16, 10).cast("long").alias("_fph")))
+    return (fp.join(t["orders"].select("o_orderkey", "o_orderstatus"),
+                    "o_orderkey")
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.sum("_n").cast("long").alias("n_lines"),
+                 F.expr("bit_xor(_fph)").alias("lines_fingerprint_xor"))
+            .orderBy("o_orderstatus"))
+
+
+ORACLE_ORDER_LINES_NESTED = """
+WITH nested AS (
+  SELECT l_orderkey AS o_orderkey, count(*) AS n,
+         ('0x' || substring(md5(string_agg(
+             l_linenumber || ':' || CAST(CAST(l_quantity AS INT) AS VARCHAR),
+             ',' ORDER BY l_linenumber, CAST(l_quantity AS INT))), 1, 15))
+           ::BIGINT AS fph
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(n) AS BIGINT) AS n_lines,
+       bit_xor(fph) AS lines_fingerprint_xor
+FROM nested JOIN orders USING (o_orderkey)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -8517,6 +8610,14 @@ QUERIES: dict[str, Query] = {
         q_subtree_value_rollup, ORACLE_SUBTREE_VALUE_ROLLUP,
         "BOM-style value rollup to ancestry roots via pointer-doubling "
         "labels", ("part",)),
+    "stream_hopping": Query(
+        q_stream_hopping, ORACLE_STREAM_HOPPING,
+        "sliding windows as a REAL stream run (4x state replication, "
+        "watermarked)", ("events",)),
+    "order_lines_nested": Query(
+        q_order_lines_nested, ORACLE_ORDER_LINES_NESTED,
+        "nested reassembly: sorted collect_list arrays, per-order "
+        "fingerprints XOR-checked", ("orders", "lineitem")),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -8535,7 +8636,8 @@ QUERIES: dict[str, Query] = {
 # closing the window so a budget cut costs re-confirmation, not
 # first-time verdicts. r7 BACKLOG, in priority order: (1) r6 queries
 # that missed this window — gram_covariance, percent_rank_cdf,
-# hopping_windows, knn_join_det, subtree_value_rollup; (2) the
+# hopping_windows, knn_join_det, subtree_value_rollup,
+# stream_hopping, order_lines_nested; (2) the
 # ~34 r3-era greens (keyed_lookup, stats_topk, marvel_normalize, the
 # stream_windowed family, dedup_clusters_lsh, bloom_join, …).
 _CHECK_FIRST = [

@@ -42,15 +42,21 @@ def stream_shuffle_partitions(spark: SparkSession, n: int):
 
 def stream_windowed_counts(events: DataFrame, *, ts_col: str = "ts",
                            key_col: str = "event_type", window: str = "1 hour",
-                           watermark: str = "2 hours") -> DataFrame:
-    """Tumbling-window count+sum per key with a late-data watermark.
+                           watermark: str = "2 hours",
+                           slide: str | None = None) -> DataFrame:
+    """Tumbling (or, with ``slide``, SLIDING/hopping) window count+sum
+    per key with a late-data watermark. A slide of w/s replicates each
+    event into w/s overlapping windows — state grows by the same factor,
+    which is why the watermark matters more for sliding aggregations.
 
     Works on both a streaming and a batch DataFrame (the watermark is a
     no-op in batch) — the parity contract above.
     """
+    win = (F.window(ts_col, window, slide) if slide
+           else F.window(ts_col, window))
     return (
         events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
+        .groupBy(win.alias("w"), F.col(key_col))
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), key_col, "n_events", "sum_value")
