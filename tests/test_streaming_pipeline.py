@@ -227,3 +227,44 @@ def test_stream_interval_join_how_validation(spark):
     out = stream_interval_join(l2, r, key="k", left_ts="ts_l", right_ts="ts_r",
                                how="left_outer").collect()
     assert len(out) == 2 and sum(1 for x in out if x.ts_r is None) == 1
+
+
+def test_stream_checkpoint_resume_exactly_once(spark, tmpdir):
+    """Checkpointed restart is the operational contract a production
+    stream lives by: stop a file-source stream, add new files, restart
+    with the SAME checkpointLocation — only the new files process (no
+    reprocessing, no loss). Verified by counting per-batch source rows
+    through foreachBatch on both runs."""
+    import glob as _glob
+
+    src = os.path.join(tmpdir, "src")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    os.makedirs(src)
+    seen: list[int] = []
+
+    def write_file(name, lo, hi):
+        tmp = tempfile.mkdtemp(prefix="ckb_")
+        spark.range(lo, hi).selectExpr("id", "id * 2 AS v") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/d")
+        part = _glob.glob(f"{tmp}/d/part-*.parquet")[0]
+        shutil.move(part, os.path.join(src, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def run_once():
+        q = (spark.readStream.schema("id long, v long").parquet(src)
+             .writeStream.foreachBatch(
+                 lambda df, bid: seen.append(df.count()))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    write_file("b1.parquet", 0, 100)
+    run_once()
+    assert sum(seen) == 100
+    # restart with NOTHING new: checkpoint must suppress reprocessing
+    run_once()
+    assert sum(seen) == 100
+    # add data, restart: exactly the delta processes
+    write_file("b2.parquet", 100, 130)
+    run_once()
+    assert sum(seen) == 130
