@@ -8058,6 +8058,86 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered path analysis — the product-analytics query beyond
+    bigram transitions (`event_transitions`): each session's first 5
+    events join into a path string ("view->click->…", order fixed by
+    (ts, event_id) so ties can't flip the path), and the corpus ranks
+    the top 10 paths. Session assembly is one shuffle on user; path
+    strings aggregate map-side (tiny distinct-path key space)."""
+    t = _t(spark, sf_dir, "events")
+    s = R.sessionize(t["events"], "user_id", "ts", gap_minutes=30)
+    paths = (s.groupBy("user_id", "session_id")
+             .agg(F.expr(
+                 "array_join(slice(transform(sort_array(collect_list("
+                 "struct(ts, event_id, event_type))), x -> x.event_type),"
+                 " 1, 5), '->')").alias("path")))
+    return (paths.groupBy("path")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+            .orderBy(F.col("n_sessions").desc(), "path").limit(10))
+
+
+ORACLE_TOP_PATHS = """
+WITH gapped AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gapped
+), ordered AS (
+  SELECT user_id, sid, event_type,
+         row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY ts, event_id) AS rn
+  FROM sess
+), paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '->' ORDER BY rn) AS path
+  FROM ordered WHERE rn <= 5 GROUP BY user_id, sid
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path ORDER BY n_sessions DESC, path LIMIT 10
+"""
+
+
+def q_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-preserving aggregation: customer names never leave the
+    pipeline — each customer gets a STABLE pseudonym (salted md5 of the
+    name), and because the tokenization is deterministic, joins and
+    rollups on the pseudonym produce exactly the results the raw key
+    would. Top 10 pseudonymous customers by order count; the oracle
+    recomputes the same pseudonyms, proving cross-run/cross-engine join
+    consistency — the property that makes tokenized data lakes
+    queryable."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    dim = t["customer"].select(
+        "c_custkey",
+        F.md5(F.concat(F.lit("pepper1|"), F.col("c_name")))
+        .alias("pseudonym"))
+    return (t["orders"].join(F.broadcast(dim),
+                             F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("pseudonym")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                 .cast("double").alias("total_spend"))
+            .orderBy(F.col("n_orders").desc(), "pseudonym").limit(10))
+
+
+ORACLE_PSEUDONYMIZE_JOIN = """
+SELECT md5('pepper1|' || c_name) AS pseudonym,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS total_spend
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY n_orders DESC, pseudonym LIMIT 10
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -8618,6 +8698,14 @@ QUERIES: dict[str, Query] = {
         q_order_lines_nested, ORACLE_ORDER_LINES_NESTED,
         "nested reassembly: sorted collect_list arrays, per-order "
         "fingerprints XOR-checked", ("orders", "lineitem")),
+    "top_paths": Query(
+        q_top_paths, ORACLE_TOP_PATHS,
+        "ordered session path analysis: first-5-event path strings, "
+        "top 10", ("events",)),
+    "pseudonymize_join": Query(
+        q_pseudonymize_join, ORACLE_PSEUDONYMIZE_JOIN,
+        "privacy-preserving rollup on stable salted-md5 pseudonyms",
+        ("customer", "orders")),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -8637,7 +8725,8 @@ QUERIES: dict[str, Query] = {
 # first-time verdicts. r7 BACKLOG, in priority order: (1) r6 queries
 # that missed this window — gram_covariance, percent_rank_cdf,
 # hopping_windows, knn_join_det, subtree_value_rollup,
-# stream_hopping, order_lines_nested; (2) the
+# stream_hopping, order_lines_nested, top_paths,
+# pseudonymize_join; (2) the
 # ~34 r3-era greens (keyed_lookup, stats_topk, marvel_normalize, the
 # stream_windowed family, dedup_clusters_lsh, bloom_join, …).
 _CHECK_FIRST = [
