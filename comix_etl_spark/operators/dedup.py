@@ -540,3 +540,57 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def set_similarity_join_prefix(docs: DataFrame, *, id_col: str = "doc_id",
+                               tokens_col: str = "tokens",
+                               threshold: float = 0.6) -> DataFrame:
+    """EXACT set-similarity self-join (Jaccard ≥ threshold) with
+    PREFIX FILTERING (PPJoin family — Xiao et al. 2008, public): the
+    deterministic alternative to MinHash when recall must be 1.0.
+
+    The pruning theorem: order every doc's tokens by one GLOBAL order
+    (document frequency ascending, token ascending — rarest first) and
+    index only each doc's first ``|s| − ⌈τ·|s|⌉ + 1`` tokens; any pair
+    with J ≥ τ must share an indexed prefix token. Candidates therefore
+    come from an equi-join on PREFIX tokens only — the hot/stopword
+    tokens that make a naive token join quadratic sit at the END of the
+    global order and almost never enter a prefix. Exact Jaccard then
+    verifies candidates from the full sorted token arrays.
+
+    Scale shape: one shuffle to rank the vocabulary (vocabulary-sized,
+    not corpus-sized), one scan-local sort/slice per doc, one equi-join
+    on prefix tokens (bounded per rare token), pair-dedup, then the
+    verify — never an all-pairs comparison. Returns
+    (id_a < id_b, jaccard) rounded 4dp."""
+    tok = (docs.select(F.col(id_col).alias("_id"),
+                       F.explode(F.array_distinct(F.col(tokens_col)))
+                       .alias("_tok")))
+    freq = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = (tok.join(freq, "_tok")
+              .groupBy("_id")
+              .agg(F.expr(
+                  "transform(sort_array(collect_list(struct(_df, _tok))),"
+                  " x -> x._tok)").alias("_sorted")))
+    pre = ranked.select(
+        "_id", "_sorted", F.size("_sorted").alias("_n"),
+        F.expr(f"slice(_sorted, 1, size(_sorted)"
+               f" - cast(ceil({threshold} * size(_sorted)) as int) + 1)")
+        .alias("_prefix"))
+    a = pre.select(F.col("_id").alias("id_a"),
+                   F.col("_sorted").alias("_sa"),
+                   F.col("_n").alias("_na"),
+                   F.explode("_prefix").alias("_ptok"))
+    b = pre.select(F.col("_id").alias("id_b"),
+                   F.col("_sorted").alias("_sb"),
+                   F.col("_n").alias("_nb"),
+                   F.explode("_prefix").alias("_ptok"))
+    cand = (a.join(b, "_ptok")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    jac = inter / (F.col("_na") + F.col("_nb") - inter)
+    # threshold on the UNROUNDED score (rounding is presentation only —
+    # filtering on the rounded value would admit pairs rounded up to τ)
+    return (cand.filter(jac >= threshold)
+            .select("id_a", "id_b", F.round(jac, 4).alias("jaccard")))

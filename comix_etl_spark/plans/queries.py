@@ -8138,6 +8138,99 @@ GROUP BY 1 ORDER BY n_orders DESC, pseudonym LIMIT 10
 """
 
 
+def q_set_sim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard set-similarity self-join with PPJoin-style prefix
+    filtering (operators/dedup.py:set_similarity_join_prefix) — recall
+    1.0 without MinHash's probabilistic loss: docs order their token
+    sets by global document frequency (rarest first) and only each
+    doc's short prefix enters the candidate join, so stopword-heavy
+    tokens never generate pair work. The oracle is the plain
+    token-intersection join — same pairs, proving the pruning theorem
+    dropped nothing. Scoped to a FIXED 300-doc slice at τ=0.9: the
+    synthetic corpus is near-degenerate for whole-doc token Jaccard
+    (74 % of ALL pairs exceed 0.5; 7.6 % exceed 0.9), and when most
+    pairs genuinely qualify, the OUTPUT is quadratic regardless of
+    algorithm — bounding the slice keeps the demo's cost constant at
+    every sf while the operator itself stays fully general."""
+    t = _t(spark, sf_dir, "documents")
+    docs = t["documents"].filter(F.col("doc_id") < 300).select(
+        "doc_id",
+        F.array_distinct(F.filter(F.split(F.lower(F.trim("text")), r"\s+"),
+                                  lambda x: x != "")).alias("tokens"))
+    return (D.set_similarity_join_prefix(docs, id_col="doc_id",
+                                         tokens_col="tokens", threshold=0.9)
+            .orderBy("id_a", "id_b"))
+
+
+ORACLE_SET_SIM_PREFIX = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+           regexp_split_to_array(lower(trim(text)), '\\s+'),
+           x -> x <> ''))) AS tok
+  FROM documents WHERE doc_id < 300
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM tok GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9
+ORDER BY id_a, id_b
+"""
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over IRREGULAR samples — the telemetry/
+    finance primitive a plain avg() gets wrong (a value held for an
+    hour must weigh 60× one held a minute): each event's value holds
+    until the user's next event (lead over one user-keyed shuffle);
+    weights are exact integer microseconds and values go through
+    DECIMAL, so the weighted sums are order-independent and
+    engine-exact. Reported for the 10 most-active users."""
+    t = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    held = (t["events"]
+            .select("user_id", "ts", "event_id",
+                    F.col("value").cast("decimal(18,4)").alias("_v"))
+            .withColumn("_dur_us",
+                        F.unix_micros(F.lead("ts").over(w))
+                        - F.unix_micros("ts"))
+            .filter(F.col("_dur_us").isNotNull()))
+    return (held.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_intervals"),
+                 F.sum(F.col("_v") * F.col("_dur_us"))
+                 .alias("_wsum"),
+                 F.sum("_dur_us").cast("long").alias("span_us"))
+            .select("user_id", "n_intervals", "span_us",
+                    F.round((F.col("_wsum") / F.col("span_us"))
+                            .cast("double"), 6).alias("twap"))
+            .orderBy(F.col("span_us").desc(), "user_id").limit(10))
+
+
+ORACLE_TIME_WEIGHTED_AVG = """
+WITH held AS (
+  SELECT user_id,
+         CAST(value AS DECIMAL(18,4)) AS v,
+         epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dur_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(dur_us) AS BIGINT) AS span_us,
+       round(CAST(sum(v * dur_us) / sum(dur_us) AS DOUBLE), 6) AS twap
+FROM held WHERE dur_us IS NOT NULL
+GROUP BY user_id ORDER BY span_us DESC, user_id LIMIT 10
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -8706,6 +8799,14 @@ QUERIES: dict[str, Query] = {
         q_pseudonymize_join, ORACLE_PSEUDONYMIZE_JOIN,
         "privacy-preserving rollup on stable salted-md5 pseudonyms",
         ("customer", "orders")),
+    "set_sim_prefix": Query(
+        q_set_sim_prefix, ORACLE_SET_SIM_PREFIX,
+        "exact Jaccard join via PPJoin prefix filtering (recall 1.0, "
+        "bounded candidates)", ("documents",)),
+    "time_weighted_avg": Query(
+        q_time_weighted_avg, ORACLE_TIME_WEIGHTED_AVG,
+        "time-weighted average over irregular samples, integer-us "
+        "weights, engine-exact", ("events",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -8726,7 +8827,7 @@ QUERIES: dict[str, Query] = {
 # that missed this window — gram_covariance, percent_rank_cdf,
 # hopping_windows, knn_join_det, subtree_value_rollup,
 # stream_hopping, order_lines_nested, top_paths,
-# pseudonymize_join; (2) the
+# pseudonymize_join, set_sim_prefix, time_weighted_avg; (2) the
 # ~34 r3-era greens (keyed_lookup, stats_topk, marvel_normalize, the
 # stream_windowed family, dedup_clusters_lsh, bloom_join, …).
 _CHECK_FIRST = [
