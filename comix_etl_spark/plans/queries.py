@@ -7434,7 +7434,7 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey"))
                    .alias("_est_direct"),
                    F.count_distinct("o_custkey").alias("exact_customers")))
-    return (coarse.join(unioned, "c_mktsegment")
+    return (coarse.join(F.broadcast(unioned), "c_mktsegment")
             .select("c_mktsegment",
                     F.col("exact_customers").cast("long")
                     .alias("exact_customers"),
