@@ -471,7 +471,8 @@ def pq_topk(corpus: DataFrame, query: DataFrame, *, codebooks=None,
 
 
 def group_centroid_cosine(df: DataFrame, group_col: str, id_col: str,
-                          vec_col: str = "embedding") -> DataFrame:
+                          vec_col: str = "embedding",
+                          broadcast_centroid: bool = True) -> DataFrame:
     """Per-group embedding-cluster cohesion: the mean vector (centroid)
     of each group and every member's cosine to it, reduced to a
     per-group profile (n_vecs, avg/min cosine, 6dp) — the cluster-
@@ -480,18 +481,23 @@ def group_centroid_cosine(df: DataFrame, group_col: str, id_col: str,
 
     Plan: posexplode keys the centroid aggregate on (group, dim) —
     bounded cardinality (groups × width), partials collapse map-side so
-    the shuffle moves O(width × partitions) rows. The member⋈centroid
-    join is co-keyed on the SAME (group, dim) partitioning (no extra
-    exchange under AQE), the per-member dot/norm reduce keys on the
-    member id, and the final rollup is bounded by group count. The raw
-    vectors never shuffle — only their exploded (group, dim) partials.
-    Zero-norm members emit NULL cosine (excluded from avg/min, matching
-    the `cosine` Column function contract).
+    the shuffle moves O(width × partitions) rows. The centroid frame
+    (groups × width rows) BROADCASTS back to the exploded members —
+    joining co-partitioned would avoid the exchange but still sort the
+    big exploded side (a sort-merge join the r6 fleet audit flagged);
+    the broadcast removes that sort. Pass ``broadcast_centroid=False``
+    for unbounded group cardinality. The per-member dot/norm reduce
+    keys on the member id, and the final rollup is bounded by group
+    count. The raw vectors never shuffle — only their exploded
+    (group, dim) partials. Zero-norm members emit NULL cosine
+    (excluded from avg/min, matching the `cosine` Column contract).
     """
     ex = df.select(F.col(group_col).alias("_g"), F.col(id_col).alias("_id"),
                    F.posexplode(vec_col).alias("_d", "_x"))
     ex = ex.withColumn("_x", F.col("_x").cast("double"))
     cent = ex.groupBy("_g", "_d").agg(F.avg("_x").alias("_c"))
+    if broadcast_centroid:
+        cent = F.broadcast(cent)
     joined = ex.join(cent, ["_g", "_d"])
     per_member = (joined.groupBy("_g", "_id")
                   .agg(F.sum(F.col("_x") * F.col("_c")).alias("_dot"),

@@ -3441,7 +3441,7 @@ def q_balance_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     before = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
     min_n = before.agg(F.min("n_before").alias("_min_n"))
     after = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
-    return (before.join(after, "lang", "left")
+    return (before.join(F.broadcast(after), "lang", "left")
             .crossJoin(F.broadcast(min_n))
             .select("lang", "n_before",
                     F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
@@ -4666,7 +4666,7 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     before = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
     min_n = before.agg(F.min("n_before").alias("_min_n"))
     after = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
-    return (before.join(after, "lang", "left")
+    return (before.join(F.broadcast(after), "lang", "left")
             .crossJoin(F.broadcast(min_n))
             .select("lang", "n_before",
                     F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
