@@ -210,3 +210,35 @@ def test_project_matrix_jl_preserves_relative_distance(spark):
     d_near = np.linalg.norm(got[1] - got[2])
     d_far = np.linalg.norm(got[1] - got[3])
     assert d_near < d_far
+
+
+def test_knn_join_recall_vs_brute_force(spark, sf_small):
+    """The all-rows kNN self-join must (a) never emit self-pairs or
+    scores outside [-1, 1], (b) recall a solid share of the TRUE top-3
+    neighbor edges (brute-force cross-scored) in a recall-oriented
+    configuration (12 tables x 4 bits). This corpus is the HARD LSH
+    regime — true neighbors sit near cosine 0.3, so per-bit agreement
+    is ~0.6 and per-table collision ~0.6^bits: 6x6 (the registry
+    query's perf-oriented det config) predicts ~25% recall, 12x4
+    predicts ~80% — the test pins the tables/bits knob to theory."""
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet") \
+        .filter(F.col("vec_id") < 200)
+    planes = S.rademacher_hyperplanes(dim=64, bits=4, tables=12)
+    got = S.knn_join_lsh(emb, dim=64, id_col="vec_id", k=3,
+                         planes=planes).collect()
+    assert all(r.id_a != r.id_b for r in got)
+    assert all(-1.0 <= r.cosine_sim <= 1.0 for r in got)
+    got_edges = {(r.id_a, r.id_b) for r in got}
+
+    # brute-force true top-3 per vector (every row is a query)
+    qs = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = (S.brute_force_topk(emb, qs, k=4, query_id_col="query_id")
+             .filter(F.col("query_id") != F.col("vec_id")).collect())
+    from collections import defaultdict
+    per_q = defaultdict(list)
+    for r in sorted(exact, key=lambda r: (-r.cosine_sim, r.vec_id)):
+        if len(per_q[r.query_id]) < 3:
+            per_q[r.query_id].append(r.vec_id)
+    true_edges = {(q, v) for q, vs in per_q.items() for v in vs}
+    recall = len(true_edges & got_edges) / len(true_edges)
+    assert recall >= 0.5, f"kNN-join recall {recall:.2f}"
