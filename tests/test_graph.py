@@ -71,3 +71,10 @@ def test_tree_ancestry_cycle_raises(spark):
     df = spark.createDataFrame([(1, 2), (2, 1)], "node long, parent long")
     with pytest.raises(RuntimeError, match="cycle"):
         tree_ancestry(df, max_doublings=4)
+
+
+def test_tree_ancestry_empty_input(spark):
+    from comix_etl_spark.operators.graph import tree_ancestry
+
+    df = spark.createDataFrame([], "node long, parent long")
+    assert tree_ancestry(df, max_doublings=3).count() == 0

@@ -127,3 +127,18 @@ def test_interval_overlap_pairs_matches_brute_force(spark):
             want.append((grp[a], a, b, min(ea, eb) - max(sa, sb) + 1))
     assert got == sorted(want)
     assert ("g", 1, 3, 1) in got  # touch-only pair survives
+
+
+def test_interval_overlap_empty_and_singleton(spark):
+    import datetime as dt
+
+    from comix_etl_spark.operators.temporal import interval_overlap_pairs
+
+    empty = spark.createDataFrame([], "uid long, s timestamp, e timestamp")
+    assert interval_overlap_pairs(empty, id_col="uid", start_col="s",
+                                  end_col="e", cell_days=7).count() == 0
+    one = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 5))],
+        "uid long, s timestamp, e timestamp")
+    assert interval_overlap_pairs(one, id_col="uid", start_col="s",
+                                  end_col="e", cell_days=7).count() == 0
