@@ -142,3 +142,48 @@ def foreach_batch_upsert(target_path: str, key: list[str], update_cols: list[str
             safe_overwrite_parquet(merged, target_path)
 
     return apply
+
+
+def foreach_batch_drift(metrics_path: str, ref_edges: list[float],
+                        ref_shares: list[float], *, value_col: str = "value",
+                        eps: float = 1e-6):
+    """foreachBatch sink: score every micro-batch's ``value_col``
+    distribution against a REFERENCE decile histogram (PSI — the same
+    monitor plans/queries.py::q_drift_psi runs in batch) and append
+    one (batch_id, n_rows, psi_e6) row per batch to ``metrics_path``.
+    Continuous data-quality monitoring at ingestion time: a feed whose
+    distribution shifts pages the pipeline BEFORE the bad data lands
+    in training mixes.
+
+    ``ref_edges``/``ref_shares`` come from the reference period (a
+    driver-small list of bin edges + expected share per bin — compute
+    once, broadcast forever). Cost per batch: one conditional-count
+    aggregate over the batch, no shuffle of history; the epsilon floor
+    mirrors the batch monitor (an empty bucket must not emit ln(0))."""
+    n_bins = len(ref_shares)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        bucket = F.lit(0)
+        for e in ref_edges:
+            bucket = bucket + F.when(F.col(value_col) > F.lit(e), 1).otherwise(0)
+        counts = (batch_df.select(bucket.alias("_b"))
+                  .groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+                  .collect())  # ≤ n_bins rows — bounded by construction
+        by_bin = {r._b: r._n for r in counts}
+        total = sum(by_bin.values())
+        import math
+
+        psi = 0.0
+        for b in range(n_bins):
+            p_cur = by_bin.get(b, 0) / total
+            p_ref = ref_shares[b]
+            psi += (p_cur - p_ref) * math.log(max(p_cur, eps) / max(p_ref, eps))
+        spark = batch_df.sparkSession
+        (spark.createDataFrame(
+            [(int(batch_id), int(total), int(round(psi * 1_000_000)))],
+            "batch_id long, n_rows long, psi_e6 long")
+         .write.mode("append").parquet(metrics_path))
+
+    return apply

@@ -268,3 +268,45 @@ def test_stream_checkpoint_resume_exactly_once(spark, tmpdir):
     write_file("b2.parquet", 100, 130)
     run_once()
     assert sum(seen) == 130
+
+
+def test_foreach_batch_drift_flags_shifted_batch(spark, tmpdir):
+    """Per-micro-batch PSI monitoring: a batch drawn from the reference
+    distribution scores near zero; a shifted batch scores high. Also
+    checks the append contract (one metrics row per batch)."""
+    import glob as _glob
+
+    from comix_etl_spark.streaming.windowed import foreach_batch_drift
+
+    src = os.path.join(tmpdir, "drift_src")
+    metrics = os.path.join(tmpdir, "drift_metrics")
+    os.makedirs(src)
+
+    def write_file(name, values):
+        tmp = tempfile.mkdtemp(prefix="drf_")
+        spark.createDataFrame([(float(v),) for v in values], "value double") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/d")
+        part = _glob.glob(f"{tmp}/d/part-*.parquet")[0]
+        shutil.move(part, os.path.join(src, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # reference: uniform over [0, 100) — deciles every 10, share 0.1
+    ref_edges = [10.0 * k for k in range(1, 10)]
+    ref_shares = [0.1] * 10
+    write_file("b1.parquet", [i % 100 + 0.5 for i in range(1000)])   # matches ref
+    write_file("b2.parquet", [i % 30 + 0.5 for i in range(1000)])    # shifted low
+
+    q = (spark.readStream.schema("value double")
+         .option("maxFilesPerTrigger", 1).parquet(src)
+         .writeStream.foreachBatch(
+             foreach_batch_drift(metrics, ref_edges, ref_shares))
+         .option("checkpointLocation", os.path.join(tmpdir, "drift_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    rows = sorted(spark.read.parquet(metrics).collect(),
+                  key=lambda r: r.batch_id)
+    assert len(rows) == 2 and all(r.n_rows == 1000 for r in rows)
+    psis = [r.psi_e6 for r in rows]
+    assert min(psis) < 20_000, psis       # in-distribution batch ~0 PSI
+    assert max(psis) > 500_000, psis      # shifted batch screams
