@@ -397,3 +397,31 @@ def gaps_in_sequence(df: DataFrame, key_col: str,
             .select((F.col("_k") + 1).alias("gap_start"),
                     (F.col("_next") - 1).alias("gap_end"),
                     (F.col("_next") - F.col("_k") - 1).alias("gap_len")))
+
+
+def detect_hot_keys(df: DataFrame, key: Sequence[str], *,
+                    threshold: float = 0.05, sample_fraction: float = 0.01,
+                    seed: int = 42) -> list:
+    """Skew probe for join/agg planning: the keys holding more than
+    ``threshold`` of a deterministic row sample — the input that decides
+    between a plain and a salted plan (`salted_join` / `salted_agg`)
+    when AQE's runtime stats aren't available (first run, no history) or
+    the skew sits inside an already-bucketed exchange AQE can't resplit.
+
+    Bounded BY CONSTRUCTION: at most ``1/threshold`` keys can each hold
+    more than ``threshold`` of the sample, so the collect returns ≤ 20
+    rows at the 5 % default no matter how large the input — this is a
+    planning probe, not a data movement. One sampled scan + one
+    aggregate; seeded sampling keeps re-planning deterministic."""
+    kl = list(key)
+    sampled = df.select(*kl).sample(fraction=sample_fraction, seed=seed)
+    total = sampled.count()
+    if total == 0:
+        return []
+    rows = (sampled.groupBy(*kl)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > threshold * total)
+            .collect())
+    if len(kl) == 1:
+        return [r[0] for r in rows]
+    return [tuple(r[:-1]) for r in rows]

@@ -201,3 +201,40 @@ def test_salted_paths_under_genuine_skew(spark):
         fact.groupBy("k").agg(F.sum("v"), F.count(F.lit(1)))).n_exchanges
     salted_x = plan_summary(salted_agg(fact, ["k"], "v", salts=16)).n_exchanges
     assert plain_x == 1 and salted_x == 2, (plain_x, salted_x)
+
+
+def test_detect_hot_keys_probe_and_adaptive_composition(spark):
+    """The skew probe finds the hot key on a skewed input, returns
+    nothing on a uniform one, and composes with salted_join into the
+    adaptive plan (salt only when skew detected) without changing
+    results."""
+    from comix_etl_spark.operators.relational import (
+        detect_hot_keys,
+        salted_join,
+    )
+
+    skewed = spark.range(10_000).select(
+        F.when(F.col("id") < 4_000, F.lit("hot"))
+         .otherwise(F.concat(F.lit("k"), (F.col("id") % 500).cast("string")))
+         .alias("k"),
+        F.col("id").alias("rid"))
+    uniform = spark.range(10_000).select(
+        F.concat(F.lit("k"), (F.col("id") % 500).cast("string")).alias("k"),
+        F.col("id").alias("rid"))
+    assert detect_hot_keys(skewed, ["k"], sample_fraction=0.2) == ["hot"]
+    assert detect_hot_keys(uniform, ["k"], sample_fraction=0.2) == []
+
+    dim = spark.createDataFrame(
+        [("hot", "H")] + [(f"k{i}", f"d{i}") for i in range(0, 500, 5)],
+        "k string, name string")
+
+    def adaptive_join(left, right, key):
+        hot = detect_hot_keys(left, key, sample_fraction=0.2)
+        return (salted_join(left, right, key, salts=8) if hot
+                else left.join(right, list(key)))
+
+    got = sorted((r.k, r.rid, r.name)
+                 for r in adaptive_join(skewed, dim, ["k"]).collect())
+    want = sorted((r.k, r.rid, r.name)
+                  for r in skewed.join(dim, ["k"]).collect())
+    assert got == want
