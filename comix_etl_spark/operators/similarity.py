@@ -527,7 +527,17 @@ def knn_join_lsh(corpus: DataFrame, *, dim: int, id_col: str = "vec_id",
     (table, bucket) so pair work is bounded per bucket (never
     corpus×corpus); duplicate pairs from multi-table collisions
     collapse once before scoring; the per-vector top-k is a window
-    over candidates only. Returns (id_a, id_b, cosine_sim)."""
+    over candidates only. Returns (id_a, id_b, cosine_sim).
+
+    Formulation note (measured, sf0.1): the candidates CARRY both
+    embedding arrays through the dedup shuffle. The "slim" alternative
+    — dedup bare id pairs, join vectors back after — shuffles ~60×
+    fewer bytes per candidate row but measured 2× SLOWER here
+    (4.8 s vs 2.3 s): with a corpus this size the two extra join
+    stages cost more than the fatter shuffle. At a corpus too large to
+    make those rejoins broadcastable AND pair volumes in the billions,
+    revisit the slim form — the crossover is real, just far above
+    bench scale."""
     if planes is None:
         planes = make_hyperplanes(dim, bits, tables, seed)
     else:
