@@ -37,16 +37,38 @@ _STATE_SCHEMA = "last_us long, session_id int, start_us long, n_events long"
 
 
 def sessionize_stateful(events: DataFrame, *, user_col: str = "user_id",
-                        ts_col: str = "ts", gap_minutes: int = 30) -> DataFrame:
+                        ts_col: str = "ts", gap_minutes: int = 30,
+                        timeout_minutes: int | None = None) -> DataFrame:
     """Apply the stateful sessionizer to a STREAMING DataFrame keyed by
     ``user_col``. Works on the batch engine too (state starts empty per
-    group), which is what the parity test exploits."""
+    group), which is what the parity test exploits.
+
+    ``timeout_minutes`` arms an EVENT-TIME TIMEOUT (the 24/7 operation
+    the module docstring promises): when the stream's watermark passes
+    ``last event + timeout``, the user's open session CLOSES and its
+    state is REMOVED — without it, a user who goes silent forever holds
+    state forever and their last session never emits closed. Requires
+    the caller to set ``withWatermark`` on the stream (Spark enforces
+    this); timed-out groups are invoked with no data and
+    ``state.hasTimedOut`` set."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_us = gap_minutes * 60 * 1_000_000
 
     def fold(key, pdfs, state):
         (user,) = key
+        if timeout_minutes and state.hasTimedOut:
+            last_us, sid, start_us, n = state.get
+            state.remove()
+            out = pd.DataFrame(
+                [(user, sid, start_us, last_us, n, False)],
+                columns=["user_id", "session_id", "start_us", "end_us",
+                         "n_events", "is_open"])
+            out["start_ts"] = pd.to_datetime(out.pop("start_us"), unit="us")
+            out["end_ts"] = pd.to_datetime(out.pop("end_us"), unit="us")
+            yield out[["user_id", "session_id", "start_ts", "end_ts",
+                       "n_events", "is_open"]]
+            return
         if state.exists:
             last_us, sid, start_us, n = state.get
         else:
@@ -70,6 +92,11 @@ def sessionize_stateful(events: DataFrame, *, user_col: str = "user_id",
             # open-session snapshot: emitted every batch in update mode
             closed.append((user, sid, start_us, last_us, n, True))
             state.update((last_us, sid, start_us, n))
+            if timeout_minutes:
+                # event-time timeout is set in MILLISECONDS; fires once
+                # the watermark passes it
+                state.setTimeoutTimestamp(
+                    (last_us + timeout_minutes * 60 * 1_000_000) // 1000)
         if closed:
             out = pd.DataFrame(closed, columns=[
                 "user_id", "session_id", "start_us", "end_us", "n_events", "is_open"])
@@ -77,6 +104,8 @@ def sessionize_stateful(events: DataFrame, *, user_col: str = "user_id",
             out["end_ts"] = pd.to_datetime(out.pop("end_us"), unit="us")
             yield out[["user_id", "session_id", "start_ts", "end_ts", "n_events", "is_open"]]
 
+    timeout_conf = (GroupStateTimeout.EventTimeTimeout if timeout_minutes
+                    else GroupStateTimeout.NoTimeout)
     return (events.groupBy(F.col(user_col))
             .applyInPandasWithState(fold, SESSION_SCHEMA, _STATE_SCHEMA,
-                                    "update", GroupStateTimeout.NoTimeout))
+                                    "update", timeout_conf))

@@ -117,3 +117,39 @@ def test_rocksdb_state_store_provider(spark, tmp_path):
         else:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_event_time_timeout_closes_silent_user(spark, tmp_path):
+    """24/7 operation: a user who goes SILENT must still get their open
+    session closed (and their state dropped) once the watermark passes
+    last-event + timeout — otherwise dormant users hold state forever.
+    u1 stops at 10:05; u2's later events push the watermark past u1's
+    11:05 timeout, and the timeout callback emits u1's session closed."""
+    src = str(tmp_path / "timeout_stream")
+    os.makedirs(src, exist_ok=True)
+    _write_batch(spark, f"{src}/b1.parquet", [
+        (1, dt.datetime(2024, 1, 1, 10, 0, 0)),
+        (1, dt.datetime(2024, 1, 1, 10, 5, 0)),
+    ])
+    _write_batch(spark, f"{src}/b2.parquet", [
+        (2, dt.datetime(2024, 1, 1, 13, 0, 0)),
+    ])
+    _write_batch(spark, f"{src}/b3.parquet", [
+        (2, dt.datetime(2024, 1, 1, 13, 30, 0)),
+    ])
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .withWatermark("ts", "1 minute"))
+    q = (sessionize_stateful(stream, gap_minutes=30, timeout_minutes=60)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("t_state_timeout").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM t_state_timeout").collect()
+
+    u1_closed = [r for r in rows if r.user_id == 1 and not r.is_open]
+    assert len(u1_closed) == 1, rows
+    assert u1_closed[0].n_events == 2
+    assert u1_closed[0].end_ts == dt.datetime(2024, 1, 1, 10, 5, 0)
+    # u2 stayed active — never closed by timeout
+    assert not [r for r in rows if r.user_id == 2 and not r.is_open]
