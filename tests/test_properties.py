@@ -159,3 +159,61 @@ def test_interval_overlap_matches_brute_force_random(spark, iv):
         for a, b in itertools.combinations(spans, 2)
         if spans[a][0] <= spans[b][1] and spans[b][0] <= spans[a][1])
     assert got == want
+
+
+@PROP
+@given(docs=st.lists(st.lists(st.integers(0, 15), min_size=1, max_size=8),
+                     min_size=2, max_size=15))
+def test_prefix_filter_join_exactness(spark, docs):
+    """The PPJoin pruning theorem on random token sets: prefix-filtered
+    candidates + exact verify must equal the brute-force Jaccard join
+    EXACTLY (recall 1.0) — tiny token domain forces heavy overlap,
+    duplicate sets, and subset relations."""
+    from comix_etl_spark.operators.dedup import set_similarity_join_prefix
+
+    tau = 0.6
+    sets = [sorted(set(toks)) for toks in docs]
+    rows = [(i, [f"t{t}" for t in s]) for i, s in enumerate(sets)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    got = sorted((r.id_a, r.id_b) for r in
+                 set_similarity_join_prefix(df, id_col="doc_id",
+                                            tokens_col="tokens",
+                                            threshold=tau).collect())
+    want = []
+    for a in range(len(sets)):
+        for b in range(a + 1, len(sets)):
+            sa, sb = set(sets[a]), set(sets[b])
+            j = len(sa & sb) / len(sa | sb)
+            if j >= tau:
+                want.append((a, b))
+    assert got == sorted(want)
+
+
+@PROP
+@given(vals=st.lists(st.tuples(st.integers(1, 50), st.integers(1, 9)),
+                     min_size=1, max_size=30))
+def test_weighted_median_crossing_matches_reference(spark, vals):
+    """Cumulative-weight crossing == the classic weighted-median
+    definition (smallest value whose cumulative weight reaches half the
+    total), with duplicate values and tied weights common."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(float(v), float(w)) for v, w in vals]
+    df = spark.createDataFrame(rows, "x double, w double")
+    wq = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    cum = df.select("x", F.sum("w").over(wq).alias("c"),
+                    F.sum("w").over(wt).alias("t"))
+    got = (cum.filter(F.col("c") * 2 >= F.col("t"))
+           .agg(F.min("x")).collect()[0][0])
+
+    total = sum(w for _, w in vals)
+    acc = 0.0
+    want = None
+    for v, w in sorted(vals):
+        acc += w
+        if acc * 2 >= total:
+            want = float(v)
+            break
+    assert got == want
