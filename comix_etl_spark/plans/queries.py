@@ -8231,6 +8231,50 @@ GROUP BY user_id ORDER BY span_us DESC, user_id LIMIT 10
 """
 
 
+def q_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the retrieval shape production vector
+    stores struggle with (metadata predicate + nearest-neighbor in one
+    query): top-5 cosine matches among only the ENGLISH documents
+    longer than 200 chars. Composition order is the whole game:
+    the predicate PREFILTERS the corpus scan (pushed to parquet via
+    the documents join) and exact search runs on the survivors —
+    correct recall by construction, no post-filtering a k-list down to
+    fewer than k results (the classic filtered-ANN failure). At scale
+    the same composition holds with the bucketed searchers: filter
+    first, bucket the survivors."""
+    t = _t(spark, sf_dir, "documents", "embeddings")
+    eligible = (t["documents"]
+                .filter((F.col("lang") == "en") & (F.col("n_chars") > 200))
+                .select(F.col("doc_id").alias("vec_id")))
+    corpus = t["embeddings"].join(eligible, "vec_id")
+    queries = (t["embeddings"].filter(F.col("vec_id").isin(0, 1))
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return (S.brute_force_topk(corpus, queries, k=5, query_id_col="query_id")
+            .orderBy("query_id", "vec_id"))
+
+
+ORACLE_FILTERED_ANN = """
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), eligible AS (
+  SELECT e.vec_id, e.v
+  FROM vecs e JOIN documents d ON d.doc_id = e.vec_id
+  WHERE d.lang = 'en' AND d.n_chars > 200
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         round(list_dot_product(c.v, q.v)
+               / (sqrt(list_dot_product(c.v, c.v))
+                  * sqrt(list_dot_product(q.v, q.v))), 6) AS cosine_sim
+  FROM eligible c, vecs q WHERE q.vec_id IN (0, 1)
+)
+SELECT query_id, vec_id, cosine_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 5 ORDER BY query_id, vec_id
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -8807,6 +8851,10 @@ QUERIES: dict[str, Query] = {
         q_time_weighted_avg, ORACLE_TIME_WEIGHTED_AVG,
         "time-weighted average over irregular samples, integer-us "
         "weights, engine-exact", ("events",)),
+    "filtered_ann": Query(
+        q_filtered_ann, ORACLE_FILTERED_ANN,
+        "filtered vector search: predicate prefilters the corpus, "
+        "exact recall by construction", ("documents", "embeddings")),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -8827,7 +8875,8 @@ QUERIES: dict[str, Query] = {
 # that missed this window — gram_covariance, percent_rank_cdf,
 # hopping_windows, knn_join_det, subtree_value_rollup,
 # stream_hopping, order_lines_nested, top_paths,
-# pseudonymize_join, set_sim_prefix, time_weighted_avg; (2) the
+# pseudonymize_join, set_sim_prefix, time_weighted_avg,
+# filtered_ann; (2) the
 # ~34 r3-era greens (keyed_lookup, stats_topk, marvel_normalize, the
 # stream_windowed family, dedup_clusters_lsh, bloom_join, …).
 _CHECK_FIRST = [
