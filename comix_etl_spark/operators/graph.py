@@ -129,9 +129,16 @@ def tree_ancestry(parents: DataFrame, *, id_col: str = "node",
         jump = state.select(F.col("node").alias("_jn"),
                             F.col("anc").alias("_ja"),
                             F.col("d").alias("_jd"))
-        state = (state.join(jump, state["anc"] == jump["_jn"])
-                 .select("node", F.col("_ja").alias("anc"),
-                         (F.col("d") + F.col("_jd")).alias("d"))
+        # LEFT join: an anc with no (node, parent) row of its own is a
+        # DANGLING parent pointer — an inner join would silently drop the
+        # whole subtree under it. Coalesce treats the dangling id as a
+        # root (it jumps to itself at distance 0), so those nodes resolve
+        # with root = the dangling parent instead of vanishing.
+        state = (state.join(jump, state["anc"] == jump["_jn"], "left")
+                 .select("node",
+                         F.coalesce(F.col("_ja"), F.col("anc")).alias("anc"),
+                         (F.col("d") + F.coalesce(F.col("_jd"), F.lit(0)))
+                         .alias("d"))
                  .localCheckpoint(eager=True))
         total = state.agg(F.sum("d")).collect()[0][0]
         if total == prev:

@@ -157,12 +157,16 @@ def interval_overlap_pairs(df: DataFrame, *, id_col: str, start_col: str,
     LATER of the two starts (both intervals provably cover that cell,
     and only one cell contains a given day)."""
     g = list(group_cols)
-    day = lambda c: F.expr(f"unix_timestamp({c}) div 86400")  # noqa: E731
+    # floor division, NOT `div` (which truncates toward zero): pre-epoch
+    # timestamps in (-86400, 0) must land on day -1, not collapse onto
+    # day 0 with 1970-01-01 — `div`-truncation makes 1969-12-31 falsely
+    # overlap 1970-01-01 and skews overlap_days for any pre-1970 data
+    day = lambda c: F.floor(F.unix_timestamp(F.col(c)) / 86400)  # noqa: E731
     base = df.select(*g, F.col(id_col).alias("_id"),
                      day(start_col).alias("_s"), day(end_col).alias("_e"))
     if cell_days:
-        cells = F.sequence(F.expr(f"_s div {cell_days}"),
-                           F.expr(f"_e div {cell_days}"))
+        cells = F.sequence(F.expr(f"floor(_s / {cell_days})"),
+                           F.expr(f"floor(_e / {cell_days})"))
         base = base.withColumn("_cell", F.explode(cells))
         keys = g + ["_cell"]
     else:
@@ -180,7 +184,7 @@ def interval_overlap_pairs(df: DataFrame, *, id_col: str, start_col: str,
     if cell_days:
         # evaluate each pair only in the later-start cell
         pairs = pairs.filter(
-            F.expr(f"greatest(_sa, _sb) div {cell_days}") == F.col("_cell"))
+            F.expr(f"floor(greatest(_sa, _sb) / {cell_days})") == F.col("_cell"))
     return pairs.select(
         *g,
         "id_a", "id_b",

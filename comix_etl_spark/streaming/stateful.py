@@ -94,9 +94,16 @@ def sessionize_stateful(events: DataFrame, *, user_col: str = "user_id",
             state.update((last_us, sid, start_us, n))
             if timeout_minutes:
                 # event-time timeout is set in MILLISECONDS; fires once
-                # the watermark passes it
+                # the watermark passes it. Spark rejects a timestamp at
+                # or below the current watermark (IllegalArgumentException),
+                # reachable when an accepted-late event's ts + timeout
+                # already trails the watermark (watermark delay > timeout,
+                # or backlog catch-up) — clamp to watermark + 1 ms so the
+                # state times out on the next watermark advance instead of
+                # crashing the query.
+                ts_ms = (last_us + timeout_minutes * 60 * 1_000_000) // 1000
                 state.setTimeoutTimestamp(
-                    (last_us + timeout_minutes * 60 * 1_000_000) // 1000)
+                    max(ts_ms, state.getCurrentWatermarkMs() + 1))
         if closed:
             out = pd.DataFrame(closed, columns=[
                 "user_id", "session_id", "start_us", "end_us", "n_events", "is_open"])

@@ -161,6 +161,13 @@ def foreach_batch_drift(metrics_path: str, ref_edges: list[float],
     aggregate over the batch, no shuffle of history; the epsilon floor
     mirrors the batch monitor (an empty bucket must not emit ln(0))."""
     n_bins = len(ref_shares)
+    # n_bins buckets need exactly n_bins - 1 interior edges; a full edge
+    # list would route rows into a phantom bucket n_bins that inflates
+    # `total` but is skipped by the PSI loop, deflating every p_cur
+    if len(ref_edges) != n_bins - 1:
+        raise ValueError(
+            f"ref_edges must hold the {n_bins - 1} interior edges for "
+            f"{n_bins} ref_shares bins, got {len(ref_edges)}")
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
@@ -168,9 +175,15 @@ def foreach_batch_drift(metrics_path: str, ref_edges: list[float],
         bucket = F.lit(0)
         for e in ref_edges:
             bucket = bucket + F.when(F.col(value_col) > F.lit(e), 1).otherwise(0)
-        counts = (batch_df.select(bucket.alias("_b"))
+        # NULL values satisfy no `>` predicate and would land in bucket
+        # 0, silently inflating the lowest bin's share — exclude them
+        # from the distribution under test
+        counts = (batch_df.filter(F.col(value_col).isNotNull())
+                  .select(bucket.alias("_b"))
                   .groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
                   .collect())  # ≤ n_bins rows — bounded by construction
+        if not counts:
+            return
         by_bin = {r._b: r._n for r in counts}
         total = sum(by_bin.values())
         import math

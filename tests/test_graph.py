@@ -78,3 +78,17 @@ def test_tree_ancestry_empty_input(spark):
 
     df = spark.createDataFrame([], "node long, parent long")
     assert tree_ancestry(df, max_doublings=3).count() == 0
+
+
+def test_tree_ancestry_dangling_parent_kept_as_root(spark):
+    """ADVICE r6: a parent id with no (node, parent) row of its own must
+    NOT drop the subtree — the dangling id is treated as a root. Chain
+    3 -> 2 -> 99 where 99 has no row: both nodes must resolve with
+    root=99 and correct depths."""
+    from comix_etl_spark.operators.graph import tree_ancestry
+
+    df = spark.createDataFrame(
+        [(2, 99), (3, 2), (10, None)], "node long, parent long")
+    got = {r.node: (r.root, r.depth)
+           for r in tree_ancestry(df, max_doublings=6).collect()}
+    assert got == {2: (99, 1), 3: (99, 2), 10: (10, 0)}

@@ -153,3 +153,40 @@ def test_event_time_timeout_closes_silent_user(spark, tmp_path):
     assert u1_closed[0].end_ts == dt.datetime(2024, 1, 1, 10, 5, 0)
     # u2 stayed active — never closed by timeout
     assert not [r for r in rows if r.user_id == 2 and not r.is_open]
+
+
+def test_timeout_clamped_when_watermark_delay_exceeds_timeout(spark, tmp_path):
+    """ADVICE r6: with watermark DELAY > timeout, an accepted-late event's
+    ts + timeout can trail the current watermark; setTimeoutTimestamp
+    would throw IllegalArgumentException and kill the query. The clamp
+    (max with watermark + 1 ms) must keep the query alive AND still
+    close the session once the watermark advances.
+
+    b1: u2@13:00 -> watermark after b1 = 11:00 (2 h delay). b2: u1@9:00
+    arrives (stateful ops do not auto-drop late rows); unclamped timeout
+    would be 9:01 < 11:00 -> crash. b3: u2@16:00 pushes the watermark to
+    14:00 so the final no-data batch fires u1's (clamped) timeout."""
+    src = str(tmp_path / "clamp_stream")
+    os.makedirs(src, exist_ok=True)
+    _write_batch(spark, f"{src}/b1.parquet", [
+        (2, dt.datetime(2024, 1, 1, 13, 0, 0)),
+    ])
+    _write_batch(spark, f"{src}/b2.parquet", [
+        (1, dt.datetime(2024, 1, 1, 9, 0, 0)),
+    ])
+    _write_batch(spark, f"{src}/b3.parquet", [
+        (2, dt.datetime(2024, 1, 1, 16, 0, 0)),
+    ])
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .withWatermark("ts", "2 hours"))
+    q = (sessionize_stateful(stream, gap_minutes=30, timeout_minutes=1)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("t_state_clamp").trigger(availableNow=True).start())
+    q.awaitTermination()  # unclamped: StreamingQueryException here
+    rows = spark.sql("SELECT * FROM t_state_clamp").collect()
+
+    u1_closed = [r for r in rows if r.user_id == 1 and not r.is_open]
+    assert len(u1_closed) == 1, rows
+    assert u1_closed[0].end_ts == dt.datetime(2024, 1, 1, 9, 0, 0)

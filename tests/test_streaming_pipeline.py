@@ -310,3 +310,40 @@ def test_foreach_batch_drift_flags_shifted_batch(spark, tmpdir):
     psis = [r.psi_e6 for r in rows]
     assert min(psis) < 20_000, psis       # in-distribution batch ~0 PSI
     assert max(psis) > 500_000, psis      # shifted batch screams
+
+
+def test_foreach_batch_drift_validates_edges_and_ignores_nulls(spark, tmpdir):
+    """ADVICE r6: (1) a full edge list (len == n_bins) must be rejected
+    at construction — rows would land in a phantom bucket that deflates
+    every p_cur; (2) NULL values must not inflate bucket 0."""
+    import glob as _glob
+
+    import pytest
+
+    from comix_etl_spark.streaming.windowed import foreach_batch_drift
+
+    with pytest.raises(ValueError, match="interior edges"):
+        foreach_batch_drift("/tmp/x", [0.0, 10.0], [0.5, 0.5])
+
+    src = os.path.join(tmpdir, "driftnull_src")
+    metrics = os.path.join(tmpdir, "driftnull_metrics")
+    os.makedirs(src)
+    tmp = tempfile.mkdtemp(prefix="drfn_")
+    vals = [float(i % 100) + 0.5 for i in range(1000)] + [None] * 500
+    spark.createDataFrame([(v,) for v in vals], "value double") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/d")
+    shutil.move(_glob.glob(f"{tmp}/d/part-*.parquet")[0],
+                os.path.join(src, "b1.parquet"))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    ref_edges = [10.0 * k for k in range(1, 10)]
+    q = (spark.readStream.schema("value double").parquet(src)
+         .writeStream.foreachBatch(
+             foreach_batch_drift(metrics, ref_edges, [0.1] * 10))
+         .option("checkpointLocation", os.path.join(tmpdir, "driftnull_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    (row,) = spark.read.parquet(metrics).collect()
+    # 500 NULLs excluded: distribution matches reference, PSI ~ 0.
+    # Pre-fix they inflate bucket 0 to 600/1500 and PSI blows past 0.5.
+    assert row.psi_e6 < 20_000, row

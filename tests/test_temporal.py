@@ -142,3 +142,24 @@ def test_interval_overlap_empty_and_singleton(spark):
         "uid long, s timestamp, e timestamp")
     assert interval_overlap_pairs(one, id_col="uid", start_col="s",
                                   end_col="e", cell_days=7).count() == 0
+
+
+def test_interval_overlap_pre_epoch_days_do_not_collapse(spark):
+    """ADVICE r6: day bucketing must use floor division — with `div`
+    truncation, 1969-12-31 lands on day 0 and falsely overlaps
+    1970-01-01. The two one-day intervals below are adjacent, not
+    overlapping."""
+    import datetime as dt
+
+    from comix_etl_spark.operators.temporal import interval_overlap_pairs
+
+    rows = [("a", dt.datetime(1969, 12, 31, 6), dt.datetime(1969, 12, 31, 18)),
+            ("b", dt.datetime(1970, 1, 1, 6), dt.datetime(1970, 1, 1, 18)),
+            ("c", dt.datetime(1969, 12, 31, 12), dt.datetime(1970, 1, 1, 12))]
+    df = spark.createDataFrame(rows, "uid string, s timestamp, e timestamp")
+    got = {(r.id_a, r.id_b, r.overlap_days)
+           for r in interval_overlap_pairs(
+               df, id_col="uid", start_col="s", end_col="e",
+               cell_days=2).collect()}
+    # c spans both days; a-b must NOT pair
+    assert got == {("a", "c", 1), ("b", "c", 1)}, got
