@@ -68,7 +68,7 @@ def main() -> None:
         gc.collect()
 
     total = round(sum(per_query.values()), 4)
-    print(json.dumps({
+    payload = {
         "metric": "registry_total_runtime",
         "value": total,
         "unit": "sec",
@@ -78,7 +78,22 @@ def main() -> None:
         # (r1: 42 queries, r2: 58), not headline-to-headline
         "n_queries": len(per_query),
         "sec_per_query": round(total / max(len(per_query), 1), 4),
-    }))
+    }
+    print(json.dumps(payload))
+    # the driver keeps only the last 2 KB of stdout, which truncates the
+    # per-query map to ~40 entries — persist the COMPLETE artifact so
+    # round-over-round regression diffs cover every query
+    # ($SPARK_GRAFT_BENCH_OUT to redirect; empty string to disable)
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT",
+                              os.path.join(os.path.dirname(
+                                  os.path.abspath(__file__)),
+                                  "bench_local_latest.json"))
+    if out_path:
+        try:
+            with open(out_path, "w") as fh:
+                json.dump(payload, fh, indent=1, sort_keys=True)
+        except OSError:
+            pass  # never let artifact IO fail the bench line
     spark.stop()
 
 

@@ -6390,7 +6390,14 @@ def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/vector.py::project_matrix: one BLAS matmul per Arrow
     batch, zero exchanges). The md5 coin makes the plane matrix
     engine-reproducible, so the DuckDB oracle recomputes the projection
-    bit-for-bit (same det-hash family as ann_lsh_det)."""
+    bit-for-bit (same det-hash family as ann_lsh_det).
+
+    Output shape (r7): (vec_id, dim, proj_e6) — the projected vector
+    POSEXPLODED to scalar rows with the value as a 1e-6-scaled BIGINT.
+    The r6 driver run proved array-typed output columns crash the
+    harness canonicalizer (pandas sort_values on a list column →
+    "unhashable type: 'list'"); every registry query must emit scalar
+    columns only (enforced by tests/test_plan_hygiene.py)."""
     import hashlib
 
     planes = [[(1.0 if ord(hashlib.md5(f"jl{t}_{d}".encode())
@@ -6399,8 +6406,12 @@ def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "embeddings")
     return (t["embeddings"]
             .select("vec_id",
-                    vector.project_matrix("embedding", planes).alias("proj"))
-            .orderBy("vec_id"))
+                    F.posexplode(vector.project_matrix("embedding", planes))
+                    .alias("dim", "_val"))
+            .select("vec_id", F.col("dim").cast("long").alias("dim"),
+                    F.round(F.col("_val") * 1_000_000)
+                    .cast("long").alias("proj_e6"))
+            .orderBy("vec_id", "dim"))
 
 
 ORACLE_JL_PROJECTION = """
@@ -6412,8 +6423,9 @@ WITH planes AS (
 ), vecs AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 )
-SELECT vec_id, list(round(list_dot_product(v, w), 6) ORDER BY t) AS proj
-FROM vecs, planes GROUP BY vec_id, v ORDER BY vec_id
+SELECT vec_id, t AS dim,
+       CAST(round(round(list_dot_product(v, w), 6) * 1000000) AS BIGINT) AS proj_e6
+FROM vecs, planes ORDER BY vec_id, dim
 """
 
 
@@ -8865,53 +8877,43 @@ QUERIES: dict[str, Query] = {
 # expensive pair/sketch queries sit at the very end — a budget cut costs
 # re-confirmation of old green rows, not first-time verdicts.
 #
-# r6 ROTATION: CORRECTNESS_r05 went 46/50 green (4 legit no_oracle),
-# leaving exactly 33 registry queries that have NEVER been driver-checked
-# plus hash_split stale at r2. This window = hash_split first, then all
-# 33 first-timers (cheap analytics shapes first), then 10 of the oldest
-# r3-era greens, with the expensive det-sibling/stream/pagerank queries
-# closing the window so a budget cut costs re-confirmation, not
-# first-time verdicts. r7 BACKLOG, in priority order: (1) r6 queries
-# that missed this window — gram_covariance, percent_rank_cdf,
-# hopping_windows, knn_join_det, subtree_value_rollup,
-# stream_hopping, order_lines_nested, top_paths,
-# pseudonymize_join, set_sim_prefix, time_weighted_avg,
-# filtered_ann; (2) the
-# ~34 r3-era greens (keyed_lookup, stats_topk, marvel_normalize, the
-# stream_windowed family, dedup_clusters_lsh, bloom_join, …).
+# r7 ROTATION: CORRECTNESS_r06 went 49/50 — the only red was
+# jl_projection's array-typed output crashing the driver canonicalizer
+# (fixed this round: posexploded to scalar (vec_id, dim, proj_e6) rows;
+# a plan-hygiene test now bans non-scalar output columns registry-wide).
+# This window = jl_projection first (the fix needs its verdict), then
+# the 12 late-r6 queries that have NEVER been driver-checked (cheap
+# shapes first, the kNN self-join and stream last among them), then 37
+# of the 45 r3-era greens whose verdicts are 4 rounds stale — including
+# the whole stream_windowed family, whose events-ts-unit sensitivity
+# makes staleness riskiest (VERDICT r6 #6). r8 BACKLOG: the 8 r3-era
+# greens left out (decontaminate, fuzzy_match, dedup_spans,
+# ann_quantized, pack_sequences, balance_corpus, multimodal_decode,
+# bloom_join) + any r7-new queries that miss this window.
 _CHECK_FIRST = [
-    # stale r2 verdict — dropped from the r5 window; re-check first
-    "hash_split",
-    # never driver-checked: 13 TPC-H analog shapes (cheap, hash oracles)
-    "order_priority_check", "trade_volume", "profit_by_nation",
-    "returned_items", "important_parts", "promo_share", "top_supplier",
-    "supplier_variety", "big_orders", "bracket_revenue",
-    "promo_suppliers", "idle_customers", "min_cost_supplier",
-    # never driver-checked: late-r5 analytics/ops batch
-    "sequence_gaps", "priority_mix", "drift_psi", "range_frame_window",
-    "set_operations", "chi_square", "benford_deviation",
-    "schema_evolution", "weighted_sample", "pareto_frontier",
-    "zorder_layout", "bpe_pair_counts", "jl_projection", "bm25_search",
-    "centroid_cohesion",
-    # new in r6 — derived exact checks for the sketch paths (VERDICT #5)
-    "approx_cardinality_check", "approx_percentiles_check",
-    "kmeans_assign_det",
-    # new in r6 — Q5/Q6 analogs, pointer-doubling ancestry, interval
-    # join, CUSUM, vocab coverage (first-timers outrank re-checks)
-    "local_supplier_volume", "discount_revenue", "hierarchy_rollup",
-    "interval_overlap", "cusum_changepoint", "vocab_coverage",
-    # new in r6 — sketch rollup, weighted median, attribution, ANALYZE,
-    # content-defined chunking
-    "hll_rollup", "weighted_median", "attribution", "analyze_stats",
-    "cdc_chunking",
-    # r5-green but its node coloring changed this round (residue →
-    # md5 hash per ADVICE) — semantics change forces a fresh verdict
-    "supplier_triangles",
-    # never driver-checked AND expensive — close the window
-    "stream_outer_join", "minhash_lsh_det", "simhash_det",
-    "dedup_clusters_lsh_det", "ann_pq_det",
-    # r3-green, expensive, and its SQL oracle is new in r5
-    "pagerank",
+    # FAILED r6 (canonicalizer crash), output shape fixed — verdict first
+    "jl_projection",
+    # never driver-checked: late-r6 batch, cheap analytics shapes first
+    "gram_covariance", "percent_rank_cdf", "time_weighted_avg",
+    "subtree_value_rollup", "order_lines_nested", "top_paths",
+    "pseudonymize_join", "hopping_windows",
+    # never driver-checked: late-r6, heavier (pair joins, stream)
+    "set_sim_prefix", "filtered_ann", "knn_join_det", "stream_hopping",
+    # r3-era greens, 4 rounds stale — cheap relational/scalar shapes
+    "stats_topk", "keyed_lookup", "marvel_normalize", "marvel_credits",
+    "rest_paginated", "incremental_refetch", "cover_enrichment",
+    "issue_sort_numeric", "snapshot_diff", "shipping_priority",
+    "gap_fill", "decile_buckets", "dict_encode", "winsorize",
+    "forward_fill", "unpivot_measures", "market_share", "group_sample",
+    "retention_cohorts", "sales_cube", "scd2_orders",
+    "incremental_rollup", "rolling_dau", "key_skew", "table_fingerprint",
+    # r3-era greens — text/corpus family
+    "chunk_documents", "tfidf_top_terms", "pii_scrub",
+    "repetition_stats", "corpus_top_terms", "lang_balance",
+    # r3-era greens — events-ts-sensitive stream family closes the
+    # window (re-checks, so a budget cut costs confirmation only)
+    "multimodal_metadata", "stream_windowed", "stream_sessionize",
+    "stream_join", "stream_dedup", "stream_enrich",
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 QUERIES = {

@@ -162,3 +162,20 @@ def test_gram_covariance_never_shuffles_corpus(spark, sf_small):
     s = plan_summary(df)
     assert s.n_sort_merge_joins == 0
     assert "parquet" not in _plan(df).lower()
+
+
+def test_every_query_emits_only_scalar_columns(spark, sf_small):
+    """The driver's correctness harness canonicalizes results with a
+    pandas sort_values over every column — an array/map/struct output
+    column raises "unhashable type: 'list'" and BURNS the query's
+    verification slot (jl_projection, r6). Non-scalar intermediates are
+    fine; the FINAL schema of every registry query must be scalar-only
+    (explode to rows or fingerprint to a string instead)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = []
+    for name, q in QUERIES.items():
+        for f in q.builder(spark, sf_small).schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append((name, f.name, f.dataType.simpleString()))
+    assert not bad, bad
