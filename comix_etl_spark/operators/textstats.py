@@ -234,6 +234,89 @@ def dedup_spans(df: DataFrame, id_col: str, text_col: str, *,
                      " ")).alias("new_fp")))
 
 
+def exact_substring_dedup(df: DataFrame, id_col: str, text_col: str, *,
+                          k: int = 8) -> DataFrame:
+    """Cross-document EXACT SUBSTRING dedup at anchor granularity — the
+    suffix-array-style pass of "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al. 2021, ExactSubstr), re-expressed
+    for Spark. Where ``dedup_spans`` removes only ALIGNED fixed chunks,
+    this removes any duplicated token run at ANY offset: a substring of
+    ≥ k tokens shared verbatim between two places in the corpus is kept
+    at exactly one of them and removed everywhere else.
+
+    Mechanism (anchor shingles instead of a global suffix array, which
+    does not distribute): every k-token shingle occurrence (doc, p) is
+    an ANCHOR. A shingle whose text occurs more than once (across OR
+    within documents) is duplicated; the lexicographically-first
+    occurrence (min doc_id, then min p) is the OWNER and keeps its
+    tokens, every other occurrence marks token positions [p, p+k-1] for
+    removal. A duplicated run of length m ≥ k yields m-k+1 consecutive
+    duplicated anchors, so the union of their windows covers the whole
+    run — long duplicates are removed in full, while runs shorter than
+    k tokens are below the match threshold and survive (the same
+    length-threshold contract as ExactSubstr's min-match length).
+
+    Returns ``(id_col, n_tokens, dup_tokens, new_fp)``: per-document
+    token count, tokens removed, and the md5 of the text rebuilt from
+    surviving tokens in original order (empty-string md5 when the whole
+    document was duplicated elsewhere) — the reconstruction, not just
+    the counts, is what the oracle checks.
+
+    Scale shape (100 TB): anchors are one posexplode of a scan-local
+    slice/transform — O(total tokens) rows, no UDF. ONE wide shuffle
+    keys the anchors by shingle text for the ownership window (hot keys
+    are bounded exactly like dedup_spans: a partition holds one
+    shingle's occurrence list). Removal positions explode only from
+    NON-OWNER duplicated anchors (≤ k rows each, distinct-bounded by
+    the document's own length), and reconstruction is one groupBy on
+    ``id_col`` whose state is bounded by the document itself. Nothing
+    is ever all-pairs and nothing leaves the cluster.
+    """
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_tk"))
+    n_starts = F.size("_tk") - (k - 1)
+    anchors = (toks.filter(F.size("_tk") >= k)
+               .select(F.col(id_col),
+                       F.posexplode(F.transform(
+                           F.sequence(F.lit(1), n_starts),
+                           lambda s: F.array_join(F.slice("_tk", s, k), " ")))
+                       .alias("_p", "_g")))
+    w_ord = Window.partitionBy("_g").orderBy(F.col(id_col), F.col("_p"))
+    # rn > 1 ⟺ the shingle text occurs more than once AND this is not
+    # the owner occurrence — one window, one shuffle, no count needed
+    marked = anchors.withColumn("_rn", F.row_number().over(w_ord))
+    removed_pos = (marked.filter(F.col("_rn") > 1)
+                   .select(F.col(id_col),
+                           F.explode(F.sequence(
+                               F.col("_p"), F.col("_p") + (k - 1)))
+                           .alias("_idx"))
+                   .distinct())
+    # one pass folds removal count AND reconstruction: flag each token
+    # via left join (collect_list drops the null structs of removed
+    # tokens — same reconstruction trick as dedup_spans)
+    per_tok = toks.select(F.col(id_col), F.posexplode("_tk").alias("_idx", "_tok"))
+    agg = (per_tok
+           .join(removed_pos.withColumn("_rm", F.lit(1)),
+                 [id_col, "_idx"], "left")
+           .groupBy(id_col)
+           .agg(F.sum(F.coalesce("_rm", F.lit(0))).cast("long")
+                .alias("dup_tokens"),
+                F.md5(F.array_join(
+                    F.transform(F.sort_array(F.collect_list(
+                        F.when(F.col("_rm").isNull(),
+                               F.struct(F.col("_idx"), F.col("_tok"))))),
+                        lambda s: s["_tok"]), " ")).alias("new_fp")))
+    empty_fp = "d41d8cd98f00b204e9800998ecf8427e"  # md5("")
+    # the slim (id, n_tokens) driver side re-reads only the text column
+    # and restores zero-token documents the explode produced no rows for
+    return (toks.select(F.col(id_col), F.size("_tk").cast("long").alias("n_tokens"))
+            .join(agg, id_col, "left")
+            .select(F.col(id_col),
+                    "n_tokens",
+                    F.coalesce("dup_tokens", F.lit(0)).cast("long")
+                    .alias("dup_tokens"),
+                    F.coalesce("new_fp", F.lit(empty_fp)).alias("new_fp")))
+
+
 def contamination_check(corpus: DataFrame, benchmark: DataFrame, *,
                         id_col: str, text_col: str, n: int = 5) -> DataFrame:
     """Benchmark decontamination: flag corpus documents sharing any word

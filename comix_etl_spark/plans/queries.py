@@ -8287,6 +8287,65 @@ SELECT query_id, vec_id, cosine_sim FROM (
 """
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring dedup, anchor-shingle form of Lee
+    et al. 2021's suffix-array ExactSubstr pass
+    (operators/textstats.py::exact_substring_dedup): any ≥8-token run
+    shared verbatim anywhere in the corpus survives only at its
+    first-occurrence owner; documents are rebuilt from surviving tokens
+    and fingerprinted (the md5 of the reconstruction is the checked
+    value — same contract as dedup_spans, but offset-free: an embedded
+    duplicate at ANY alignment is caught, not just chunk-aligned)."""
+    from comix_etl_spark.operators.textstats import exact_substring_dedup
+
+    t = _t(spark, sf_dir, "documents")
+    return (exact_substring_dedup(t["documents"], "doc_id", "text", k=8)
+            .orderBy("doc_id"))
+
+
+ORACLE_SUBSTRING_DEDUP = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+), st AS (
+  SELECT doc_id, tk, unnest(range(1, len(tk) - 8 + 2)) AS s
+  FROM toks WHERE len(tk) >= 8
+), anch AS (
+  SELECT doc_id, s - 1 AS p, array_to_string(tk[s : s + 7], ' ') AS g
+  FROM st
+), marked AS (
+  SELECT doc_id, p,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+  FROM anch
+), rem_anchor AS (
+  SELECT doc_id, p, unnest(range(8)) AS d FROM marked WHERE rn > 1
+), removed AS (
+  SELECT DISTINCT doc_id, p + d AS idx FROM rem_anchor
+), it AS (
+  SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM toks
+), per_tok AS (
+  SELECT doc_id, i - 1 AS idx, tk[i] AS tok FROM it
+), kept AS (
+  SELECT pt.doc_id, pt.idx, pt.tok
+  FROM per_tok pt ANTI JOIN removed r
+    ON pt.doc_id = r.doc_id AND pt.idx = r.idx
+)
+SELECT t.doc_id,
+       CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       CAST(coalesce(dc.n, 0) AS BIGINT) AS dup_tokens,
+       coalesce(kf.fp, md5('')) AS new_fp
+FROM toks t
+LEFT JOIN (SELECT doc_id, count(*) AS n FROM removed GROUP BY 1) dc
+  ON t.doc_id = dc.doc_id
+LEFT JOIN (SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY idx)) AS fp
+           FROM kept GROUP BY 1) kf
+  ON t.doc_id = kf.doc_id
+ORDER BY t.doc_id
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -8867,6 +8926,10 @@ QUERIES: dict[str, Query] = {
         q_filtered_ann, ORACLE_FILTERED_ANN,
         "filtered vector search: predicate prefilters the corpus, "
         "exact recall by construction", ("documents", "embeddings")),
+    "substring_dedup": Query(
+        q_substring_dedup, ORACLE_SUBSTRING_DEDUP,
+        "offset-free exact-substring dedup (ExactSubstr, anchor "
+        "shingles) with doc reconstruction", ("documents",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -8899,6 +8962,8 @@ _CHECK_FIRST = [
     "pseudonymize_join", "hopping_windows",
     # never driver-checked: late-r6, heavier (pair joins, stream)
     "set_sim_prefix", "filtered_ann", "knn_join_det", "stream_hopping",
+    # NEW in r7 — offset-free exact-substring dedup (first-timer)
+    "substring_dedup",
     # r3-era greens, 4 rounds stale — cheap relational/scalar shapes
     "stats_topk", "keyed_lookup", "marvel_normalize", "marvel_credits",
     "rest_paginated", "incremental_refetch", "cover_enrichment",
@@ -8907,9 +8972,10 @@ _CHECK_FIRST = [
     "forward_fill", "unpivot_measures", "market_share", "group_sample",
     "retention_cohorts", "sales_cube", "scd2_orders",
     "incremental_rollup", "rolling_dau", "key_skew", "table_fingerprint",
-    # r3-era greens — text/corpus family
+    # r3-era greens — text/corpus family (lang_balance → r8 backlog to
+    # make room for the r7-new substring_dedup first-timer)
     "chunk_documents", "tfidf_top_terms", "pii_scrub",
-    "repetition_stats", "corpus_top_terms", "lang_balance",
+    "repetition_stats", "corpus_top_terms",
     # r3-era greens — events-ts-sensitive stream family closes the
     # window (re-checks, so a budget cut costs confirmation only)
     "multimodal_metadata", "stream_windowed", "stream_sessionize",

@@ -199,3 +199,79 @@ def test_char_bigram_counts_hand_graded(spark):
     df = spark.createDataFrame([(1, "aaa ab x")], "doc_id long, text string")
     got = {r.pair: r.n for r in char_bigram_counts(df, "text").collect()}
     assert got == {"aa": 2, "ab": 1}
+
+
+def test_exact_substring_dedup_hand_case(spark):
+    """An 8-token run duplicated at a DIFFERENT offset in doc 2 must be
+    removed from doc 2 (doc 1 owns it); doc 3 shares nothing >= k and
+    survives intact; a doc duplicated wholesale reconstructs to the
+    empty fingerprint."""
+    import hashlib
+
+    from comix_etl_spark.operators.textstats import exact_substring_dedup
+
+    run = "c d e f g h i j"                       # the duplicated run
+    rows = [(1, f"a b {run}"),                    # owner (min doc_id)
+            (2, f"x y {run} z"),                  # run embedded at offset 2
+            (3, "p q r s t u v w"),               # unique 8 tokens
+            (4, f"a b {run}")]                    # exact copy of doc 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           exact_substring_dedup(df, "doc_id", "text", k=8).collect()}
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert (got[1].n_tokens, got[1].dup_tokens) == (10, 0)
+    assert got[1].new_fp == md5(f"a b {run}")
+    # doc 2: anchors at p=2,3 both duplicated (vs doc 1 / within run),
+    # wait — only the exact 8-token windows matching doc 1's windows
+    assert got[2].n_tokens == 11
+    assert got[2].dup_tokens == 8                 # exactly the run
+    assert got[2].new_fp == md5("x y z")
+    assert (got[3].dup_tokens, got[3].new_fp) == (0, md5("p q r s t u v w"))
+    # doc 4 = verbatim copy of doc 1 -> fully removed
+    assert got[4].dup_tokens == 10
+    assert got[4].new_fp == md5("")
+
+
+def test_exact_substring_dedup_matches_brute_force(spark):
+    """Independent per-row Python mirror of the anchor semantics over a
+    randomized corpus with planted duplicates."""
+    import hashlib
+    import random
+
+    from comix_etl_spark.operators.textstats import exact_substring_dedup
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(30)]
+    boiler = " ".join(rng.choice(vocab) for _ in range(9))
+    docs = []
+    for i in range(24):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 18)))
+        if i % 3 == 0:   # plant the boilerplate at a random offset
+            cut = rng.randint(0, len(body.split()))
+            w = body.split()
+            body = " ".join(w[:cut] + boiler.split() + w[cut:])
+        docs.append((i, body))
+    k = 5
+
+    # brute force: global anchor registry, first (doc, p) owns
+    anchors = {}
+    for d, t in docs:
+        w = t.lower().split()
+        for p in range(len(w) - k + 1):
+            anchors.setdefault(" ".join(w[p:p + k]), []).append((d, p))
+    removed = {d: set() for d, _ in docs}
+    for occ in anchors.values():
+        for d, p in sorted(occ)[1:]:
+            removed[d].update(range(p, p + k))
+    expect = {}
+    for d, t in docs:
+        w = t.lower().split()
+        kept = " ".join(w[i] for i in range(len(w)) if i not in removed[d])
+        expect[d] = (len(w), len(removed[d]),
+                     hashlib.md5(kept.encode()).hexdigest())
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.dup_tokens, r.new_fp) for r in
+           exact_substring_dedup(df, "doc_id", "text", k=k).collect()}
+    assert got == expect
