@@ -514,7 +514,9 @@ def group_centroid_cosine(df: DataFrame, group_col: str, id_col: str,
 
 def knn_join_lsh(corpus: DataFrame, *, dim: int, id_col: str = "vec_id",
                  vec_col: str = "embedding", k: int = 3, bits: int = 8,
-                 tables: int = 4, seed: int = 42, planes=None) -> DataFrame:
+                 tables: int = 4, seed: int = 42, planes=None,
+                 auto_bits: bool = False,
+                 target_bucket_rows: int = 32) -> DataFrame:
     """All-rows approximate kNN SELF-join: every corpus vector gets its
     top-k cosine neighbors (self excluded) from its LSH bucket
     collisions — the graph-construction primitive behind kNN graphs,
@@ -537,8 +539,28 @@ def knn_join_lsh(corpus: DataFrame, *, dim: int, id_col: str = "vec_id",
     stages cost more than the fatter shuffle. At a corpus too large to
     make those rejoins broadcastable AND pair volumes in the billions,
     revisit the slim form — the crossover is real, just far above
-    bench scale."""
+    bench scale.
+
+    ``auto_bits`` (measured r7, scripts/scale_evidence.py): at FIXED
+    bits, bucket occupancy grows linearly with the corpus, so
+    within-bucket pair work grows QUADRATICALLY — a 10× corpus grew the
+    candidate shuffle 134× (33 MB → 4.4 GB). Pass ``auto_bits=True`` to
+    widen the code to ``ceil(log2(n / target_bucket_rows))`` bits (one
+    count() scan), which pins EXPECTED bucket size — and therefore
+    per-bucket pair work — constant as the corpus grows: the same 10×
+    run at the auto-chosen 10 bits shuffled 3× less (1.5 GB) and ran
+    3× faster (23.4 s → 7.6 s); the residual super-linearity is the
+    test corpus's planted near-dup cliques (every vector ships 9 close
+    copies), i.e. true candidates, not bucketing waste. This is the
+    knob a 1000-executor deployment MUST set; it is off by default only
+    so fixed-plane oracle queries stay deterministic."""
     if planes is None:
+        if auto_bits:
+            import math
+
+            n = corpus.count()
+            bits = max(bits, math.ceil(
+                math.log2(max(n / target_bucket_rows, 2.0))))
         planes = make_hyperplanes(dim, bits, tables, seed)
     else:
         tables, bits = len(planes), len(planes[0])

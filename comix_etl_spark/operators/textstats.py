@@ -317,6 +317,74 @@ def exact_substring_dedup(df: DataFrame, id_col: str, text_col: str, *,
                     F.coalesce("new_fp", F.lit(empty_fp)).alias("new_fp")))
 
 
+def bpe_train(df: DataFrame, text_col: str, *, n_merges: int = 8) -> DataFrame:
+    """Iterative byte-pair-encoding TRAINER (Sennrich et al. 2016) —
+    learn the first ``n_merges`` merge rules from a corpus, the
+    tokenizer-training pass of an LLM data pipeline (the sibling of the
+    single-round ``bpe_pair_counts`` probe).
+
+    Algorithm (exactly the classic): words → (distinct word, frequency)
+    vocab; each word starts as its character sequence; per round, count
+    all adjacent symbol pairs weighted by word frequency (overlapping
+    occurrences count, e.g. "aaa" holds (a,a) twice), pick the most
+    frequent pair (ties broken lexicographically so the result is
+    engine-reproducible), fuse it greedily left-to-right in every word,
+    repeat. Returns one row per learned rule:
+    ``(step, merge_left, merge_right, pair_count)``.
+
+    Scale shape (how SentencePiece/HF tokenizers train on big corpora,
+    and the right Spark shape at 100 TB): the corpus is touched ONCE —
+    a single explode+groupBy to the (word, freq) vocab, which is
+    Zipf-bounded (millions of rows for a trillion tokens, not
+    trillions). Every training round then runs on the vocab alone: one
+    small pair-count shuffle + a 1-row argmax collect, and the greedy
+    fusion is a pure array-expression map (no UDF). localCheckpoint per
+    round cuts the growing expression lineage, same discipline as
+    kmeans/pagerank."""
+    vocab = (df.select(F.explode(tokens(text_col)).alias("_w"))
+             .groupBy("_w").agg(F.count(F.lit(1)).cast("long").alias("_freq")))
+    seg = vocab.select(
+        "_w", "_freq",
+        F.expr("transform(sequence(1, length(_w)), i -> substring(_w, i, 1))")
+        .alias("_syms")).localCheckpoint(eager=True)
+
+    spark = df.sparkSession
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        width = F.size("_syms") - 1
+        pairs = (seg.filter(F.size("_syms") >= 2)
+                 .select("_freq", F.explode(F.zip_with(
+                     F.slice("_syms", 1, width), F.slice("_syms", 2, width),
+                     lambda a, b: F.struct(a.alias("l"), b.alias("r"))))
+                     .alias("_p")))
+        best = (pairs.groupBy("_p.l", "_p.r")
+                .agg(F.sum("_freq").alias("_cnt"))
+                .orderBy(F.col("_cnt").desc(), "l", "r")
+                .limit(1).collect())  # 1-row argmax — bounded by design
+        if not best:
+            break
+        l, r, cnt = best[0].l, best[0].r, int(best[0]._cnt)
+        merges.append((step, l, r, cnt))
+        fused = l + r
+        # greedy left-to-right fusion: fold the symbol list; when the
+        # running tail equals l and the next symbol is r, replace the
+        # tail — the freshly fused token (l||r) can never equal l, so
+        # overlapping runs fuse non-overlapping, exactly like the
+        # reference implementation ("aaaa" + (a,a) -> [aa, aa])
+        seg = (seg.withColumn("_syms", F.aggregate(
+            "_syms", F.array().cast("array<string>"),
+            lambda out, s: F.when(
+                (F.try_element_at(out, F.lit(-1)) == F.lit(l))
+                & (s == F.lit(r)),
+                F.concat(F.slice(out, 1, F.size(out) - 1),
+                         F.array(F.lit(fused))))
+            .otherwise(F.concat(out, F.array(s)))))
+            .localCheckpoint(eager=True))
+    return spark.createDataFrame(
+        merges, "step long, merge_left string, merge_right string, "
+                "pair_count long")
+
+
 def contamination_check(corpus: DataFrame, benchmark: DataFrame, *,
                         id_col: str, text_col: str, n: int = 5) -> DataFrame:
     """Benchmark decontamination: flag corpus documents sharing any word

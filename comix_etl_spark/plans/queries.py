@@ -8346,6 +8346,73 @@ ORDER BY t.doc_id
 """
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer training, 8 merge rounds over the
+    documents corpus (operators/textstats.py::bpe_train): corpus →
+    Zipf-bounded (word, freq) vocab in ONE shuffle, then per round a
+    frequency-weighted pair count, deterministic argmax (ties
+    lexicographic) and greedy left-to-right fusion — the distributed
+    form of Sennrich et al. 2016, trained the way SentencePiece does it
+    (on the word-frequency dict, never re-touching the corpus)."""
+    from comix_etl_spark.operators.textstats import bpe_train
+
+    t = _t(spark, sf_dir, "documents")
+    return bpe_train(t["documents"], "text", n_merges=8).orderBy("step")
+
+
+def _bpe_oracle_sql(n_merges: int = 8) -> str:
+    """DuckDB oracle for q_bpe_train: the merge loop unrolled to chained
+    CTEs, with the greedy left-to-right fusion expressed as a recursive
+    walk over each word's symbol list (pos jumps 2 on a fuse, 1
+    otherwise — reproducing overlap semantics like "aaaa" → [aa, aa]).
+    Machine-generated so the step count stays in one place."""
+    parts = ["""WITH RECURSIVE vocab AS (
+  SELECT tok AS w, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                        '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents)
+  GROUP BY 1
+), chars AS (
+  SELECT w, freq, unnest(range(1, length(w) + 1)) AS i FROM vocab
+), seg0 AS (
+  SELECT w, freq, list(substring(w, i, 1) ORDER BY i) AS syms
+  FROM chars GROUP BY w, freq
+)"""]
+    for s in range(1, n_merges + 1):
+        p = s - 1
+        parts.append(f""", pairs{s} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, sum(freq) AS cnt
+  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM seg{p})
+  GROUP BY 1, 2
+), best{s} AS (
+  SELECT l, r, cnt FROM pairs{s} ORDER BY cnt DESC, l, r LIMIT 1
+), walk{s} AS (
+  SELECT w, freq, syms, b.l, b.r, 1 AS pos,
+         CAST([] AS VARCHAR[]) AS out
+  FROM seg{p}, best{s} b
+  UNION ALL
+  SELECT w, freq, syms, l, r,
+         CASE WHEN pos < len(syms) AND syms[pos] = l AND syms[pos + 1] = r
+              THEN pos + 2 ELSE pos + 1 END,
+         CASE WHEN pos < len(syms) AND syms[pos] = l AND syms[pos + 1] = r
+              THEN list_append(out, l || r)
+              ELSE list_append(out, syms[pos]) END
+  FROM walk{s} WHERE pos <= len(syms)
+), seg{s} AS (
+  SELECT w, freq, out AS syms FROM walk{s} WHERE pos = len(syms) + 1
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {s} AS step, l AS merge_left, r AS merge_right, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM best{s}"
+        for s in range(1, n_merges + 1))
+    parts.append(f"\nSELECT * FROM (\n{unions}\n) ORDER BY step")
+    return "".join(parts)
+
+
+ORACLE_BPE_TRAIN = _bpe_oracle_sql(8)
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -8930,6 +8997,10 @@ QUERIES: dict[str, Query] = {
         q_substring_dedup, ORACLE_SUBSTRING_DEDUP,
         "offset-free exact-substring dedup (ExactSubstr, anchor "
         "shingles) with doc reconstruction", ("documents",)),
+    "bpe_train": Query(
+        q_bpe_train, ORACLE_BPE_TRAIN,
+        "iterative BPE tokenizer training, 8 merges on the "
+        "word-frequency vocab", ("documents",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -8962,8 +9033,9 @@ _CHECK_FIRST = [
     "pseudonymize_join", "hopping_windows",
     # never driver-checked: late-r6, heavier (pair joins, stream)
     "set_sim_prefix", "filtered_ann", "knn_join_det", "stream_hopping",
-    # NEW in r7 — offset-free exact-substring dedup (first-timer)
-    "substring_dedup",
+    # NEW in r7 — offset-free exact-substring dedup + iterative BPE
+    # trainer (first-timers)
+    "substring_dedup", "bpe_train",
     # r3-era greens, 4 rounds stale — cheap relational/scalar shapes
     "stats_topk", "keyed_lookup", "marvel_normalize", "marvel_credits",
     "rest_paginated", "incremental_refetch", "cover_enrichment",
@@ -8972,10 +9044,10 @@ _CHECK_FIRST = [
     "forward_fill", "unpivot_measures", "market_share", "group_sample",
     "retention_cohorts", "sales_cube", "scd2_orders",
     "incremental_rollup", "rolling_dau", "key_skew", "table_fingerprint",
-    # r3-era greens — text/corpus family (lang_balance → r8 backlog to
-    # make room for the r7-new substring_dedup first-timer)
+    # r3-era greens — text/corpus family (lang_balance + corpus_top_terms
+    # → r8 backlog to make room for the two r7-new first-timers)
     "chunk_documents", "tfidf_top_terms", "pii_scrub",
-    "repetition_stats", "corpus_top_terms",
+    "repetition_stats",
     # r3-era greens — events-ts-sensitive stream family closes the
     # window (re-checks, so a budget cut costs confirmation only)
     "multimodal_metadata", "stream_windowed", "stream_sessionize",

@@ -1,0 +1,186 @@
+"""Scale-evidence harness for the dedup/ANN family (VERDICT r6 #5).
+
+The 100 TB claims in PLANS.md are plan-asserted; this script EXECUTES the
+three heaviest pair-generating operators at bench scale (sf0.1) and at a
+synthetic 10× blow-up, recording wall time, cumulative shuffle-write
+bytes, and the candidate/corpus ratio — the number that decides whether
+banded LSH stays near-linear. Near-linear growth at 10× is the evidence
+that the bucketed formulations (never all-pairs) hold at cluster scale.
+
+The blow-up keeps duplicate STRUCTURE realistic instead of replicating
+rows (verbatim copies would make every doc a near-dup of 9 others and
+explode pair volume quadratically, which is not what a 10× corpus looks
+like): each extra copy of a document splices the first half of its
+tokens with the second half of a DIFFERENT document (pseudo-random
+partner), so cross-copy Jaccard sits mostly below threshold with a
+realistic tail above it. Embedding copies add seeded Gaussian noise
+(sigma 0.05) so bucket occupancy grows ~10× without degenerate
+collisions.
+
+Usage:  python scripts/scale_evidence.py [--skip-build]
+Writes: /tmp/scale10/{documents,embeddings}.parquet and a JSON report to
+        stdout + /tmp/scale_evidence.json (PLANS.md records the table).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+import pyarrow as pa  # noqa: E402
+import pyarrow.parquet as pq  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+OUT_DIR = "/tmp/scale10"
+COPIES = 10
+
+
+def build_blowup() -> None:
+    os.makedirs(OUT_DIR, exist_ok=True)
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    n = len(docs)
+    frames = []
+    for c in range(COPIES):
+        d = docs.copy()
+        if c > 0:
+            partner = (d.index + 37 * c) % n
+            tok_a = d["text"].str.split()
+            tok_b = docs.loc[partner, "text"].str.split().values
+            d["text"] = [
+                " ".join(a[: len(a) // 2] + b[len(b) // 2:])
+                for a, b in zip(tok_a, tok_b)
+            ]
+        d["doc_id"] = d["doc_id"] + c * n
+        frames.append(d)
+    big = pd.concat(frames, ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(big, preserve_index=False),
+                   f"{OUT_DIR}/documents.parquet")
+
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    m = len(emb)
+    rng = np.random.default_rng(7)
+    eframes = []
+    for c in range(COPIES):
+        e = emb.copy()
+        if c > 0:
+            mat = np.vstack(e["embedding"].to_numpy())
+            mat = mat + rng.normal(0.0, 0.05, mat.shape)
+            e["embedding"] = list(mat.astype(np.float64))
+        e["vec_id"] = e["vec_id"] + c * m
+        eframes.append(e)
+    bige = pd.concat(eframes, ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(bige, preserve_index=False),
+                   f"{OUT_DIR}/embeddings.parquet")
+    print(f"built {OUT_DIR}: {len(big)} docs, {len(bige)} vectors",
+          file=sys.stderr)
+
+
+def shuffle_write_bytes(spark) -> int:
+    """Cumulative shuffle-write bytes across all completed stages, via
+    the local UI REST API (delta between snapshots brackets one op)."""
+    try:
+        port = spark.sparkContext.uiWebUrl.rsplit(":", 1)[-1]
+        apps = json.load(urllib.request.urlopen(
+            f"http://localhost:{port}/api/v1/applications", timeout=5))
+        app_id = apps[0]["id"]
+        stages = json.load(urllib.request.urlopen(
+            f"http://localhost:{port}/api/v1/applications/{app_id}/stages"
+            "?status=complete", timeout=5))
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    except Exception:
+        return -1
+
+
+def measure(spark, sf_dir: str) -> dict:
+    from comix_etl_spark.operators.dedup import (dup_clusters,
+                                                 minhash_lsh_pairs,
+                                                 minhash_signatures)
+    from comix_etl_spark.operators.similarity import knn_join_lsh
+    from pyspark.sql import functions as F
+
+    # plain reads: only documents/embeddings exist in the blow-up dir,
+    # and neither carries the events-ts-unit hazard load_tables guards
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_docs, n_vecs = docs.count(), emb.count()
+    out: dict = {"sf_dir": sf_dir, "n_docs": n_docs, "n_vecs": n_vecs}
+
+    # candidate volume: the band-bucket collision count BEFORE exact
+    # verification — the quantity banding must keep near-linear
+    sigs = minhash_signatures(docs, "doc_id", "text", 32, 3, "xxhash64")
+    band_rows = sigs.select(
+        "_id", F.explode(F.array(*[
+            F.xxhash64(*[F.col("signature")[bi * 4 + j] for j in range(4)],
+                       F.lit(bi)).alias("b")
+            for bi in range(8)])).alias("bucket"))
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    n_cand = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                     & (F.col("a._id") < F.col("b._id")))
+              .select("a._id", "b._id").distinct().count())
+    out["minhash_candidates"] = n_cand
+    out["cand_per_doc"] = round(n_cand / n_docs, 3)
+
+    for name, thunk in [
+        ("minhash_lsh_pairs", lambda: minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5).count()),
+        ("knn_join_lsh", lambda: knn_join_lsh(
+            emb, dim=64, k=3).count()),
+        # the scale knob under test: bits widened to log2(n/32) must
+        # hold per-bucket pair work (and the candidate shuffle) constant
+        ("knn_join_lsh_autobits", lambda: knn_join_lsh(
+            emb, dim=64, k=3, auto_bits=True).count()),
+        ("dup_clusters", lambda: dup_clusters(
+            minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5))
+            .count()),
+    ]:
+        s0 = shuffle_write_bytes(spark)
+        t0 = time.perf_counter()
+        rows = thunk()
+        wall = round(time.perf_counter() - t0, 2)
+        s1 = shuffle_write_bytes(spark)
+        out[name] = {"rows": rows, "wall_sec": wall,
+                     "shuffle_mb": round((s1 - s0) / 1e6, 1)
+                     if s0 >= 0 and s1 >= 0 else None}
+    return out
+
+
+def main() -> None:
+    if "--skip-build" not in sys.argv:
+        build_blowup()
+    # own session: get_spark disables the UI, and the UI REST API is the
+    # shuffle-bytes source — mirror the configs that shape execution
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder
+             .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count())}]")
+             .appName("scale_evidence")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.autoBroadcastJoinThreshold",
+                     str(64 * 1024 * 1024))
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .config("spark.ui.enabled", "true")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    report = {"x1": measure(spark, SF_DIR), "x10": measure(spark, OUT_DIR)}
+    for op in ("minhash_lsh_pairs", "knn_join_lsh", "knn_join_lsh_autobits",
+               "dup_clusters"):
+        g = report["x10"][op]["wall_sec"] / max(report["x1"][op]["wall_sec"], 1e-9)
+        report[f"growth_{op}"] = round(g, 2)
+    print(json.dumps(report, indent=1))
+    with open("/tmp/scale_evidence.json", "w") as fh:
+        json.dump(report, fh, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -275,3 +275,47 @@ def test_exact_substring_dedup_matches_brute_force(spark):
     got = {r.doc_id: (r.n_tokens, r.dup_tokens, r.new_fp) for r in
            exact_substring_dedup(df, "doc_id", "text", k=k).collect()}
     assert got == expect
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """The distributed trainer must reproduce the classic in-memory BPE
+    (Sennrich et al.) merge-for-merge on a corpus with planted repeats,
+    including the overlapping-pair count and greedy fusion semantics."""
+    from collections import Counter
+
+    from comix_etl_spark.operators.textstats import bpe_train
+
+    docs = [(1, "banana bandana banana"), (2, "ban banana bandana"),
+            (3, "aaaa aaaa banana na na na")]
+
+    # reference: word-freq dict, chars, argmax (count desc, pair asc)
+    vocab = Counter(w for _, t in docs for w in t.lower().split())
+    seg = {w: list(w) for w in vocab}
+    expect = []
+    for step in range(1, 7):
+        counts = Counter()
+        for w, f in vocab.items():
+            s = seg[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += f
+        if not counts:
+            break
+        (l, r), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((step, l, r, cnt))
+        for w in seg:
+            s, out = seg[w], []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seg[w] = out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [(r.step, r.merge_left, r.merge_right, r.pair_count)
+           for r in bpe_train(df, "text", n_merges=6)
+           .orderBy("step").collect()]
+    assert got == expect, (got, expect)
