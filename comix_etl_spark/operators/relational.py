@@ -425,3 +425,72 @@ def detect_hot_keys(df: DataFrame, key: Sequence[str], *,
     if len(kl) == 1:
         return [r[0] for r in rows]
     return [tuple(r[:-1]) for r in rows]
+
+
+def heavy_hitters_exact(df: DataFrame, value_col: str, *, k: int = 10,
+                        capacity: int = 256) -> DataFrame:
+    """EXACT top-k heavy hitters without shuffling the distinct-key
+    space: per-partition Misra-Gries summaries (the mergeable-summaries
+    reduction of Agarwal et al. 2012) produce a small candidate set
+    that provably contains every value of global count > N/(capacity+1);
+    one candidate-filtered recount then restores exact counts, so the
+    output is the true top-k (certified, see below) — sketch recall
+    with exact-aggregate precision.
+
+    NULLs are excluded (they are a data-quality signal, not a key).
+
+    Certification: Misra-Gries guarantees a value can only be absent
+    from every partition summary if its global count ≤ N/(capacity+1)
+    (pigeonhole over the per-partition error bound). The result is
+    therefore provably complete iff the k-th recounted value clears
+    that threshold; when it doesn't, this raises ValueError("cannot
+    certify") instead of silently returning a maybe-incomplete top-k —
+    raise ``capacity`` and rerun.
+
+    Scale shape (the reason this exists next to the plain groupBy
+    top-k): at 100 TB with high-cardinality keys, groupBy+count's
+    exchange carries every distinct key. Here the wide data NEVER
+    shuffles: summaries are ≤ capacity rows per partition (mapInPandas
+    with per-partition dict state), candidates collapse to ≤ capacity ×
+    partitions rows broadcast back, and the recount's map-side combine
+    emits ≤ |candidates| rows per task. Two scans, zero wide exchanges.
+    """
+    vals = df.select(F.col(value_col)).filter(F.col(value_col).isNotNull())
+    dtype = vals.schema[0].dataType.simpleString()
+
+    def mg(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf.iloc[:, 0].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > capacity:
+                # subtract the running minimum from everyone and drop
+                # the zeros — the batched MG decrement; total error
+                # absorbed ≤ n_partition/(capacity+1)
+                m = sorted(counters.values())[len(counters) - capacity - 1]
+                counters = {v: c - m for v, c in counters.items() if c > m}
+        yield pd.DataFrame({"_v": list(counters.keys())})
+
+    candidates = (vals.mapInPandas(mg, schema=f"_v {dtype}")
+                  .distinct())
+    exact = (vals.join(F.broadcast(candidates),
+                       vals[value_col] == candidates["_v"])
+             .groupBy(value_col)
+             .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    top = (exact.orderBy(F.col("cnt").desc(), F.col(value_col))
+           .limit(k))
+    rows = top.collect()
+    n_total = vals.count()
+    # certify the whole returned prefix: every value NOT in the
+    # candidate set has count ≤ N/(capacity+1), so as long as the
+    # smallest returned count clears that bar, nothing missing can
+    # outrank anything returned
+    if rows and rows[-1].cnt * (capacity + 1) <= n_total:
+        raise ValueError(
+            f"cannot certify top-{k}: k-th count {rows[-1].cnt} ≤ "
+            f"N/(capacity+1) = {n_total}/{capacity + 1} — values below "
+            f"the Misra-Gries survival threshold may be missing; raise "
+            f"capacity")
+    return df.sparkSession.createDataFrame(rows, top.schema)

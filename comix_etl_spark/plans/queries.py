@@ -8413,6 +8413,33 @@ def _bpe_oracle_sql(n_merges: int = 8) -> str:
 ORACLE_BPE_TRAIN = _bpe_oracle_sql(8)
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 (event_type, hour) traffic segments by EXACT count,
+    computed sketch-first (operators/relational.py::heavy_hitters_exact):
+    per-partition Misra-Gries summaries bound memory and avoid the
+    full-distinct exchange, a candidate-filtered recount restores exact
+    counts, and the result is certified complete against the
+    N/(capacity+1) survival threshold — the bounded-memory alternative
+    to groupBy top-k for 100 TB key spaces."""
+    from comix_etl_spark.operators.relational import heavy_hitters_exact
+
+    t = _t(spark, sf_dir, "events")
+    seg = t["events"].select(
+        F.concat(F.col("event_type"), F.lit(":"),
+                 F.lpad(F.hour("ts").cast("string"), 2, "0"))
+        .alias("segment"))
+    return heavy_hitters_exact(seg, "segment", k=10, capacity=256)
+
+
+ORACLE_HEAVY_HITTERS = """
+SELECT event_type || ':' ||
+       lpad(CAST(extract(hour FROM ts) AS VARCHAR), 2, '0') AS segment,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events
+GROUP BY 1 ORDER BY cnt DESC, segment LIMIT 10
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -9001,6 +9028,10 @@ QUERIES: dict[str, Query] = {
         q_bpe_train, ORACLE_BPE_TRAIN,
         "iterative BPE tokenizer training, 8 merges on the "
         "word-frequency vocab", ("documents",)),
+    "heavy_hitters": Query(
+        q_heavy_hitters, ORACLE_HEAVY_HITTERS,
+        "certified exact top-k via Misra-Gries candidates + recount",
+        ("events",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -9033,9 +9064,9 @@ _CHECK_FIRST = [
     "pseudonymize_join", "hopping_windows",
     # never driver-checked: late-r6, heavier (pair joins, stream)
     "set_sim_prefix", "filtered_ann", "knn_join_det", "stream_hopping",
-    # NEW in r7 — offset-free exact-substring dedup + iterative BPE
-    # trainer (first-timers)
-    "substring_dedup", "bpe_train",
+    # NEW in r7 — offset-free exact-substring dedup, iterative BPE
+    # trainer, certified Misra-Gries heavy hitters (first-timers)
+    "substring_dedup", "bpe_train", "heavy_hitters",
     # r3-era greens, 4 rounds stale — cheap relational/scalar shapes
     "stats_topk", "keyed_lookup", "marvel_normalize", "marvel_credits",
     "rest_paginated", "incremental_refetch", "cover_enrichment",
@@ -9044,10 +9075,9 @@ _CHECK_FIRST = [
     "forward_fill", "unpivot_measures", "market_share", "group_sample",
     "retention_cohorts", "sales_cube", "scd2_orders",
     "incremental_rollup", "rolling_dau", "key_skew", "table_fingerprint",
-    # r3-era greens — text/corpus family (lang_balance + corpus_top_terms
-    # → r8 backlog to make room for the two r7-new first-timers)
+    # r3-era greens — text/corpus family (lang_balance, corpus_top_terms
+    # + repetition_stats → r8 backlog for the three r7-new first-timers)
     "chunk_documents", "tfidf_top_terms", "pii_scrub",
-    "repetition_stats",
     # r3-era greens — events-ts-sensitive stream family closes the
     # window (re-checks, so a budget cut costs confirmation only)
     "multimodal_metadata", "stream_windowed", "stream_sessionize",

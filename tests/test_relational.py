@@ -238,3 +238,46 @@ def test_detect_hot_keys_probe_and_adaptive_composition(spark):
     want = sorted((r.k, r.rid, r.name)
                   for r in skewed.join(dim, ["k"]).collect())
     assert got == want
+
+
+def test_heavy_hitters_exact_adversarial_capacity(spark):
+    """Misra-Gries candidates must survive capacity pressure: 2000
+    distinct noise values (each count 1-2) + 12 planted hitters, with
+    capacity 32 << cardinality. The result must equal the full
+    groupBy's top-10 exactly."""
+    from comix_etl_spark.operators.relational import heavy_hitters_exact
+
+    rows = [(f"noise{i % 2000}",) for i in range(3000)]
+    for j in range(12):
+        rows += [(f"hot{j:02d}",)] * (400 - 10 * j)
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+
+    got = [(r.v, r.cnt) for r in heavy_hitters_exact(
+        df, "v", k=10, capacity=32).collect()]
+    want = [(r.v, r.cnt) for r in
+            df.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "v").limit(10).collect()]
+    assert got == want
+
+
+def test_heavy_hitters_exact_refuses_uncertifiable(spark):
+    """A flat distribution under a tiny capacity cannot be certified:
+    the operator must raise, not silently return a maybe-wrong top-k."""
+    import pytest
+
+    from comix_etl_spark.operators.relational import heavy_hitters_exact
+
+    df = spark.createDataFrame([(f"u{i % 500}",) for i in range(2000)],
+                               "v string").repartition(8)
+    with pytest.raises(ValueError, match="cannot certify"):
+        heavy_hitters_exact(df, "v", k=10, capacity=8)
+
+
+def test_heavy_hitters_exact_ignores_nulls(spark):
+    from comix_etl_spark.operators.relational import heavy_hitters_exact
+
+    df = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 30 + [(None,)] * 100, "v string")
+    got = [(r.v, r.cnt) for r in heavy_hitters_exact(
+        df, "v", k=2, capacity=16).collect()]
+    assert got == [("a", 50), ("b", 30)]
