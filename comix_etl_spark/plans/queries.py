@@ -8413,6 +8413,40 @@ def _bpe_oracle_sql(n_merges: int = 8) -> str:
 ORACLE_BPE_TRAIN = _bpe_oracle_sql(8)
 
 
+def q_rest_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S4 via the PySpark 4 Python DataSource V2 API
+    (sources/python_datasource.py): the same page grid, fetcher and
+    aggregate as rest_paginated, but read through a REGISTERED format —
+    partitions() carves max_concurrency page ranges planner-side, so the
+    rate-limit cap is part of the read, not a repartition afterthought.
+    Same deterministic fetcher ⇒ same fixed oracle row."""
+    from comix_etl_spark.sources.python_datasource import register
+
+    register(spark)
+    raw = (spark.read.format("comix_rest_pages")
+           .option("url", "https://example.invalid/comics")
+           .option("total", "500").option("page_size", "100")
+           .option("max_concurrency", "4").load())
+    parsed = raw.select(
+        "offset",
+        F.get_json_object("payload", "$.id").cast("long").alias("id"),
+        F.get_json_object("payload", "$.issueNumber").cast("double")
+        .alias("issue_number"))
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.count_distinct("id").alias("n_distinct_ids"),
+        F.sum(F.col("issue_number").cast("decimal(18,4)")).cast("double")
+        .alias("sum_issue_numbers"))
+
+
+# deterministic fetcher ⇒ fixed aggregate (see ORACLE_REST_PAGINATED)
+ORACLE_REST_DATASOURCE = """
+SELECT CAST(500 AS BIGINT) AS n_records,
+       CAST(500 AS BIGINT) AS n_distinct_ids,
+       CAST(9550.0 AS DOUBLE) AS sum_issue_numbers
+"""
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 (event_type, hour) traffic segments by EXACT count,
     computed sketch-first (operators/relational.py::heavy_hitters_exact):
@@ -9032,6 +9066,10 @@ QUERIES: dict[str, Query] = {
         q_heavy_hitters, ORACLE_HEAVY_HITTERS,
         "certified exact top-k via Misra-Gries candidates + recount",
         ("events",)),
+    "rest_datasource": Query(
+        q_rest_datasource, ORACLE_REST_DATASOURCE,
+        "REST pages through a registered Python DataSource V2 format",
+        ()),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -9065,8 +9103,9 @@ _CHECK_FIRST = [
     # never driver-checked: late-r6, heavier (pair joins, stream)
     "set_sim_prefix", "filtered_ann", "knn_join_det", "stream_hopping",
     # NEW in r7 — offset-free exact-substring dedup, iterative BPE
-    # trainer, certified Misra-Gries heavy hitters (first-timers)
-    "substring_dedup", "bpe_train", "heavy_hitters",
+    # trainer, certified Misra-Gries heavy hitters, Python DataSource V2
+    # REST read (first-timers)
+    "substring_dedup", "bpe_train", "heavy_hitters", "rest_datasource",
     # r3-era greens, 4 rounds stale — cheap relational/scalar shapes
     "stats_topk", "keyed_lookup", "marvel_normalize", "marvel_credits",
     "rest_paginated", "incremental_refetch", "cover_enrichment",
@@ -9075,9 +9114,10 @@ _CHECK_FIRST = [
     "forward_fill", "unpivot_measures", "market_share", "group_sample",
     "retention_cohorts", "sales_cube", "scd2_orders",
     "incremental_rollup", "rolling_dau", "key_skew", "table_fingerprint",
-    # r3-era greens — text/corpus family (lang_balance, corpus_top_terms
-    # + repetition_stats → r8 backlog for the three r7-new first-timers)
-    "chunk_documents", "tfidf_top_terms", "pii_scrub",
+    # r3-era greens — text/corpus family (lang_balance, corpus_top_terms,
+    # repetition_stats + tfidf_top_terms → r8 backlog so the four r7-new
+    # first-timers fit the window)
+    "chunk_documents", "pii_scrub",
     # r3-era greens — events-ts-sensitive stream family closes the
     # window (re-checks, so a budget cut costs confirmation only)
     "multimodal_metadata", "stream_windowed", "stream_sessionize",
