@@ -8447,6 +8447,64 @@ SELECT CAST(500 AS BIGINT) AS n_records,
 """
 
 
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal decomposition of the daily event volume:
+    trend = centered 7-day moving average, seasonal = day-of-week mean
+    of the detrended series, residual = remainder — the classic
+    additive decomposition behind traffic-anomaly review (sibling of
+    revenue_anomaly's z-score and cusum_changepoint's drift detection;
+    this one separates WHY a day is high: trend vs weekday shape).
+
+    Scale shape: the corpus-wide work is ONE groupBy(day) count — the
+    series itself is bounded by the calendar (a few thousand rows for a
+    decade), so the unpartitioned centered window and the 7-row
+    seasonal broadcast are driver-scale by construction, never
+    data-scale."""
+    t = _t(spark, sf_dir, "events")
+    daily = (t["events"]
+             .groupBy(F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    det = (daily
+           .withColumn("trend", F.avg("n").over(w))
+           .withColumn("detrended", F.col("n") - F.col("trend"))
+           # 0=Sunday to match DuckDB's extract(dow)
+           .withColumn("dow", F.dayofweek("day") - 1))
+    seas = det.groupBy("dow").agg(F.avg("detrended").alias("seasonal"))
+    e6 = lambda c: F.round(F.col(c) * 1_000_000).cast("long")  # noqa: E731
+    return (det.join(F.broadcast(seas), "dow")
+            .select("day", "n",
+                    e6("trend").alias("trend_e6"),
+                    e6("seasonal").alias("seasonal_e6"),
+                    F.round((F.col("detrended") - F.col("seasonal"))
+                            * 1_000_000).cast("long").alias("resid_e6"))
+            .orderBy("day"))
+
+
+ORACLE_SEASONAL_DECOMPOSE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), tr AS (
+  SELECT day, n,
+         avg(n) OVER (ORDER BY day
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+  FROM daily
+), det AS (
+  SELECT day, n, trend, n - trend AS detrended,
+         extract(dow FROM day) AS dow
+  FROM tr
+), seas AS (
+  SELECT dow, avg(detrended) AS seasonal FROM det GROUP BY 1
+)
+SELECT day, n,
+       CAST(round(trend * 1000000) AS BIGINT) AS trend_e6,
+       CAST(round(seasonal * 1000000) AS BIGINT) AS seasonal_e6,
+       CAST(round((detrended - seasonal) * 1000000) AS BIGINT) AS resid_e6
+FROM det JOIN seas USING (dow) ORDER BY day
+"""
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 (event_type, hour) traffic segments by EXACT count,
     computed sketch-first (operators/relational.py::heavy_hitters_exact):
@@ -9070,6 +9128,10 @@ QUERIES: dict[str, Query] = {
         q_rest_datasource, ORACLE_REST_DATASOURCE,
         "REST pages through a registered Python DataSource V2 format",
         ()),
+    "seasonal_decompose": Query(
+        q_seasonal_decompose, ORACLE_SEASONAL_DECOMPOSE,
+        "STL-lite trend/weekday/residual split of daily event volume",
+        ("events",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -9104,8 +9166,9 @@ _CHECK_FIRST = [
     "set_sim_prefix", "filtered_ann", "knn_join_det", "stream_hopping",
     # NEW in r7 — offset-free exact-substring dedup, iterative BPE
     # trainer, certified Misra-Gries heavy hitters, Python DataSource V2
-    # REST read (first-timers)
+    # REST read, STL-lite seasonal decomposition (first-timers)
     "substring_dedup", "bpe_train", "heavy_hitters", "rest_datasource",
+    "seasonal_decompose",
     # r3-era greens, 4 rounds stale — cheap relational/scalar shapes
     "stats_topk", "keyed_lookup", "marvel_normalize", "marvel_credits",
     "rest_paginated", "incremental_refetch", "cover_enrichment",
@@ -9115,9 +9178,9 @@ _CHECK_FIRST = [
     "retention_cohorts", "sales_cube", "scd2_orders",
     "incremental_rollup", "rolling_dau", "key_skew", "table_fingerprint",
     # r3-era greens — text/corpus family (lang_balance, corpus_top_terms,
-    # repetition_stats + tfidf_top_terms → r8 backlog so the four r7-new
-    # first-timers fit the window)
-    "chunk_documents", "pii_scrub",
+    # repetition_stats, tfidf_top_terms + chunk_documents → r8 backlog so
+    # the five r7-new first-timers fit the window)
+    "pii_scrub",
     # r3-era greens — events-ts-sensitive stream family closes the
     # window (re-checks, so a budget cut costs confirmation only)
     "multimodal_metadata", "stream_windowed", "stream_sessionize",
