@@ -8447,6 +8447,36 @@ SELECT CAST(500 AS BIGINT) AS n_records,
 """
 
 
+def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_json's aggregate through the VARIANT type (Spark 4):
+    parse_json SHREDS the payload once into the binary variant encoding
+    at scan time, then every variant_get is a cheap typed path probe —
+    the modern replacement for per-path get_json_object re-parses. At
+    100 TB of semi-structured props this is the difference between one
+    parse per row and one parse per row PER EXTRACTED FIELD (and
+    variant columns Parquet-shred natively when landed). Extraction
+    fidelity is proven by parity with the string-path oracle."""
+    t = _t(spark, sf_dir, "events")
+    ev = (t["events"]
+          .select("event_type", F.parse_json("props").alias("_v"))
+          .select("event_type",
+                  F.variant_get("_v", "$.k", "long").alias("k")))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"))
+
+
+ORACLE_EVENTS_VARIANT = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
 def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STL-lite seasonal decomposition of the daily event volume:
     trend = centered 7-day moving average, seasonal = day-of-week mean
@@ -9132,6 +9162,10 @@ QUERIES: dict[str, Query] = {
         q_seasonal_decompose, ORACLE_SEASONAL_DECOMPOSE,
         "STL-lite trend/weekday/residual split of daily event volume",
         ("events",)),
+    "events_variant": Query(
+        q_events_variant, ORACLE_EVENTS_VARIANT,
+        "JSON payload aggregate via the VARIANT type (shred once, "
+        "probe many)", ("events",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -9166,9 +9200,10 @@ _CHECK_FIRST = [
     "set_sim_prefix", "filtered_ann", "knn_join_det", "stream_hopping",
     # NEW in r7 — offset-free exact-substring dedup, iterative BPE
     # trainer, certified Misra-Gries heavy hitters, Python DataSource V2
-    # REST read, STL-lite seasonal decomposition (first-timers)
+    # REST read, STL-lite seasonal decomposition, VARIANT JSON probe
+    # (first-timers)
     "substring_dedup", "bpe_train", "heavy_hitters", "rest_datasource",
-    "seasonal_decompose",
+    "seasonal_decompose", "events_variant",
     # r3-era greens, 4 rounds stale — cheap relational/scalar shapes
     "stats_topk", "keyed_lookup", "marvel_normalize", "marvel_credits",
     "rest_paginated", "incremental_refetch", "cover_enrichment",
@@ -9177,10 +9212,10 @@ _CHECK_FIRST = [
     "forward_fill", "unpivot_measures", "market_share", "group_sample",
     "retention_cohorts", "sales_cube", "scd2_orders",
     "incremental_rollup", "rolling_dau", "key_skew", "table_fingerprint",
-    # r3-era greens — text/corpus family (lang_balance, corpus_top_terms,
-    # repetition_stats, tfidf_top_terms + chunk_documents → r8 backlog so
-    # the five r7-new first-timers fit the window)
-    "pii_scrub",
+    # r3-era greens — text/corpus family mostly deferred (lang_balance,
+    # corpus_top_terms, repetition_stats, tfidf_top_terms,
+    # chunk_documents + pii_scrub → r8 backlog so the six r7-new
+    # first-timers fit the window)
     # r3-era greens — events-ts-sensitive stream family closes the
     # window (re-checks, so a budget cut costs confirmation only)
     "multimodal_metadata", "stream_windowed", "stream_sessionize",
