@@ -48,9 +48,14 @@ def main() -> None:
     # loop path (r7): cold-vs-warm measured 11.9 s vs 3.1 s at sf0.1 —
     # the 8.8 s is one-time codegen of the fold expressions, not the
     # operator
+    # rest_datasource spins up the Python DataSource runner (~4 s
+    # one-time, 0.5 s steady); quantize_calibrated's calibrate-then-
+    # quantize Arrow shape is likewise first-touch-heavy (5.8 s cold,
+    # 0.7 s warm — isolate-profiled r7)
     for warm in ("stats_topk", "order_sequence", "token_counts",
                  "doc_quality", "ann_cosine_topk", "simhash_det",
-                 "ann_ivf_det", "bpe_train"):
+                 "ann_ivf_det", "bpe_train", "rest_datasource",
+                 "quantize_calibrated"):
         if warm in QUERIES:
             QUERIES[warm].builder(spark, sf_dir).count()
 
