@@ -200,3 +200,72 @@ def foreach_batch_drift(metrics_path: str, ref_edges: list[float],
          .write.mode("append").parquet(metrics_path))
 
     return apply
+
+
+def foreach_batch_heavy_hitters(summary_path: str, *,
+                                value_col: str = "value",
+                                capacity: int = 256):
+    """foreachBatch sink: maintain a MERGED Misra-Gries heavy-hitter
+    summary of ``value_col`` across every micro-batch seen so far —
+    continuous "what dominates this feed" monitoring without keeping
+    (or shuffling) the full distinct-key space. The streaming sibling
+    of ``operators/relational.py::heavy_hitters_exact``; summaries are
+    MERGEABLE (Agarwal et al. 2012), so batch-wise folding preserves
+    the guarantee: any value whose TOTAL stream count exceeds
+    N_total/(capacity+1) is in the summary, with its weight
+    undercounting by at most that threshold.
+
+    State is a ≤ ``capacity``-row parquet table (value, weight) at
+    ``summary_path`` — small enough to read, merge and rewrite per
+    batch; for exact counts of the current candidates, recount them
+    against the landed bronze (same recount step the batch operator
+    runs).
+
+    Per-batch cost: one map-side MG pass over the batch (mapInPandas,
+    ≤ capacity rows emitted per partition), a driver-side merge bounded
+    by capacity × (partitions + 1) rows, one tiny parquet rewrite. The
+    batch's raw keys never shuffle.
+    """
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        import pandas as pd
+
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        vals = (batch_df.select(F.col(value_col).cast("string").alias("_v"))
+                .filter(F.col("_v").isNotNull()))
+
+        def mg(batches):
+            counters: dict = {}
+            for pdf in batches:
+                for v, c in pdf["_v"].value_counts().items():
+                    counters[v] = counters.get(v, 0) + int(c)
+                if len(counters) > capacity:
+                    m = sorted(counters.values())[len(counters) - capacity - 1]
+                    counters = {v: c - m for v, c in counters.items() if c > m}
+            yield pd.DataFrame({"_v": list(counters.keys()),
+                                "_w": [int(w) for w in counters.values()]})
+
+        # ≤ capacity rows per batch partition — bounded by construction
+        parts = [(r._v, int(r._w))
+                 for r in vals.mapInPandas(mg, schema="_v string, _w long")
+                 .collect()]
+        merged: dict = {}
+        for v, w in parts:
+            merged[v] = merged.get(v, 0) + w
+        if os.path.isdir(summary_path):
+            for r in spark.read.parquet(summary_path).collect():
+                merged[r.value] = merged.get(r.value, 0) + int(r.weight)
+        if len(merged) > capacity:
+            m = sorted(merged.values())[len(merged) - capacity - 1]
+            merged = {v: c - m for v, c in merged.items() if c > m}
+        out = spark.createDataFrame(
+            sorted(merged.items()), "value string, weight long")
+        from comix_etl_spark.sinks.writers import safe_overwrite_parquet
+
+        safe_overwrite_parquet(out.coalesce(1), summary_path)
+
+    return apply

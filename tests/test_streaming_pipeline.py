@@ -347,3 +347,55 @@ def test_foreach_batch_drift_validates_edges_and_ignores_nulls(spark, tmpdir):
     # 500 NULLs excluded: distribution matches reference, PSI ~ 0.
     # Pre-fix they inflate bucket 0 to 600/1500 and PSI blows past 0.5.
     assert row.psi_e6 < 20_000, row
+
+
+def test_foreach_batch_heavy_hitters_merged_summary(spark, tmpdir):
+    """The cross-batch MG summary must (a) contain every value whose
+    TOTAL stream count clears the N/(capacity+1) survival threshold,
+    even when each batch alone drowns it in noise, and (b) stay within
+    capacity rows."""
+    import glob as _glob
+
+    from comix_etl_spark.streaming.windowed import foreach_batch_heavy_hitters
+
+    src = os.path.join(tmpdir, "hh_src")
+    summary = os.path.join(tmpdir, "hh_summary")
+    os.makedirs(src)
+
+    def write_file(name, values):
+        tmp = tempfile.mkdtemp(prefix="hhs_")
+        spark.createDataFrame([(v,) for v in values], "value string") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/d")
+        shutil.move(_glob.glob(f"{tmp}/d/part-*.parquet")[0],
+                    os.path.join(src, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # 3 batches: per-batch the hot values are a small minority among
+    # 600 distinct noise values; across batches they dominate
+    truth: dict = {}
+    for b in range(3):
+        vals = []
+        for j in range(6):
+            vals += [f"hot{j}"] * 120
+        vals += [f"noise_{b}_{i}" for i in range(600)]
+        for v in vals:
+            truth[v] = truth.get(v, 0) + 1
+        write_file(f"b{b}.parquet", vals)
+
+    q = (spark.readStream.schema("value string")
+         .option("maxFilesPerTrigger", 1).parquet(src)
+         .writeStream.foreachBatch(
+             foreach_batch_heavy_hitters(summary, capacity=64))
+         .option("checkpointLocation", os.path.join(tmpdir, "hh_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    rows = spark.read.parquet(summary).collect()
+    assert len(rows) <= 64
+    got = {r.value: r.weight for r in rows}
+    n_total = sum(truth.values())
+    survivors_due = {v for v, c in truth.items() if c > n_total / 65}
+    assert survivors_due <= set(got), sorted(survivors_due - set(got))
+    # weights undercount by at most the threshold, never overcount
+    for v in survivors_due:
+        assert truth[v] >= got[v] > truth[v] - n_total / 65
