@@ -8447,6 +8447,80 @@ SELECT CAST(500 AS BIGINT) AS n_records,
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END semantic dedup — the full production composition in
+    one plan: exact embedding-cosine near-dup pairs (threshold 0.4,
+    broadcast matmul, operators/dedup.py::embedding_dup_pairs) →
+    connected components (dup_clusters: union-find / star contraction)
+    → per-cluster KEEPER ELECTION by content quality (longest text
+    wins, doc_id breaks ties) — the SemDeDup-style pass that collapses
+    paraphrase groups to their best representative rather than an
+    arbitrary member. Output: one row per clustered doc with its
+    cluster label, elected keeper and keep/drop flag."""
+    from comix_etl_spark.operators import dedup as D
+
+    t = _t(spark, sf_dir, "embeddings", "documents")
+    pairs = D.embedding_dup_pairs(t["embeddings"], id_col="vec_id",
+                                  vec_col="embedding", threshold=0.4)
+    clusters = D.dup_clusters(pairs)  # (doc_id, keeper_id = min-id label)
+    labeled = (clusters
+               .select("doc_id", F.col("keeper_id").alias("cluster_id"))
+               .join(t["documents"].select("doc_id", "n_chars"), "doc_id"))
+    w = (Window.partitionBy("cluster_id")
+         .orderBy(F.col("n_chars").desc(), F.col("doc_id")))
+    return (labeled
+            .withColumn("elected",
+                        F.first("doc_id").over(
+                            w.rowsBetween(Window.unboundedPreceding,
+                                          Window.unboundedFollowing)))
+            .select("doc_id", "cluster_id",
+                    F.col("elected").alias("keeper_id"),
+                    (F.col("doc_id") == F.col("elected"))
+                    .cast("int").alias("is_kept"))
+            .orderBy("doc_id"))
+
+
+ORACLE_SEMANTIC_DEDUP = """
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])))),
+                 6) AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  ) WHERE cosine_sim >= 0.4
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach AS (
+  SELECT src AS node, dst AS r FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+), comp AS (
+  SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node
+), labeled AS (
+  SELECT c.node AS doc_id, c.cluster_id, d.n_chars
+  FROM comp c JOIN documents d ON c.node = d.doc_id
+), elected AS (
+  SELECT cluster_id, doc_id AS keeper_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM labeled
+)
+SELECT l.doc_id, l.cluster_id, e.keeper_id,
+       CAST(CASE WHEN l.doc_id = e.keeper_id THEN 1 ELSE 0 END AS INT)
+         AS is_kept
+FROM labeled l JOIN elected e
+  ON l.cluster_id = e.cluster_id AND e.rn = 1
+ORDER BY l.doc_id
+"""
+
+
 def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events_json's aggregate through the VARIANT type (Spark 4):
     parse_json SHREDS the payload once into the binary variant encoding
@@ -9166,6 +9240,10 @@ QUERIES: dict[str, Query] = {
         q_events_variant, ORACLE_EVENTS_VARIANT,
         "JSON payload aggregate via the VARIANT type (shred once, "
         "probe many)", ("events",)),
+    "semantic_dedup": Query(
+        q_semantic_dedup, ORACLE_SEMANTIC_DEDUP,
+        "embedding pairs → components → quality keeper election, "
+        "end to end", ("embeddings", "documents")),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -9200,10 +9278,10 @@ _CHECK_FIRST = [
     "set_sim_prefix", "filtered_ann", "knn_join_det", "stream_hopping",
     # NEW in r7 — offset-free exact-substring dedup, iterative BPE
     # trainer, certified Misra-Gries heavy hitters, Python DataSource V2
-    # REST read, STL-lite seasonal decomposition, VARIANT JSON probe
-    # (first-timers)
+    # REST read, STL-lite seasonal decomposition, VARIANT JSON probe,
+    # end-to-end semantic dedup (first-timers)
     "substring_dedup", "bpe_train", "heavy_hitters", "rest_datasource",
-    "seasonal_decompose", "events_variant",
+    "seasonal_decompose", "events_variant", "semantic_dedup",
     # r3-era greens, 4 rounds stale — cheap relational/scalar shapes
     "stats_topk", "keyed_lookup", "marvel_normalize", "marvel_credits",
     "rest_paginated", "incremental_refetch", "cover_enrichment",
@@ -9211,7 +9289,8 @@ _CHECK_FIRST = [
     "gap_fill", "decile_buckets", "dict_encode", "winsorize",
     "forward_fill", "unpivot_measures", "market_share", "group_sample",
     "retention_cohorts", "sales_cube", "scd2_orders",
-    "incremental_rollup", "rolling_dau", "key_skew", "table_fingerprint",
+    # (key_skew → r8 backlog: seventh r7-new first-timer takes its slot)
+    "incremental_rollup", "rolling_dau", "table_fingerprint",
     # r3-era greens — text/corpus family mostly deferred (lang_balance,
     # corpus_top_terms, repetition_stats, tfidf_top_terms,
     # chunk_documents + pii_scrub → r8 backlog so the six r7-new
