@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -158,16 +158,15 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     return sigs.select("_id", F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("signature"))
 
 
-def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, *,
+def minhash_band_rows(df: DataFrame, id_col: str, text_col: str, *,
                       num_hashes: int = 32, bands: int = 8, n: int = 3,
-                      threshold: float = 0.5, hash_fn: str = "xxhash64") -> DataFrame:
-    """Near-dup pairs via banded MinHash LSH, verified with exact Jaccard.
-
-    Signature is split into ``bands`` bands of ``num_hashes/bands`` rows;
-    docs colliding on any band become candidates (the only pairwise work),
-    then candidates are verified against exact shingle Jaccard. Bucket
-    collision probability ≈ 1-(1-s^r)^b — tune bands to the threshold.
-    """
+                      hash_fn: str = "xxhash64") -> DataFrame:
+    """(``_id``, band, bucket) rows — the LSH index side of banded
+    MinHash, factored out so self-join dedup (``minhash_lsh_pairs``) and
+    batch-vs-corpus probing (``dedup_against_corpus``) share one
+    banding implementation. In production the corpus side of this is
+    computed once and PERSISTED bucketed-by-(band, bucket); the daily
+    probe then joins against it without reshuffling the corpus."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, n, hash_fn)
 
@@ -179,13 +178,28 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, *,
             return F.md5(F.concat_ws("|", *slots))
         return F.xxhash64(*slots)
 
-    band_rows = sigs.select(
+    return sigs.select(
         "_id",
         F.explode(F.array(*[
             F.struct(F.lit(bi).alias("band"), band_key(bi).alias("bucket"))
             for bi in range(bands)
         ])).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, *,
+                      num_hashes: int = 32, bands: int = 8, n: int = 3,
+                      threshold: float = 0.5, hash_fn: str = "xxhash64") -> DataFrame:
+    """Near-dup pairs via banded MinHash LSH, verified with exact Jaccard.
+
+    Signature is split into ``bands`` bands of ``num_hashes/bands`` rows;
+    docs colliding on any band become candidates (the only pairwise work),
+    then candidates are verified against exact shingle Jaccard. Bucket
+    collision probability ≈ 1-(1-s^r)^b — tune bands to the threshold.
+    """
+    band_rows = minhash_band_rows(df, id_col, text_col,
+                                  num_hashes=num_hashes, bands=bands, n=n,
+                                  hash_fn=hash_fn)
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     candidates = (
@@ -210,6 +224,61 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, *,
         )
     )
     return verified.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def dedup_against_corpus(batch: DataFrame, corpus: DataFrame, id_col: str,
+                         text_col: str, *, num_hashes: int = 32,
+                         bands: int = 8, n: int = 3, threshold: float = 0.5,
+                         hash_fn: str = "xxhash64") -> DataFrame:
+    """INCREMENTAL near-dup screen: which documents of a NEW batch are
+    already present (exact Jaccard ≥ threshold) in a LANDED corpus —
+    the daily-crawl dedup every growing training set runs, where
+    re-running the all-pairs self-join over corpus+batch would redo
+    yesterday's work to answer a question about today's sliver.
+
+    Returns one row per duplicated batch doc: ``(doc_id, match_id,
+    jaccard)`` with its BEST corpus match (max Jaccard, ties to the
+    smallest corpus id). Batch docs with no match ≥ threshold are
+    absent (anti-join the output against the batch to get survivors).
+
+    Scale shape: both sides band with the SAME ``minhash_band_rows``
+    machinery, but the join is strictly CROSS-SIDE — candidates are
+    batch×corpus band collisions only, never corpus×corpus. The corpus
+    side's band rows are exactly what production persists bucketed by
+    (band, bucket): then the probe join is shuffle-free on the corpus
+    (the 100 TB side never moves; only the batch's band keys and the
+    candidates' shingle sets do). Verification joins shingle SETS per
+    candidate — O(candidates), the LSH contract."""
+    nb = minhash_band_rows(batch, id_col, text_col, num_hashes=num_hashes,
+                           bands=bands, n=n, hash_fn=hash_fn)
+    ob = minhash_band_rows(corpus, id_col, text_col, num_hashes=num_hashes,
+                           bands=bands, n=n, hash_fn=hash_fn)
+    candidates = (nb.alias("a")
+                  .join(ob.alias("b"),
+                        (F.col("a.band") == F.col("b.band"))
+                        & (F.col("a.bucket") == F.col("b.bucket")))
+                  .select(F.col("a._id").alias("id_new"),
+                          F.col("b._id").alias("id_old"))
+                  .distinct())
+    sh_new = batch.select(F.col(id_col).alias("id_new"),
+                          shingles(text_col, n).alias("sh_n"))
+    sh_old = corpus.select(F.col(id_col).alias("id_old"),
+                           shingles(text_col, n).alias("sh_o"))
+    verified = (candidates
+                .join(sh_new, "id_new").join(sh_old, "id_old")
+                .withColumn("n_common",
+                            F.size(F.array_intersect("sh_n", "sh_o")))
+                .withColumn("jaccard", F.round(
+                    F.col("n_common").cast("double")
+                    / (F.size("sh_n") + F.size("sh_o")
+                       - F.col("n_common")).cast("double"), 6))
+                .filter(F.col("jaccard") >= threshold))
+    w = Window.partitionBy("id_new").orderBy(F.col("jaccard").desc(),
+                                             F.col("id_old"))
+    return (verified.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("id_new").alias(id_col),
+                    F.col("id_old").alias("match_id"), "jaccard"))
 
 
 def _large_star(e: DataFrame) -> DataFrame:

@@ -8447,6 +8447,77 @@ SELECT CAST(500 AS BIGINT) AS n_records,
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-crawl INCREMENTAL dedup (operators/dedup.py::
+    dedup_against_corpus): the batch (doc_id % 10 = 0) probes the landed
+    corpus (the other 90 %) through shared MinHash band buckets — the
+    candidates are strictly batch×corpus collisions, the corpus never
+    self-joins, and each duplicated batch doc reports its best corpus
+    match. md5 hash family, so the DuckDB oracle independently
+    recomputes every signature, bucket, candidate and verdict (same det
+    contract as minhash_lsh_det)."""
+    from comix_etl_spark.operators import dedup as D
+
+    t = _t(spark, sf_dir, "documents")
+    batch = t["documents"].filter(F.col("doc_id") % 10 == 0)
+    corpus = t["documents"].filter(F.col("doc_id") % 10 != 0)
+    return (D.dedup_against_corpus(batch, corpus, "doc_id", "text",
+                                   num_hashes=16, bands=4, n=3,
+                                   threshold=0.3, hash_fn="md5")
+            .orderBy("doc_id"))
+
+
+ORACLE_DEDUP_INCREMENTAL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         )) AS shingle
+  FROM toks WHERE len(t) >= 3
+), mins AS (
+  SELECT doc_id, h.i, min(md5(h.i || '_' || shingle)) AS mh
+  FROM sh, range(16) h(i) GROUP BY doc_id, h.i
+), sigs AS (
+  SELECT doc_id, list(mh ORDER BY i) AS sig FROM mins GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, b.b,
+         md5(sig[b.b * 4 + 1] || '|' || sig[b.b * 4 + 2] || '|'
+             || sig[b.b * 4 + 3] || '|' || sig[b.b * 4 + 4]) AS bucket
+  FROM sigs, range(4) b(b)
+), cand AS (
+  SELECT DISTINCT nb.doc_id AS id_new, ob.doc_id AS id_old
+  FROM bands nb JOIN bands ob
+    ON nb.b = ob.b AND nb.bucket = ob.bucket
+  WHERE nb.doc_id % 10 = 0 AND ob.doc_id % 10 <> 0
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.id_new, c.id_old, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_new
+  JOIN sh b ON b.doc_id = c.id_old AND b.shingle = a.shingle
+  GROUP BY c.id_new, c.id_old
+), verified AS (
+  SELECT id_new, id_old,
+         round(CAST(n_common AS DOUBLE)
+               / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON id_new = sa.doc_id
+  JOIN sizes sb ON id_old = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE)
+        / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.3
+)
+SELECT id_new AS doc_id, id_old AS match_id, jaccard FROM (
+  SELECT *, row_number() OVER (PARTITION BY id_new
+                               ORDER BY jaccard DESC, id_old) AS rn
+  FROM verified
+) WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END semantic dedup — the full production composition in
     one plan: exact embedding-cosine near-dup pairs (threshold 0.4,
@@ -9244,6 +9315,10 @@ QUERIES: dict[str, Query] = {
         q_semantic_dedup, ORACLE_SEMANTIC_DEDUP,
         "embedding pairs → components → quality keeper election, "
         "end to end", ("embeddings", "documents")),
+    "dedup_incremental": Query(
+        q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL,
+        "batch-vs-corpus incremental near-dup screen (cross-side LSH, "
+        "best match)", ("documents",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -9279,14 +9354,17 @@ _CHECK_FIRST = [
     # NEW in r7 — offset-free exact-substring dedup, iterative BPE
     # trainer, certified Misra-Gries heavy hitters, Python DataSource V2
     # REST read, STL-lite seasonal decomposition, VARIANT JSON probe,
-    # end-to-end semantic dedup (first-timers)
+    # end-to-end semantic dedup, incremental batch-vs-corpus dedup
+    # (first-timers)
     "substring_dedup", "bpe_train", "heavy_hitters", "rest_datasource",
     "seasonal_decompose", "events_variant", "semantic_dedup",
+    "dedup_incremental",
     # r3-era greens, 4 rounds stale — cheap relational/scalar shapes
     "stats_topk", "keyed_lookup", "marvel_normalize", "marvel_credits",
     "rest_paginated", "incremental_refetch", "cover_enrichment",
     "issue_sort_numeric", "snapshot_diff", "shipping_priority",
-    "gap_fill", "decile_buckets", "dict_encode", "winsorize",
+    # (winsorize → r8 backlog: eighth r7-new first-timer takes its slot)
+    "gap_fill", "decile_buckets", "dict_encode",
     "forward_fill", "unpivot_measures", "market_share", "group_sample",
     "retention_cohorts", "sales_cube", "scd2_orders",
     # (key_skew → r8 backlog: seventh r7-new first-timer takes its slot)
