@@ -341,6 +341,17 @@ def bpe_train(df: DataFrame, text_col: str, *, n_merges: int = 8) -> DataFrame:
     fusion is a pure array-expression map (no UDF). localCheckpoint per
     round cuts the growing expression lineage, same discipline as
     kmeans/pagerank."""
+    merges, _seg = _bpe_learn(df, text_col, n_merges)
+    return df.sparkSession.createDataFrame(
+        merges, "step long, merge_left string, merge_right string, "
+                "pair_count long")
+
+
+def _bpe_learn(df: DataFrame, text_col: str,
+               n_merges: int) -> tuple[list, DataFrame]:
+    """Shared BPE learner: returns (merge rules, final vocab
+    segmentation (_w, _freq, _syms)) — ``bpe_train`` reports the rules,
+    ``bpe_tokenize`` applies the segmentation back to the corpus."""
     vocab = (df.select(F.explode(tokens(text_col)).alias("_w"))
              .groupBy("_w").agg(F.count(F.lit(1)).cast("long").alias("_freq")))
     seg = vocab.select(
@@ -348,7 +359,6 @@ def bpe_train(df: DataFrame, text_col: str, *, n_merges: int = 8) -> DataFrame:
         F.expr("transform(sequence(1, length(_w)), i -> substring(_w, i, 1))")
         .alias("_syms")).localCheckpoint(eager=True)
 
-    spark = df.sparkSession
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
         width = F.size("_syms") - 1
@@ -380,9 +390,40 @@ def bpe_train(df: DataFrame, text_col: str, *, n_merges: int = 8) -> DataFrame:
                          F.array(F.lit(fused))))
             .otherwise(F.concat(out, F.array(s)))))
             .localCheckpoint(eager=True))
-    return spark.createDataFrame(
-        merges, "step long, merge_left string, merge_right string, "
-                "pair_count long")
+    return merges, seg
+
+
+def bpe_tokenize(df: DataFrame, id_col: str, text_col: str, *,
+                 n_merges: int = 8) -> DataFrame:
+    """Train BPE on the corpus AND apply it back: per-document token
+    counts under the learned merges vs raw whitespace words — the
+    compression-diagnostic pass that tells you what a tokenizer change
+    does to your token budget BEFORE you re-tokenize 100 TB.
+
+    Scale shape (how real tokenizers apply at scale): merges are
+    applied to the VOCAB (Zipf-bounded distinct words), never to the
+    corpus — the final word → subword-count map then joins back to the
+    corpus word stream (broadcast here; sort-merge when a trillion-token
+    corpus pushes the vocab past broadcast size). The corpus is touched
+    twice total (vocab build + count join), regardless of n_merges.
+
+    Returns ``(id_col, n_words, n_bpe_tokens)``; zero-token documents
+    report (0, 0)."""
+    _merges, seg = _bpe_learn(df, text_col, n_merges)
+    word_cost = seg.select(F.col("_w"),
+                           F.size("_syms").cast("long").alias("_cost"))
+    words = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_w"))
+    counts = (words.join(F.broadcast(word_cost), "_w")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+                   F.sum("_cost").cast("long").alias("n_bpe_tokens")))
+    return (df.select(F.col(id_col)).distinct()
+            .join(counts, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_words", F.lit(0)).cast("long")
+                    .alias("n_words"),
+                    F.coalesce("n_bpe_tokens", F.lit(0)).cast("long")
+                    .alias("n_bpe_tokens")))
 
 
 def contamination_check(corpus: DataFrame, benchmark: DataFrame, *,

@@ -8410,7 +8410,50 @@ def _bpe_oracle_sql(n_merges: int = 8) -> str:
     return "".join(parts)
 
 
+def _bpe_tokenize_oracle_sql(n_merges: int = 8) -> str:
+    """Oracle for q_bpe_tokenize: the same unrolled merge chain, but the
+    final segmentation (seg{n}) becomes a word → subword-count map
+    joined back to the corpus word stream."""
+    train = _bpe_oracle_sql(n_merges)
+    prefix = train[:train.rindex("\nSELECT * FROM (")]
+    return prefix + f""", cost AS (
+  SELECT w, len(syms) AS c FROM seg{n_merges}
+), words AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                  '\\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(c) AS BIGINT) AS n_bpe_tokens
+  FROM words JOIN cost USING (w) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_words, 0) AS n_words,
+       coalesce(p.n_bpe_tokens, 0) AS n_bpe_tokens
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+"""
+
+
 ORACLE_BPE_TRAIN = _bpe_oracle_sql(8)
+ORACLE_BPE_TOKENIZE = _bpe_tokenize_oracle_sql(8)
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-tokenizer application (operators/textstats.py::
+    bpe_tokenize): train the 8-merge BPE on documents, apply it back as
+    a vocab-side word → subword-count map broadcast onto the corpus
+    word stream — per-doc raw word vs BPE token counts, the token-budget
+    diagnostic run before committing a tokenizer change to 100 TB. The
+    corpus is scanned twice total regardless of merge count."""
+    from comix_etl_spark.operators.textstats import bpe_tokenize
+
+    t = _t(spark, sf_dir, "documents")
+    return (bpe_tokenize(t["documents"], "doc_id", "text", n_merges=8)
+            .orderBy("doc_id"))
 
 
 def q_rest_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9319,6 +9362,10 @@ QUERIES: dict[str, Query] = {
         q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL,
         "batch-vs-corpus incremental near-dup screen (cross-side LSH, "
         "best match)", ("documents",)),
+    "bpe_tokenize": Query(
+        q_bpe_tokenize, ORACLE_BPE_TOKENIZE,
+        "apply learned BPE back to the corpus: per-doc word vs token "
+        "counts", ("documents",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -9354,18 +9401,19 @@ _CHECK_FIRST = [
     # NEW in r7 — offset-free exact-substring dedup, iterative BPE
     # trainer, certified Misra-Gries heavy hitters, Python DataSource V2
     # REST read, STL-lite seasonal decomposition, VARIANT JSON probe,
-    # end-to-end semantic dedup, incremental batch-vs-corpus dedup
-    # (first-timers)
+    # end-to-end semantic dedup, incremental batch-vs-corpus dedup,
+    # learned-BPE application (first-timers)
     "substring_dedup", "bpe_train", "heavy_hitters", "rest_datasource",
     "seasonal_decompose", "events_variant", "semantic_dedup",
-    "dedup_incremental",
+    "dedup_incremental", "bpe_tokenize",
     # r3-era greens, 4 rounds stale — cheap relational/scalar shapes
     "stats_topk", "keyed_lookup", "marvel_normalize", "marvel_credits",
     "rest_paginated", "incremental_refetch", "cover_enrichment",
     "issue_sort_numeric", "snapshot_diff", "shipping_priority",
     # (winsorize → r8 backlog: eighth r7-new first-timer takes its slot)
     "gap_fill", "decile_buckets", "dict_encode",
-    "forward_fill", "unpivot_measures", "market_share", "group_sample",
+    # (group_sample → r8 backlog: ninth r7-new first-timer takes its slot)
+    "forward_fill", "unpivot_measures", "market_share",
     "retention_cohorts", "sales_cube", "scd2_orders",
     # (key_skew → r8 backlog: seventh r7-new first-timer takes its slot)
     "incremental_rollup", "rolling_dau", "table_fingerprint",

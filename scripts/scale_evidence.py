@@ -99,10 +99,12 @@ def shuffle_write_bytes(spark) -> int:
 
 
 def measure(spark, sf_dir: str) -> dict:
-    from comix_etl_spark.operators.dedup import (dup_clusters,
+    from comix_etl_spark.operators.dedup import (dedup_against_corpus,
+                                                 dup_clusters,
                                                  minhash_lsh_pairs,
                                                  minhash_signatures)
     from comix_etl_spark.operators.similarity import knn_join_lsh
+    from comix_etl_spark.operators.textstats import exact_substring_dedup
     from pyspark.sql import functions as F
 
     # plain reads: only documents/embeddings exist in the blow-up dir,
@@ -127,25 +129,37 @@ def measure(spark, sf_dir: str) -> dict:
     out["minhash_candidates"] = n_cand
     out["cand_per_doc"] = round(n_cand / n_docs, 3)
 
-    for name, thunk in [
+    for name, build in [
         ("minhash_lsh_pairs", lambda: minhash_lsh_pairs(
-            docs, "doc_id", "text", threshold=0.5).count()),
-        ("knn_join_lsh", lambda: knn_join_lsh(
-            emb, dim=64, k=3).count()),
+            docs, "doc_id", "text", threshold=0.5)),
+        ("knn_join_lsh", lambda: knn_join_lsh(emb, dim=64, k=3)),
         # the scale knob under test: bits widened to log2(n/32) must
         # hold per-bucket pair work (and the candidate shuffle) constant
         ("knn_join_lsh_autobits", lambda: knn_join_lsh(
-            emb, dim=64, k=3, auto_bits=True).count()),
+            emb, dim=64, k=3, auto_bits=True)),
         ("dup_clusters", lambda: dup_clusters(
-            minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5))
-            .count()),
+            minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5))),
+        # r7 tiers: offset-free substring dedup (token-linear anchors)
+        # and the batch-vs-corpus incremental probe (cross-side LSH)
+        ("substring_dedup", lambda: exact_substring_dedup(
+            docs, "doc_id", "text", k=8)),
+        ("dedup_incremental", lambda: dedup_against_corpus(
+            docs.filter(F.col("doc_id") % 10 == 0),
+            docs.filter(F.col("doc_id") % 10 != 0),
+            "doc_id", "text", threshold=0.5)),
     ]:
         s0 = shuffle_write_bytes(spark)
         t0 = time.perf_counter()
-        rows = thunk()
+        # time build + materialization: iterative operators (dup_clusters)
+        # execute during build, and the noop sink forces the rest —
+        # count() alone lets Catalyst prune subtrees (e.g.
+        # substring_dedup's unique-key left join: 0.19 s counted vs
+        # 2.24 s materialized)
+        df = build()
+        df.write.format("noop").mode("overwrite").save()
         wall = round(time.perf_counter() - t0, 2)
         s1 = shuffle_write_bytes(spark)
-        out[name] = {"rows": rows, "wall_sec": wall,
+        out[name] = {"rows": df.count(), "wall_sec": wall,
                      "shuffle_mb": round((s1 - s0) / 1e6, 1)
                      if s0 >= 0 and s1 >= 0 else None}
     return out
@@ -173,7 +187,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     report = {"x1": measure(spark, SF_DIR), "x10": measure(spark, OUT_DIR)}
     for op in ("minhash_lsh_pairs", "knn_join_lsh", "knn_join_lsh_autobits",
-               "dup_clusters"):
+               "dup_clusters", "substring_dedup", "dedup_incremental"):
         g = report["x10"][op]["wall_sec"] / max(report["x1"][op]["wall_sec"], 1e-9)
         report[f"growth_{op}"] = round(g, 2)
     print(json.dumps(report, indent=1))

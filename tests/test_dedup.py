@@ -174,3 +174,33 @@ def test_ngram_df_cap_equivalent_to_dropping_hot_shingles(spark):
                                     df_cap=5).collect()}
     assert (100, 101) in capped  # rare-shingle pair survives
     assert capped < uncapped     # boilerplate-only pairs are gone
+
+
+def test_dedup_against_corpus_finds_planted_matches(spark):
+    """Batch docs: one exact copy of a corpus doc, one half-overlap
+    near-dup, one unique. The screen must return the copy (jaccard 1.0)
+    and the near-dup with its BEST corpus match, and omit the unique."""
+    from comix_etl_spark.operators.dedup import dedup_against_corpus
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(1, base),
+         (2, "one two three four five six seven eight nine ten"),
+         (3, "red orange yellow green blue indigo violet pink")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        # near-dup shares 7 of doc 1's 8 shingles (J = 7/9 ≈ 0.78):
+        # with 16 single-row bands the collision odds are 1-(1-s)^16,
+        # indistinguishable from certain, and the fixed hash family
+        # makes the outcome reproducible run to run
+        [(10, base),                                        # exact copy of 1
+         (20, f"{base.rsplit(' ', 1)[0]} nope1"),           # near-dup of 1
+         (30, "totally unrelated words without any overlap here")],
+        "doc_id long, text string")
+
+    got = {r.doc_id: (r.match_id, r.jaccard) for r in dedup_against_corpus(
+        batch, corpus, "doc_id", "text",
+        num_hashes=16, bands=16, n=3, threshold=0.2).collect()}
+    assert got[10] == (1, 1.0)
+    assert got[20][0] == 1 and 0.7 <= got[20][1] < 1.0
+    assert 30 not in got

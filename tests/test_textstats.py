@@ -319,3 +319,46 @@ def test_bpe_train_matches_reference_implementation(spark):
            for r in bpe_train(df, "text", n_merges=6)
            .orderBy("step").collect()]
     assert got == expect, (got, expect)
+
+
+def test_bpe_tokenize_counts_match_learned_segmentation(spark):
+    """Applying the learned merges back to the corpus: per-doc BPE token
+    counts must equal the reference segmentation's subword counts, and
+    compress (token count strictly below character count, at or above
+    word count)."""
+    from collections import Counter
+
+    from comix_etl_spark.operators.textstats import bpe_tokenize
+
+    docs = [(1, "banana bandana banana"), (2, "ban banana bandana"),
+            (3, ""), (4, "banana")]
+
+    # reference: learn 4 merges exactly like the bpe_train test
+    vocab = Counter(w for _, t in docs for w in t.lower().split())
+    seg = {w: list(w) for w in vocab}
+    for _ in range(4):
+        counts = Counter()
+        for w, f in vocab.items():
+            s = seg[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += f
+        if not counts:
+            break
+        (l, r), _ = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w in seg:
+            s, out, i = seg[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r); i += 2
+                else:
+                    out.append(s[i]); i += 1
+            seg[w] = out
+    expect = {d: (len(t.lower().split()),
+                  sum(len(seg[w]) for w in t.lower().split()))
+              for d, t in docs}
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_words, r.n_bpe_tokens)
+           for r in bpe_tokenize(df, "doc_id", "text", n_merges=4).collect()}
+    assert got == expect
+    assert got[3] == (0, 0)
