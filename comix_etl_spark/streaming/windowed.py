@@ -269,3 +269,62 @@ def foreach_batch_heavy_hitters(summary_path: str, *,
         safe_overwrite_parquet(out.coalesce(1), summary_path)
 
     return apply
+
+
+def foreach_batch_dedup_screen(corpus_path: str, matches_path: str, *,
+                               id_col: str = "doc_id",
+                               text_col: str = "text",
+                               threshold: float = 0.5,
+                               num_hashes: int = 32, bands: int = 8,
+                               n: int = 3):
+    """foreachBatch sink: STREAMING INGEST DEDUP — each micro-batch of
+    documents is screened against the already-landed corpus
+    (operators/dedup.py::dedup_against_corpus, cross-side MinHash LSH +
+    exact-Jaccard verify) and only NOVEL documents append to the
+    corpus; duplicates append (doc_id, match_id, jaccard, batch_id) to
+    ``matches_path``. Exact within-batch copies collapse first (min id
+    survives), so a batch can't land the same text twice.
+
+    This closes the loop the batch operators open: a 24/7 crawl feed
+    lands a deduplicated bronze layer INCREMENTALLY — the corpus is
+    probed, never self-joined, and each batch's cost scales with the
+    batch (plus the corpus band rows, which production persists
+    bucketed — see dedup_against_corpus's scale note).
+
+    Restart safety: foreachBatch may replay a batch after a crash;
+    replayed batch docs find their own landed copies (Jaccard 1.0
+    self-matches) and are screened out, so the corpus stays
+    duplicate-free — the append is effectively idempotent at the
+    content level.
+    """
+    from pyspark.sql import Window
+
+    from comix_etl_spark.operators.dedup import dedup_against_corpus
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(F.md5(F.lower(F.trim(F.col(text_col))))) \
+                  .orderBy(F.col(id_col))
+        batch = (batch_df.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") == 1).drop("_rn")
+                 .localCheckpoint(eager=True))
+        if os.path.isdir(corpus_path):
+            corpus = spark.read.parquet(corpus_path)
+            dups = dedup_against_corpus(
+                batch, corpus, id_col, text_col, threshold=threshold,
+                num_hashes=num_hashes, bands=bands, n=n)
+            # bounded by the batch; checkpoint cuts the lineage to the
+            # corpus files we're about to append to
+            dups = dups.localCheckpoint(eager=True)
+            (dups.withColumn("batch_id", F.lit(int(batch_id)))
+             .write.mode("append").parquet(matches_path))
+            novel = batch.join(dups.select(id_col), id_col, "left_anti")
+        else:
+            novel = batch
+        novel.write.mode("append").parquet(corpus_path)
+
+    return apply

@@ -399,3 +399,53 @@ def test_foreach_batch_heavy_hitters_merged_summary(spark, tmpdir):
     # weights undercount by at most the threshold, never overcount
     for v in survivors_due:
         assert truth[v] >= got[v] > truth[v] - n_total / 65
+
+
+def test_foreach_batch_dedup_screen_lands_only_novel_docs(spark, tmpdir):
+    """Streaming ingest dedup: batch 1 seeds the corpus; batch 2 brings
+    one exact copy, one near-dup and one novel doc — only the novel doc
+    (and nothing else) lands, and the matches log names the duplicates
+    with their corpus matches. A within-batch exact copy collapses
+    before screening."""
+    import glob as _glob
+
+    from comix_etl_spark.streaming.windowed import foreach_batch_dedup_screen
+
+    src = os.path.join(tmpdir, "ingest_src")
+    corpus = os.path.join(tmpdir, "ingest_corpus")
+    matches = os.path.join(tmpdir, "ingest_matches")
+    os.makedirs(src)
+
+    def write_file(name, rows):
+        tmp = tempfile.mkdtemp(prefix="ids_")
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/d")
+        shutil.move(_glob.glob(f"{tmp}/d/part-*.parquet")[0],
+                    os.path.join(src, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    write_file("b1.parquet", [
+        (1, base),
+        (2, "one two three four five six seven eight nine ten"),
+    ])
+    write_file("b2.parquet", [
+        (10, base),                                  # exact copy of 1
+        (11, f"{base.rsplit(' ', 1)[0]} nope1"),     # near-dup of 1
+        (12, "completely novel words that overlap nothing at all"),
+        (13, "completely novel words that overlap nothing at all"),
+    ])  # 12/13: within-batch exact copies — min id (12) survives
+
+    q = (spark.readStream.schema("doc_id long, text string")
+         .option("maxFilesPerTrigger", 1).parquet(src)
+         .writeStream.foreachBatch(foreach_batch_dedup_screen(
+             corpus, matches, threshold=0.2, num_hashes=16, bands=16, n=3))
+         .option("checkpointLocation", os.path.join(tmpdir, "ingest_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    landed = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert landed == {1, 2, 12}
+    logged = {(r.doc_id, r.match_id) for r in
+              spark.read.parquet(matches).collect()}
+    assert logged == {(10, 1), (11, 1)}
