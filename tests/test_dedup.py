@@ -204,3 +204,16 @@ def test_dedup_against_corpus_finds_planted_matches(spark):
     assert got[10] == (1, 1.0)
     assert got[20][0] == 1 and 0.7 <= got[20][1] < 1.0
     assert 30 not in got
+
+
+def test_dedup_against_corpus_empty_sides(spark):
+    """Empty corpus -> no matches (everything novel); empty batch ->
+    empty result. Neither errors."""
+    from comix_etl_spark.operators.dedup import dedup_against_corpus
+
+    schema = "doc_id long, text string"
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], schema)
+    empty = spark.createDataFrame([], schema)
+    assert dedup_against_corpus(docs, empty, "doc_id", "text").count() == 0
+    assert dedup_against_corpus(empty, docs, "doc_id", "text").count() == 0

@@ -179,3 +179,26 @@ def test_every_query_emits_only_scalar_columns(spark, sf_small):
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 bad.append((name, f.name, f.dataType.simpleString()))
     assert not bad, bad
+
+
+def test_bpe_tokenize_vocab_map_broadcasts(spark, sf_small):
+    """The word → subword-cost map must reach the corpus word stream as
+    a broadcast join — a shuffle join here would move the whole corpus
+    word stream for a Zipf-bounded dictionary."""
+    from comix_etl_spark.plans.introspect import plan_summary
+
+    s = plan_summary(QUERIES["bpe_tokenize"].builder(spark, sf_small))
+    # the vocab-cost map joins broadcast; the final doc-level left join
+    # may legitimately SMJ (both sides are doc-cardinality at scale)
+    assert s.n_broadcast_hash_joins >= 1
+
+
+def test_dedup_incremental_no_corpus_self_join(spark, sf_small):
+    """The incremental screen joins batch bands × corpus bands and
+    candidates × shingles — there must be no SMJ of the corpus against
+    itself (the plan's joins are bounded by candidates, and at this
+    scale every join side broadcasts)."""
+    from comix_etl_spark.plans.introspect import plan_summary
+
+    s = plan_summary(QUERIES["dedup_incremental"].builder(spark, sf_small))
+    assert s.n_sort_merge_joins == 0

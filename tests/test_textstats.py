@@ -362,3 +362,38 @@ def test_bpe_tokenize_counts_match_learned_segmentation(spark):
            for r in bpe_tokenize(df, "doc_id", "text", n_merges=4).collect()}
     assert got == expect
     assert got[3] == (0, 0)
+
+
+def test_bpe_train_empty_and_degenerate_corpora(spark):
+    """No tokens at all -> empty merge table with the right schema;
+    single-char vocab -> zero pairs, trainer stops without error."""
+    from comix_etl_spark.operators.textstats import bpe_train
+
+    empty = spark.createDataFrame([(1, ""), (2, "   ")],
+                                  "doc_id long, text string")
+    out = bpe_train(empty, "text", n_merges=4)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "step", "merge_left", "merge_right", "pair_count"]
+
+    chars = spark.createDataFrame([(1, "a b c a b")],
+                                  "doc_id long, text string")
+    assert bpe_train(chars, "text", n_merges=4).count() == 0
+
+
+def test_exact_substring_dedup_all_docs_below_k(spark):
+    """Docs shorter than the anchor width produce no anchors: nothing
+    is removed and every doc reconstructs to itself."""
+    import hashlib
+
+    from comix_etl_spark.operators.textstats import exact_substring_dedup
+
+    df = spark.createDataFrame(
+        [(1, "short text"), (2, "short text"), (3, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.dup_tokens, r.new_fp)
+           for r in exact_substring_dedup(df, "doc_id", "text", k=8).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got[1] == (2, 0, md5("short text"))
+    assert got[2] == (2, 0, md5("short text"))   # exact dup but < k: kept
+    assert got[3] == (0, 0, md5(""))
