@@ -5686,6 +5686,97 @@ SELECT query_id, vec_id, cosine_sim FROM (
 """
 
 
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED ANN quality as a first-class query: recall@10 of the
+    LSH-bucketed path against brute-force ground truth, per query — the
+    evaluation harness every production ANN deployment runs before
+    trusting an index (sweep bits/tables against this number). Both
+    paths use deterministic artifacts (md5-Rademacher planes; cosine
+    ties broken by vec_id), so the oracle recomputes ground truth, the
+    bucketed candidates AND the recall join. Output:
+    (query_id, n_hits, recall_e6)."""
+    t = _t(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    queries = (emb.filter(F.col("vec_id").isin(0, 1, 2, 3, 4))
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    planes = S.rademacher_hyperplanes(dim=64, bits=4, tables=8)
+    lsh = S.lsh_bucketed_topk(emb, queries, dim=64, id_col="vec_id",
+                              vec_col="embedding", k=10, planes=planes)
+    brute = S.brute_force_topk(emb, queries, id_col="vec_id",
+                               vec_col="embedding", k=10,
+                               query_id_col="query_id")
+    hits = (lsh.select("query_id", "vec_id")
+            .join(brute.select("query_id", "vec_id"),
+                  ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+    return (brute.select("query_id").distinct()
+            .join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    (F.coalesce("n_hits", F.lit(0)) * 100_000)
+                    .cast("long").alias("recall_e6"))
+            .orderBy("query_id"))
+
+
+ORACLE_ANN_RECALL_EVAL = """
+WITH planes AS (
+  SELECT t.t, b.b,
+         list(CASE WHEN ascii(substring(md5('p' || t.t || '_' || b.b || '_' || d.d), 1, 1)) % 2 = 0
+                   THEN 1.0 ELSE -1.0 END ORDER BY d.d) AS w
+  FROM range(8) t(t), range(4) b(b), range(64) d(d)
+  GROUP BY t.t, b.b
+), vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), buckets AS (
+  SELECT vec_id, t,
+         CAST(sum(CASE WHEN list_dot_product(v, w) > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
+  FROM vecs, planes GROUP BY vec_id, t
+), qb AS (
+  SELECT vec_id AS query_id, t, bucket FROM buckets
+  WHERE vec_id IN (0, 1, 2, 3, 4)
+), cand AS (
+  SELECT DISTINCT qb.query_id, cb.vec_id
+  FROM buckets cb JOIN qb ON cb.t = qb.t AND cb.bucket = qb.bucket
+), lsh AS (
+  SELECT query_id, vec_id FROM (
+    SELECT c.query_id, c.vec_id,
+           round(list_dot_product(e.v, q.v)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(q.v, q.v))), 6) AS cs,
+           row_number() OVER (
+             PARTITION BY c.query_id
+             ORDER BY round(list_dot_product(e.v, q.v)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(q.v, q.v))), 6) DESC,
+               c.vec_id) AS rn
+    FROM cand c JOIN vecs e ON e.vec_id = c.vec_id
+                JOIN vecs q ON q.vec_id = c.query_id
+  ) WHERE rn <= 10
+), brute AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_dot_product(e.v, q.v)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(q.v, q.v))), 6) DESC,
+               e.vec_id) AS rn
+    FROM vecs e, vecs q WHERE q.vec_id IN (0, 1, 2, 3, 4)
+  ) WHERE rn <= 10
+), hits AS (
+  SELECT b.query_id, CAST(count(l.vec_id) AS BIGINT) AS n_hits
+  FROM brute b LEFT JOIN lsh l
+    ON b.query_id = l.query_id AND b.vec_id = l.vec_id
+  GROUP BY b.query_id
+)
+SELECT query_id, n_hits,
+       CAST(n_hits * 100000 AS BIGINT) AS recall_e6
+FROM hits ORDER BY query_id
+"""
+
+
 _IVF_DET_CENTROID_IDS = tuple(range(5, 85, 5))  # 16 fixed corpus vectors
 
 
@@ -9366,6 +9457,10 @@ QUERIES: dict[str, Query] = {
         q_bpe_tokenize, ORACLE_BPE_TOKENIZE,
         "apply learned BPE back to the corpus: per-doc word vs token "
         "counts", ("documents",)),
+    "ann_recall_eval": Query(
+        q_ann_recall_eval, ORACLE_ANN_RECALL_EVAL,
+        "measured recall@10 of LSH ANN vs brute-force ground truth",
+        ("embeddings",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -9402,14 +9497,15 @@ _CHECK_FIRST = [
     # trainer, certified Misra-Gries heavy hitters, Python DataSource V2
     # REST read, STL-lite seasonal decomposition, VARIANT JSON probe,
     # end-to-end semantic dedup, incremental batch-vs-corpus dedup,
-    # learned-BPE application (first-timers)
+    # learned-BPE application, measured ANN recall (first-timers)
     "substring_dedup", "bpe_train", "heavy_hitters", "rest_datasource",
     "seasonal_decompose", "events_variant", "semantic_dedup",
-    "dedup_incremental", "bpe_tokenize",
+    "dedup_incremental", "bpe_tokenize", "ann_recall_eval",
     # r3-era greens, 4 rounds stale — cheap relational/scalar shapes
     "stats_topk", "keyed_lookup", "marvel_normalize", "marvel_credits",
+    # (snapshot_diff → r8 backlog: tenth r7-new first-timer's slot)
     "rest_paginated", "incremental_refetch", "cover_enrichment",
-    "issue_sort_numeric", "snapshot_diff", "shipping_priority",
+    "issue_sort_numeric", "shipping_priority",
     # (winsorize → r8 backlog: eighth r7-new first-timer takes its slot)
     "gap_fill", "decile_buckets", "dict_encode",
     # (group_sample → r8 backlog: ninth r7-new first-timer takes its slot)
