@@ -328,3 +328,40 @@ def foreach_batch_dedup_screen(corpus_path: str, matches_path: str, *,
         novel.write.mode("append").parquet(corpus_path)
 
     return apply
+
+
+def foreach_batch_with_dlq(inner, dlq_path: str, *,
+                           errors_path: str | None = None):
+    """Wrap a foreachBatch sink with a DEAD-LETTER QUEUE: if ``inner``
+    raises on a micro-batch, the batch's ROWS land under
+    ``dlq_path/batch_id=N`` and one (batch_id, error, ts) record
+    appends to ``errors_path`` (default ``dlq_path + "_errors"``) —
+    the stream keeps running instead of dying on one poison batch.
+
+    24/7 contract: a transient sink failure (lock contention, schema
+    drift in one feed slice, a full disk elsewhere) must not take down
+    ingestion for every OTHER batch; the DLQ preserves the failed
+    batch byte-for-byte for replay (`spark.read.parquet(dlq)` →
+    re-apply ``inner`` after the fix). If the DLQ write ITSELF fails,
+    the original error re-raises — data is never silently dropped.
+    """
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            inner(batch_df, batch_id)
+        except Exception as e:  # noqa: BLE001 — quarantine any sink failure
+            err_path = errors_path or dlq_path + "_errors"
+            try:
+                (batch_df.write.mode("overwrite")
+                 .parquet(f"{dlq_path}/batch_id={int(batch_id)}"))
+                spark = batch_df.sparkSession
+                (spark.createDataFrame(
+                    [(int(batch_id), f"{type(e).__name__}: {e}"[:2000])],
+                    "batch_id long, error string")
+                 .withColumn("quarantined_at", F.current_timestamp())
+                 .write.mode("append").parquet(err_path))
+            except Exception:
+                raise e  # DLQ landing failed: surface the ORIGINAL error
+            return
+
+    return apply

@@ -449,3 +449,46 @@ def test_foreach_batch_dedup_screen_lands_only_novel_docs(spark, tmpdir):
     logged = {(r.doc_id, r.match_id) for r in
               spark.read.parquet(matches).collect()}
     assert logged == {(10, 1), (11, 1)}
+
+
+def test_foreach_batch_with_dlq_quarantines_poison_batch(spark, tmpdir):
+    """A sink that raises on one batch must not kill the stream: the
+    poison batch lands in the DLQ byte-for-byte, an error record is
+    logged, and every other batch processes normally."""
+    import glob as _glob
+
+    from comix_etl_spark.streaming.windowed import foreach_batch_with_dlq
+
+    src = os.path.join(tmpdir, "dlq_src")
+    sunk = os.path.join(tmpdir, "dlq_sunk")
+    dlq = os.path.join(tmpdir, "dlq_quarantine")
+    os.makedirs(src)
+
+    def write_file(name, lo, hi):
+        tmp = tempfile.mkdtemp(prefix="dlq_")
+        spark.range(lo, hi).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/d")
+        shutil.move(_glob.glob(f"{tmp}/d/part-*.parquet")[0],
+                    os.path.join(src, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    write_file("b0.parquet", 0, 10)
+    write_file("b1.parquet", 100, 120)   # the poison range
+    write_file("b2.parquet", 200, 230)
+
+    def inner(batch_df, batch_id):
+        if batch_df.filter(F.col("id").between(100, 199)).take(1):
+            raise RuntimeError("poison batch")
+        batch_df.write.mode("append").parquet(sunk)
+
+    q = (spark.readStream.schema("id long")
+         .option("maxFilesPerTrigger", 1).parquet(src)
+         .writeStream.foreachBatch(foreach_batch_with_dlq(inner, dlq))
+         .option("checkpointLocation", os.path.join(tmpdir, "dlq_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()  # must NOT raise
+
+    assert spark.read.parquet(sunk).count() == 40           # batches 0 + 2
+    quarantined = spark.read.parquet(dlq)
+    assert sorted(r.id for r in quarantined.collect()) == list(range(100, 120))
+    (err,) = spark.read.parquet(dlq + "_errors").collect()
+    assert "poison batch" in err.error and err.batch_id is not None
