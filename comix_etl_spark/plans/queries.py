@@ -5777,6 +5777,104 @@ FROM hits ORDER BY query_id
 """
 
 
+def q_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sibling of ann_recall_eval for the IVF path: recall@10 of the
+    fixed-centroid inverted-list search (nprobe=4 of 16 lists) against
+    brute-force ground truth — the bits/tables sweep's counterpart is
+    the nprobe/nlist sweep, and this query is its measured objective.
+    Deterministic end to end (data-derived centroids, 6dp cosine, id
+    tie-breaks), so the oracle recomputes assignment argmax, probe
+    sets, ground truth and the recall join."""
+    import numpy as np
+
+    t = _t(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    cent_rows = (emb.filter(F.col("vec_id").isin(*_IVF_DET_CENTROID_IDS))
+                 .orderBy("vec_id").select("embedding").collect())
+    centers = np.array([r[0] for r in cent_rows], dtype=np.float64)
+    queries = (emb.filter(F.col("vec_id").isin(0, 1, 2, 3, 4))
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    ivf = S.ivf_topk(emb, queries, centers=centers, k=10, nprobe=4)
+    brute = S.brute_force_topk(emb, queries, id_col="vec_id",
+                               vec_col="embedding", k=10,
+                               query_id_col="query_id")
+    hits = (ivf.select("query_id", "vec_id")
+            .join(brute.select("query_id", "vec_id"),
+                  ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+    return (brute.select("query_id").distinct()
+            .join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    (F.coalesce("n_hits", F.lit(0)) * 100_000)
+                    .cast("long").alias("recall_e6"))
+            .orderBy("query_id"))
+
+
+ORACLE_IVF_RECALL_EVAL = """
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+  FROM vecs WHERE vec_id IN (5,10,15,20,25,30,35,40,45,50,55,60,65,70,75,80)
+), assigned AS (
+  SELECT vec_id, c AS centroid_id FROM (
+    SELECT s.vec_id, s.c,
+           row_number() OVER (PARTITION BY s.vec_id ORDER BY s.score DESC, s.c) AS rn
+    FROM (SELECT vecs.vec_id, cents.c,
+                 list_dot_product(vecs.v, cents.cv)
+                 - list_dot_product(cents.cv, cents.cv) / 2.0 AS score
+          FROM vecs, cents) s
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, c AS centroid_id FROM (
+    SELECT q.vec_id AS query_id, cents.c,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(cents.cv, cents.cv)
+                      - 2 * list_dot_product(q.v, cents.cv), cents.c) AS rn
+    FROM vecs q, cents WHERE q.vec_id IN (0, 1, 2, 3, 4)
+  ) WHERE rn <= 4
+), cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id
+  FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+), ivf AS (
+  SELECT query_id, vec_id FROM (
+    SELECT c.query_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY c.query_id
+             ORDER BY round(list_dot_product(e.v, q.v)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(q.v, q.v))), 6) DESC,
+               c.vec_id) AS rn
+    FROM cand c JOIN vecs e ON e.vec_id = c.vec_id
+                JOIN vecs q ON q.vec_id = c.query_id
+  ) WHERE rn <= 10
+), brute AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_dot_product(e.v, q.v)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(q.v, q.v))), 6) DESC,
+               e.vec_id) AS rn
+    FROM vecs e, vecs q WHERE q.vec_id IN (0, 1, 2, 3, 4)
+  ) WHERE rn <= 10
+), hits AS (
+  SELECT b.query_id, CAST(count(i.vec_id) AS BIGINT) AS n_hits
+  FROM brute b LEFT JOIN ivf i
+    ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+  GROUP BY b.query_id
+)
+SELECT query_id, n_hits,
+       CAST(n_hits * 100000 AS BIGINT) AS recall_e6
+FROM hits ORDER BY query_id
+"""
+
+
 _IVF_DET_CENTROID_IDS = tuple(range(5, 85, 5))  # 16 fixed corpus vectors
 
 
@@ -9461,6 +9559,10 @@ QUERIES: dict[str, Query] = {
         q_ann_recall_eval, ORACLE_ANN_RECALL_EVAL,
         "measured recall@10 of LSH ANN vs brute-force ground truth",
         ("embeddings",)),
+    "ivf_recall_eval": Query(
+        q_ivf_recall_eval, ORACLE_IVF_RECALL_EVAL,
+        "measured recall@10 of IVF (nprobe=4/16) vs brute-force ground "
+        "truth", ("embeddings",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -9497,15 +9599,17 @@ _CHECK_FIRST = [
     # trainer, certified Misra-Gries heavy hitters, Python DataSource V2
     # REST read, STL-lite seasonal decomposition, VARIANT JSON probe,
     # end-to-end semantic dedup, incremental batch-vs-corpus dedup,
-    # learned-BPE application, measured ANN recall (first-timers)
+    # learned-BPE application, measured ANN/IVF recall (first-timers)
     "substring_dedup", "bpe_train", "heavy_hitters", "rest_datasource",
     "seasonal_decompose", "events_variant", "semantic_dedup",
     "dedup_incremental", "bpe_tokenize", "ann_recall_eval",
+    "ivf_recall_eval",
     # r3-era greens, 4 rounds stale — cheap relational/scalar shapes
     "stats_topk", "keyed_lookup", "marvel_normalize", "marvel_credits",
-    # (snapshot_diff → r8 backlog: tenth r7-new first-timer's slot)
+    # (snapshot_diff + issue_sort_numeric → r8 backlog: slots for the
+    # tenth/eleventh r7-new first-timers)
     "rest_paginated", "incremental_refetch", "cover_enrichment",
-    "issue_sort_numeric", "shipping_priority",
+    "shipping_priority",
     # (winsorize → r8 backlog: eighth r7-new first-timer takes its slot)
     "gap_fill", "decile_buckets", "dict_encode",
     # (group_sample → r8 backlog: ninth r7-new first-timer takes its slot)
