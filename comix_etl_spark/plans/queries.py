@@ -1830,6 +1830,66 @@ FROM documents
 """
 
 
+def q_markup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style markup cleaning (functions/text.py:strip_markup):
+    each document is wrapped in deterministic HTML — head with a live
+    <style> block and a <script> whose body holds a BARE '<' (proving
+    block-removal runs before tag-removal), a comment, entity-escaped
+    header/footer chrome — then the engine strips it back to visible
+    text. Oracle rebuilds the same markup in SQL and replays the exact
+    replace chain, so every pattern and the unescape ORDER (&amp; last)
+    are independently verified. Output is scalar-only (n_chars + md5)
+    per the driver-canonicalizer rule."""
+    t = _t(spark, sf_dir, "documents")
+    marked = F.concat(
+        F.lit('<html><head><title>doc '), F.col("doc_id").cast("string"),
+        F.lit('</title><style type="text/css">body { margin: 0; }</style>'
+              '<script>var x = 1 < 2 && true;</script></head><body>'
+              '<!-- header\nboilerplate --><h1 class="t">Doc &amp; '),
+        F.col("doc_id").cast("string"), F.lit(" of "),
+        F.col("lang"), F.lit('</h1>\n<p>'), F.col("text"),
+        F.lit('</p>\n<div id="f">&copy;&nbsp;2026 &lt;corp&gt; '
+              '&quot;all&#39;s well&quot;</div></body></html>'))
+    stripped = text.strip_markup(marked)
+    return (t["documents"]
+            .select("doc_id",
+                    F.length(stripped).cast("long").alias("n_chars"),
+                    F.md5(stripped).alias("strip_md5"))
+            .orderBy("doc_id"))
+
+
+ORACLE_MARKUP_STRIP = """
+WITH marked AS (
+  SELECT doc_id,
+         '<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+         || '</title><style type="text/css">body { margin: 0; }</style>'
+         || '<script>var x = 1 < 2 && true;</script></head><body>'
+         || '<!-- header' || chr(10) || 'boilerplate --><h1 class="t">Doc &amp; '
+         || CAST(doc_id AS VARCHAR) || ' of ' || lang || '</h1>' || chr(10) || '<p>'
+         || text || '</p>' || chr(10) || '<div id="f">&copy;&nbsp;2026 &lt;corp&gt; '
+         || '&quot;all&#39;s well&quot;</div></body></html>' AS m
+  FROM documents
+), stripped AS (
+  SELECT doc_id, trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(m, '(?s)<!--.*?-->', ' ', 'g'),
+                   '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                 '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               '<[^>]*>', ' ', 'g'),
+             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', ''''), '&copy;', '©'), '&amp;', '&'),
+           '\\s+', ' ', 'g')) AS s
+  FROM marked
+)
+SELECT doc_id, CAST(length(s) AS BIGINT) AS n_chars, md5(s) AS strip_md5
+FROM stripped
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # §2.1 — sources: CSV with rejects, nested JSON, REST pagination
 # ---------------------------------------------------------------------------
@@ -9034,6 +9094,9 @@ QUERIES: dict[str, Query] = {
                           "whitespace vs BPE-ish token counts", ("documents",)),
     "doc_fingerprint": Query(q_doc_fingerprint, ORACLE_DOC_FINGERPRINT,
                              "canonical md5 content fingerprint", ("documents",)),
+    "markup_strip": Query(q_markup_strip, ORACLE_MARKUP_STRIP,
+                          "C4-style HTML strip: blocks, tags, entity unescape",
+                          ("documents",)),
     "corpus_prep": Query(q_corpus_prep, ORACLE_CORPUS_PREP,
                          "composed prep pipeline: lang + quality + dedup + budget", ("documents",)),
     "hash_split": Query(q_hash_split, ORACLE_HASH_SPLIT,
@@ -9585,7 +9648,8 @@ QUERIES: dict[str, Query] = {
 # makes staleness riskiest (VERDICT r6 #6). r8 BACKLOG: the 8 r3-era
 # greens left out (decontaminate, fuzzy_match, dedup_spans,
 # ann_quantized, pack_sequences, balance_corpus, multimodal_decode,
-# bloom_join) + any r7-new queries that miss this window.
+# bloom_join) + any r7-new queries that miss this window
+# (markup_strip landed after the window froze — r8 first-timer).
 _CHECK_FIRST = [
     # FAILED r6 (canonicalizer crash), output shape fixed — verdict first
     "jl_projection",

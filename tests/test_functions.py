@@ -200,3 +200,27 @@ def test_redact_pii_golden_cases(spark):
     assert got[4] == ("no pii here, just an @ sign and 1-555-0042 without plus", 0, 0)
     # TLD match stops before the trailing period
     assert got[5] == ("trailing dot <EMAIL>.", 1, 0)
+
+
+def test_strip_markup_golden_cases(spark):
+    from comix_etl_spark.functions.text import strip_markup
+
+    cases = [
+        # script body with a bare '<' must vanish BEFORE tag-removal runs
+        (1, '<p>a</p><script>if (1 < 2) { x("</p>"); }</script>b'),
+        # style block, multi-line comment, nested tags
+        (2, '<style>p < q {}</style><!-- hi\nthere --><div><b>keep</b></div>'),
+        # entities: &amp;lt; must unescape to the LITERAL '<', not twice
+        (3, 'x &amp;lt; y &lt; z &copy;&nbsp;now &quot;q&#39;s&quot;'),
+        # whitespace collapse + trim
+        (4, '  <br/> a\n\n b <hr>  '),
+        (5, None),
+    ]
+    df = spark.createDataFrame(cases, "id long, t string")
+    got = {r.id: r.out for r in
+           df.select("id", strip_markup("t").alias("out")).collect()}
+    assert got[1] == "a b"
+    assert got[2] == "keep"
+    assert got[3] == 'x &lt; y < z © now "q\'s"'
+    assert got[4] == "a b"
+    assert got[5] is None
