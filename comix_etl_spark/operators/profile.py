@@ -102,3 +102,67 @@ def fixed_histogram(df: DataFrame, value_col: str, *, width: float,
                     ((F.col("bucket") + 1) * width + origin).alias("hi"),
                     "n_rows",
                     F.expr("n_rows * 1000000L div _total").alias("share_e6")))
+
+
+def _cms_bucket(key: F.Column, seed: int, width: int) -> F.Column:
+    # 15 hex chars = 60 bits, always non-negative, so `%` and pmod agree
+    # on every engine; the md5 seed-prefix family is the same trick the
+    # det MinHash/SimHash sketches use (operators/dedup.py) to keep the
+    # whole sketch oracle-reproducible.
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}_"), key)), 1, 15),
+               16, 10).cast("long")
+    return F.pmod(h, F.lit(width))
+
+
+def cms_cells(df: DataFrame, key_col: str, *, depth: int = 4,
+              width: int = 1024) -> DataFrame:
+    """Count-Min Sketch of ``key_col``'s frequency distribution:
+    ``depth × width`` cells, each the count of keys hashing into that
+    (row, bucket) slot — (depth_i, bucket, c).
+
+    The frequency-sketch sibling of the HLL cardinality rollup and the
+    Misra-Gries top-k (Cormode & Muthukrishnan 2005): point-queryable
+    estimates for EVERY key in O(depth·width) space, one-sided error
+    (never undercounts — only hash collisions inflate).
+
+    Scale shape: the explode multiplies rows by ``depth`` BEFORE the
+    exchange, but hash-aggregate map-side combine collapses each task's
+    output to ≤ depth·width cell rows, so the shuffle carries at most
+    ``depth·width·n_tasks`` rows regardless of input size — never the
+    key space. Sketches MERGE by cell-wise addition (same (depth_i,
+    bucket) grid), so per-partition / per-day sketches roll up exactly
+    like the HLL registers in `hll_rollup`.
+    """
+    k = F.col(key_col).cast("string")
+    cell = F.explode(F.array(*[
+        F.struct(F.lit(i).alias("depth_i"),
+                 _cms_bucket(k, i, width).alias("bucket"))
+        for i in range(depth)])).alias("cell")
+    return (df.filter(F.col(key_col).isNotNull())
+            .select(cell)
+            .select("cell.depth_i", "cell.bucket")
+            .groupBy("depth_i", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("c")))
+
+
+def cms_estimate(cells: DataFrame, probes: DataFrame, key_col: str, *,
+                 depth: int = 4, width: int = 1024) -> DataFrame:
+    """Point-query a Count-Min sketch: per probe key, the minimum over
+    the ``depth`` cells it hashes into — (key, cms_est).
+
+    The sketch is ≤ depth·width rows by construction, so it broadcasts;
+    the probe side never shuffles. ``depth``/``width`` must match the
+    build call — the hash family is positional.
+    """
+    k = F.col(key_col).cast("string")
+    probe_cells = probes.select(
+        key_col, F.explode(F.array(*[
+            F.struct(F.lit(i).alias("depth_i"),
+                     _cms_bucket(k, i, width).alias("bucket"))
+            for i in range(depth)])).alias("cell"))
+    return (probe_cells
+            .join(F.broadcast(cells),
+                  (F.col("cell.depth_i") == cells["depth_i"])
+                  & (F.col("cell.bucket") == cells["bucket"]))
+            .groupBy(key_col)
+            .agg(F.min("c").alias("cms_est")))

@@ -3831,6 +3831,57 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch frequency estimation (operators/profile.py::
+    cms_cells/cms_estimate) — the point-query frequency sibling of
+    `hll_rollup` (cardinality) and `heavy_hitters` (top-k): a fixed
+    4×1024-cell md5-family sketch of l_partkey built in one bounded
+    exchange, then point-queried for a deterministic probe subset
+    (partkey % 97). Output pairs each estimate with the exact recount
+    so the one-sided-error contract (cms_est ≥ true_n, overcount ≥ 0)
+    is itself hash-verified; the DuckDB oracle recomputes every cell,
+    every probe hash, and the min-over-depth from scratch."""
+    from comix_etl_spark.operators.profile import cms_cells, cms_estimate
+
+    t = _t(spark, sf_dir, "lineitem")
+    li = t["lineitem"]
+    cells = cms_cells(li, "l_partkey", depth=4, width=1024)
+    truth = (li.filter(F.col("l_partkey") % 97 == 0)
+             .groupBy("l_partkey")
+             .agg(F.count(F.lit(1)).cast("long").alias("true_n")))
+    est = cms_estimate(cells, truth.select("l_partkey"), "l_partkey",
+                       depth=4, width=1024)
+    return (truth.join(est, "l_partkey")
+            .select("l_partkey", "true_n", "cms_est",
+                    (F.col("cms_est") - F.col("true_n")).alias("overcount"))
+            .orderBy("l_partkey"))
+
+
+ORACLE_CMS_FREQ = """
+WITH cells AS (
+  SELECT i.i AS depth_i,
+         CAST(('0x' || substring(md5(i.i || '_' || CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1024 AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem, range(4) i(i)
+  WHERE l_partkey IS NOT NULL
+  GROUP BY 1, 2
+), truth AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS true_n
+  FROM lineitem WHERE l_partkey % 97 = 0 GROUP BY 1
+), est AS (
+  SELECT t.l_partkey, min(c.c) AS cms_est
+  FROM truth t
+  CROSS JOIN range(4) i(i)
+  JOIN cells c ON c.depth_i = i.i
+   AND c.bucket = CAST(('0x' || substring(md5(i.i || '_' || CAST(t.l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1024
+  GROUP BY 1
+)
+SELECT t.l_partkey, t.true_n, e.cms_est, e.cms_est - t.true_n AS overcount
+FROM truth t JOIN est e USING (l_partkey)
+ORDER BY l_partkey
+"""
+
+
 def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlations among the lineitem measures — all
     six coefficients from ONE aggregation job, unpivoted to long form
@@ -9221,6 +9272,9 @@ QUERIES: dict[str, Query] = {
     "percentile_profile": Query(q_percentile_profile, ORACLE_PERCENTILE_PROFILE,
                                 "grouped exact interpolated percentiles",
                                 ("lineitem",)),
+    "cms_freq": Query(q_cms_freq, ORACLE_CMS_FREQ,
+                      "Count-Min sketch frequency estimates vs exact recount",
+                      ("lineitem",)),
     "corr_matrix": Query(q_corr_matrix, ORACLE_CORR_MATRIX,
                          "pairwise Pearson correlations, one agg job",
                          ("lineitem",)),

@@ -247,3 +247,32 @@ def test_temperature_downsample_interpolates(spark):
     assert n_all == 1000
     assert abs(n_flat - n_bal) <= 1   # same rule modulo floor-vs-div rounding
     assert n_flat < n_mid < n_all
+
+
+def test_cms_never_undercounts_and_merges_cellwise(spark):
+    from comix_etl_spark.operators.profile import cms_cells, cms_estimate
+
+    rows = [(i % 37,) for i in range(2000)] + [(999,)] * 150
+    df = spark.createDataFrame(rows, "k long")
+    cells = cms_cells(df, "k", depth=4, width=64)
+    truth = df.groupBy("k").agg(F.count(F.lit(1)).alias("true_n"))
+    est = cms_estimate(cells, truth.select("k"), "k", depth=4, width=64)
+    joined = {r.k: (r.true_n, r.cms_est)
+              for r in truth.join(est, "k").collect()}
+    assert len(joined) == 38
+    # one-sided error: a CMS point query can only overcount
+    assert all(e >= t for t, e in joined.values())
+    # width=64 << 38 keys forces collisions yet the planted heavy
+    # hitter's estimate stays within the eps*N bound (eps = e/width)
+    t999, e999 = joined[999]
+    assert t999 == 150 and e999 - 150 <= (3 * 2150) // 64
+
+    # mergeability: sketch(half1) + sketch(half2), cell-wise, must equal
+    # sketch(whole) exactly — the property that makes per-day/per-shard
+    # sketches roll up like HLL registers
+    h1 = cms_cells(df.filter(F.col("k") < 19), "k", depth=4, width=64)
+    h2 = cms_cells(df.filter(F.col("k") >= 19), "k", depth=4, width=64)
+    merged = (h1.unionByName(h2).groupBy("depth_i", "bucket")
+              .agg(F.sum("c").cast("long").alias("c")))
+    whole = {(r.depth_i, r.bucket): r.c for r in cells.collect()}
+    assert {(r.depth_i, r.bucket): r.c for r in merged.collect()} == whole
