@@ -271,6 +271,49 @@ def foreach_batch_heavy_hitters(summary_path: str, *,
     return apply
 
 
+def foreach_batch_cms(sketch_path: str, *, key_col: str = "value",
+                      depth: int = 4, width: int = 1024):
+    """foreachBatch sink: maintain a MERGED Count-Min frequency sketch
+    of ``key_col`` across every micro-batch seen so far — point-query
+    estimates for ANY key over the whole stream in O(depth·width)
+    state. The streaming sibling of ``operators/profile.py::cms_cells``
+    (and the frequency counterpart of the MG heavy-hitter sink above:
+    MG answers "what dominates", CMS answers "how often is THIS key").
+
+    CMS cells merge by cell-wise addition, so folding per-batch
+    sketches into the landed one is EXACT: the merged sketch is
+    bit-identical to a single sketch built over the concatenated
+    stream, and the one-sided-error guarantee carries over with N =
+    total stream rows. Per-batch cost: one bounded exchange over the
+    batch (≤ depth·width rows per task after map-side combine) plus a
+    tiny (≤ depth·width rows) parquet read-merge-rewrite; the batch's
+    raw keys never shuffle, and nothing key-shaped ever collects.
+
+    Query the result with ``operators/profile.py::cms_estimate`` over
+    ``spark.read.parquet(sketch_path)``.
+    """
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from comix_etl_spark.operators.profile import cms_cells
+        from comix_etl_spark.sinks.writers import safe_overwrite_parquet
+
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        cells = cms_cells(
+            batch_df.select(F.col(key_col).cast("string").alias("_k")),
+            "_k", depth=depth, width=width)
+        if os.path.isdir(sketch_path):
+            cells = cells.unionByName(spark.read.parquet(sketch_path))
+        merged = (cells.groupBy("depth_i", "bucket")
+                  .agg(F.sum("c").cast("long").alias("c")))
+        safe_overwrite_parquet(merged.coalesce(1), sketch_path)
+
+    return apply
+
+
 def foreach_batch_dedup_screen(corpus_path: str, matches_path: str, *,
                                id_col: str = "doc_id",
                                text_col: str = "text",

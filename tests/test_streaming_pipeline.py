@@ -492,3 +492,52 @@ def test_foreach_batch_with_dlq_quarantines_poison_batch(spark, tmpdir):
     assert sorted(r.id for r in quarantined.collect()) == list(range(100, 120))
     (err,) = spark.read.parquet(dlq + "_errors").collect()
     assert "poison batch" in err.error and err.batch_id is not None
+
+
+def test_foreach_batch_cms_merges_exactly(spark, tmpdir):
+    """The cross-batch CMS sketch must be bit-identical to one built
+    over the concatenated stream (cell-wise merge is exact), and point
+    queries through it keep the never-undercount guarantee."""
+    import glob as _glob
+
+    from comix_etl_spark.operators.profile import cms_cells, cms_estimate
+    from comix_etl_spark.streaming.windowed import foreach_batch_cms
+
+    src = os.path.join(tmpdir, "cms_src")
+    sketch = os.path.join(tmpdir, "cms_sketch")
+    os.makedirs(src)
+    all_vals = []
+
+    def write_file(name, values):
+        all_vals.extend(values)
+        tmp = tempfile.mkdtemp(prefix="cms_")
+        spark.createDataFrame([(v,) for v in values], "value string") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/d")
+        shutil.move(_glob.glob(f"{tmp}/d/part-*.parquet")[0],
+                    os.path.join(src, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    for b in range(3):
+        write_file(f"b{b}.parquet",
+                   [f"k{i % 23}" for i in range(b * 7, 400 + b * 7)])
+
+    q = (spark.readStream.schema("value string")
+         .option("maxFilesPerTrigger", 1).parquet(src)
+         .writeStream.foreachBatch(
+             foreach_batch_cms(sketch, depth=4, width=32))
+         .option("checkpointLocation", os.path.join(tmpdir, "cms_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    streamed = {(r.depth_i, r.bucket): r.c
+                for r in spark.read.parquet(sketch).collect()}
+    whole_df = spark.createDataFrame([(v,) for v in all_vals], "value string")
+    whole = {(r.depth_i, r.bucket): r.c
+             for r in cms_cells(whole_df, "value", depth=4, width=32).collect()}
+    assert streamed == whole
+
+    truth = whole_df.groupBy("value").agg(F.count(F.lit(1)).alias("true_n"))
+    est = cms_estimate(spark.read.parquet(sketch), truth.select("value"),
+                       "value", depth=4, width=32)
+    for r in truth.join(est, "value").collect():
+        assert r.cms_est >= r.true_n
