@@ -153,6 +153,12 @@ def cms_estimate(cells: DataFrame, probes: DataFrame, key_col: str, *,
     The sketch is ≤ depth·width rows by construction, so it broadcasts;
     the probe side never shuffles. ``depth``/``width`` must match the
     build call — the hash family is positional.
+
+    LEFT join + coalesce-to-0: ``cells`` stores only the NON-ZERO grid
+    slots, but a real CMS array holds zeros — a probe key hashing into
+    any empty cell must estimate from that 0 (and a never-seen key
+    whose cells are all empty must return exactly 0), not silently
+    drop out of the result or take min() over only its collided cells.
     """
     k = F.col(key_col).cast("string")
     probe_cells = probes.select(
@@ -163,6 +169,7 @@ def cms_estimate(cells: DataFrame, probes: DataFrame, key_col: str, *,
     return (probe_cells
             .join(F.broadcast(cells),
                   (F.col("cell.depth_i") == cells["depth_i"])
-                  & (F.col("cell.bucket") == cells["bucket"]))
+                  & (F.col("cell.bucket") == cells["bucket"]), "left")
             .groupBy(key_col)
-            .agg(F.min("c").alias("cms_est")))
+            .agg(F.min(F.coalesce(F.col("c"), F.lit(0)))
+                 .cast("long").alias("cms_est")))

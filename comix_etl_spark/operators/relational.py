@@ -427,6 +427,29 @@ def detect_hot_keys(df: DataFrame, key: Sequence[str], *,
     return [tuple(r[:-1]) for r in rows]
 
 
+def misra_gries_fold(batches, capacity: int):
+    """Fold an iterator of single-column pandas frames into a batched
+    Misra-Gries summary: (counters dict of value → residual weight,
+    err = total mass the decrements subtracted). The ONE copy of the
+    subtle trim arithmetic — both the exact batch operator below and
+    the streaming sink (streaming/windowed.py::
+    foreach_batch_heavy_hitters) fold through this, so the error-bound
+    logic cannot drift between them. Runs executor-side inside
+    mapInPandas; per-call state is ≤ capacity counters."""
+    counters: dict = {}
+    err = 0
+    for pdf in batches:
+        for v, c in pdf.iloc[:, 0].value_counts().items():
+            counters[v] = counters.get(v, 0) + int(c)
+        if len(counters) > capacity:
+            # subtract the running minimum from everyone and drop the
+            # zeros — any value's undercount here is ≤ the accumulated m
+            m = sorted(counters.values())[len(counters) - capacity - 1]
+            counters = {v: c - m for v, c in counters.items() if c > m}
+            err += m
+    return counters, err
+
+
 def heavy_hitters_exact(df: DataFrame, value_col: str, *, k: int = 10,
                         capacity: int = 256) -> DataFrame:
     """EXACT top-k heavy hitters without shuffling the distinct-key
@@ -439,21 +462,29 @@ def heavy_hitters_exact(df: DataFrame, value_col: str, *, k: int = 10,
 
     NULLs are excluded (they are a data-quality signal, not a key).
 
-    Certification: Misra-Gries guarantees a value can only be absent
-    from every partition summary if its global count ≤ N/(capacity+1)
-    (pigeonhole over the per-partition error bound). The result is
-    therefore provably complete iff the k-th recounted value clears
-    that threshold; when it doesn't, this raises ValueError("cannot
-    certify") instead of silently returning a maybe-incomplete top-k —
-    raise ``capacity`` and rerun.
+    Certification (MEASURED, not worst-case): each partition's summary
+    carries the total mass its Misra-Gries decrements actually
+    subtracted (``err_p``). A value absent from every summary has
+    global count ≤ Σ err_p, so the result is provably complete iff the
+    k-th recounted value exceeds Σ err_p; when it doesn't, this raises
+    ValueError("cannot certify") instead of silently returning a
+    maybe-incomplete top-k — raise ``capacity`` and rerun. Because
+    Σ err_p ≤ N/(capacity+1) (each decrement event retires ≥
+    capacity+1 units of mass), this is never stricter than the
+    worst-case pigeonhole test — and when no partition ever
+    overflowed, Σ err_p = 0: the candidate set holds EVERY distinct
+    value and the result certifies unconditionally (a skewed
+    distribution with a long-but-light tail no longer gets a spurious
+    refusal).
 
     Scale shape (the reason this exists next to the plain groupBy
     top-k): at 100 TB with high-cardinality keys, groupBy+count's
     exchange carries every distinct key. Here the wide data NEVER
-    shuffles: summaries are ≤ capacity rows per partition (mapInPandas
-    with per-partition dict state), candidates collapse to ≤ capacity ×
-    partitions rows broadcast back, and the recount's map-side combine
-    emits ≤ |candidates| rows per task. Two scans, zero wide exchanges.
+    shuffles: summaries are ≤ capacity+1 rows per partition
+    (mapInPandas with per-partition dict state; one NULL-keyed sentinel
+    carries err_p), candidates collapse to ≤ capacity × partitions rows
+    broadcast back, and the recount's map-side combine emits ≤
+    |candidates| rows per task. Two scans, zero wide exchanges.
     """
     vals = df.select(F.col(value_col)).filter(F.col(value_col).isNotNull())
     dtype = vals.schema[0].dataType.simpleString()
@@ -461,20 +492,17 @@ def heavy_hitters_exact(df: DataFrame, value_col: str, *, k: int = 10,
     def mg(batches):
         import pandas as pd
 
-        counters: dict = {}
-        for pdf in batches:
-            for v, c in pdf.iloc[:, 0].value_counts().items():
-                counters[v] = counters.get(v, 0) + int(c)
-            if len(counters) > capacity:
-                # subtract the running minimum from everyone and drop
-                # the zeros — the batched MG decrement; total error
-                # absorbed ≤ n_partition/(capacity+1)
-                m = sorted(counters.values())[len(counters) - capacity - 1]
-                counters = {v: c - m for v, c in counters.items() if c > m}
-        yield pd.DataFrame({"_v": list(counters.keys())})
+        counters, err = misra_gries_fold(batches, capacity)
+        yield pd.DataFrame({"_v": list(counters.keys()) + [None],
+                            "_err": [0] * len(counters) + [err]})
 
-    candidates = (vals.mapInPandas(mg, schema=f"_v {dtype}")
-                  .distinct())
+    # ONE materialization (≤ (capacity+1)·partitions rows): candidates
+    # and the error total both read it — without the checkpoint each
+    # branch would re-run the full MG scan
+    summary = (vals.mapInPandas(mg, schema=f"_v {dtype}, _err long")
+               .localCheckpoint(eager=True))
+    err_total = summary.agg(F.sum("_err")).collect()[0][0] or 0
+    candidates = summary.filter(F.col("_v").isNotNull()).select("_v").distinct()
     exact = (vals.join(F.broadcast(candidates),
                        vals[value_col] == candidates["_v"])
              .groupBy(value_col)
@@ -482,15 +510,14 @@ def heavy_hitters_exact(df: DataFrame, value_col: str, *, k: int = 10,
     top = (exact.orderBy(F.col("cnt").desc(), F.col(value_col))
            .limit(k))
     rows = top.collect()
-    n_total = vals.count()
     # certify the whole returned prefix: every value NOT in the
-    # candidate set has count ≤ N/(capacity+1), so as long as the
-    # smallest returned count clears that bar, nothing missing can
-    # outrank anything returned
-    if rows and rows[-1].cnt * (capacity + 1) <= n_total:
+    # candidate set has count ≤ Σ err_p, so as long as the smallest
+    # returned count clears that bar — or no decrement ever happened —
+    # nothing missing can outrank anything returned
+    if err_total > 0 and (len(rows) < k or rows[-1].cnt <= err_total):
+        kth = rows[-1].cnt if rows else 0
         raise ValueError(
-            f"cannot certify top-{k}: k-th count {rows[-1].cnt} ≤ "
-            f"N/(capacity+1) = {n_total}/{capacity + 1} — values below "
-            f"the Misra-Gries survival threshold may be missing; raise "
-            f"capacity")
+            f"cannot certify top-{k}: k-th count {kth} ≤ measured "
+            f"Misra-Gries error bound {err_total} — values below the "
+            f"survival threshold may be missing; raise capacity")
     return df.sparkSession.createDataFrame(rows, top.schema)

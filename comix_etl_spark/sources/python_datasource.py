@@ -127,6 +127,12 @@ class RestPagesStreamReader(SimpleDataSourceStreamReader):
         self.page_size = int(options.get("page_size", 100))
         self.pages_per_batch = int(options.get("pages_per_batch", 1))
         self.fetcher_name = options.get("fetcher", "fake_marvel")
+        # same fail-fast contract as the batch reader: a typo'd fetcher
+        # must be a clear ValueError at stream construction, not a
+        # KeyError inside the runner on the first micro-batch
+        if self.fetcher_name not in FETCHERS:
+            raise ValueError(f"unknown fetcher {self.fetcher_name!r}; "
+                             f"registered: {sorted(FETCHERS)}")
 
     def initialOffset(self) -> dict:
         return {"page": 0}

@@ -239,13 +239,9 @@ def foreach_batch_heavy_hitters(summary_path: str, *,
                 .filter(F.col("_v").isNotNull()))
 
         def mg(batches):
-            counters: dict = {}
-            for pdf in batches:
-                for v, c in pdf["_v"].value_counts().items():
-                    counters[v] = counters.get(v, 0) + int(c)
-                if len(counters) > capacity:
-                    m = sorted(counters.values())[len(counters) - capacity - 1]
-                    counters = {v: c - m for v, c in counters.items() if c > m}
+            from comix_etl_spark.operators.relational import misra_gries_fold
+
+            counters, _err = misra_gries_fold(batches, capacity)
             yield pd.DataFrame({"_v": list(counters.keys()),
                                 "_w": [int(w) for w in counters.values()]})
 
@@ -334,11 +330,23 @@ def foreach_batch_dedup_screen(corpus_path: str, matches_path: str, *,
     batch (plus the corpus band rows, which production persists
     bucketed — see dedup_against_corpus's scale note).
 
+    TWO screening tiers, because LSH alone has a blind spot: a doc
+    shorter than the shingle width (< ``n`` tokens) produces ZERO
+    shingles, so near-dup banding can never see it. Tier 1 joins the
+    batch's content fingerprints (md5 of normalized text) against the
+    ``_fp`` column landed WITH the corpus — an exact screen that
+    catches every re-crawled or replayed copy at any length, reading
+    one pruned column instead of re-hashing corpus text. Tier 2 runs
+    the LSH near-dup screen over the tier-1 survivors only.
+
     Restart safety: foreachBatch may replay a batch after a crash;
-    replayed batch docs find their own landed copies (Jaccard 1.0
-    self-matches) and are screened out, so the corpus stays
-    duplicate-free — the append is effectively idempotent at the
-    content level.
+    replayed docs hit their own landed fingerprints and are screened
+    out, so the corpus stays duplicate-free at the content level —
+    INCLUDING short docs the old LSH-only screen would re-land. Replay
+    self-matches (doc_id == match_id) are screened from the corpus but
+    NOT logged as duplicate events, and the log writes to
+    ``matches_path/batch_id=N`` with overwrite, so a replayed batch
+    rewrites its own log slice instead of appending it twice.
     """
     from pyspark.sql import Window
 
@@ -349,22 +357,37 @@ def foreach_batch_dedup_screen(corpus_path: str, matches_path: str, *,
 
         if not batch_df.take(1):
             return
+        from comix_etl_spark.functions.text import fingerprint
+
         spark = batch_df.sparkSession
-        w = Window.partitionBy(F.md5(F.lower(F.trim(F.col(text_col))))) \
-                  .orderBy(F.col(id_col))
+        fp = fingerprint(text_col)  # canonical: lower+collapse+trim+md5
+        w = Window.partitionBy(fp).orderBy(F.col(id_col))
         batch = (batch_df.withColumn("_rn", F.row_number().over(w))
                  .filter(F.col("_rn") == 1).drop("_rn")
+                 .withColumn("_fp", fp)
                  .localCheckpoint(eager=True))
         if os.path.isdir(corpus_path):
             corpus = spark.read.parquet(corpus_path)
-            dups = dedup_against_corpus(
-                batch, corpus, id_col, text_col, threshold=threshold,
+            # tier 1 — exact content screen against the landed _fp
+            # column (computed on the fly for corpora predating it)
+            if "_fp" not in corpus.columns:
+                corpus = corpus.withColumn("_fp", fingerprint(text_col))
+            cfp = (corpus.groupBy("_fp")
+                   .agg(F.min(id_col).alias("match_id")))
+            exact = (batch.select(id_col, "_fp").join(cfp, "_fp")
+                     .select(id_col, "match_id",
+                             F.lit(1.0).alias("jaccard")))
+            rest = batch.join(exact.select(id_col), id_col, "left_anti")
+            # tier 2 — near-dup LSH screen over tier-1 survivors
+            near = dedup_against_corpus(
+                rest, corpus, id_col, text_col, threshold=threshold,
                 num_hashes=num_hashes, bands=bands, n=n)
             # bounded by the batch; checkpoint cuts the lineage to the
             # corpus files we're about to append to
-            dups = dups.localCheckpoint(eager=True)
-            (dups.withColumn("batch_id", F.lit(int(batch_id)))
-             .write.mode("append").parquet(matches_path))
+            dups = exact.unionByName(near).localCheckpoint(eager=True)
+            (dups.filter(F.col(id_col) != F.col("match_id"))
+             .write.mode("overwrite")
+             .parquet(f"{matches_path}/batch_id={int(batch_id)}"))
             novel = batch.join(dups.select(id_col), id_col, "left_anti")
         else:
             novel = batch

@@ -98,11 +98,10 @@ def shuffle_write_bytes(spark) -> int:
         return -1
 
 
-def measure(spark, sf_dir: str) -> dict:
+def measure(spark, sf_dir: str, *, want_rows: bool = False) -> dict:
     from comix_etl_spark.operators.dedup import (dedup_against_corpus,
                                                  dup_clusters,
-                                                 minhash_lsh_pairs,
-                                                 minhash_signatures)
+                                                 minhash_lsh_pairs)
     from comix_etl_spark.operators.similarity import knn_join_lsh
     from comix_etl_spark.operators.textstats import exact_substring_dedup
     from pyspark.sql import functions as F
@@ -115,15 +114,15 @@ def measure(spark, sf_dir: str) -> dict:
     out: dict = {"sf_dir": sf_dir, "n_docs": n_docs, "n_vecs": n_vecs}
 
     # candidate volume: the band-bucket collision count BEFORE exact
-    # verification — the quantity banding must keep near-linear
-    sigs = minhash_signatures(docs, "doc_id", "text", 32, 3, "xxhash64")
-    band_rows = sigs.select(
-        "_id", F.explode(F.array(*[
-            F.xxhash64(*[F.col("signature")[bi * 4 + j] for j in range(4)],
-                       F.lit(bi)).alias("b")
-            for bi in range(8)])).alias("bucket"))
+    # verification — the quantity banding must keep near-linear. Uses
+    # the ENGINE's own banding (minhash_band_rows), so the measurement
+    # cannot drift from what the operators actually execute.
+    from comix_etl_spark.operators.dedup import minhash_band_rows
+    band_rows = minhash_band_rows(docs, "doc_id", "text",
+                                  num_hashes=32, bands=8, n=3)
     a, b = band_rows.alias("a"), band_rows.alias("b")
-    n_cand = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+    n_cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                     & (F.col("a.bucket") == F.col("b.bucket"))
                      & (F.col("a._id") < F.col("b._id")))
               .select("a._id", "b._id").distinct().count())
     out["minhash_candidates"] = n_cand
@@ -159,7 +158,11 @@ def measure(spark, sf_dir: str) -> dict:
         df.write.format("noop").mode("overwrite").save()
         wall = round(time.perf_counter() - t0, 2)
         s1 = shuffle_write_bytes(spark)
-        out[name] = {"rows": df.count(), "wall_sec": wall,
+        # rows only on request (--rows): the count re-executes the whole
+        # operator a second, untimed time — double the script's runtime
+        # for a field the scaling comparison doesn't need
+        out[name] = {"rows": df.count() if want_rows else None,
+                     "wall_sec": wall,
                      "shuffle_mb": round((s1 - s0) / 1e6, 1)
                      if s0 >= 0 and s1 >= 0 else None}
     return out
@@ -185,7 +188,9 @@ def main() -> None:
              .config("spark.ui.enabled", "true")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
-    report = {"x1": measure(spark, SF_DIR), "x10": measure(spark, OUT_DIR)}
+    want_rows = "--rows" in sys.argv
+    report = {"x1": measure(spark, SF_DIR, want_rows=want_rows),
+              "x10": measure(spark, OUT_DIR, want_rows=want_rows)}
     for op in ("minhash_lsh_pairs", "knn_join_lsh", "knn_join_lsh_autobits",
                "dup_clusters", "substring_dedup", "dedup_incremental"):
         g = report["x10"][op]["wall_sec"] / max(report["x1"][op]["wall_sec"], 1e-9)

@@ -267,6 +267,21 @@ def test_cms_never_undercounts_and_merges_cellwise(spark):
     t999, e999 = joined[999]
     assert t999 == 150 and e999 - 150 <= (3 * 2150) // 64
 
+    # never-seen probe keys must still produce a row (left join to the
+    # sparse cell set), with 0 <= est <= N — NOT drop out of the result
+    absent = spark.createDataFrame([(777777,), (888888,)], "k long")
+    got = {r.k: r.cms_est for r in
+           cms_estimate(cells, absent, "k", depth=4, width=64).collect()}
+    assert set(got) == {777777, 888888}
+    assert all(0 <= e <= 2150 for e in got.values())
+    # against an EMPTY sketch every cell is an implicit zero: exactly 0
+    empty_cells = cms_cells(df.filter(F.col("k") < 0), "k",
+                            depth=4, width=64)
+    zeros = {r.k: r.cms_est for r in
+             cms_estimate(empty_cells, absent, "k",
+                          depth=4, width=64).collect()}
+    assert zeros == {777777: 0, 888888: 0}
+
     # mergeability: sketch(half1) + sketch(half2), cell-wise, must equal
     # sketch(whole) exactly — the property that makes per-day/per-shard
     # sketches roll up like HLL registers

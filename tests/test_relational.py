@@ -273,6 +273,22 @@ def test_heavy_hitters_exact_refuses_uncertifiable(spark):
         heavy_hitters_exact(df, "v", k=10, capacity=8)
 
 
+def test_heavy_hitters_exact_certifies_light_tail_when_no_decrement(spark):
+    """When no partition ever overflowed capacity, the measured MG
+    error is 0 and the candidate set holds EVERY distinct value — the
+    result is exact and must NOT be refused, even though the k-th count
+    sits far below the worst-case N/(capacity+1) pigeonhole threshold
+    (50+1 rows, k-th count 1 ≤ 51/17: the old worst-case test would
+    spuriously raise here)."""
+    from comix_etl_spark.operators.relational import heavy_hitters_exact
+
+    df = spark.createDataFrame([("a",)] * 50 + [("b",)], "v string") \
+        .repartition(4)
+    got = [(r.v, r.cnt) for r in heavy_hitters_exact(
+        df, "v", k=2, capacity=16).collect()]
+    assert got == [("a", 50), ("b", 1)]
+
+
 def test_heavy_hitters_exact_ignores_nulls(spark):
     from comix_etl_spark.operators.relational import heavy_hitters_exact
 

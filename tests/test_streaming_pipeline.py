@@ -428,12 +428,16 @@ def test_foreach_batch_dedup_screen_lands_only_novel_docs(spark, tmpdir):
     write_file("b1.parquet", [
         (1, base),
         (2, "one two three four five six seven eight nine ten"),
+        (3, "tiny doc"),       # < n tokens: zero shingles, LSH-blind
     ])
     write_file("b2.parquet", [
         (10, base),                                  # exact copy of 1
         (11, f"{base.rsplit(' ', 1)[0]} nope1"),     # near-dup of 1
         (12, "completely novel words that overlap nothing at all"),
         (13, "completely novel words that overlap nothing at all"),
+        (14, "  Tiny   DOC "),  # short-doc copy of 3 (normalized) —
+                                # only the exact fingerprint tier can
+                                # catch it across batches
     ])  # 12/13: within-batch exact copies — min id (12) survives
 
     q = (spark.readStream.schema("doc_id long, text string")
@@ -445,10 +449,29 @@ def test_foreach_batch_dedup_screen_lands_only_novel_docs(spark, tmpdir):
     q.awaitTermination()
 
     landed = {r.doc_id for r in spark.read.parquet(corpus).collect()}
-    assert landed == {1, 2, 12}
+    assert landed == {1, 2, 3, 12}
     logged = {(r.doc_id, r.match_id) for r in
               spark.read.parquet(matches).collect()}
-    assert logged == {(10, 1), (11, 1)}
+    assert logged == {(10, 1), (11, 1), (14, 3)}
+
+    # replay idempotence: foreachBatch re-delivers the FULL batch after
+    # a crash — it must not re-land any doc (short docs included), must
+    # not log self-matches for its own landed copies, and rewrites its
+    # batch_id log slice instead of appending a second copy
+    from comix_etl_spark.streaming.windowed import foreach_batch_dedup_screen as fbds
+    replay = spark.createDataFrame(
+        [(10, base),
+         (11, f"{base.rsplit(' ', 1)[0]} nope1"),
+         (12, "completely novel words that overlap nothing at all"),
+         (13, "completely novel words that overlap nothing at all"),
+         (14, "  Tiny   DOC ")], "doc_id long, text string")
+    fbds(corpus, matches, threshold=0.2, num_hashes=16, bands=16, n=3)(
+        replay, 1)
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} \
+        == {1, 2, 3, 12}
+    assert {(r.doc_id, r.match_id) for r in
+            spark.read.parquet(matches).collect()} \
+        == {(10, 1), (11, 1), (14, 3)}
 
 
 def test_foreach_batch_with_dlq_quarantines_poison_batch(spark, tmpdir):

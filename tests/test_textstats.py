@@ -222,8 +222,8 @@ def test_exact_substring_dedup_hand_case(spark):
     md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
     assert (got[1].n_tokens, got[1].dup_tokens) == (10, 0)
     assert got[1].new_fp == md5(f"a b {run}")
-    # doc 2: anchors at p=2,3 both duplicated (vs doc 1 / within run),
-    # wait — only the exact 8-token windows matching doc 1's windows
+    # doc 2: only the exact 8-token windows that also appear in doc 1
+    # count as duplicated — the run itself, not the x/y/z flanks
     assert got[2].n_tokens == 11
     assert got[2].dup_tokens == 8                 # exactly the run
     assert got[2].new_fp == md5("x y z")
