@@ -173,3 +173,24 @@ def cms_estimate(cells: DataFrame, probes: DataFrame, key_col: str, *,
             .groupBy(key_col)
             .agg(F.min(F.coalesce(F.col("c"), F.lit(0)))
                  .cast("long").alias("cms_est")))
+
+
+def cms_inner_product(cells_a: DataFrame, cells_b: DataFrame) -> DataFrame:
+    """JOIN-SIZE ESTIMATE from two Count-Min sketches (the inner-product
+    estimator of Cormode & Muthukrishnan 2005): |A ⋈ B| on the sketched
+    key equals the dot product of the two key-frequency vectors, and
+    min over depth of Σ_bucket cA·cB overestimates it by at most
+    ‖A‖₁·‖B‖₁/width per row (one-sided, like the point query).
+
+    One row out: (cms_est). The planner use case at 100 TB: both
+    sketches are ≤ depth·width rows maintained incrementally (see
+    streaming/windowed.py::foreach_batch_cms), so "how big would this
+    join be" costs a sketch-×-sketch join over a few thousand rows —
+    no scan of either fact table. Sketches must share depth/width
+    (the hash family is positional).
+    """
+    j = (cells_a.alias("a")
+         .join(cells_b.alias("b"), ["depth_i", "bucket"]))
+    per_row = (j.groupBy("depth_i")
+               .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot")))
+    return per_row.agg(F.min("dot").cast("long").alias("cms_est"))

@@ -3882,6 +3882,58 @@ ORDER BY l_partkey
 """
 
 
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-only JOIN-SIZE estimation (operators/profile.py::
+    cms_inner_product): |urgent orders ⋈ lineitem| estimated from two
+    4×16384 Count-Min sketches — the planner's "how big would this
+    join be" answered without scanning either fact side (Cormode &
+    Muthukrishnan 2005 inner-product estimator). Output pairs the
+    estimate with the exactly-recounted join cardinality so the
+    one-sided bound (cms_est ≥ true_n) is hash-verified; the oracle
+    recomputes both sketches, the min-over-depth dot product, and the
+    exact join from scratch."""
+    from comix_etl_spark.operators.profile import cms_cells, cms_inner_product
+
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    ca = cms_cells(urgent, "o_orderkey", depth=4, width=16384)
+    cb = cms_cells(t["lineitem"], "l_orderkey", depth=4, width=16384)
+    true_n = (urgent.join(t["lineitem"],
+                          urgent["o_orderkey"] == F.col("l_orderkey"))
+              .agg(F.count(F.lit(1)).cast("long").alias("true_n")))
+    return (cms_inner_product(ca, cb).crossJoin(true_n)
+            .select("true_n", "cms_est",
+                    (F.col("cms_est") - F.col("true_n")).alias("overcount")))
+
+
+ORACLE_CMS_JOIN_SIZE = """
+WITH a AS (
+  SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+), b AS (
+  SELECT l_orderkey AS k FROM lineitem
+), ca AS (
+  SELECT i.i AS depth_i,
+         CAST(('0x' || substring(md5(i.i || '_' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 16384 AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM a, range(4) i(i) GROUP BY 1, 2
+), cb AS (
+  SELECT i.i AS depth_i,
+         CAST(('0x' || substring(md5(i.i || '_' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 16384 AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM b, range(4) i(i) GROUP BY 1, 2
+), dots AS (
+  SELECT ca.depth_i, sum(ca.c * cb.c) AS dot
+  FROM ca JOIN cb USING (depth_i, bucket) GROUP BY 1
+), est AS (
+  SELECT CAST(min(dot) AS BIGINT) AS cms_est FROM dots
+), tru AS (
+  SELECT CAST(count(*) AS BIGINT) AS true_n FROM a JOIN b USING (k)
+)
+SELECT tru.true_n, est.cms_est, est.cms_est - tru.true_n AS overcount
+FROM tru, est
+"""
+
+
 def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlations among the lineitem measures — all
     six coefficients from ONE aggregation job, unpivoted to long form
@@ -9275,6 +9327,9 @@ QUERIES: dict[str, Query] = {
     "cms_freq": Query(q_cms_freq, ORACLE_CMS_FREQ,
                       "Count-Min sketch frequency estimates vs exact recount",
                       ("lineitem",)),
+    "cms_join_size": Query(q_cms_join_size, ORACLE_CMS_JOIN_SIZE,
+                           "join cardinality from two CMS inner products",
+                           ("orders", "lineitem")),
     "corr_matrix": Query(q_corr_matrix, ORACLE_CORR_MATRIX,
                          "pairwise Pearson correlations, one agg job",
                          ("lineitem",)),
