@@ -9758,7 +9758,8 @@ QUERIES: dict[str, Query] = {
 # greens left out (decontaminate, fuzzy_match, dedup_spans,
 # ann_quantized, pack_sequences, balance_corpus, multimodal_decode,
 # bloom_join) + any r7-new queries that miss this window
-# (markup_strip landed after the window froze — r8 first-timer).
+# (markup_strip, cms_freq, cms_join_size landed after the window
+# froze — r8 first-timers).
 _CHECK_FIRST = [
     # FAILED r6 (canonicalizer crash), output shape fixed — verdict first
     "jl_projection",

@@ -291,3 +291,23 @@ def test_cms_never_undercounts_and_merges_cellwise(spark):
               .agg(F.sum("c").cast("long").alias("c")))
     whole = {(r.depth_i, r.bucket): r.c for r in cells.collect()}
     assert {(r.depth_i, r.bucket): r.c for r in merged.collect()} == whole
+
+
+def test_cms_inner_product_exact_without_collisions(spark):
+    """With width >> distinct keys the dot product has (almost surely)
+    no colliding terms, so the estimate equals the true join size; with
+    a tiny width it still never undercounts."""
+    from comix_etl_spark.operators.profile import cms_cells, cms_inner_product
+
+    a = spark.createDataFrame([(i % 7,) for i in range(70)], "k long")
+    b = spark.createDataFrame([(i % 5,) for i in range(25)], "k long")
+    true_n = a.join(b, "k").count()   # keys 0..4 -> 10*5*5 = 250
+    assert true_n == 250
+    wide = cms_inner_product(
+        cms_cells(a, "k", depth=4, width=8192),
+        cms_cells(b, "k", depth=4, width=8192)).collect()[0].cms_est
+    assert wide == 250
+    narrow = cms_inner_product(
+        cms_cells(a, "k", depth=4, width=4),
+        cms_cells(b, "k", depth=4, width=4)).collect()[0].cms_est
+    assert narrow >= 250
