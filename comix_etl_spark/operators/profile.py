@@ -194,3 +194,95 @@ def cms_inner_product(cells_a: DataFrame, cells_b: DataFrame) -> DataFrame:
     per_row = (j.groupBy("depth_i")
                .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot")))
     return per_row.agg(F.min("dot").cast("long").alias("cms_est"))
+
+
+def ams_f2(df: DataFrame, key_col: str, *, depth: int = 9) -> DataFrame:
+    """AMS second-moment sketch (Alon-Matias-Szegedy 1996): estimate
+    F2 = Σ_k f_k² — the self-join size / key-skew statistic — as the
+    median over ``depth`` independent rows of (Σ_rows ±1)², with the
+    ±1 drawn per key from the md5 seed-prefix family. One row out:
+    (ams_est).
+
+    Unlike CMS this is UNBIASED (two-sided error), and unlike the
+    exact recount it needs ZERO key-space shuffle: each input row
+    contributes only its sign, so the plan is a scan-local explode
+    folded by map-side combine into ``depth`` partial sums per task —
+    the exchange carries depth·n_tasks rows total. The skew statistic
+    that decides salting (operators/relational.py::salted_agg) becomes
+    measurable at 100 TB for the cost of a count.
+
+    Odd ``depth``: the median of an odd count is an exact element
+    (no interpolation), keeping the estimate integer and the oracle
+    comparison bit-exact.
+    """
+    if depth % 2 == 0:
+        raise ValueError(f"depth must be odd for an exact median, got {depth}")
+    k = F.col(key_col).cast("string")
+
+    def sign(i: int) -> F.Column:
+        h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}_"), k)), 1, 15),
+                   16, 10).cast("long")
+        return (F.pmod(h, F.lit(2)) * 2 - 1).cast("long")
+
+    rows = (df.filter(k.isNotNull())
+            .select(F.explode(F.array(*[
+                F.struct(F.lit(i).alias("depth_i"), sign(i).alias("s"))
+                for i in range(depth)])).alias("c"))
+            .select("c.depth_i", "c.s"))
+    sums = rows.groupBy("depth_i").agg(F.sum("s").cast("long").alias("z"))
+    return sums.agg(
+        F.percentile((F.col("z") * F.col("z")).cast("double"), 0.5)
+        .cast("long").alias("ams_est"))
+
+
+def ks_two_sample(df: DataFrame, value_col: str, label_col: str, *,
+                  d_scale: int = 1_000_000,
+                  num_partitions: int | None = None) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance: one row
+    (n_a, n_b, d_stat_e6) where d_stat_e6 = floor(d_scale · D) and
+    D = max over values of |CDF_a - CDF_b|. ``label_col`` is boolean:
+    true rows form sample A. The distribution-drift test that, unlike
+    PSI (fixed reference bins) or chi-square (categorical), needs no
+    binning choice at all.
+
+    Scale shape: counts collapse per DISTINCT value first (one bounded
+    wide exchange), then BOTH samples' cumulative counts run through
+    the two-phase distributed prefix sum (range-partition + partials +
+    broadcast offsets — same primitive as relational.py::
+    global_running_sum, computed here for two measures in one pass) —
+    no single-task window funnel. D compares integer cross-products
+    (cum_a·n_b vs cum_b·n_a), so the statistic is exact integer math,
+    bit-identical on every engine and partitioning.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    is_a = F.col(label_col).cast("boolean")
+    agg = (df.filter(F.col(value_col).isNotNull() & is_a.isNotNull())
+           .groupBy(value_col)
+           .agg(F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("_da"),
+                F.sum(F.when(is_a, 0).otherwise(1)).cast("long").alias("_db")))
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    parts = (agg.repartitionByRange(n, F.col(value_col).asc())
+             .withColumn("_pid", F.spark_partition_id())
+             .localCheckpoint(eager=False))
+    cumw = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (parts.groupBy("_pid")
+               .agg(F.sum("_da").alias("_sa"), F.sum("_db").alias("_sb"))
+               .withColumn("_oa", F.coalesce(F.sum("_sa").over(cumw), F.lit(0)))
+               .withColumn("_ob", F.coalesce(F.sum("_sb").over(cumw), F.lit(0)))
+               .localCheckpoint(eager=True))
+    totals = offsets.agg(F.sum("_sa").cast("long").alias("n_a"),
+                         F.sum("_sb").cast("long").alias("n_b"))
+    w = (Window.partitionBy("_pid").orderBy(value_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (parts.join(F.broadcast(offsets.select("_pid", "_oa", "_ob")), "_pid")
+           .select((F.sum("_da").over(w) + F.col("_oa")).alias("_ca"),
+                   (F.sum("_db").over(w) + F.col("_ob")).alias("_cb")))
+    m = (cum.crossJoin(F.broadcast(totals))
+         .agg(F.max(F.abs(F.col("_ca") * F.col("n_b")
+                          - F.col("_cb") * F.col("n_a"))).alias("_m")))
+    return (totals.crossJoin(F.broadcast(m))
+            .select("n_a", "n_b",
+                    F.expr(f"_m * {d_scale}L div (n_a * n_b)")
+                    .alias("d_stat_e6")))

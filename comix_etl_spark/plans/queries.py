@@ -3934,6 +3934,82 @@ FROM tru, est
 """
 
 
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-moment (self-join-size / key-skew) estimate of
+    l_partkey (operators/profile.py::ams_f2) next to the exact
+    Σ f_k² recount: the sketch needs ZERO key-space shuffle (each row
+    contributes only a ±1 sign; the exchange carries depth·n_tasks
+    partial sums), while the exact side shuffles every distinct key —
+    at 100 TB only the sketch is affordable, and this query is the
+    evidence the two agree. Oracle recomputes every md5 sign, the 9
+    partial sums, the exact median, and the true F2 from scratch."""
+    from comix_etl_spark.operators.profile import ams_f2
+
+    t = _t(spark, sf_dir, "lineitem")
+    est = ams_f2(t["lineitem"], "l_partkey", depth=9)
+    true_f2 = (t["lineitem"].filter(F.col("l_partkey").isNotNull())
+               .groupBy("l_partkey")
+               .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+               .agg(F.sum(F.col("_c") * F.col("_c")).cast("long")
+                    .alias("true_f2")))
+    return true_f2.crossJoin(F.broadcast(est)).select("true_f2", "ams_est")
+
+
+ORACLE_AMS_F2 = """
+WITH keys AS (
+  SELECT l_partkey AS k FROM lineitem WHERE l_partkey IS NOT NULL
+), z AS (
+  SELECT i.i AS depth_i,
+         SUM(CAST(('0x' || substring(md5(i.i || '_' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 2 * 2 - 1) AS z
+  FROM keys, range(9) i(i) GROUP BY 1
+), est AS (
+  SELECT CAST(quantile_cont(CAST(z * z AS DOUBLE), 0.5) AS BIGINT) AS ams_est FROM z
+), tru AS (
+  SELECT CAST(SUM(c * c) AS BIGINT) AS true_f2
+  FROM (SELECT count(*) AS c FROM keys GROUP BY k)
+)
+SELECT tru.true_f2, est.ams_est FROM tru, est
+"""
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between the
+    extended-price distributions of returned ('R') and kept lineitems
+    (operators/profile.py::ks_two_sample) — the binning-free drift
+    test beside PSI (fixed deciles) and chi-square (categorical).
+    Both CDFs run through the two-phase distributed prefix sum (no
+    single-task window funnel) and D is exact integer cross-product
+    math, so the oracle — a plain windowed cumsum — must match
+    bit-for-bit."""
+    from comix_etl_spark.operators.profile import ks_two_sample
+
+    t = _t(spark, sf_dir, "lineitem")
+    return ks_two_sample(
+        t["lineitem"].withColumn("_is_r", F.col("l_returnflag") == "R"),
+        "l_extendedprice", "_is_r")
+
+
+ORACLE_KS_DRIFT = """
+WITH per AS (
+  SELECT l_extendedprice AS v,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS da,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS db
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT SUM(da) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+         SUM(db) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+  FROM per
+), tot AS (
+  SELECT CAST(SUM(da) AS BIGINT) AS n_a, CAST(SUM(db) AS BIGINT) AS n_b
+  FROM per
+), m AS (
+  SELECT MAX(ABS(ca * n_b - cb * n_a)) AS m FROM cum, tot
+)
+SELECT n_a, n_b, CAST(m * 1000000 // (n_a * n_b) AS BIGINT) AS d_stat_e6
+FROM tot, m
+"""
+
+
 def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlations among the lineitem measures — all
     six coefficients from ONE aggregation job, unpivoted to long form
@@ -9330,6 +9406,12 @@ QUERIES: dict[str, Query] = {
     "cms_join_size": Query(q_cms_join_size, ORACLE_CMS_JOIN_SIZE,
                            "join cardinality from two CMS inner products",
                            ("orders", "lineitem")),
+    "ams_f2": Query(q_ams_f2, ORACLE_AMS_F2,
+                    "AMS self-join-size sketch vs exact F2 recount",
+                    ("lineitem",)),
+    "ks_drift": Query(q_ks_drift, ORACLE_KS_DRIFT,
+                      "exact two-sample KS distance, distributed prefix sums",
+                      ("lineitem",)),
     "corr_matrix": Query(q_corr_matrix, ORACLE_CORR_MATRIX,
                          "pairwise Pearson correlations, one agg job",
                          ("lineitem",)),
@@ -9758,8 +9840,8 @@ QUERIES: dict[str, Query] = {
 # greens left out (decontaminate, fuzzy_match, dedup_spans,
 # ann_quantized, pack_sequences, balance_corpus, multimodal_decode,
 # bloom_join) + any r7-new queries that miss this window
-# (markup_strip, cms_freq, cms_join_size landed after the window
-# froze — r8 first-timers).
+# (markup_strip, cms_freq, cms_join_size, ams_f2, ks_drift landed
+# after the window froze — r8 first-timers).
 _CHECK_FIRST = [
     # FAILED r6 (canonicalizer crash), output shape fixed — verdict first
     "jl_projection",

@@ -311,3 +311,41 @@ def test_cms_inner_product_exact_without_collisions(spark):
         cms_cells(a, "k", depth=4, width=4),
         cms_cells(b, "k", depth=4, width=4)).collect()[0].cms_est
     assert narrow >= 250
+
+
+def test_ams_f2_estimates_skew_and_rejects_even_depth(spark):
+    from comix_etl_spark.operators.profile import ams_f2
+
+    # hot key dominates: F2 = 400^2 + 100*1 = 160100
+    rows = [("hot",)] * 400 + [(f"u{i}",) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string")
+    est = ams_f2(df, "k", depth=9).collect()[0].ams_est
+    true_f2 = 400 * 400 + 100
+    # deterministic md5 signs; median-of-9 keeps the estimate within a
+    # small constant factor of the truth on a skew-dominated input
+    assert true_f2 / 5 <= est <= true_f2 * 5
+    with pytest.raises(ValueError, match="odd"):
+        ams_f2(df, "k", depth=8)
+
+
+def test_ks_two_sample_bounds_and_shift(spark):
+    from comix_etl_spark.operators.profile import ks_two_sample
+
+    # identical distributions -> D = 0
+    rows = [(float(i % 50), True) for i in range(200)] \
+        + [(float(i % 50), False) for i in range(200)]
+    df = spark.createDataFrame(rows, "v double, a boolean")
+    r = ks_two_sample(df, "v", "a").collect()[0]
+    assert (r.n_a, r.n_b, r.d_stat_e6) == (200, 200, 0)
+
+    # disjoint supports -> D = 1 (scaled)
+    rows = [(float(i), True) for i in range(100)] \
+        + [(float(i + 1000), False) for i in range(100)]
+    df = spark.createDataFrame(rows, "v double, a boolean")
+    assert ks_two_sample(df, "v", "a").collect()[0].d_stat_e6 == 1_000_000
+    # a uniform sample vs the same sample shifted by half its range:
+    # D = 0.5 exactly (100 of 200 values lie below the other's support)
+    rows = [(float(i), True) for i in range(200)] \
+        + [(float(i + 100), False) for i in range(200)]
+    df = spark.createDataFrame(rows, "v double, a boolean")
+    assert ks_two_sample(df, "v", "a").collect()[0].d_stat_e6 == 500_000
