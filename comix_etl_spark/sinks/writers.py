@@ -24,15 +24,19 @@ from pyspark.sql import types as T
 
 def write_table(df: DataFrame, path: str, *, mode: str = "overwrite",
                 partition_by: list[str] | None = None,
-                target_files: int | None = None) -> None:
+                target_files: int | None = None,
+                fmt: str = "parquet") -> None:
     """S8 — columnar table sink. Combine with operators/merge.py for
     upsert semantics (read → merge → overwrite), the parquet MERGE
-    pattern; Delta/Iceberg swap in transparently when their jars exist."""
+    pattern; Delta/Iceberg swap in transparently when their jars exist.
+    ``fmt``: any Spark-native format — "parquet" (default) or "orc"
+    (both columnar + predicate-pushdown capable; ORC interoperates with
+    Hive-era estates), or "json"/"csv" for interchange exports."""
     out = df.repartition(target_files) if target_files else df
-    writer = out.write.mode(mode)
+    writer = out.write.mode(mode).format(fmt)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    writer.save(path)
 
 
 def safe_overwrite_parquet(df: DataFrame, target_path: str,

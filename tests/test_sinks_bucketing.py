@@ -89,3 +89,35 @@ def test_write_with_metrics_observes_in_flight(spark, tmp_path):
     assert got["n_null_v"] == 2
     assert got["sum_v"] == 7.5
     assert spark.read.parquet(target).count() == 4
+
+
+def test_write_table_orc_roundtrip_with_pushdown(spark, sf_small):
+    """S8's fmt knob: an ORC write must round-trip content exactly and
+    keep predicate pushdown at the ORC scan (searchArgument), so the
+    Hive-era interchange path costs no plan quality."""
+    import shutil
+    import tempfile
+
+    from comix_etl_spark.sinks.writers import write_table
+
+    src = (spark.read.parquet(f"{sf_small}/nation.parquet")
+           .select("n_nationkey", "n_name", "n_regionkey"))
+    tmp = tempfile.mkdtemp(prefix="orc_rt_")
+    try:
+        write_table(src, f"{tmp}/nation_orc", fmt="orc",
+                    partition_by=["n_regionkey"])
+        back = spark.read.orc(f"{tmp}/nation_orc")
+        assert sorted(map(tuple, src.collect())) \
+            == sorted((r.n_nationkey, r.n_name, r.n_regionkey)
+                      for r in back.collect())
+        plan = back.filter(F.col("n_nationkey") == 7) \
+                   ._jdf.queryExecution().executedPlan().toString()
+        assert "pushedFilters" in plan.lower() or "searchargument" in plan.lower() \
+            or "PushedFilters" in plan
+        # partition pruning: the regionkey predicate must reach the scan
+        # as a partition filter, not a post-scan filter
+        pruned = back.filter(F.col("n_regionkey") == 2)
+        ptxt = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in ptxt or "partitionFilters" in ptxt
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
