@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 
 def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
              iters: int = 8, damping: float = 0.85,
-             shuffle_partitions: int | None = None) -> DataFrame:
+             shuffle_partitions: int | None = None,
+             seeds: DataFrame | None = None) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
     Returns ``(node, rank)`` for every node appearing as a source or a
@@ -49,6 +50,15 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     concurrent setter. Fine in a single-driver batch job; on a shared
     session run pagerank in its own SparkSession (cloned confs are
     per-session) or leave the override None.
+
+    ``seeds`` (one-column DataFrame of node ids) switches to
+    PERSONALIZED PageRank: the restart mass (and the dangling-node
+    redistribution) concentrates uniformly on the seed set instead of
+    all nodes, so ranks measure proximity to the seeds — the
+    random-walk-with-restart primitive behind graph-based
+    recommendation and local community scores. Seeds absent from the
+    graph are ignored; all-absent raises. The uniform path's
+    arithmetic is kept verbatim (term-by-term oracle parity).
     """
     spark = edges.sparkSession
     prev_shuffle = None
@@ -56,14 +66,15 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
         prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        return _pagerank_rounds(edges, src, dst, iters, damping)
+        return _pagerank_rounds(edges, src, dst, iters, damping, seeds)
     finally:
         if prev_shuffle is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 
 
 def _pagerank_rounds(edges: DataFrame, src: str, dst: str,
-                     iters: int, damping: float) -> DataFrame:
+                     iters: int, damping: float,
+                     seeds: DataFrame | None = None) -> DataFrame:
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
          .distinct())
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
@@ -78,8 +89,23 @@ def _pagerank_rounds(edges: DataFrame, src: str, dst: str,
     nodes = (nodes.join(out_deg.withColumnRenamed("src", "node"), "node", "left")
              .select("node", F.col("_deg").isNull().alias("_dangling"))
              .localCheckpoint(eager=True))
-    n = nodes.count()
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    if seeds is not None:
+        sd = (seeds.select(F.col(seeds.columns[0]).alias("node"))
+              .distinct().withColumn("_is_s", F.lit(True)))
+        marked = nodes.join(F.broadcast(sd), "node", "left")
+        ns = marked.filter(F.col("_is_s")).count()
+        if ns == 0:
+            raise ValueError("personalized pagerank: no seed id appears "
+                             "in the graph")
+        nodes = (marked.select(
+            "node", "_dangling",
+            F.when(F.col("_is_s"), F.lit(1.0 / ns))
+            .otherwise(F.lit(0.0)).alias("_s"))
+            .localCheckpoint(eager=True))
+        ranks = nodes.withColumn("rank", F.col("_s"))
+    else:
+        n = nodes.count()
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
 
     for _ in range(iters):
         dm = (ranks.filter(F.col("_dangling"))
@@ -87,13 +113,21 @@ def _pagerank_rounds(edges: DataFrame, src: str, dst: str,
         contribs = (weighted.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
                     .groupBy("dst")
                     .agg(F.sum(F.col("rank") * F.col("w")).alias("_c")))
+        if seeds is not None:
+            # restart AND dangling mass both land on the seed
+            # distribution _s (0 off-seed), not uniformly
+            update = (F.lit(1.0 - damping) * F.col("_s")
+                      + F.lit(damping) * F.col("_dm") * F.col("_s")
+                      + F.lit(damping) * F.coalesce(F.col("_c"), F.lit(0.0)))
+            keep = ["node", "_dangling", "_s"]
+        else:
+            update = (F.lit((1.0 - damping) / n)
+                      + F.lit(damping) * F.col("_dm") / n
+                      + F.lit(damping) * F.coalesce(F.col("_c"), F.lit(0.0)))
+            keep = ["node", "_dangling"]
         ranks = (nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
                  .crossJoin(F.broadcast(dm))
-                 .select("node", "_dangling",
-                         (F.lit((1.0 - damping) / n)
-                          + F.lit(damping) * F.col("_dm") / n
-                          + F.lit(damping) * F.coalesce(F.col("_c"), F.lit(0.0)))
-                         .alias("rank"))
+                 .select(*keep, update.alias("rank"))
                  .localCheckpoint(eager=True))
     return ranks.select("node", "rank")
 

@@ -3322,6 +3322,78 @@ ORDER BY round(rank, 6) DESC, node LIMIT 25
 ORACLE_PAGERANK = _pagerank_oracle_sql(iters=4, damping=0.85)
 
 
+def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank (random walk with restart) over the same
+    supplier→part graph as `pagerank`, restarting on the seed suppliers
+    (suppkey % 50 == 0, i.e. node % 100 == 0): ranks measure proximity
+    to the seed set — the graph-recommendation / local-community
+    primitive. Both the restart mass and every round's dangling mass
+    land on the seed distribution (operators/graph.py:pagerank
+    ``seeds=``). Fixed 4 iterations keep it SQL-expressible: the
+    oracle unrolls the rounds term-by-term like ORACLE_PAGERANK; the
+    same 6dp-round-then-sort convention absorbs per-group float
+    summation order."""
+    from comix_etl_spark.operators.graph import pagerank
+
+    t = _t(spark, sf_dir, "lineitem")
+    edges = t["lineitem"].select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"))
+    seeds = (t["lineitem"].select((F.col("l_suppkey") * 2).alias("node"))
+             .filter(F.col("node") % 100 == 0).distinct())
+    pr = pagerank(edges, iters=4, shuffle_partitions=8, seeds=seeds)
+    return (pr.select("node", F.round("rank", 6).alias("rank"))
+            .orderBy(F.col("rank").desc(), F.col("node").asc())
+            .limit(25))
+
+
+def _ppr_oracle_sql(iters: int = 4, damping: float = 0.85) -> str:
+    """Generate the unrolled personalized-PageRank oracle — the seeded
+    sibling of _pagerank_oracle_sql, mirroring the ``seeds=`` branch of
+    operators/graph.py:_pagerank_rounds term by term: restart term
+    (1-d)·s_v, dangling term d·dm·s_v, contribution term d·c."""
+    parts = ["""
+WITH e AS (
+  SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem
+), deg AS (
+  SELECT src, count(*) AS d FROM e GROUP BY src
+), w AS (
+  SELECT e.src, e.dst, 1.0 / deg.d AS w FROM e JOIN deg USING (src)
+), nodes AS (
+  SELECT n.node, deg.src IS NULL AS dangling
+  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) n
+  LEFT JOIN deg ON n.node = deg.src
+), ns AS (
+  SELECT count(*) AS ns FROM nodes WHERE node % 100 = 0
+), sn AS (
+  SELECT node, dangling,
+         CASE WHEN node % 100 = 0 THEN 1.0 / ns.ns ELSE 0.0 END AS s
+  FROM nodes, ns
+), r0 AS (
+  SELECT node, dangling, s, s AS rank FROM sn
+)"""]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        parts.append(f""", d{i} AS (
+  SELECT coalesce(sum(rank), 0.0) AS dm FROM {p} WHERE dangling
+), c{i} AS (
+  SELECT w.dst, sum(r.rank * w.w) AS c FROM w JOIN {p} r ON r.node = w.src GROUP BY w.dst
+), r{i} AS (
+  SELECT sn.node, sn.dangling, sn.s,
+         (1.0 - {damping}) * sn.s + {damping} * d{i}.dm * sn.s
+         + {damping} * coalesce(c{i}.c, 0.0) AS rank
+  FROM sn LEFT JOIN c{i} ON sn.node = c{i}.dst, d{i}
+)""")
+    parts.append(f"""
+SELECT node, round(rank, 6) AS rank FROM r{iters}
+ORDER BY round(rank, 6) DESC, node LIMIT 25
+""")
+    return "".join(parts)
+
+
+ORACLE_PAGERANK_PERSONALIZED = _ppr_oracle_sql(iters=4, damping=0.85)
+
+
 # ---------------------------------------------------------------------------
 # §7 — rolling 7-day distinct active users
 # ---------------------------------------------------------------------------
@@ -9358,6 +9430,10 @@ QUERIES: dict[str, Query] = {
                       "iterative PageRank over the supply graph "
                       "(unrolled-iteration SQL oracle + pytest reference impl)",
                       ("lineitem",)),
+    "pagerank_personalized": Query(
+        q_pagerank_personalized, ORACLE_PAGERANK_PERSONALIZED,
+        "random walk with restart on a seed set (unrolled SQL oracle)",
+        ("lineitem",)),
     "rolling_dau": Query(q_rolling_dau, ORACLE_ROLLING_DAU,
                          "trailing-7-day distinct active users", ("events",)),
     "key_skew": Query(q_key_skew, ORACLE_KEY_SKEW,
@@ -9840,8 +9916,9 @@ QUERIES: dict[str, Query] = {
 # greens left out (decontaminate, fuzzy_match, dedup_spans,
 # ann_quantized, pack_sequences, balance_corpus, multimodal_decode,
 # bloom_join) + any r7-new queries that miss this window
-# (markup_strip, cms_freq, cms_join_size, ams_f2, ks_drift landed
-# after the window froze — r8 first-timers).
+# (markup_strip, cms_freq, cms_join_size, ams_f2, ks_drift,
+# pagerank_personalized landed after the window froze — r8
+# first-timers).
 _CHECK_FIRST = [
     # FAILED r6 (canonicalizer crash), output shape fixed — verdict first
     "jl_projection",

@@ -92,3 +92,47 @@ def test_tree_ancestry_dangling_parent_kept_as_root(spark):
     got = {r.node: (r.root, r.depth)
            for r in tree_ancestry(df, max_doublings=6).collect()}
     assert got == {2: (99, 1), 3: (99, 2), 10: (10, 0)}
+
+
+def _reference_ppr(edges, seeds, iters, damping):
+    nodes = sorted({n for e in edges for n in e})
+    out = {}
+    for s, d in set(edges):
+        out.setdefault(s, []).append(d)
+    sset = [v for v in nodes if v in seeds]
+    sv = {v: (1.0 / len(sset) if v in seeds else 0.0) for v in nodes}
+    rank = dict(sv)
+    for _ in range(iters):
+        dm = sum(rank[v] for v in nodes if v not in out)
+        contrib = {v: 0.0 for v in nodes}
+        for s, ds in out.items():
+            for d in ds:
+                contrib[d] += rank[s] / len(ds)
+        rank = {v: (1.0 - damping) * sv[v] + damping * dm * sv[v]
+                + damping * contrib[v] for v in nodes}
+    return rank
+
+
+def test_personalized_pagerank_matches_reference_and_localizes(spark):
+    """PPR with seeds {1}: mass conserves to 1.0, ranks match the local
+    reference, and a component unreachable from the seed holds exactly
+    zero mass (restart never lands there)."""
+    edges = [(1, 2), (2, 3), (3, 1), (2, 4),   # seed component; 4 dangling
+             (10, 11), (11, 10)]               # disconnected 2-cycle
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.rank
+           for r in pagerank(df, iters=6, seeds=seeds).collect()}
+    want = _reference_ppr(edges, {1}, iters=6, damping=0.85)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-9, abs=1e-15)
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+    assert got[10] == 0.0 and got[11] == 0.0
+
+
+def test_personalized_pagerank_rejects_absent_seeds(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(99,)], "node long")
+    with pytest.raises(ValueError, match="no seed id"):
+        pagerank(df, iters=2, seeds=seeds)
