@@ -217,3 +217,54 @@ def test_weighted_median_crossing_matches_reference(spark, vals):
             want = float(v)
             break
     assert got == want
+
+
+@PROP
+@given(vals=st.lists(st.integers(0, 9), min_size=1, max_size=120),
+       capacity=st.integers(2, 6))
+def test_misra_gries_fold_error_bound(vals, capacity):
+    """(pure, no Spark) The shared MG fold must (a) never overcount,
+    (b) undercount any value by at most the reported err, and (c) keep
+    err ≤ n/(capacity+1) — the invariants heavy_hitters_exact's
+    certification rests on. Batches are split at arbitrary points to
+    exercise the cross-batch decrement path."""
+    import pandas as pd
+
+    from comix_etl_spark.operators.relational import misra_gries_fold
+
+    cut = len(vals) // 2
+    batches = [pd.DataFrame({"v": vals[:cut]}), pd.DataFrame({"v": vals[cut:]})]
+    counters, err = misra_gries_fold((b for b in batches if len(b)), capacity)
+    true = {}
+    for v in vals:
+        true[v] = true.get(v, 0) + 1
+    assert len(counters) <= capacity
+    assert err <= len(vals) // (capacity + 1)
+    for v, c in counters.items():
+        assert 0 < c <= true[v]              # never overcount
+        assert true[v] - c <= err            # bounded undercount
+    for v, t in true.items():                # absent ⇒ count ≤ err
+        if v not in counters:
+            assert t <= err
+
+
+@PROP
+@given(a=st.lists(st.integers(0, 5), min_size=1, max_size=30),
+       b=st.lists(st.integers(0, 5), min_size=1, max_size=30))
+def test_ks_two_sample_bounds_and_symmetry(spark, a, b):
+    """0 ≤ D ≤ 1 (scaled), label flip leaves D unchanged, and D == 0
+    iff the two empirical distributions are identical."""
+    from comix_etl_spark.operators.profile import ks_two_sample
+
+    rows = [(float(v), True) for v in a] + [(float(v), False) for v in b]
+    df = spark.createDataFrame(rows, "v double, l boolean")
+    d1 = ks_two_sample(df, "v", "l").collect()[0].d_stat_e6
+    d2 = ks_two_sample(df.withColumn("l", ~df["l"]), "v", "l") \
+        .collect()[0].d_stat_e6
+    assert 0 <= d1 <= 1_000_000
+    assert d1 == d2
+    from collections import Counter
+    na, nb = len(a), len(b)
+    same_dist = all(Counter(a)[k] * nb == Counter(b)[k] * na
+                    for k in set(a) | set(b))
+    assert (d1 == 0) == same_dist
