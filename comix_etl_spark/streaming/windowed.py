@@ -194,12 +194,38 @@ def foreach_batch_drift(metrics_path: str, ref_edges: list[float],
             p_ref = ref_shares[b]
             psi += (p_cur - p_ref) * math.log(max(p_cur, eps) / max(p_ref, eps))
         spark = batch_df.sparkSession
+        # per-batch partition + overwrite: foreachBatch replays a batch
+        # (same batch_id) after a crash — the rewrite replaces that
+        # batch's row instead of appending a duplicate metric
         (spark.createDataFrame(
-            [(int(batch_id), int(total), int(round(psi * 1_000_000)))],
-            "batch_id long, n_rows long, psi_e6 long")
-         .write.mode("append").parquet(metrics_path))
+            [(int(total), int(round(psi * 1_000_000)))],
+            "n_rows long, psi_e6 long")
+         .write.mode("overwrite")
+         .parquet(f"{metrics_path}/batch_id={int(batch_id)}"))
 
     return apply
+
+
+def _replay_guard(spark, state_path: str, batch_id: int):
+    """Shared exactly-once guard for the read-merge-rewrite sinks:
+    returns (already_applied, prior_state_df). foreachBatch re-delivers
+    a crashed batch under the SAME batch_id — folding it into the
+    landed state twice would double-count, so every state rewrite
+    stamps a ``last_batch_id`` column and a replay of any batch ≤ that
+    stamp becomes a no-op. (Append-style sinks instead write to a
+    ``batch_id=N`` partition with overwrite — same idempotence, no
+    stamp needed.)"""
+    import os
+
+    if not os.path.isdir(state_path):
+        return False, None
+    cur = spark.read.parquet(state_path)
+    if "last_batch_id" in cur.columns:
+        last = cur.agg(F.max("last_batch_id")).collect()[0][0]
+        if last is not None and batch_id <= last:
+            return True, cur
+        cur = cur.drop("last_batch_id")
+    return False, cur
 
 
 def foreach_batch_heavy_hitters(summary_path: str, *,
@@ -215,8 +241,8 @@ def foreach_batch_heavy_hitters(summary_path: str, *,
     N_total/(capacity+1) is in the summary, with its weight
     undercounting by at most that threshold.
 
-    State is a ≤ ``capacity``-row parquet table (value, weight) at
-    ``summary_path`` — small enough to read, merge and rewrite per
+    State is a ≤ ``capacity``-row parquet table (value, weight,
+    last_batch_id — the replay-guard stamp) at ``summary_path`` — small enough to read, merge and rewrite per
     batch; for exact counts of the current candidates, recount them
     against the landed bronze (same recount step the batch operator
     runs).
@@ -235,6 +261,9 @@ def foreach_batch_heavy_hitters(summary_path: str, *,
         if not batch_df.take(1):
             return
         spark = batch_df.sparkSession
+        applied, prior = _replay_guard(spark, summary_path, int(batch_id))
+        if applied:
+            return
         vals = (batch_df.select(F.col(value_col).cast("string").alias("_v"))
                 .filter(F.col("_v").isNotNull()))
 
@@ -252,14 +281,15 @@ def foreach_batch_heavy_hitters(summary_path: str, *,
         merged: dict = {}
         for v, w in parts:
             merged[v] = merged.get(v, 0) + w
-        if os.path.isdir(summary_path):
-            for r in spark.read.parquet(summary_path).collect():
+        if prior is not None:
+            for r in prior.collect():
                 merged[r.value] = merged.get(r.value, 0) + int(r.weight)
         if len(merged) > capacity:
             m = sorted(merged.values())[len(merged) - capacity - 1]
             merged = {v: c - m for v, c in merged.items() if c > m}
-        out = spark.createDataFrame(
+        out = (spark.createDataFrame(
             sorted(merged.items()), "value string, weight long")
+            .withColumn("last_batch_id", F.lit(int(batch_id))))
         from comix_etl_spark.sinks.writers import safe_overwrite_parquet
 
         safe_overwrite_parquet(out.coalesce(1), summary_path)
@@ -286,25 +316,28 @@ def foreach_batch_cms(sketch_path: str, *, key_col: str = "value",
     raw keys never shuffle, and nothing key-shaped ever collects.
 
     Query the result with ``operators/profile.py::cms_estimate`` over
-    ``spark.read.parquet(sketch_path)``.
+    ``spark.read.parquet(sketch_path)`` (the ``last_batch_id``
+    replay-guard stamp rides along and is ignored by the join).
     """
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
         from comix_etl_spark.operators.profile import cms_cells
         from comix_etl_spark.sinks.writers import safe_overwrite_parquet
 
         if not batch_df.take(1):
             return
         spark = batch_df.sparkSession
+        applied, prior = _replay_guard(spark, sketch_path, int(batch_id))
+        if applied:
+            return
         cells = cms_cells(
             batch_df.select(F.col(key_col).cast("string").alias("_k")),
             "_k", depth=depth, width=width)
-        if os.path.isdir(sketch_path):
-            cells = cells.unionByName(spark.read.parquet(sketch_path))
+        if prior is not None:
+            cells = cells.unionByName(prior)
         merged = (cells.groupBy("depth_i", "bucket")
-                  .agg(F.sum("c").cast("long").alias("c")))
+                  .agg(F.sum("c").cast("long").alias("c"))
+                  .withColumn("last_batch_id", F.lit(int(batch_id))))
         safe_overwrite_parquet(merged.coalesce(1), sketch_path)
 
     return apply

@@ -311,6 +311,13 @@ def test_foreach_batch_drift_flags_shifted_batch(spark, tmpdir):
     assert min(psis) < 20_000, psis       # in-distribution batch ~0 PSI
     assert max(psis) > 500_000, psis      # shifted batch screams
 
+    # replay idempotence: re-delivering batch 1 (same batch_id) must
+    # REPLACE its metric row, not append a duplicate
+    replay = spark.createDataFrame(
+        [(float(i % 30) + 0.5,) for i in range(1000)], "value double")
+    foreach_batch_drift(metrics, ref_edges, ref_shares)(replay, 1)
+    assert spark.read.parquet(metrics).count() == 2
+
 
 def test_foreach_batch_drift_validates_edges_and_ignores_nulls(spark, tmpdir):
     """ADVICE r6: (1) a full edge list (len == n_bins) must be rejected
@@ -399,6 +406,13 @@ def test_foreach_batch_heavy_hitters_merged_summary(spark, tmpdir):
     # weights undercount by at most the threshold, never overcount
     for v in survivors_due:
         assert truth[v] >= got[v] > truth[v] - n_total / 65
+
+    # replay idempotence: re-folding the last batch (same batch_id)
+    # must be a no-op, not a double-count
+    replay = spark.createDataFrame([("hot0",)] * 120, "value string")
+    foreach_batch_heavy_hitters(summary, capacity=64)(replay, 2)
+    assert {r.value: r.weight
+            for r in spark.read.parquet(summary).collect()} == got
 
 
 def test_foreach_batch_dedup_screen_lands_only_novel_docs(spark, tmpdir):
@@ -558,6 +572,14 @@ def test_foreach_batch_cms_merges_exactly(spark, tmpdir):
     whole = {(r.depth_i, r.bucket): r.c
              for r in cms_cells(whole_df, "value", depth=4, width=32).collect()}
     assert streamed == whole
+
+    # replay idempotence: re-folding the last batch (same batch_id)
+    # must be a no-op — without the guard every cell double-counts it
+    replay = spark.createDataFrame(
+        [(f"k{i % 23}",) for i in range(14, 414)], "value string")
+    foreach_batch_cms(sketch, depth=4, width=32)(replay, 2)
+    assert {(r.depth_i, r.bucket): r.c
+            for r in spark.read.parquet(sketch).collect()} == whole
 
     truth = whole_df.groupBy("value").agg(F.count(F.lit(1)).alias("true_n"))
     est = cms_estimate(spark.read.parquet(sketch), truth.select("value"),
