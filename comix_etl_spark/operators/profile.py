@@ -188,12 +188,23 @@ def cms_inner_product(cells_a: DataFrame, cells_b: DataFrame) -> DataFrame:
     join be" costs a sketch-×-sketch join over a few thousand rows —
     no scan of either fact table. Sketches must share depth/width
     (the hash family is positional).
+
+    A depth row whose buckets don't overlap at all has dot product 0 —
+    the estimate is then exactly 0 (an empty join detected from
+    sketches alone). The sparse cell join drops such rows, so they are
+    re-completed against the union of observed depth ids and coalesced
+    to 0 before the min; two empty sketches estimate 0, never NULL.
     """
     j = (cells_a.alias("a")
          .join(cells_b.alias("b"), ["depth_i", "bucket"]))
     per_row = (j.groupBy("depth_i")
                .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot")))
-    return per_row.agg(F.min("dot").cast("long").alias("cms_est"))
+    depths = (cells_a.select("depth_i")
+              .unionByName(cells_b.select("depth_i")).distinct())
+    completed = (depths.join(per_row, "depth_i", "left")
+                 .select(F.coalesce(F.col("dot"), F.lit(0)).alias("dot")))
+    return completed.agg(
+        F.coalesce(F.min("dot"), F.lit(0)).cast("long").alias("cms_est"))
 
 
 def ams_f2(df: DataFrame, key_col: str, *, depth: int = 9) -> DataFrame:
@@ -211,9 +222,13 @@ def ams_f2(df: DataFrame, key_col: str, *, depth: int = 9) -> DataFrame:
     that decides salting (operators/relational.py::salted_agg) becomes
     measurable at 100 TB for the cost of a count.
 
-    Odd ``depth``: the median of an odd count is an exact element
-    (no interpolation), keeping the estimate integer and the oracle
-    comparison bit-exact.
+    Odd ``depth``: the median of an odd count is an exact ELEMENT, and
+    it is selected by sort-and-limit over DECIMAL(38,0) squares — not
+    an interpolating percentile over doubles, whose 2^53 mantissa
+    would silently round z² beyond |z| ≈ 9.5e7. The returned estimate
+    is exact integer math end to end; the int64 OUTPUT cast bounds the
+    contract at F2 < 2^63 — the same ceiling any exact BIGINT recount
+    of F2 has.
     """
     if depth % 2 == 0:
         raise ValueError(f"depth must be odd for an exact median, got {depth}")
@@ -230,9 +245,11 @@ def ams_f2(df: DataFrame, key_col: str, *, depth: int = 9) -> DataFrame:
                 for i in range(depth)])).alias("c"))
             .select("c.depth_i", "c.s"))
     sums = rows.groupBy("depth_i").agg(F.sum("s").cast("long").alias("z"))
-    return sums.agg(
-        F.percentile((F.col("z") * F.col("z")).cast("double"), 0.5)
-        .cast("long").alias("ams_est"))
+    dec = "decimal(38,0)"
+    z2 = sums.select((F.col("z").cast(dec) * F.col("z").cast(dec)).alias("z2"))
+    return (z2.orderBy("z2").limit(depth // 2 + 1)
+            .orderBy(F.col("z2").desc()).limit(1)
+            .select(F.col("z2").cast("long").alias("ams_est")))
 
 
 def ks_two_sample(df: DataFrame, value_col: str, label_col: str, *,
@@ -247,42 +264,43 @@ def ks_two_sample(df: DataFrame, value_col: str, label_col: str, *,
 
     Scale shape: counts collapse per DISTINCT value first (one bounded
     wide exchange), then BOTH samples' cumulative counts run through
-    the two-phase distributed prefix sum (range-partition + partials +
-    broadcast offsets — same primitive as relational.py::
-    global_running_sum, computed here for two measures in one pass) —
-    no single-task window funnel. D compares integer cross-products
-    (cum_a·n_b vs cum_b·n_a), so the statistic is exact integer math,
-    bit-identical on every engine and partitioning.
-    """
-    from pyspark.sql import Window
+    ONE call of the distributed prefix sum (relational.py::
+    global_running_sum's multi-measure form — range partition +
+    broadcast offsets, no single-task window funnel). D compares
+    cross-products (cum_a·n_b vs cum_b·n_a) in DECIMAL(38,0), so the
+    statistic is exact integer math, bit-identical on every engine and
+    partitioning, without the int64 ceiling (n_a·n_b overflows BIGINT
+    at ~3M rows per sample; decimal carries to ~10^19 per sample).
 
-    spark = df.sparkSession
+    Either sample being EMPTY makes D undefined — the job fails with
+    an assert message rather than emitting a NULL that a downstream
+    ``d > threshold`` check would silently treat as "no drift".
+    """
+    from comix_etl_spark.operators.relational import global_running_sum
+
     is_a = F.col(label_col).cast("boolean")
     agg = (df.filter(F.col(value_col).isNotNull() & is_a.isNotNull())
            .groupBy(value_col)
            .agg(F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("_da"),
-                F.sum(F.when(is_a, 0).otherwise(1)).cast("long").alias("_db")))
-    n = num_partitions or spark.sparkContext.defaultParallelism
-    parts = (agg.repartitionByRange(n, F.col(value_col).asc())
-             .withColumn("_pid", F.spark_partition_id())
-             .localCheckpoint(eager=False))
-    cumw = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (parts.groupBy("_pid")
-               .agg(F.sum("_da").alias("_sa"), F.sum("_db").alias("_sb"))
-               .withColumn("_oa", F.coalesce(F.sum("_sa").over(cumw), F.lit(0)))
-               .withColumn("_ob", F.coalesce(F.sum("_sb").over(cumw), F.lit(0)))
-               .localCheckpoint(eager=True))
-    totals = offsets.agg(F.sum("_sa").cast("long").alias("n_a"),
-                         F.sum("_sb").cast("long").alias("n_b"))
-    w = (Window.partitionBy("_pid").orderBy(value_col)
-         .rowsBetween(Window.unboundedPreceding, 0))
-    cum = (parts.join(F.broadcast(offsets.select("_pid", "_oa", "_ob")), "_pid")
-           .select((F.sum("_da").over(w) + F.col("_oa")).alias("_ca"),
-                   (F.sum("_db").over(w) + F.col("_ob")).alias("_cb")))
+                F.sum(F.when(is_a, 0).otherwise(1)).cast("long").alias("_db"))
+           .localCheckpoint(eager=False))
+    totals = agg.agg(F.sum("_da").cast("long").alias("n_a"),
+                     F.sum("_db").cast("long").alias("n_b"))
+    cum = global_running_sum(agg, [value_col], ["_da", "_db"],
+                             out_col=["_ca", "_cb"],
+                             num_partitions=num_partitions)
+    dec = "decimal(38,0)"
     m = (cum.crossJoin(F.broadcast(totals))
-         .agg(F.max(F.abs(F.col("_ca") * F.col("n_b")
-                          - F.col("_cb") * F.col("n_a"))).alias("_m")))
+         .agg(F.max(F.abs(F.col("_ca").cast(dec) * F.col("n_b").cast(dec)
+                          - F.col("_cb").cast(dec) * F.col("n_a").cast(dec)))
+              .alias("_m")))
+    # assert_true rides INSIDE the projected expression (a dropped
+    # helper column would be pruned by Catalyst, silently disabling
+    # the guard); it returns NULL on success, so the IF passes the
+    # statistic through untouched
+    d_expr = (f"CAST(IF(assert_true(n_a > 0 AND n_b > 0, "
+              f"'ks_two_sample: one sample is empty - D is undefined') "
+              f"IS NULL, (_m * {d_scale}) div "
+              f"(CAST(n_a AS {dec}) * CAST(n_b AS {dec})), NULL) AS LONG)")
     return (totals.crossJoin(F.broadcast(m))
-            .select("n_a", "n_b",
-                    F.expr(f"_m * {d_scale}L div (n_a * n_b)")
-                    .alias("d_stat_e6")))
+            .select("n_a", "n_b", F.expr(d_expr).alias("d_stat_e6")))

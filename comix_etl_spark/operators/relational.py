@@ -292,8 +292,10 @@ def salted_agg(df: DataFrame, key: Sequence[str], sum_col: str, *,
                  F.sum("_pcnt").cast("long").alias("n_rows")))
 
 
-def global_running_sum(df: DataFrame, order_by: Sequence[str], value_col: str, *,
-                       out_col: str = "running", num_partitions: int | None = None,
+def global_running_sum(df: DataFrame, order_by: Sequence[str],
+                       value_col: str | Sequence[str], *,
+                       out_col: str | Sequence[str] = "running",
+                       num_partitions: int | None = None,
                        descending: Sequence[bool] | None = None) -> DataFrame:
     """Globally-ordered running sum WITHOUT the single-task funnel —
     the distributed prefix-sum primitive (sibling of ``global_rank``):
@@ -304,7 +306,15 @@ def global_running_sum(df: DataFrame, order_by: Sequence[str], value_col: str, *
     ``order_by`` must be a TOTAL order (add a unique tiebreak column);
     ``descending`` flags per order column. Result is identical to
     ``sum(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``.
+
+    ``value_col``/``out_col`` also accept equal-length lists: several
+    measures share ONE range shuffle and one window pass (the KS
+    two-sample CDFs run both samples' counts through a single call).
     """
+    cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    outs = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(cols) != len(outs):
+        raise ValueError(f"{len(cols)} value cols but {len(outs)} out cols")
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     desc = list(descending or [False] * len(order_by))
@@ -314,14 +324,20 @@ def global_running_sum(df: DataFrame, order_by: Sequence[str], value_col: str, *
              .withColumn("_pid", F.spark_partition_id())
              .localCheckpoint(eager=False))
     cum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (parts.groupBy("_pid").agg(F.sum(value_col).alias("_psum"))
-               .withColumn("_offset", F.coalesce(F.sum("_psum").over(cum), F.lit(0)))
-               .select("_pid", "_offset"))
+    offsets = (parts.groupBy("_pid")
+               .agg(*[F.sum(c).alias(f"_psum_{i}")
+                      for i, c in enumerate(cols)]))
+    for i in range(len(cols)):
+        offsets = offsets.withColumn(
+            f"_offset_{i}",
+            F.coalesce(F.sum(f"_psum_{i}").over(cum), F.lit(0)))
+    offsets = offsets.select("_pid", *[f"_offset_{i}" for i in range(len(cols))])
     w = (Window.partitionBy("_pid").orderBy(*keys)
          .rowsBetween(Window.unboundedPreceding, 0))
-    return (parts.join(F.broadcast(offsets), "_pid")
-            .withColumn(out_col, F.sum(value_col).over(w) + F.col("_offset"))
-            .drop("_pid", "_offset"))
+    result = parts.join(F.broadcast(offsets), "_pid")
+    for i, (c, o) in enumerate(zip(cols, outs)):
+        result = result.withColumn(o, F.sum(c).over(w) + F.col(f"_offset_{i}"))
+    return result.drop("_pid", *[f"_offset_{i}" for i in range(len(cols))])
 
 
 def skyline_2d(df: DataFrame, id_col: str, x_col: str, y_col: str,

@@ -3996,8 +3996,14 @@ WITH a AS (
 ), dots AS (
   SELECT ca.depth_i, sum(ca.c * cb.c) AS dot
   FROM ca JOIN cb USING (depth_i, bucket) GROUP BY 1
+), alldepths AS (
+  SELECT DISTINCT depth_i FROM (
+    SELECT depth_i FROM ca UNION SELECT depth_i FROM cb)
+), completed AS (
+  SELECT coalesce(dots.dot, 0) AS dot
+  FROM alldepths LEFT JOIN dots USING (depth_i)
 ), est AS (
-  SELECT CAST(min(dot) AS BIGINT) AS cms_est FROM dots
+  SELECT CAST(coalesce(min(dot), 0) AS BIGINT) AS cms_est FROM completed
 ), tru AS (
   SELECT CAST(count(*) AS BIGINT) AS true_n FROM a JOIN b USING (k)
 )
@@ -4035,7 +4041,12 @@ WITH keys AS (
          SUM(CAST(('0x' || substring(md5(i.i || '_' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 2 * 2 - 1) AS z
   FROM keys, range(9) i(i) GROUP BY 1
 ), est AS (
-  SELECT CAST(quantile_cont(CAST(z * z AS DOUBLE), 0.5) AS BIGINT) AS ams_est FROM z
+  -- exact median ELEMENT over HUGEINT squares (mirrors the engine's
+  -- DECIMAL(38,0) sort-and-limit — no double rounding past 2^53)
+  SELECT CAST(z2 AS BIGINT) AS ams_est FROM (
+    SELECT z2 FROM (
+      SELECT CAST(z AS HUGEINT) * z AS z2 FROM z ORDER BY z2 LIMIT 5
+    ) ORDER BY z2 DESC LIMIT 1)
 ), tru AS (
   SELECT CAST(SUM(c * c) AS BIGINT) AS true_f2
   FROM (SELECT count(*) AS c FROM keys GROUP BY k)
@@ -4075,9 +4086,13 @@ WITH per AS (
   SELECT CAST(SUM(da) AS BIGINT) AS n_a, CAST(SUM(db) AS BIGINT) AS n_b
   FROM per
 ), m AS (
-  SELECT MAX(ABS(ca * n_b - cb * n_a)) AS m FROM cum, tot
+  -- HUGEINT mirrors the engine's DECIMAL(38,0) cross-products: the
+  -- int64 ceiling on n_a*n_b would otherwise bite at ~3M rows/sample
+  SELECT MAX(ABS(CAST(ca AS HUGEINT) * n_b - CAST(cb AS HUGEINT) * n_a)) AS m
+  FROM cum, tot
 )
-SELECT n_a, n_b, CAST(m * 1000000 // (n_a * n_b) AS BIGINT) AS d_stat_e6
+SELECT n_a, n_b,
+       CAST((m * 1000000) // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS d_stat_e6
 FROM tot, m
 """
 

@@ -149,8 +149,12 @@ def foreach_batch_drift(metrics_path: str, ref_edges: list[float],
                         eps: float = 1e-6):
     """foreachBatch sink: score every micro-batch's ``value_col``
     distribution against a REFERENCE decile histogram (PSI — the same
-    monitor plans/queries.py::q_drift_psi runs in batch) and append
-    one (batch_id, n_rows, psi_e6) row per batch to ``metrics_path``.
+    monitor plans/queries.py::q_drift_psi runs in batch) and write
+    one (n_rows, psi_e6) row per batch to
+    ``metrics_path/batch_id=N`` (overwrite — a crash-replayed batch
+    REPLACES its row instead of appending a duplicate; read the whole
+    table with ``spark.read.parquet(metrics_path)``, where batch_id
+    comes back as a partition column).
     Continuous data-quality monitoring at ingestion time: a feed whose
     distribution shifts pages the pipeline BEFORE the bad data lands
     in training mixes.
@@ -211,21 +215,36 @@ def _replay_guard(spark, state_path: str, batch_id: int):
     returns (already_applied, prior_state_df). foreachBatch re-delivers
     a crashed batch under the SAME batch_id — folding it into the
     landed state twice would double-count, so every state rewrite
-    stamps a ``last_batch_id`` column and a replay of any batch ≤ that
-    stamp becomes a no-op. (Append-style sinks instead write to a
-    ``batch_id=N`` partition with overwrite — same idempotence, no
-    stamp needed.)"""
+    stamps a ``_last_batch_id`` SIDECAR file (underscore prefix ⇒
+    invisible to Spark's file listing) and a replay of any batch ≤
+    that stamp becomes a no-op. The stamp is deliberately NOT a data
+    column: a Misra-Gries trim can legitimately empty the summary, and
+    a 0-row parquet would silently drop a row-borne stamp — reopening
+    the double-count the guard exists to prevent. (Append-style sinks
+    instead write to a ``batch_id=N`` partition with overwrite — same
+    idempotence, no stamp needed.)"""
     import os
 
+    marker = os.path.join(state_path, "_last_batch_id")
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            if batch_id <= int(fh.read().strip()):
+                return True, None
     if not os.path.isdir(state_path):
         return False, None
     cur = spark.read.parquet(state_path)
-    if "last_batch_id" in cur.columns:
-        last = cur.agg(F.max("last_batch_id")).collect()[0][0]
-        if last is not None and batch_id <= last:
-            return True, cur
+    if "last_batch_id" in cur.columns:  # legacy row-borne stamp
         cur = cur.drop("last_batch_id")
     return False, cur
+
+
+def _stamp_replay_guard(state_path: str, batch_id: int) -> None:
+    """Write the sidecar stamp AFTER the state swap (safe_overwrite
+    replaces the directory, which would wipe a pre-written marker)."""
+    import os
+
+    with open(os.path.join(state_path, "_last_batch_id"), "w") as fh:
+        fh.write(str(int(batch_id)))
 
 
 def foreach_batch_heavy_hitters(summary_path: str, *,
@@ -241,8 +260,8 @@ def foreach_batch_heavy_hitters(summary_path: str, *,
     N_total/(capacity+1) is in the summary, with its weight
     undercounting by at most that threshold.
 
-    State is a ≤ ``capacity``-row parquet table (value, weight,
-    last_batch_id — the replay-guard stamp) at ``summary_path`` — small enough to read, merge and rewrite per
+    State is a ≤ ``capacity``-row parquet table (value, weight) at
+    ``summary_path`` (plus a ``_last_batch_id`` replay-guard sidecar) — small enough to read, merge and rewrite per
     batch; for exact counts of the current candidates, recount them
     against the landed bronze (same recount step the batch operator
     runs).
@@ -287,12 +306,12 @@ def foreach_batch_heavy_hitters(summary_path: str, *,
         if len(merged) > capacity:
             m = sorted(merged.values())[len(merged) - capacity - 1]
             merged = {v: c - m for v, c in merged.items() if c > m}
-        out = (spark.createDataFrame(
+        out = spark.createDataFrame(
             sorted(merged.items()), "value string, weight long")
-            .withColumn("last_batch_id", F.lit(int(batch_id))))
         from comix_etl_spark.sinks.writers import safe_overwrite_parquet
 
         safe_overwrite_parquet(out.coalesce(1), summary_path)
+        _stamp_replay_guard(summary_path, int(batch_id))
 
     return apply
 
@@ -316,8 +335,8 @@ def foreach_batch_cms(sketch_path: str, *, key_col: str = "value",
     raw keys never shuffle, and nothing key-shaped ever collects.
 
     Query the result with ``operators/profile.py::cms_estimate`` over
-    ``spark.read.parquet(sketch_path)`` (the ``last_batch_id``
-    replay-guard stamp rides along and is ignored by the join).
+    ``spark.read.parquet(sketch_path)`` (the ``_last_batch_id``
+    replay-guard sidecar is invisible to the read).
     """
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -336,9 +355,9 @@ def foreach_batch_cms(sketch_path: str, *, key_col: str = "value",
         if prior is not None:
             cells = cells.unionByName(prior)
         merged = (cells.groupBy("depth_i", "bucket")
-                  .agg(F.sum("c").cast("long").alias("c"))
-                  .withColumn("last_batch_id", F.lit(int(batch_id))))
+                  .agg(F.sum("c").cast("long").alias("c")))
         safe_overwrite_parquet(merged.coalesce(1), sketch_path)
+        _stamp_replay_guard(sketch_path, int(batch_id))
 
     return apply
 

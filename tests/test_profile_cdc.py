@@ -312,6 +312,18 @@ def test_cms_inner_product_exact_without_collisions(spark):
         cms_cells(b, "k", depth=4, width=4)).collect()[0].cms_est
     assert narrow >= 250
 
+    # disjoint key spaces: any depth with zero bucket overlap must
+    # contribute dot = 0 (not vanish from the min), so the estimate
+    # detects the empty join instead of returning NULL or inflating
+    c = spark.createDataFrame([(i + 100000,) for i in range(10)], "k long")
+    disjoint = cms_inner_product(
+        cms_cells(a, "k", depth=4, width=16384),
+        cms_cells(c, "k", depth=4, width=16384)).collect()[0].cms_est
+    assert disjoint == 0
+    # two empty sketches -> 0, never NULL
+    empty = cms_cells(a.filter(F.col("k") < 0), "k", depth=4, width=16384)
+    assert cms_inner_product(empty, empty).collect()[0].cms_est == 0
+
 
 def test_ams_f2_estimates_skew_and_rejects_even_depth(spark):
     from comix_etl_spark.operators.profile import ams_f2

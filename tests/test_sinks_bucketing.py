@@ -112,12 +112,14 @@ def test_write_table_orc_roundtrip_with_pushdown(spark, sf_small):
                       for r in back.collect())
         plan = back.filter(F.col("n_nationkey") == 7) \
                    ._jdf.queryExecution().executedPlan().toString()
-        assert "pushedFilters" in plan.lower() or "searchargument" in plan.lower() \
-            or "PushedFilters" in plan
+        # the PREDICATE must be in the pushed list — 'PushedFilters: []'
+        # (pushdown regressed) must fail, not just the label's presence
+        assert "EqualTo(n_nationkey,7)" in plan, plan
         # partition pruning: the regionkey predicate must reach the scan
         # as a partition filter, not a post-scan filter
         pruned = back.filter(F.col("n_regionkey") == 2)
         ptxt = pruned._jdf.queryExecution().executedPlan().toString()
-        assert "PartitionFilters" in ptxt or "partitionFilters" in ptxt
+        assert "(n_regionkey#" in ptxt and "PartitionFilters: [" in ptxt \
+            and "= 2)" in ptxt.split("PartitionFilters: [", 1)[1][:120], ptxt
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

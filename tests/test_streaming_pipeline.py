@@ -586,3 +586,30 @@ def test_foreach_batch_cms_merges_exactly(spark, tmpdir):
                        "value", depth=4, width=32)
     for r in truth.join(est, "value").collect():
         assert r.cms_est >= r.true_n
+
+
+def test_heavy_hitters_sink_stamp_survives_empty_trim(spark, tmpdir):
+    """If the MG trim legitimately empties the summary (all merged
+    counts tie at the trim threshold), the replay-guard stamp must
+    survive the 0-row state write: replaying the same batch stays a
+    no-op, and the NEXT batch folds into the empty state normally."""
+    from comix_etl_spark.streaming.windowed import foreach_batch_heavy_hitters
+
+    summary = os.path.join(tmpdir, "hh_empty")
+    sink = foreach_batch_heavy_hitters(summary, capacity=2)
+    tied = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("b",), ("c",), ("c",)], "value string")
+    sink(tied, 0)
+    assert spark.read.parquet(summary).count() == 0  # trim emptied it
+    # replay of batch 0 must be a no-op even with a 0-row state
+    sink(tied, 0)
+    assert spark.read.parquet(summary).count() == 0
+    # a NEW batch folds normally
+    nxt = spark.createDataFrame([("d",)] * 5, "value string")
+    sink(nxt, 1)
+    got = {r.value: r.weight for r in spark.read.parquet(summary).collect()}
+    assert got == {"d": 5}
+    # and replaying batch 0 AFTER batch 1 is still a no-op
+    sink(tied, 0)
+    assert {r.value: r.weight
+            for r in spark.read.parquet(summary).collect()} == got
