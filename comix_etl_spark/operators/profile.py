@@ -104,14 +104,22 @@ def fixed_histogram(df: DataFrame, value_col: str, *, width: float,
                     F.expr("n_rows * 1000000L div _total").alias("share_e6")))
 
 
-def _cms_bucket(key: F.Column, seed: int, width: int) -> F.Column:
-    # 15 hex chars = 60 bits, always non-negative, so `%` and pmod agree
-    # on every engine; the md5 seed-prefix family is the same trick the
-    # det MinHash/SimHash sketches use (operators/dedup.py) to keep the
-    # whole sketch oracle-reproducible.
-    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}_"), key)), 1, 15),
-               16, 10).cast("long")
-    return F.pmod(h, F.lit(width))
+def _cms_hash(key: F.Column) -> F.Column:
+    # 15 hex chars = 60 bits, always non-negative, so `%` and pmod
+    # agree on every engine; ONE md5 per row supplies all depth rows —
+    # each depth takes a disjoint 15-bit slice (md5 bits are pairwise
+    # independent), which is 4× less hashing than a seed-prefix md5
+    # per depth for the same guarantee. Oracle-reproducible like the
+    # det MinHash/SimHash families (operators/dedup.py).
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+
+
+def _cms_bucket(h: F.Column, seed: int, width: int) -> F.Column:
+    # depth ``seed`` reads bits [seed*15, seed*15+15) — supports depth
+    # ≤ 4; width must be ≤ 32768 (and a power of two keeps the modulo
+    # unbiased since 2^15 is divisible by it)
+    return F.pmod(F.shiftright(h, seed * 15).bitwiseAND(F.lit(32767)),
+                  F.lit(width))
 
 
 def cms_cells(df: DataFrame, key_col: str, *, depth: int = 4,
@@ -133,10 +141,13 @@ def cms_cells(df: DataFrame, key_col: str, *, depth: int = 4,
     bucket) grid), so per-partition / per-day sketches roll up exactly
     like the HLL registers in `hll_rollup`.
     """
-    k = F.col(key_col).cast("string")
+    if depth > 4 or width > 32768:
+        raise ValueError("the 60-bit hash supports depth <= 4 slices of "
+                         f"15 bits (width <= 32768); got {depth}/{width}")
+    h = _cms_hash(F.col(key_col).cast("string"))
     cell = F.explode(F.array(*[
         F.struct(F.lit(i).alias("depth_i"),
-                 _cms_bucket(k, i, width).alias("bucket"))
+                 _cms_bucket(h, i, width).alias("bucket"))
         for i in range(depth)])).alias("cell")
     return (df.filter(F.col(key_col).isNotNull())
             .select(cell)
@@ -160,11 +171,11 @@ def cms_estimate(cells: DataFrame, probes: DataFrame, key_col: str, *,
     whose cells are all empty must return exactly 0), not silently
     drop out of the result or take min() over only its collided cells.
     """
-    k = F.col(key_col).cast("string")
+    h = _cms_hash(F.col(key_col).cast("string"))
     probe_cells = probes.select(
         key_col, F.explode(F.array(*[
             F.struct(F.lit(i).alias("depth_i"),
-                     _cms_bucket(k, i, width).alias("bucket"))
+                     _cms_bucket(h, i, width).alias("bucket"))
             for i in range(depth)])).alias("cell"))
     return (probe_cells
             .join(F.broadcast(cells),
@@ -216,9 +227,10 @@ def ams_f2(df: DataFrame, key_col: str, *, depth: int = 9) -> DataFrame:
 
     Unlike CMS this is UNBIASED (two-sided error), and unlike the
     exact recount it needs ZERO key-space shuffle: each input row
-    contributes only its sign, so the plan is a scan-local explode
-    folded by map-side combine into ``depth`` partial sums per task —
-    the exchange carries depth·n_tasks rows total. The skew statistic
+    contributes only its sign, and every depth's partial sum is an
+    independent agg expression over ONE scan (no depth× row explode)
+    — the exchange carries one depth-wide partial row per task. The
+    skew statistic
     that decides salting (operators/relational.py::salted_agg) becomes
     measurable at 100 TB for the cost of a count.
 
@@ -232,21 +244,26 @@ def ams_f2(df: DataFrame, key_col: str, *, depth: int = 9) -> DataFrame:
     """
     if depth % 2 == 0:
         raise ValueError(f"depth must be odd for an exact median, got {depth}")
+    if depth > 60:
+        raise ValueError(f"depth must be <= 60 (one sign bit per hash "
+                         f"bit), got {depth}")
     k = F.col(key_col).cast("string")
+    h = _cms_hash(k)  # ONE md5 per row; bit i is depth i's ±1 sign
 
     def sign(i: int) -> F.Column:
-        h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}_"), k)), 1, 15),
-                   16, 10).cast("long")
-        return (F.pmod(h, F.lit(2)) * 2 - 1).cast("long")
+        bit = F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1))
+        return (bit * 2 - 1).cast("long")
 
-    rows = (df.filter(k.isNotNull())
-            .select(F.explode(F.array(*[
-                F.struct(F.lit(i).alias("depth_i"), sign(i).alias("s"))
-                for i in range(depth)])).alias("c"))
-            .select("c.depth_i", "c.s"))
-    sums = rows.groupBy("depth_i").agg(F.sum("s").cast("long").alias("z"))
+    # all depth partial sums are independent agg expressions over ONE
+    # scan — no depth× row explode, no (depth_i) shuffle: the exchange
+    # carries one depth-wide partial row per task
+    agg_row = (df.filter(k.isNotNull()).select(h.alias("_h"))
+               .agg(*[F.sum(sign(i)).cast("long").alias(f"_z{i}")
+                      for i in range(depth)]))
     dec = "decimal(38,0)"
-    z2 = sums.select((F.col("z").cast(dec) * F.col("z").cast(dec)).alias("z2"))
+    z2 = agg_row.select(F.explode(F.array(*[
+        (F.col(f"_z{i}").cast(dec) * F.col(f"_z{i}").cast(dec))
+        for i in range(depth)])).alias("z2"))
     return (z2.orderBy("z2").limit(depth // 2 + 1)
             .orderBy(F.col("z2").desc()).limit(1)
             .select(F.col("z2").cast("long").alias("ams_est")))

@@ -3930,22 +3930,28 @@ def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_CMS_FREQ = """
-WITH cells AS (
-  SELECT i.i AS depth_i,
-         CAST(('0x' || substring(md5(i.i || '_' || CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1024 AS bucket,
+WITH hashed AS (
+  SELECT l_partkey,
+         CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM lineitem WHERE l_partkey IS NOT NULL
+), cells AS (
+  SELECT i.i AS depth_i, ((h >> (i.i * 15)) & 32767) % 1024 AS bucket,
          CAST(count(*) AS BIGINT) AS c
-  FROM lineitem, range(4) i(i)
-  WHERE l_partkey IS NOT NULL
+  FROM hashed, range(4) i(i)
   GROUP BY 1, 2
 ), truth AS (
   SELECT l_partkey, CAST(count(*) AS BIGINT) AS true_n
   FROM lineitem WHERE l_partkey % 97 = 0 GROUP BY 1
+), probeh AS (
+  SELECT l_partkey, true_n,
+         CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM truth
 ), est AS (
-  SELECT t.l_partkey, min(c.c) AS cms_est
-  FROM truth t
+  SELECT p.l_partkey, min(c.c) AS cms_est
+  FROM probeh p
   CROSS JOIN range(4) i(i)
   JOIN cells c ON c.depth_i = i.i
-   AND c.bucket = CAST(('0x' || substring(md5(i.i || '_' || CAST(t.l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1024
+   AND c.bucket = ((p.h >> (i.i * 15)) & 32767) % 1024
   GROUP BY 1
 )
 SELECT t.l_partkey, t.true_n, e.cms_est, e.cms_est - t.true_n AS overcount
@@ -3985,12 +3991,12 @@ WITH a AS (
   SELECT l_orderkey AS k FROM lineitem
 ), ca AS (
   SELECT i.i AS depth_i,
-         CAST(('0x' || substring(md5(i.i || '_' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 16384 AS bucket,
+         ((CAST(('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) >> (i.i * 15)) & 32767) % 16384 AS bucket,
          CAST(count(*) AS BIGINT) AS c
   FROM a, range(4) i(i) GROUP BY 1, 2
 ), cb AS (
   SELECT i.i AS depth_i,
-         CAST(('0x' || substring(md5(i.i || '_' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 16384 AS bucket,
+         ((CAST(('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) >> (i.i * 15)) & 32767) % 16384 AS bucket,
          CAST(count(*) AS BIGINT) AS c
   FROM b, range(4) i(i) GROUP BY 1, 2
 ), dots AS (
@@ -4016,8 +4022,8 @@ def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMS second-moment (self-join-size / key-skew) estimate of
     l_partkey (operators/profile.py::ams_f2) next to the exact
     Σ f_k² recount: the sketch needs ZERO key-space shuffle (each row
-    contributes only a ±1 sign; the exchange carries depth·n_tasks
-    partial sums), while the exact side shuffles every distinct key —
+    contributes only a ±1 sign folded into one depth-wide partial row
+    per task), while the exact side shuffles every distinct key —
     at 100 TB only the sketch is affordable, and this query is the
     evidence the two agree. Oracle recomputes every md5 sign, the 9
     partial sums, the exact median, and the true F2 from scratch."""
@@ -4036,10 +4042,13 @@ def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_AMS_F2 = """
 WITH keys AS (
   SELECT l_partkey AS k FROM lineitem WHERE l_partkey IS NOT NULL
+), hashed AS (
+  SELECT CAST(('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM keys
 ), z AS (
   SELECT i.i AS depth_i,
-         SUM(CAST(('0x' || substring(md5(i.i || '_' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 2 * 2 - 1) AS z
-  FROM keys, range(9) i(i) GROUP BY 1
+         SUM(CASE WHEN (h >> i.i) & 1 = 1 THEN 1 ELSE -1 END) AS z
+  FROM hashed, range(9) i(i) GROUP BY 1
 ), est AS (
   -- exact median ELEMENT over HUGEINT squares (mirrors the engine's
   -- DECIMAL(38,0) sort-and-limit — no double rounding past 2^53)
