@@ -103,8 +103,15 @@ def measure(spark, sf_dir: str, *, want_rows: bool = False) -> dict:
                                                  dup_clusters,
                                                  minhash_lsh_pairs)
     from comix_etl_spark.operators.similarity import knn_join_lsh
+    from comix_etl_spark.operators.profile import ams_f2, cms_cells
     from comix_etl_spark.operators.textstats import exact_substring_dedup
     from pyspark.sql import functions as F
+
+    def _cms(d):
+        return cms_cells(d, "text", depth=4, width=1024)
+
+    def _ams(d):
+        return ams_f2(d, "text", depth=9)
 
     # plain reads: only documents/embeddings exist in the blow-up dir,
     # and neither carries the events-ts-unit hazard load_tables guards
@@ -146,6 +153,11 @@ def measure(spark, sf_dir: str, *, want_rows: bool = False) -> dict:
             docs.filter(F.col("doc_id") % 10 == 0),
             docs.filter(F.col("doc_id") % 10 != 0),
             "doc_id", "text", threshold=0.5)),
+        # r7 sketches: both are bounded-exchange by construction — the
+        # wall time must track the SCAN (linear), with shuffle bytes
+        # flat (cells ≤ depth·width/task; AMS one partial row/task)
+        ("cms_cells", lambda: _cms(docs)),
+        ("ams_f2", lambda: _ams(docs)),
     ]:
         s0 = shuffle_write_bytes(spark)
         t0 = time.perf_counter()
