@@ -27,7 +27,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from comix_etl_spark.operators.sampling import hash_bucket
 
 
 def pack_sequences(df: DataFrame, id_col: str, n_tokens: Column | str, *,
@@ -42,12 +41,17 @@ def pack_sequences(df: DataFrame, id_col: str, n_tokens: Column | str, *,
     """
     nt = F.col(n_tokens) if isinstance(n_tokens, str) else n_tokens
     idc = F.col(id_col)
-    base = df.select(
+    # ONE md5 per row: the shard is derived from the same hex string
+    # that orders the shard stream (value-identical to
+    # sampling.hash_bucket — same md5, same first-8-hex modulus), so
+    # the shard/order pairing cannot drift apart
+    base = (df.select(
         idc,
         nt.cast("long").alias("n_tokens"),
-        hash_bucket(idc, buckets=n_shards, salt=salt).alias("shard"),
-        F.md5(F.concat(idc.cast("string"), F.lit(salt))).alias("_h"),
-    )
+        F.md5(F.concat(idc.cast("string"), F.lit(salt))).alias("_h"))
+        .withColumn("shard",
+                    (F.conv(F.substring("_h", 1, 8), 16, 10).cast("long")
+                     % n_shards).cast("int")))
     w = (Window.partitionBy("shard").orderBy("_h", id_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (base

@@ -22,7 +22,11 @@ def null_counts(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     """A2 — one row of [total_rows, null_<c>...] conditional counts."""
     aggs = [F.count(F.lit(1)).alias("total_rows")]
     for c in columns:
-        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"null_{c}"))
+        # coalesce: SUM over zero rows is NULL — an EMPTY table must
+        # report null_<c> = 0, not a NULL that poisons downstream gates
+        aggs.append(F.coalesce(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0))
+            .cast("long").alias(f"null_{c}"))
     return df.agg(*aggs)
 
 
@@ -32,9 +36,17 @@ def orphan_count(child: DataFrame, parent: DataFrame, key: str) -> DataFrame:
 
 
 def duplicate_key_count(df: DataFrame, key: Sequence[str]) -> DataFrame:
-    """Natural-key uniqueness probe: rows minus distinct keys."""
+    """Natural-key uniqueness probe: rows minus distinct keys.
+
+    The distinct count runs over a STRUCT of the key columns:
+    ``count_distinct(a, b)`` skips any tuple with a NULL component, so
+    a single all-NULL key row would read as a duplicate — the struct
+    (never NULL itself) counts it, matching SQL's
+    ``count(DISTINCT (a, b))``."""
     return df.agg(
-        (F.count(F.lit(1)) - F.count_distinct(*[F.col(k) for k in key])).alias("duplicate_keys")
+        (F.count(F.lit(1))
+         - F.count_distinct(F.struct(*[F.col(k) for k in key])))
+        .alias("duplicate_keys")
     )
 
 
@@ -58,15 +70,18 @@ def guardrail_report(batches: DataFrame, batch_key: Sequence[str],
 
     ``batch_guardrail`` is the driver-side scalar gate (raise before a
     merge); this is the set-valued report a backfill runs over a whole
-    partition grid — one aggregate + one broadcastable join against the
-    expectation table, so auditing 10k batch partitions costs one pass.
-    Batches with no expectation row pass vacuously (expected NULL);
-    ratio is rounded to 6dp so the boolean derives from the same value
-    on any engine.
+    partition grid — one aggregate + one join against the expectation
+    table, so auditing 10k batch partitions costs one pass. The join
+    is FULL outer: an expected batch with ZERO loaded rows — the worst
+    failure — must surface as an n_rows = 0 FAIL row, not silently
+    vanish from the report. Batches with no expectation row pass
+    vacuously (expected NULL); ratio is rounded to 6dp so the boolean
+    derives from the same value on any engine.
     """
     keys = [F.col(k) for k in batch_key]
     counts = batches.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
-    joined = counts.join(F.broadcast(expected), list(batch_key), "left")
+    joined = (counts.join(expected, list(batch_key), "full")
+              .withColumn("n_rows", F.coalesce(F.col("n_rows"), F.lit(0))))
     ratio = F.when(F.col(expected_col) > 0,
                    F.round(F.col("n_rows") / F.col(expected_col), 6))
     return (joined
@@ -99,20 +114,27 @@ def constraint_report(df: DataFrame, *,
     names: list[str] = []
     for c in not_null:
         names.append(f"not_null:{c}")
-        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-                    .cast("long").alias(f"_v{len(names)}"))
+        aggs.append(F.coalesce(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0))
+            .cast("long").alias(f"_v{len(names)}"))
     for key in unique:
         kl = list(key)
         names.append("unique:" + ",".join(kl))
+        # struct: count null-component key tuples (see duplicate_key_count)
         aggs.append((F.count(F.lit(1))
-                     - F.count_distinct(*[F.col(k) for k in kl]))
+                     - F.count_distinct(F.struct(*[F.col(k) for k in kl])))
                     .cast("long").alias(f"_v{len(names)}"))
     for label, passes in checks:
         names.append(f"check:{label}")
-        aggs.append(F.sum(F.when(passes, 0).otherwise(1))
-                    .cast("long").alias(f"_v{len(names)}"))
+        aggs.append(F.coalesce(
+            F.sum(F.when(passes, 0).otherwise(1)), F.lit(0))
+            .cast("long").alias(f"_v{len(names)}"))
     wide = df.agg(*aggs)
-    stack_args = ", ".join(f"'{n}', _v{i + 1}" for i, n in enumerate(names))
+    # labels are caller-supplied — escape quotes so a name like
+    # "amount isn't negative" can't break (or inject into) the stack SQL
+    stack_args = ", ".join(
+        "'{}', _v{}".format(n.replace("'", "''"), i + 1)
+        for i, n in enumerate(names))
     return wide.select(
         F.expr(f"stack({len(names)}, {stack_args}) AS (constraint, n_violations)"),
         "n_rows")

@@ -71,10 +71,16 @@ def balance_downsample(df: DataFrame, key_col: str, group_col: str, *,
     this rate form is one scan-local filter with no per-group sort, the
     shape that wins at 100 TB).
 
+    NULL-group rows are EXCLUDED throughout: the inner rate join can
+    never match them, so letting a phantom NULL group anchor ``min_n``
+    would skew every real group's rate while its own rows vanish —
+    they are filtered out of the counts too, consistently.
+
     Plan: one tiny per-group count aggregate, its scalar min, both
     broadcast back onto the scan — the corpus itself never shuffles.
     """
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    counts = (df.filter(F.col(group_col).isNotNull())
+              .groupBy(group_col).agg(F.count(F.lit(1)).alias("_n")))
     min_n = counts.agg(F.min("_n").alias("_min_n"))
     rates = (counts.crossJoin(F.broadcast(min_n))
              .select(group_col, F.expr("_min_n * 1000000L div _n").alias("_rate_e6")))
@@ -93,7 +99,11 @@ def stratified_hash_sample(df: DataFrame, key_col: str, strata_col: str,
     b = hash_bucket(key_col, buckets=10_000, salt=salt)
     pred = F.lit(False)
     for stratum, frac in fractions.items():
-        pred = pred | ((F.col(strata_col) == stratum) & (b < int(frac * 10_000)))
+        # round, not int(): float truncation (int(0.57*10000) == 5699)
+        # would silently exclude one bucket and diverge from any engine
+        # computing the cutoff exactly
+        pred = pred | ((F.col(strata_col) == stratum)
+                       & (b < int(round(frac * 10_000))))
     return df.filter(pred)
 
 
@@ -116,9 +126,11 @@ def temperature_downsample(df: DataFrame, key_col: str, group_col: str, *,
     an external system must reproduce the exact surviving set.
 
     Plan: tiny per-group count + scalar min broadcast onto the scan;
-    the corpus never shuffles.
+    the corpus never shuffles. NULL-group rows are excluded from both
+    the counts and the output (see balance_downsample).
     """
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    counts = (df.filter(F.col(group_col).isNotNull())
+              .groupBy(group_col).agg(F.count(F.lit(1)).alias("_n")))
     min_n = counts.agg(F.min("_n").alias("_min_n"))
     if alpha == 0.5:
         rate = F.floor(F.lit(1_000_000.0)

@@ -71,10 +71,15 @@ def asof_join(left: DataFrame, right: DataFrame, *, key: Sequence[str],
                   F.col("_is_left").asc())
          .rowsBetween(Window.unboundedPreceding, 0))
     best = F.max("_rv").over(w)
+    # a NULL left timestamp must stay UNMATCHED in both directions:
+    # under desc ordering (forward) NULLs sort last, so the frame would
+    # otherwise hand them the globally earliest right row
+    matched = F.col(left_ts).isNotNull()
     out = (u.withColumn("_best", best)
            .filter(F.col("_is_left") == 1)
            .select(*left.columns,
-                   *[F.col(f"_best.{c}").alias(c) for c in value_cols]))
+                   *[F.when(matched, F.col(f"_best.{c}")).alias(c)
+                     for c in value_cols]))
     return out
 
 
@@ -98,8 +103,14 @@ def range_join_points_intervals(points: DataFrame, intervals: DataFrame, *,
 
     p_bin, s_bin, e_bin = _bin(point_col), _bin(start_col), _bin(end_col)
 
+    checked_e_bin = F.when(
+        F.assert_true(s_bin <= e_bin,
+                      F.lit(f"range_join_points_intervals: {end_col} < "
+                            f"{start_col} (reversed interval)")).isNull(),
+        e_bin)
     pts = points.withColumn("_bin", p_bin)
-    ivs = intervals.withColumn("_bin", F.explode(F.sequence(s_bin, e_bin)))
+    ivs = intervals.withColumn("_bin",
+                               F.explode(F.sequence(s_bin, checked_e_bin)))
     joined = pts.join(ivs, "_bin").filter(
         (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col)))
     return joined.drop("_bin")
@@ -157,13 +168,22 @@ def interval_overlap_pairs(df: DataFrame, *, id_col: str, start_col: str,
     LATER of the two starts (both intervals provably cover that cell,
     and only one cell contains a given day)."""
     g = list(group_cols)
-    # floor division, NOT `div` (which truncates toward zero): pre-epoch
-    # timestamps in (-86400, 0) must land on day -1, not collapse onto
-    # day 0 with 1970-01-01 — `div`-truncation makes 1969-12-31 falsely
-    # overlap 1970-01-01 and skews overlap_days for any pre-1970 data
-    day = lambda c: F.floor(F.unix_timestamp(F.col(c)) / 86400)  # noqa: E731
+    # floor over MICROSECONDS: unix_timestamp() itself truncates
+    # sub-second parts toward zero, so 1969-12-31T23:59:59.5 would
+    # read as second 0 → day 0 and falsely overlap 1970-01-01; the
+    # unix_micros form keeps the fraction so the floor lands on day -1
+    # (same idiom as range_join_points_intervals' binning)
+    day = lambda c: F.floor(  # noqa: E731
+        F.unix_micros(F.col(c).cast("timestamp")) / 86_400_000_000)
+    # a reversed interval (end < start) would silently emit pairs with
+    # NEGATIVE overlap_days (both overlap predicates pass) — fail loud
+    checked_e = F.when(
+        F.assert_true(day(start_col) <= day(end_col),
+                      F.lit(f"interval_overlap_pairs: {end_col} < "
+                            f"{start_col} (reversed interval)")).isNull(),
+        day(end_col))
     base = df.select(*g, F.col(id_col).alias("_id"),
-                     day(start_col).alias("_s"), day(end_col).alias("_e"))
+                     day(start_col).alias("_s"), checked_e.alias("_e"))
     if cell_days:
         cells = F.sequence(F.expr(f"floor(_s / {cell_days})"),
                            F.expr(f"floor(_e / {cell_days})"))
@@ -177,7 +197,11 @@ def interval_overlap_pairs(df: DataFrame, *, id_col: str, start_col: str,
     b = base.select(*[F.col(c) for c in keys],
                     F.col("_id").alias("id_b"),
                     F.col("_s").alias("_sb"), F.col("_e").alias("_eb"))
-    pairs = (a.join(b, keys)
+    # no group cols and no cells → every pair is a candidate; an empty
+    # join-key list crashes Spark's join(), so make the cross explicit
+    # (callers at scale should always pass cell_days here)
+    paired = a.crossJoin(b) if not keys else a.join(b, keys)
+    pairs = (paired
              .filter(F.col("id_a") < F.col("id_b"))
              .filter((F.col("_sa") <= F.col("_eb"))
                      & (F.col("_sb") <= F.col("_ea"))))

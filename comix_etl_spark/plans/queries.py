@@ -6292,6 +6292,9 @@ def q_guardrail_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = orders.groupBy("batch_month").agg(F.count(F.lit(1)).cast("long").alias("n"))
     expected = counts.select(F.add_months("batch_month", 1).alias("batch_month"),
                              F.col("n").alias("expected_rows"))
+    # the FULL-join contract surfaces the month after the data ends as
+    # an expected-but-empty n_rows = 0 FAIL row — by design (a missing
+    # batch is the worst failure, not an invisible one)
     return (Q.guardrail_report(orders, ["batch_month"], expected, threshold=0.8)
             .orderBy("batch_month"))
 
@@ -6305,13 +6308,16 @@ WITH counts AS (
   SELECT CAST(batch_month + INTERVAL 1 MONTH AS DATE) AS batch_month,
          n_rows AS expected_rows
   FROM counts
+), joined AS (
+  SELECT batch_month, coalesce(c.n_rows, 0) AS n_rows, e.expected_rows
+  FROM counts c FULL JOIN expected e USING (batch_month)
 )
-SELECT c.batch_month, c.n_rows, e.expected_rows,
-       CASE WHEN e.expected_rows > 0
-            THEN round(c.n_rows / CAST(e.expected_rows AS DOUBLE), 6) END AS load_ratio,
-       coalesce(round(c.n_rows / CAST(e.expected_rows AS DOUBLE), 6) >= 0.8, TRUE) AS passes
-FROM counts c LEFT JOIN expected e USING (batch_month)
-ORDER BY c.batch_month
+SELECT batch_month, n_rows, expected_rows,
+       CASE WHEN expected_rows > 0
+            THEN round(n_rows / CAST(expected_rows AS DOUBLE), 6) END AS load_ratio,
+       coalesce(round(n_rows / CAST(expected_rows AS DOUBLE), 6) >= 0.8, TRUE) AS passes
+FROM joined
+ORDER BY batch_month
 """
 
 

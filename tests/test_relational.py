@@ -297,3 +297,101 @@ def test_heavy_hitters_exact_ignores_nulls(spark):
     got = [(r.v, r.cnt) for r in heavy_hitters_exact(
         df, "v", k=2, capacity=16).collect()]
     assert got == [("a", 50), ("b", 30)]
+
+
+def test_quality_probes_null_and_empty_edges(spark):
+    """Review fixes: (1) an EMPTY table reports 0 nulls, not NULL;
+    (2) NULL-component keys are counted by the distinct (a lone NULL
+    key row is NOT a duplicate); (3) an expected-but-missing batch
+    surfaces as an n_rows=0 FAIL row; (4) a quote in a check label
+    must not break the stack SQL."""
+    from comix_etl_spark.operators.quality import (
+        constraint_report,
+        duplicate_key_count,
+        guardrail_report,
+        null_counts,
+    )
+
+    empty = spark.createDataFrame([], "a string, b long")
+    row = null_counts(empty, ["a", "b"]).collect()[0]
+    assert (row.total_rows, row.null_a, row.null_b) == (0, 0, 0)
+
+    nk = spark.createDataFrame([(None, 1), (None, 2), (3, 3)],
+                               "k1 long, v long")
+    assert duplicate_key_count(nk, ["k1", "v"]).collect()[0].duplicate_keys == 0
+    dup = spark.createDataFrame([(None,), (None,), (1,)], "k1 long")
+    # two identical NULL keys ARE one duplicate (struct distinct = 2)
+    assert duplicate_key_count(dup, ["k1"]).collect()[0].duplicate_keys == 1
+
+    batches = spark.createDataFrame([("d1",)] * 8 + [("d2",)] * 10,
+                                    "day string")
+    expected = spark.createDataFrame(
+        [("d1", 10), ("d2", 10), ("d3", 10)], "day string, expected_rows long")
+    rep = {r.day: (r.n_rows, r.passes) for r in
+           guardrail_report(batches, ["day"], expected).collect()}
+    assert rep["d1"] == (8, True) and rep["d2"] == (10, True)
+    assert rep["d3"] == (0, False)   # missing batch must FAIL, not vanish
+
+    rep2 = {r.constraint: r.n_violations for r in constraint_report(
+        nk, checks=[("v isn't huge", F.col("v") < 100)]).collect()}
+    assert rep2["check:v isn't huge"] == 0
+
+
+def test_balance_downsample_null_group_does_not_anchor_min(spark):
+    """Review fix: NULL-group rows are excluded consistently — they
+    must neither appear in the output nor let a phantom group's small
+    count slash every real group's rate."""
+    from comix_etl_spark.operators.sampling import balance_downsample
+
+    rows = ([(f"a{i}", "x") for i in range(400)]
+            + [(f"b{i}", "y") for i in range(400)]
+            + [(f"n{i}", None) for i in range(4)])
+    df = spark.createDataFrame(rows, "k string, g string")
+    out = balance_downsample(df, "k", "g")
+    got = {r.g for r in out.collect()}
+    assert None not in got
+    # both real groups are their own min (rate 1e6): everything kept —
+    # pre-fix the NULL group's count (4) cut each group to ~1%
+    assert out.count() == 800
+
+
+def test_interval_ops_reject_reversed_intervals(spark):
+    import pytest
+
+    from comix_etl_spark.operators.temporal import (
+        interval_overlap_pairs,
+        range_join_points_intervals,
+    )
+
+    iv = spark.createDataFrame(
+        [(1, "2024-01-10 00:00:00", "2024-01-01 00:00:00"),
+         (2, "2024-01-01 00:00:00", "2024-01-05 00:00:00")],
+        "id long, s string, e string") \
+        .select("id", F.col("s").cast("timestamp").alias("s"),
+                F.col("e").cast("timestamp").alias("e"))
+    with pytest.raises(Exception, match="reversed interval"):
+        interval_overlap_pairs(iv, id_col="id",
+                               start_col="s", end_col="e").collect()
+    pts = spark.createDataFrame([("2024-01-02 00:00:00",)], "p string") \
+        .select(F.col("p").cast("timestamp").alias("p"))
+    with pytest.raises(Exception, match="reversed interval"):
+        range_join_points_intervals(pts, iv, point_col="p", start_col="s",
+                                    end_col="e", bin_seconds=86400).collect()
+
+
+def test_asof_join_null_left_ts_unmatched_both_directions(spark):
+    from comix_etl_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-05 00:00:00"), (2, None)], "id long, ts string") \
+        .select("id", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 10.0), ("2024-01-09 00:00:00", 20.0)],
+        "ts string, px double") \
+        .select(F.col("ts").cast("timestamp").alias("ts"), "px")
+    for direction, want in (("backward", 10.0), ("forward", 20.0)):
+        got = {r.id: r.px for r in asof_join(
+            left, right, key=[], left_ts="ts", right_ts="ts",
+            value_cols=["px"], direction=direction).collect()}
+        assert got[1] == want
+        assert got[2] is None   # NULL ts: unmatched in BOTH directions
