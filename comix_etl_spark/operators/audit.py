@@ -23,7 +23,10 @@ from comix_etl_spark.schemas import ETL_RUN
 @dataclass
 class EtlRun:
     source_system: str
-    run_id: int = field(default_factory=lambda: uuid.uuid4().int >> 96)
+    # >> 64 keeps 64 random bits (the schema field is a Long): 32 bits
+    # would hit ~50% collision odds near 77k runs — real at fleet scale
+    run_id: int = field(default_factory=lambda: (uuid.uuid4().int >> 64)
+                        - (1 << 63))
     started_at: dt.datetime = field(default_factory=lambda: dt.datetime.now(dt.timezone.utc))
     records_read: int = 0
     records_loaded: int = 0

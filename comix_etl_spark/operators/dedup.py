@@ -105,7 +105,19 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
              .filter(F.size("ids") >= 2))
     if df_cap is not None:
         # boilerplate suppression: a shingle shared by > df_cap docs
-        # contributes df² pair rows and ~0 signal — drop the whole group
+        # contributes df² pair rows and ~0 signal — drop the whole
+        # group, AND remove those shingles from the per-doc sizes so
+        # the score is the true Jaccard of the CAPPED shingle sets.
+        # (Subtracting from the numerator only would under-score: two
+        # identical docs sharing one capped boilerplate shingle must
+        # still score 1.0, not 9/11.)
+        over = (lists.filter(F.size("ids") > df_cap)
+                .select(F.explode("ids").alias("_id"))
+                .groupBy("_id").agg(F.count(F.lit(1)).alias("_over")))
+        sizes = (sizes.join(over, "_id", "left")
+                 .select("_id", (F.col("n_sh")
+                                 - F.coalesce(F.col("_over"), F.lit(0)))
+                         .alias("n_sh")))
         lists = lists.filter(F.size("ids") <= df_cap)
     # (x, i) -> pairs of x with every LATER id: transform's index i is
     # 0-based, slice() is 1-based, so the tail after position i is
@@ -167,6 +179,12 @@ def minhash_band_rows(df: DataFrame, id_col: str, text_col: str, *,
     banding implementation. In production the corpus side of this is
     computed once and PERSISTED bucketed-by-(band, bucket); the daily
     probe then joins against it without reshuffling the corpus."""
+    if bands <= 0 or num_hashes % bands != 0:
+        # silent truncation would quietly alter the documented collision
+        # probability 1-(1-s^r)^b (and bands > num_hashes would make
+        # every bucket key CONSTANT, degenerating LSH to a cross join)
+        raise ValueError(f"bands must evenly divide num_hashes; got "
+                         f"num_hashes={num_hashes}, bands={bands}")
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, n, hash_fn)
 
@@ -330,8 +348,10 @@ def dup_clusters(pairs: DataFrame, *, id_a: str = "id_a", id_b: str = "id_b",
       instead of ~6 shuffles × O(log d) rounds of scheduler latency —
       the standard "stop iterating once the frontier fits in a task"
       hybrid. NOT a driver collect: the work runs executor-side on
-      Arrow batches, bounded by the cutoff (~16 B/edge ⇒ ~80 MB at the
-      5M default). Taken only for integral id columns (the tier packs
+      Arrow batches, bounded by the cutoff (index-compressed numpy
+      union-find: ~32 B/edge peak for the edge arrays + ~16 B/node ⇒
+      ~250 MB at the 5M default — NOT a Python dict of boxed ints,
+      which would cost ~10× that). Taken only for integral id columns (the tier packs
       ids into int64 arrays); any other orderable id type — string doc
       ids, decimals — routes to the star-contraction tier, whose
       greatest/least/min/hash Column ops are type-agnostic.
@@ -376,7 +396,27 @@ def dup_clusters(pairs: DataFrame, *, id_a: str = "id_a", id_b: str = "id_b",
         def _union_find(batches):
             import numpy as np
             import pandas as pd
-            parent: dict = {}
+
+            us, vs = [], []
+            for pdf in batches:
+                us.append(pdf["u"].to_numpy().astype(np.int64))
+                vs.append(pdf["v"].to_numpy().astype(np.int64))
+            empty = pd.DataFrame({"node": np.array([], dtype=np.int64),
+                                  "_root": np.array([], dtype=np.int64)})
+            if not us:
+                yield empty
+                return
+            u, v = np.concatenate(us), np.concatenate(vs)
+            if not len(u):
+                yield empty
+                return
+            # index-compress ids: parent is a flat int64 ARRAY, not a
+            # dict of boxed ints (~16 B/node + ~32 B/edge peak vs ~100+
+            # B per dict entry — the footprint the cutoff is sized to)
+            nodes_arr, inv = np.unique(np.concatenate([u, v]),
+                                       return_inverse=True)
+            ui, vi = inv[:len(u)], inv[len(u):]
+            parent = np.arange(len(nodes_arr), dtype=np.int64)
 
             def find(x):
                 r = x
@@ -386,24 +426,19 @@ def dup_clusters(pairs: DataFrame, *, id_a: str = "id_a", id_b: str = "id_b",
                     parent[x], x = r, parent[x]
                 return r
 
-            for pdf in batches:
-                for u, v in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
-                    u, v = int(u), int(v)
-                    parent.setdefault(u, u)
-                    parent.setdefault(v, v)
-                    ru, rv = find(u), find(v)
-                    if ru != rv:
-                        # union by MIN id so roots are min-labels
-                        if ru < rv:
-                            parent[rv] = ru
-                        else:
-                            parent[ru] = rv
-            ks = list(parent)
-            yield pd.DataFrame({
-                "node": np.fromiter(ks, dtype=np.int64, count=len(ks)),
-                "_root": np.fromiter((find(k) for k in ks),
-                                     dtype=np.int64, count=len(ks)),
-            })
+            for a, b in zip(ui.tolist(), vi.tolist()):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # np.unique sorts ascending, so smaller index ==
+                    # smaller id: union by MIN index ⇒ min-id labels
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+            roots = np.fromiter((find(i) for i in range(len(nodes_arr))),
+                                dtype=np.int64, count=len(nodes_arr))
+            yield pd.DataFrame({"node": nodes_arr,
+                                "_root": nodes_arr[roots]})
 
         labels = e.coalesce(1).mapInPandas(_union_find,
                                            schema="node long, _root long")
@@ -479,11 +514,14 @@ def embedding_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
     spark = df.sparkSession
     src = _spread_small_scan(
         df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v")))
-    rows = src.collect()  # driver-small by contract (the broadcast side)
-    if len(rows) > max_broadcast_rows:
+    # guard BEFORE collect: the limit-probe is bounded work, whereas
+    # collect-then-check would already have pulled an oversized corpus
+    # into the driver (OOM) before the ValueError could fire
+    if src.limit(max_broadcast_rows + 1).count() > max_broadcast_rows:
         raise ValueError(
-            f"{len(rows)} vectors exceed max_broadcast_rows={max_broadcast_rows}; "
+            f"more than max_broadcast_rows={max_broadcast_rows} vectors; "
             "bucket with LSH first and verify per bucket")
+    rows = src.collect()  # driver-small — proven by the probe above
     ids = np.array([r._id for r in rows], dtype=np.int64)
     mat = np.array([r._v for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)

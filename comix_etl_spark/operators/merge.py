@@ -37,7 +37,16 @@ def dedup_batch(batch: DataFrame, key: Sequence[str], order_by: Sequence[str] | 
         return batch.dropDuplicates(list(key))
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*key).orderBy(*[F.desc(c) for c in order_by])
+    # deterministic tie-break: two rows tying on order_by would
+    # otherwise resolve by partition order (a retry could keep the
+    # OTHER row, opening a spurious SCD2 version on replay) — an md5
+    # over every remaining column pins the winner on any engine/run
+    rest = [c for c in batch.columns
+            if c not in set(key) and c not in set(order_by)]
+    tie = F.md5(F.concat_ws("\x1f",
+                            *[F.coalesce(F.col(c).cast("string"), F.lit(""))
+                              for c in rest])) if rest else F.lit("")
+    w = Window.partitionBy(*key).orderBy(*[F.desc(c) for c in order_by], tie)
     return batch.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
@@ -61,25 +70,32 @@ def upsert_selective(existing: DataFrame, batch: DataFrame, key: Sequence[str],
     Reference: comixcatalog_starter.zip!etl/load.py:26-44 (insert new
     issue, else overwrite cover_date/price/isbn/upc/description). The
     classic parquet MERGE: full-outer join on the key + per-column
-    coalesce(new, old). With Delta available this is MERGE WHEN MATCHED
+    conditional. With Delta available this is MERGE WHEN MATCHED
     UPDATE; the semantics here are identical and engine-agnostic.
+
+    Non-update columns use a ROW-PRESENCE test, not value coalesce: a
+    matched existing row whose non-update column is legitimately NULL
+    must KEEP that NULL — coalesce(existing, batch) would silently pull
+    the batch's value into a column the caller asked not to update.
     """
     # explicit aliases: batch frequently derives from existing (same
     # lineage), so existing[c]/batch[c] would be ambiguous self-join refs
-    e = existing.alias("_e")
+    e = existing.withColumn("_in_e", F.lit(True)).alias("_e")
     b = dedup_batch(batch, key).alias("_b")
     ec = lambda c: F.col(f"_e.{c}")  # noqa: E731
     bc = lambda c: F.col(f"_b.{c}")  # noqa: E731
+    present = ec("_in_e").isNotNull()
     batch_cols = set(batch.columns)
     keyed = [F.coalesce(ec(k), bc(k)).alias(k) for k in key]
     out_cols = []
     for c in existing.columns:
-        if c in key:
+        if c in key or c == "_in_e":
             continue
         if c in update_cols and c in batch_cols:
+            # reference contract: overwrite with NON-NULL batch values
             out_cols.append(F.coalesce(bc(c), ec(c)).alias(c))
         elif c in batch_cols:
-            out_cols.append(F.coalesce(ec(c), bc(c)).alias(c))
+            out_cols.append(F.when(present, ec(c)).otherwise(bc(c)).alias(c))
         else:
             out_cols.append(ec(c).alias(c))
     cond = None
@@ -244,10 +260,19 @@ def apply_changelog(snapshot: DataFrame, changes: DataFrame,
     last-op-wins per key, deletes drop the key, inserts/updates replace
     the payload.
 
-    The inverse of ``snapshot_diff`` — together they round-trip:
-    ``apply_changelog(old, snapshot_diff(old, new)) == new``. This is the
-    primitive behind log-shipping replication and incremental table
-    maintenance (the reference replays its whole extract instead,
+    The inverse of ``snapshot_diff`` — together they round-trip, after
+    adapting the diff's ``new_<c>`` columns to plain payload names and
+    adding a sequence::
+
+        log = diff.select(*key, F.lit(1).alias("seq"), "op",
+                          *[F.col(f"new_{c}").alias(c) for c in payload])
+        apply_changelog(old, log, key, payload)  # == new
+
+    (``snapshot_diff`` emits old_/new_ pairs and no seq column, so it
+    is NOT directly accepted — see tests/test_profile_cdc.py for the
+    executable form of this adapter.) This is the primitive behind
+    log-shipping replication and incremental table maintenance (the
+    reference replays its whole extract instead,
     etl/seed/seed_from_marvel.py:248-254 — set-based netting replaces
     per-row existence probes).
 

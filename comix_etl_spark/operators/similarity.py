@@ -41,7 +41,17 @@ def brute_force_topk(corpus: DataFrame, query: DataFrame, *, id_col: str = "vec_
     scanned once per plan regardless of query count. Deterministic
     tie-break on (similarity desc, id) with similarity rounded to 6dp so
     the selected set is stable across engines and retries.
+
+    Without ``query_id_col`` the result is ONE top-k — valid only for a
+    single query row; a multi-row query would silently mix all queries'
+    scores into one ranking, so that case is rejected (cheap probe on
+    the tiny-by-contract query side).
     """
+    if query_id_col is None and query.limit(2).count() > 1:
+        raise ValueError(
+            "brute_force_topk: query has multiple rows but no "
+            "query_id_col — the single top-k would mix queries; pass "
+            "query_id_col to get per-query results")
     q = query.select(
         *([F.col(query_id_col).alias("_qid")] if query_id_col else []),
         F.col(vec_col).alias("_qvec"),
@@ -158,8 +168,12 @@ def ivf_topk(corpus: DataFrame, query: DataFrame, *, centers=None,
         for c in np.argsort(d)[:nprobe]:
             probes.append((r[0], int(c), list(map(float, r[1]))))
     spark = corpus.sparkSession
+    # derive the id type from the query column — hardcoding `long`
+    # crashed on string doc ids, which every other operator supports
+    qid_type = q.schema[query_id_col].dataType.simpleString()
     probe_df = spark.createDataFrame(
-        probes, f"{query_id_col} long, centroid_id int, _qvec array<double>")
+        probes,
+        f"{query_id_col} {qid_type}, centroid_id int, _qvec array<double>")
 
     candidates = assigned.join(F.broadcast(probe_df), "centroid_id")
     scored = candidates.select(
@@ -408,7 +422,9 @@ def pq_topk(corpus: DataFrame, query: DataFrame, *, codebooks=None,
     q = (query.withColumnRenamed(id_col, query_id_col)
          if query_id_col not in query.columns else query)
     qrows = q.select(query_id_col, vec_col).collect()  # tiny by contract
-    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    # plain Python list, not np.int64: string doc ids must survive the
+    # broadcast round-trip (they only ever index a dict/zip below)
+    qids = [r[0] for r in qrows]
     qx = np.array([r[1] for r in qrows], dtype=np.float64)
     qn = np.linalg.norm(qx, axis=1)
     qn[qn == 0] = 1.0
@@ -451,17 +467,22 @@ def pq_topk(corpus: DataFrame, query: DataFrame, *, codebooks=None,
                 }))
             yield pd.concat(out, ignore_index=True)
 
+    # id types derive from the actual columns — hardcoded `long` broke
+    # string doc ids, which the dedup family explicitly supports
+    qid_type = q.schema[query_id_col].dataType.simpleString()
+    cid_type = corpus.schema[id_col].dataType.simpleString()
     batch_top = (encoded.select(F.col(id_col).alias("_cid"), "pq_code")
                  .mapInPandas(score_batches,
-                              schema="query_id long, _cid long, adc_score double"))
+                              schema=f"query_id {qid_type}, _cid {cid_type}, "
+                                     "adc_score double"))
     w = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc("_cid"))
     cand = (batch_top.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= rerank).drop("_rn", "adc_score"))
     # exact re-rank of candidates only
     cv = corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"))
     qv = spark.createDataFrame(
-        [(int(r[0]), list(map(float, r[1]))) for r in qrows],
-        f"query_id long, _qv array<double>")
+        [(r[0], list(map(float, r[1]))) for r in qrows],
+        f"query_id {qid_type}, _qv array<double>")
     scored = (cand.join(cv, "_cid").join(F.broadcast(qv), "query_id")
               .select("query_id", F.col("_cid").alias(id_col),
                       F.round(cosine("_cv", "_qv"), 6).alias("cosine_sim")))

@@ -375,7 +375,11 @@ WITH batch AS (
   FROM orders WHERE o_orderkey % 100 = 0
 ), merged AS (
   SELECT coalesce(e.o_orderkey, b.o_orderkey) AS o_orderkey,
-         coalesce(e.o_custkey, b.o_custkey) AS o_custkey,
+         -- non-update column: ROW presence decides, not value coalesce
+         -- (an existing NULL must survive; identical here since keys
+         -- and custkey are non-null, but mirrors the engine contract)
+         CASE WHEN e.o_orderkey IS NOT NULL
+              THEN e.o_custkey ELSE b.o_custkey END AS o_custkey,
          coalesce(b.o_totalprice, e.o_totalprice) AS o_totalprice,
          coalesce(b.o_orderpriority, e.o_orderpriority) AS o_orderpriority
   FROM orders e FULL OUTER JOIN batch b ON e.o_orderkey = b.o_orderkey
@@ -1180,11 +1184,14 @@ WITH toks AS (
            list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
          )) AS shingle
   FROM toks WHERE len(t) >= 3
-), sizes AS (
-  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
 ), shc AS (
   SELECT doc_id, shingle FROM sh
   WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10)
+), sizes AS (
+  -- sizes over the CAPPED shingle set: the score is the true Jaccard/
+  -- containment of what was compared (capped boilerplate must not
+  -- deflate it — two identical docs sharing a capped shingle score 1.0)
+  SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
   FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -1222,11 +1229,14 @@ WITH RECURSIVE toks AS (
            list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
          )) AS shingle
   FROM toks WHERE len(t) >= 3
-), sizes AS (
-  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
 ), shc AS (
   SELECT doc_id, shingle FROM sh
   WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10)
+), sizes AS (
+  -- sizes over the CAPPED shingle set: the score is the true Jaccard/
+  -- containment of what was compared (capped boilerplate must not
+  -- deflate it — two identical docs sharing a capped shingle score 1.0)
+  SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
   FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -5534,11 +5544,14 @@ WITH RECURSIVE toks AS (
            list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
          )) AS shingle
   FROM toks WHERE len(t) >= 3
-), sizes AS (
-  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
 ), shc AS (
   SELECT doc_id, shingle FROM sh
   WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10)
+), sizes AS (
+  -- sizes over the CAPPED shingle set: the score is the true Jaccard/
+  -- containment of what was compared (capped boilerplate must not
+  -- deflate it — two identical docs sharing a capped shingle score 1.0)
+  SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
   FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -5785,11 +5798,14 @@ WITH toks AS (
            list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
          )) AS shingle
   FROM toks WHERE len(t) >= 3
-), sizes AS (
-  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
 ), shc AS (
   SELECT doc_id, shingle FROM sh
   WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10)
+), sizes AS (
+  -- sizes over the CAPPED shingle set: the score is the true Jaccard/
+  -- containment of what was compared (capped boilerplate must not
+  -- deflate it — two identical docs sharing a capped shingle score 1.0)
+  SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
   FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
