@@ -106,7 +106,9 @@ def cents_to_display(c: Column | str) -> Column:
     # semantics (-250 → '$-3.50' = -3*100+50).
     pm = F.pmod(c, F.lit(100))
     dollars = ((c - pm).cast("decimal(38,0)") / F.lit(100)).cast("long")
-    return F.format_string("$%d.%02d", dollars, pm)
+    # NULL guard: Java's Formatter prints null %d args as the literal
+    # string 'null', so an unguarded NULL renders '$null.null'
+    return F.when(c.isNotNull(), F.format_string("$%d.%02d", dollars, pm))
 
 
 def token_overlap_score(a: Column | str, b: Column | str, bonus: Column | str | None = None) -> Column:

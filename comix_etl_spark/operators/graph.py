@@ -105,6 +105,10 @@ def _pagerank_rounds(edges: DataFrame, src: str, dst: str,
         ranks = nodes.withColumn("rank", F.col("_s"))
     else:
         n = nodes.count()
+        if n == 0:
+            # empty edge list → empty result, not a bare ZeroDivisionError
+            # buried in 1.0/n (the seeds path already errors clearly)
+            return nodes.select("node", F.lit(0.0).alias("rank"))
         ranks = nodes.withColumn("rank", F.lit(1.0 / n))
 
     for _ in range(iters):

@@ -36,7 +36,13 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str, *,
     no UDF; output size is input token count / stride, linear in corpus
     size regardless of document-length skew.
     """
-    stride = stride or chunk_size
+    if stride is None:
+        stride = chunk_size
+    if chunk_size <= 0 or stride <= 0:
+        # `stride or chunk_size` would silently reinterpret an explicit
+        # stride=0 as non-overlapping chunking, hiding the caller's bug
+        raise ValueError(f"chunk_size and stride must be > 0, got "
+                         f"chunk_size={chunk_size}, stride={stride}")
     toks = tokens(text_col)
     starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
     chunks = F.transform(starts, lambda s: F.slice(toks, s, chunk_size))
@@ -195,10 +201,12 @@ def dedup_spans(df: DataFrame, id_col: str, text_col: str, *,
     navigation chrome) while keeping each document's unique content.
 
     Each document is cut into fixed ``chunk_size``-token spans
-    (``chunk_documents``); a span occurrence survives iff its document
-    is the minimum ``id_col`` among all documents containing that exact
-    span text (so exactly one copy of every repeated block remains
-    corpus-wide). Surviving spans are re-joined in original order.
+    (``chunk_documents``); a span occurrence survives iff it is the
+    FIRST occurrence of that exact span text corpus-wide — minimum
+    (``id_col``, chunk position) — so exactly one copy of every
+    repeated block remains, INCLUDING a block repeated inside a single
+    document (min-doc-only ownership kept every within-document copy).
+    Surviving spans are re-joined in original order.
 
     Returns ``(id_col, n_spans, n_kept, kept_tokens, new_fp)`` with
     ``new_fp`` the md5 of the reconstructed text (empty-string md5 for
@@ -216,8 +224,12 @@ def dedup_spans(df: DataFrame, id_col: str, text_col: str, *,
     """
     spans = chunk_documents(df, id_col, text_col, chunk_size=chunk_size)
     w = Window.partitionBy("chunk_text")
-    kept = (spans.withColumn("_owner", F.min(id_col).over(w))
-            .withColumn("_keep", (F.col(id_col) == F.col("_owner")).cast("int")))
+    owner = F.min(F.struct(F.col(id_col), F.col("chunk_id"))).over(w)
+    kept = (spans.withColumn("_owner", owner)
+            .withColumn("_keep",
+                        ((F.col(id_col) == F.col(f"_owner.{id_col}"))
+                         & (F.col("chunk_id") == F.col("_owner.chunk_id")))
+                        .cast("int")))
     return (kept.groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("long").alias("n_spans"),
                  F.sum("_keep").cast("long").alias("n_kept"),
@@ -502,9 +514,16 @@ def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     scored = (bg.join(bigram_counts, "bigram")
               .join(prefix_counts, "prefix")
               .withColumn("p_e6", F.expr("_nbg * 1000000L div _npre")))
-    return (scored.groupBy(id_col)
-            .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-                 F.expr("sum(p_e6) div count(1)").alias("lm_score_e6")))
+    per_doc = (scored.groupBy(id_col)
+               .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                    F.expr("sum(p_e6) div count(1)").alias("lm_score_e6")))
+    # restore docs with < 2 tokens (zero bigrams): a quality filter
+    # joining scores back must see them as unscored rows (n_bigrams 0,
+    # score NULL), not lose them — same contract as exact_substring_dedup
+    return (df.select(F.col(id_col)).join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+                    F.col("lm_score_e6")))
 
 
 def bm25_scores(df: DataFrame, id_col: str, text_col: str,

@@ -3553,13 +3553,18 @@ WITH toks AS (
          len(t[s : s + 15]) AS n_tokens
   FROM st WHERE len(t[s : s + 15]) > 0
 ), owner AS (
-  SELECT chunk_text, min(doc_id) AS owner FROM spans GROUP BY 1
+  -- FIRST occurrence corpus-wide: (doc, position) pair, so a block
+  -- repeated inside one document also keeps exactly one copy
+  SELECT chunk_text, doc_id AS o_doc, chunk_id AS o_chunk
+  FROM spans
+  QUALIFY row_number() OVER (PARTITION BY chunk_text
+                             ORDER BY doc_id, chunk_id) = 1
 )
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_spans,
-       CAST(sum(CASE WHEN doc_id = owner THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       CAST(sum(CASE WHEN doc_id = owner THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
-       md5(coalesce(string_agg(CASE WHEN doc_id = owner THEN chunk_text END,
+       CAST(sum(CASE WHEN doc_id = o_doc AND chunk_id = o_chunk THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN doc_id = o_doc AND chunk_id = o_chunk THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+       md5(coalesce(string_agg(CASE WHEN doc_id = o_doc AND chunk_id = o_chunk THEN chunk_text END,
                                ' ' ORDER BY chunk_id), '')) AS new_fp
 FROM spans JOIN owner USING (chunk_text)
 GROUP BY doc_id
@@ -4582,7 +4587,12 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _t(spark, sf_dir, "documents")
     s = bigram_lm_scores(t["documents"], "doc_id", "text")
-    return s.orderBy(F.asc("lm_score_e6"), F.asc("doc_id")).limit(100)
+    # scored docs only: the operator now also emits unscored (< 2
+    # token) docs with NULL score, whose NULL ordering differs between
+    # engines (Spark NULLS FIRST asc, DuckDB NULLS LAST) — a quality
+    # gate ranks what it can score
+    return (s.filter(F.col("n_bigrams") > 0)
+            .orderBy(F.asc("lm_score_e6"), F.asc("doc_id")).limit(100))
 
 
 ORACLE_LM_SCORE = """

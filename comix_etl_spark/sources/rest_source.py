@@ -29,6 +29,7 @@ import time
 from collections.abc import Callable, Iterator
 
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -39,6 +40,10 @@ def retrying(fetcher: Fetcher, *, max_retries: int = 5, backoff: float = 1.5,
              sleep: Callable[[float], None] = time.sleep) -> Fetcher:
     """S4 — ≤max_retries attempts with linear backoff (reference
     safe_get, marvel_extract.py:8-27)."""
+
+    if max_retries < 1:
+        raise ValueError(f"max_retries must be >= 1, got {max_retries} "
+                         "(0 would mean never attempting the fetch)")
 
     def wrapped(url: str, params: dict) -> list[dict]:
         last: Exception | None = None
@@ -54,20 +59,10 @@ def retrying(fetcher: Fetcher, *, max_retries: int = 5, backoff: float = 1.5,
     return wrapped
 
 
-def paginated_read(spark: SparkSession, url: str, *, total: int, page_size: int,
-                   fetcher: Fetcher, max_concurrency: int = 8,
-                   extra_params: dict | None = None) -> DataFrame:
-    """Fetch ``total`` records in offset pages of ``page_size`` across at
-    most ``max_concurrency`` parallel tasks; returns one row per record
-    with the raw payload as a JSON string column (parse downstream with
-    from_json + an explicit schema)."""
-    n_pages = (total + page_size - 1) // page_size
-    pages = spark.range(n_pages).select(
-        (F.col("id") * page_size).alias("offset"),
-        F.lit(page_size).alias("limit"),
-    ).repartition(min(max_concurrency, max(n_pages, 1)))
-
-    base_params = dict(extra_params or {})
+def _page_fetcher(url: str, fetcher: Fetcher, base_params: dict):
+    """The ONE executor-side page-fetch closure shared by the full and
+    incremental readers — a fix to payload handling or politeness
+    pacing cannot silently miss the other path."""
 
     def fetch_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -78,6 +73,20 @@ def paginated_read(spark: SparkSession, url: str, *, total: int, page_size: int,
                     out.append({"offset": int(offset), "payload": json.dumps(rec, sort_keys=True)})
             yield pd.DataFrame(out, columns=["offset", "payload"])
 
+    return fetch_pages
+
+
+def paginated_read(spark: SparkSession, url: str, *, total: int, page_size: int,
+                   fetcher: Fetcher, max_concurrency: int = 8,
+                   extra_params: dict | None = None) -> DataFrame:
+    """Fetch ``total`` records in offset pages of ``page_size`` across at
+    most ``max_concurrency`` parallel tasks; returns one row per record
+    with the raw payload as a JSON string column (parse downstream with
+    from_json + an explicit schema)."""
+    n_pages = (total + page_size - 1) // page_size
+    pages = page_grid(spark, total=total, page_size=page_size) \
+        .repartition(min(max_concurrency, max(n_pages, 1)))
+    fetch_pages = _page_fetcher(url, fetcher, dict(extra_params or {}))
     return pages.mapInPandas(fetch_pages, schema="offset long, payload string")
 
 
@@ -131,8 +140,14 @@ def missing_pages(spark: SparkSession, *, total: int, page_size: int,
     grid = page_grid(spark, total=total, page_size=page_size)
     try:
         landed = spark.read.parquet(bronze_path).select("offset").distinct()
-    except Exception:  # noqa: BLE001 — first run: nothing landed yet
-        return grid
+    except AnalysisException as e:
+        # ONLY path-not-found means "first run, nothing landed": a
+        # transient storage error or corrupt footer must PROPAGATE —
+        # treating it as first-run would refetch the whole grid and
+        # append every record a second time (idempotency broken)
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return grid
+        raise
     return grid.join(landed, "offset", "left_anti")
 
 
@@ -152,23 +167,15 @@ def incremental_paginated_read(spark: SparkSession, url: str, *, total: int,
     anti-join is one shuffle over offsets (bytes, not payloads), and the
     fetch stage only materializes genuinely-new pages.
     """
+    # checkpoint the (driver-small, one row per PAGE) todo grid: the
+    # count gate and the fetch job would otherwise each re-run the
+    # bronze read + anti-join
     todo = missing_pages(spark, total=total, page_size=page_size,
-                         bronze_path=bronze_path)
-    base_params = dict(extra_params or {})
-
-    def fetch_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for offset, limit in zip(pdf["offset"], pdf["limit"]):
-                params = dict(base_params, offset=int(offset), limit=int(limit))
-                for rec in fetcher(url, params):
-                    out.append({"offset": int(offset), "payload": json.dumps(rec, sort_keys=True)})
-            yield pd.DataFrame(out, columns=["offset", "payload"])
-
-    # The grid is driver-small by construction (one row per PAGE); this
-    # count gates an empty-append, it never touches payload data.
-    if todo.count() > 0:
-        (todo.repartition(max_concurrency)
+                         bronze_path=bronze_path).localCheckpoint(eager=True)
+    fetch_pages = _page_fetcher(url, fetcher, dict(extra_params or {}))
+    n_todo = todo.count()
+    if n_todo > 0:
+        (todo.repartition(min(max_concurrency, n_todo))
              .mapInPandas(fetch_pages, schema="offset long, payload string")
              .write.mode("append").parquet(bronze_path))
     return spark.read.parquet(bronze_path)

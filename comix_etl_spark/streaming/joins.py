@@ -56,7 +56,8 @@ def stream_interval_join(left: DataFrame, right: DataFrame, *, key: str,
 
 
 def stream_static_enrich(stream: DataFrame, dim: DataFrame, *, key_stream: str,
-                         key_dim: str, group_col: str) -> DataFrame:
+                         key_dim: str, group_col: str,
+                         value_col: str = "value") -> DataFrame:
     """Stream-static broadcast enrichment + running per-group rollup —
     the fourth streaming pattern next to windowed/stateful/stream-stream:
     a 24/7 event stream decorated from a slowly-changing dimension.
@@ -73,5 +74,5 @@ def stream_static_enrich(stream: DataFrame, dim: DataFrame, *, key_stream: str,
         F.col(key_stream) == F.col(key_dim), "inner")
     return (enriched.groupBy(group_col)
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.sum(F.col("value").cast("decimal(18,4)"))
+                 F.sum(F.col(value_col).cast("decimal(18,4)"))
                   .cast("double").alias("total_value")))

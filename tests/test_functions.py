@@ -224,3 +224,11 @@ def test_strip_markup_golden_cases(spark):
     assert got[3] == 'x &lt; y < z © now "q\'s"'
     assert got[4] == "a b"
     assert got[5] is None
+
+
+def test_cents_to_display_null_is_null(spark):
+    # Java's Formatter prints null %d args as 'null' -> '$null.null'
+    df = spark.createDataFrame([(250,), (None,), (-250,)], "c long")
+    out = [r.out for r in
+           df.select(scalar.cents_to_display("c").alias("out")).collect()]
+    assert out == ["$2.50", None, "$-3.50"]

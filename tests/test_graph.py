@@ -136,3 +136,9 @@ def test_personalized_pagerank_rejects_absent_seeds(spark):
     seeds = spark.createDataFrame([(99,)], "node long")
     with pytest.raises(ValueError, match="no seed id"):
         pagerank(df, iters=2, seeds=seeds)
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(df, iters=2)
+    assert out.columns == ["node", "rank"] and out.count() == 0

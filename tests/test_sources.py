@@ -214,3 +214,29 @@ def test_python_datasource_stream_resumes_from_page_cursor(spark, tmp_path):
     assert n == 500 and offs == {0, 100, 200, 300, 400}
     # grid exhausted: a further run lands nothing new
     assert run_once()[0] == 500
+
+
+def test_retrying_rejects_zero_retries():
+    from comix_etl_spark.sources.rest_source import retrying
+
+    with pytest.raises(ValueError, match="max_retries"):
+        retrying(lambda u, p: [], max_retries=0)
+
+
+def test_missing_pages_propagates_non_pathmissing_errors(spark, tmp_path):
+    """A transient/corrupt bronze read must PROPAGATE, not silently
+    become 'first run' (which would refetch and append every record a
+    second time)."""
+    from comix_etl_spark.sources.rest_source import missing_pages
+
+    # absent path -> full grid (the legitimate first-run case)
+    grid = missing_pages(spark, total=50, page_size=10,
+                         bronze_path=str(tmp_path / "nope"))
+    assert grid.count() == 5
+    # corrupt parquet footer -> must raise, not return the full grid
+    bad = tmp_path / "bronze"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"not a parquet file")
+    with pytest.raises(Exception):
+        missing_pages(spark, total=50, page_size=10,
+                      bronze_path=str(bad)).count()

@@ -397,3 +397,41 @@ def test_exact_substring_dedup_all_docs_below_k(spark):
     assert got[1] == (2, 0, md5("short text"))
     assert got[2] == (2, 0, md5("short text"))   # exact dup but < k: kept
     assert got[3] == (0, 0, md5(""))
+
+
+def test_dedup_spans_within_document_repeats(spark):
+    """Review fix: a block repeated INSIDE one document keeps exactly
+    one copy (first occurrence) — min-doc-only ownership used to keep
+    every within-doc copy."""
+    import hashlib
+
+    from comix_etl_spark.operators.textstats import dedup_spans
+
+    block = " ".join(f"w{i}" for i in range(16))
+    df = spark.createDataFrame([(1, f"{block} {block}")],
+                               "doc_id long, text string")
+    row = dedup_spans(df, "doc_id", "text", chunk_size=16).collect()[0]
+    assert (row.n_spans, row.n_kept, row.kept_tokens) == (2, 1, 16)
+    assert row.new_fp == hashlib.md5(block.encode()).hexdigest()
+
+
+def test_bigram_lm_scores_keeps_short_docs(spark):
+    from comix_etl_spark.operators.textstats import bigram_lm_scores
+
+    df = spark.createDataFrame([(1, "hello"), (2, "a b a b"), (3, "")],
+                               "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.lm_score_e6)
+           for r in bigram_lm_scores(df, "doc_id", "text").collect()}
+    assert set(got) == {1, 2, 3}          # short docs are NOT dropped
+    assert got[1] == (0, None) and got[3] == (0, None)
+    assert got[2][0] == 3
+
+
+def test_chunk_documents_rejects_zero_stride(spark):
+    import pytest
+
+    from comix_etl_spark.operators.textstats import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, "doc_id", "text", chunk_size=4, stride=0)
