@@ -36,16 +36,24 @@ def read_binary_files(spark: SparkSession, path_glob: str) -> DataFrame:
     return spark.read.format("binaryFile").load(path_glob)
 
 
-def attach_binary_metadata(df: DataFrame, payload_col: str = "payload",
-                           kind_col: str | None = None) -> DataFrame:
+def attach_binary_metadata(df: DataFrame,
+                           payload_col: str = "payload") -> DataFrame:
     """Derive the typed metadata struct JVM-side (no decode): byte size,
-    content hash, and a mime guess from magic bytes."""
+    content hash, and a mime guess from magic bytes. RIFF is a
+    CONTAINER: bytes 9-12 disambiguate WAV audio from WebP images and
+    AVI video — mapping every RIFF to audio/wav would route .webp
+    covers into the audio pipeline."""
     payload = F.col(payload_col)
     magic = F.hex(F.substring(payload, 1, 4))
+    riff_tag = F.hex(F.substring(payload, 9, 4))
     mime = (
         F.when(magic.startswith("89504E47"), F.lit("image/png"))
         .when(magic.startswith("FFD8"), F.lit("image/jpeg"))
-        .when(magic.startswith("52494646"), F.lit("audio/wav"))
+        .when(magic.startswith("52494646"),
+              F.when(riff_tag == "57415645", F.lit("audio/wav"))     # WAVE
+              .when(riff_tag == "57454250", F.lit("image/webp"))     # WEBP
+              .when(riff_tag == "41564920", F.lit("video/x-msvideo"))  # AVI
+              .otherwise(F.lit("application/octet-stream")))
         .otherwise(F.lit("application/octet-stream"))
     )
     return df.withColumn(
@@ -100,8 +108,14 @@ def frame_sample_plan(df: DataFrame, *, every_ms: int = 1000,
     Generates the sample grid JVM-side with ``sequence``/``explode`` —
     the expensive part (decoding frames at those timestamps) would be a
     ``mapInPandas`` stage exactly like ``decode_image_features``.
+
+    Fencepost: media spanning [0, duration) has no frame AT duration —
+    a 3000 ms clip sampled every 1000 ms yields 0/1000/2000, not a
+    seek-out-of-range 3000. NULL/zero durations still emit frame 0
+    (the poster-frame convention for stills/unknown media).
     """
-    n = (F.coalesce(F.col(duration_col), F.lit(0)) / every_ms).cast("long")
+    dur = F.coalesce(F.col(duration_col), F.lit(0))
+    n = (F.greatest(dur - 1, F.lit(0)) / every_ms).cast("long")
     grid = F.sequence(F.lit(0).cast("long"), n)
     return (
         df.select(F.col(id_col), F.explode(grid).alias("frame_idx"))

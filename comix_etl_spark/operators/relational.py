@@ -167,6 +167,9 @@ def union_prefix_crawl(df: DataFrame, column: str, prefixes: Sequence[str], dedu
     scan branches of one plan; dropDuplicates replaces the driver-side set
     with a hash aggregate.
     """
+    if not prefixes:
+        raise ValueError("union_prefix_crawl: prefixes is empty — a "
+                         "config-driven prefix list has been emptied")
     branches = [df.filter(F.lower(F.col(column)).startswith(p.lower())) for p in prefixes]
     out = branches[0]
     for b in branches[1:]:
@@ -231,7 +234,11 @@ def bloom_prefiltered_join(probe: DataFrame, build: DataFrame, key: str, *,
     words = bits // 64
     bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(bits))
     word = (bucket / 64).cast("long").alias("_w")
-    mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64({key}), {bits}) % 64 AS INT))")
+    # backtick-quote the identifier: a key named e.g. 'cover-path'
+    # would otherwise parse as subtraction inside F.expr (shiftleft's
+    # Python wrapper only takes a literal shift, so expr it is)
+    mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                  f"CAST(pmod(xxhash64(`{key}`), {bits}) % 64 AS INT))")
     bitmap = (build.select(word, mask.alias("_m"))
               .groupBy("_w").agg(F.bit_or("_m").alias("_bits")))
     filtered = (probe.withColumn("_w", (bucket / 64).cast("long"))
@@ -372,7 +379,11 @@ def skyline_2d(df: DataFrame, id_col: str, x_col: str, y_col: str,
     pm = (parts.join(F.broadcast(offsets), "_pid")
           .withColumn("_pm", F.greatest(F.max("_ymax").over(w), F.col("_offset")))
           .select("_x", "_ymax", "_pm"))
-    return (df.join(F.broadcast(pm), F.col(x_col) == F.col("_x"))
+    # NO broadcast hint: pm holds one row per DISTINCT x — unbounded
+    # for a continuous x column (forcing a broadcast there would
+    # collect the distinct-x frame to the driver); let the planner pick
+    # broadcast only when stats show pm is actually small
+    return (df.join(pm, F.col(x_col) == F.col("_x"))
             .filter((F.col(y_col) == F.col("_ymax"))
                     & (F.col("_pm").isNull() | (F.col(y_col) > F.col("_pm"))))
             .drop("_x", "_ymax", "_pm"))

@@ -48,7 +48,14 @@ def run_marvel_batch(spark: SparkSession, raw: DataFrame, *, target_path: str,
 
         try:
             existing = spark.read.parquet(target_path)
-        except Exception:
+        except Exception as e:
+            # ONLY a genuinely-absent target means cold start: any other
+            # read failure (transient FS error, permissions, corrupt
+            # footer) must abort — falling back to an empty frame would
+            # let the overwrite replace the whole table with one batch
+            if not ("PATH_NOT_FOUND" in str(e)
+                    or "Path does not exist" in str(e)):
+                raise
             existing = issues.limit(0)
         merged = upsert_selective(
             existing, issues, ["marvel_comic_id"],

@@ -4536,9 +4536,11 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_MULTIMODAL_FRAMES = """
+-- fencepost mirror: media spanning [0, duration) has no frame AT
+-- duration — greatest(duration - 1, 0) // every_ms is the last index
 SELECT doc_id AS media_id,
-       unnest(generate_series(0, (n_chars * 20) // 1000)) AS frame_idx,
-       unnest(generate_series(0, (n_chars * 20) // 1000)) * 1000 AS frame_ts_ms
+       unnest(generate_series(0, greatest(n_chars * 20 - 1, 0) // 1000)) AS frame_idx,
+       unnest(generate_series(0, greatest(n_chars * 20 - 1, 0) // 1000)) * 1000 AS frame_ts_ms
 FROM documents
 """
 

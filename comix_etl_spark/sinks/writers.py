@@ -68,18 +68,34 @@ def safe_overwrite_parquet(df: DataFrame, target_path: str,
         raise
 
     trash = f"{target_path}__trash_{uuid.uuid4().hex[:8]}"
+    swapped = False
+    rolled_back = False
     try:
         if os.path.exists(target_path):
             os.rename(target_path, trash)
         try:
             os.rename(staging, target_path)
+            swapped = True
         except OSError:
             if os.path.exists(trash) and not os.path.exists(target_path):
                 os.rename(trash, target_path)  # roll the old table back in
+                rolled_back = True
             raise
     finally:
-        shutil.rmtree(staging, ignore_errors=True)
-        shutil.rmtree(trash, ignore_errors=True)
+        # clean up ONLY when a complete table is guaranteed at target:
+        # after an incomplete swap whose rollback also failed, staging
+        # holds the only complete NEW table and trash the only complete
+        # OLD one — deleting them here would be total data loss
+        if swapped or rolled_back:
+            shutil.rmtree(staging, ignore_errors=True)
+            shutil.rmtree(trash, ignore_errors=True)
+        elif os.path.exists(staging) or os.path.exists(trash):
+            import logging
+
+            logging.getLogger(__name__).error(
+                "safe_overwrite_parquet: swap did not complete and "
+                "rollback failed — PRESERVING %s (new table) and %s "
+                "(old table) for manual recovery", staging, trash)
 
 
 def write_csv_report(df: DataFrame, path: str, *, single_file: bool = True) -> None:
@@ -106,11 +122,17 @@ def write_binary_payloads(df: DataFrame, dest_root: str, *,
     NULL path or payload are skipped, matching the reference's guard."""
 
     def write_partition(rows) -> None:
+        root = os.path.realpath(dest_root)
         for r in rows:
             rel, data = r[path_col], r[payload_col]
             if rel is None or data is None:
                 continue
-            dest = os.path.join(dest_root, rel)
+            dest = os.path.realpath(os.path.join(dest_root, rel))
+            # the path column is DATA: an absolute path or a '..'
+            # segment must not write outside the sink root
+            if not dest.startswith(root + os.sep):
+                raise ValueError(
+                    f"binary sink: path {rel!r} escapes dest_root")
             os.makedirs(os.path.dirname(dest), exist_ok=True)
             with open(dest, "wb") as f:
                 f.write(bytes(data))

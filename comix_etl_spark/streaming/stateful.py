@@ -76,7 +76,12 @@ def sessionize_stateful(events: DataFrame, *, user_col: str = "user_id",
         closed = []
         ts_values = []
         for pdf in pdfs:
-            ts_values.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf[ts_col]))
+            # dropna BEFORE folding: a NULL ts becomes NaT whose .value
+            # is int64-min ns — it would open a session at -2^63/1000 µs
+            # and overflow back to datetime on emit (OutOfBoundsDatetime
+            # crashes the whole streaming query)
+            ts_values.extend(int(t.value) // 1000
+                             for t in pd.to_datetime(pdf[ts_col]).dropna())
         for us in sorted(ts_values):
             if last_us is None or us - last_us > gap_us:
                 if last_us is not None:

@@ -123,3 +123,60 @@ def test_write_table_orc_roundtrip_with_pushdown(spark, sf_small):
             and "= 2)" in ptxt.split("PartitionFilters: [", 1)[1][:120], ptxt
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_safe_overwrite_preserves_copies_when_swap_and_rollback_fail(spark, monkeypatch):
+    """Data-loss guard: if the staging->target rename fails AND the
+    rollback fails, BOTH the old table (trash) and the new one
+    (staging) must survive for manual recovery — the old finally block
+    deleted them unconditionally."""
+    import glob
+    import os as _os
+    import tempfile
+
+    from comix_etl_spark.sinks.writers import safe_overwrite_parquet
+
+    tmp = tempfile.mkdtemp(prefix="swapfail_")
+    target = _os.path.join(tmp, "t")
+    spark.createDataFrame([(1,)], "k long").write.parquet(target)
+
+    real_rename = _os.rename
+    calls = {"n": 0}
+
+    def failing_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 1:          # target -> trash: succeeds
+            return real_rename(src, dst)
+        raise OSError("simulated EIO")  # swap AND rollback fail
+
+    monkeypatch.setattr(_os, "rename", failing_rename)
+    df = spark.createDataFrame([(2,)], "k long")
+    try:
+        safe_overwrite_parquet(df, target)
+        raise AssertionError("expected OSError")
+    except OSError:
+        pass
+    finally:
+        monkeypatch.setattr(_os, "rename", real_rename)
+    staging = glob.glob(f"{target}__staging_*")
+    trash = glob.glob(f"{target}__trash_*")
+    assert staging and trash, "copies must be PRESERVED after failed swap"
+    assert {r.k for r in spark.read.parquet(trash[0]).collect()} == {1}
+    assert {r.k for r in spark.read.parquet(staging[0]).collect()} == {2}
+    import shutil as _sh
+    _sh.rmtree(tmp, ignore_errors=True)
+
+
+def test_binary_sink_rejects_path_traversal(spark):
+    import tempfile
+
+    import pytest
+
+    from comix_etl_spark.sinks.writers import write_binary_payloads
+
+    with tempfile.TemporaryDirectory(prefix="bsink_") as root:
+        df = spark.createDataFrame(
+            [("../escape.bin", bytearray(b"x"))],
+            "cover_path string, payload binary")
+        with pytest.raises(Exception, match="escapes dest_root"):
+            write_binary_payloads(df, root)

@@ -190,3 +190,26 @@ def test_timeout_clamped_when_watermark_delay_exceeds_timeout(spark, tmp_path):
     u1_closed = [r for r in rows if r.user_id == 1 and not r.is_open]
     assert len(u1_closed) == 1, rows
     assert u1_closed[0].end_ts == dt.datetime(2024, 1, 1, 9, 0, 0)
+
+
+def test_null_timestamps_are_dropped_not_folded(spark, tmp_path):
+    """A NULL ts becomes NaT (int64-min ns) — folding it would open a
+    session at -2^63/1000 us and crash the query on emit; it must be
+    dropped before the fold."""
+    src = str(tmp_path / "nat_stream")
+    os.makedirs(src, exist_ok=True)
+    _write_batch(spark, f"{src}/b1.parquet", [
+        (1, dt.datetime(2024, 1, 1, 10, 0, 0)),
+        (1, None),
+        (1, dt.datetime(2024, 1, 1, 10, 5, 0)),
+    ])
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .parquet(src))
+    q = (sessionize_stateful(stream, gap_minutes=30)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("t_nat").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM t_nat").collect()
+    assert rows, "query must not crash on the NULL ts"
+    assert all(r.n_events == 2 for r in rows)       # NULL row excluded
+    assert all(r.start_ts.year == 2024 for r in rows)

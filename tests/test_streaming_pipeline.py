@@ -121,13 +121,17 @@ def test_multimodal_metadata_and_decode_agree(spark):
 
 
 def test_frame_sample_plan_grid(spark):
-    df = spark.createDataFrame([(1, (None, 3500)), (2, (None, 0))],
-                               "media_id long, meta struct<mime:string,duration_ms:long>")
+    df = spark.createDataFrame(
+        [(1, (None, 3500)), (2, (None, 0)), (3, (None, 3000))],
+        "media_id long, meta struct<mime:string,duration_ms:long>")
     grid = frame_sample_plan(df, every_ms=1000)
     rows = [(r.media_id, r.frame_ts_ms) for r in grid.collect()]
     assert (1, 0) in rows and (1, 3000) in rows
-    assert len([r for r in rows if r[0] == 1]) == 4  # 0,1000,2000,3000(+incl end)
+    assert len([r for r in rows if r[0] == 1]) == 4  # 0,1000,2000,3000
     assert len([r for r in rows if r[0] == 2]) == 1  # duration 0 → frame 0 only
+    # fencepost: a 3000 ms clip spans [0, 3000) — no frame AT 3000
+    assert (3, 3000) not in rows
+    assert len([r for r in rows if r[0] == 3]) == 3  # 0,1000,2000
 
 
 def test_pipeline_end_to_end_success_and_idempotent(spark, tmpdir):
@@ -613,3 +617,35 @@ def test_heavy_hitters_sink_stamp_survives_empty_trim(spark, tmpdir):
     sink(tied, 0)
     assert {r.value: r.weight
             for r in spark.read.parquet(summary).collect()} == got
+
+
+def test_attach_binary_metadata_riff_disambiguation(spark):
+    """RIFF is a container: WebP images and AVI video must not be
+    classified audio/wav."""
+    rows = [
+        (1, bytearray(b"RIFF\x00\x00\x00\x00WAVEfmt ")),
+        (2, bytearray(b"RIFF\x00\x00\x00\x00WEBPVP8 ")),
+        (3, bytearray(b"RIFF\x00\x00\x00\x00AVI LIST")),
+        (4, bytearray(b"RIFF\x00\x00\x00\x00????....")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    m = {r.media_id: r.meta.mime for r in attach_binary_metadata(df).collect()}
+    assert m == {1: "audio/wav", 2: "image/webp", 3: "video/x-msvideo",
+                 4: "application/octet-stream"}
+
+
+def test_pipeline_cold_start_only_on_absent_target(spark, tmpdir):
+    """A corrupt/unreadable existing target must ABORT the run, not be
+    treated as a cold start whose overwrite destroys the table."""
+    raw = read_marvel_comics(spark, JSONL)
+    target = os.path.join(tmpdir, "issues_corrupt")
+    os.makedirs(target)
+    with open(os.path.join(target, "part-00000.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    audit = os.path.join(tmpdir, "audit")
+    with pytest.raises(Exception):
+        run_marvel_batch(spark, raw, target_path=target, audit_path=audit,
+                         expected_min=30)
+    # the corrupt-but-present directory was NOT replaced by the batch
+    with open(os.path.join(target, "part-00000.parquet"), "rb") as f:
+        assert f.read() == b"not a parquet file"
