@@ -454,6 +454,17 @@ def detect_hot_keys(df: DataFrame, key: Sequence[str], *,
     return [tuple(r[:-1]) for r in rows]
 
 
+def mg_trim(counters: dict, capacity: int):
+    """The ONE copy of the batched Misra-Gries decrement: subtract the
+    running minimum that brings the dict back under ``capacity`` and
+    drop the zeros. Returns (trimmed counters, mass subtracted per
+    surviving counter). Shared by the per-partition fold below AND the
+    streaming sink's driver-side merge (streaming/windowed.py) so the
+    error-bound arithmetic cannot drift between them."""
+    m = sorted(counters.values())[len(counters) - capacity - 1]
+    return {v: c - m for v, c in counters.items() if c > m}, m
+
+
 def misra_gries_fold(batches, capacity: int):
     """Fold an iterator of single-column pandas frames into a batched
     Misra-Gries summary: (counters dict of value → residual weight,
@@ -469,10 +480,8 @@ def misra_gries_fold(batches, capacity: int):
         for v, c in pdf.iloc[:, 0].value_counts().items():
             counters[v] = counters.get(v, 0) + int(c)
         if len(counters) > capacity:
-            # subtract the running minimum from everyone and drop the
-            # zeros — any value's undercount here is ≤ the accumulated m
-            m = sorted(counters.values())[len(counters) - capacity - 1]
-            counters = {v: c - m for v, c in counters.items() if c > m}
+            # any value's undercount here is ≤ the accumulated m
+            counters, m = mg_trim(counters, capacity)
             err += m
     return counters, err
 

@@ -67,7 +67,10 @@ def plan_summary(df: DataFrame) -> PlanSummary:
         n_broadcast_exchanges=sum(1 for n in tree if n == "BroadcastExchange"),
         n_broadcast_hash_joins=sum(1 for n in tree if n == "BroadcastHashJoin"),
         n_sort_merge_joins=sum(1 for n in tree if n == "SortMergeJoin"),
-        n_scans=sum(1 for n in tree if n.startswith("Scan")),
+        # 'Scan' ANYWHERE in the name: v1 file scans ('Scan parquet'),
+        # DSv2 ('BatchScan'), and local frames ('LocalTableScan') all
+        # count — startswith missed everything but v1
+        n_scans=sum(1 for n in tree if "Scan" in n),
         pushed_filters=pushed,
         codegen_spans=len(set(re.findall(r"\*\((\d+)\)", simple))),
     )

@@ -40,7 +40,8 @@ def write_table(df: DataFrame, path: str, *, mode: str = "overwrite",
 
 
 def safe_overwrite_parquet(df: DataFrame, target_path: str,
-                           partition_by: list[str] | None = None) -> None:
+                           partition_by: list[str] | None = None,
+                           extra_files: dict[str, str] | None = None) -> None:
     """Overwrite a parquet table that may be an INPUT of ``df``'s plan
     (the read-merge-overwrite upsert pattern) without a destruction
     window.
@@ -63,6 +64,13 @@ def safe_overwrite_parquet(df: DataFrame, target_path: str,
         writer = writer.partitionBy(*partition_by)
     try:
         writer.parquet(staging)
+        # sidecars (e.g. a replay-guard stamp) land INSIDE staging so
+        # they install atomically with the data swap — written after
+        # the swap they'd leave a crash window with data but no stamp
+        # (underscore names are invisible to Spark's file listing)
+        for name, content in (extra_files or {}).items():
+            with open(os.path.join(staging, name), "w") as fh:
+                fh.write(content)
     except Exception:
         shutil.rmtree(staging, ignore_errors=True)  # failed write: target untouched
         raise

@@ -92,9 +92,19 @@ class RestPagesReader(DataSourceReader):
         fetch = FETCHERS[self.fetcher_name](self.options)
         for page in range(partition.first_page, partition.last_page + 1):
             offset = page * self.page_size
-            params = {"offset": offset,
-                      "limit": min(self.page_size, self.total - offset)}
-            for rec in fetch(self.url, params):
+            expected = min(self.page_size, self.total - offset)
+            params = {"offset": offset, "limit": int(expected)}
+            recs = fetch(self.url, params)
+            # fail LOUD on a short page: an API that caps limit below
+            # page_size (the real Marvel API clamps at 100) would
+            # otherwise silently drop the tail of every page and the
+            # read would "succeed" with a fraction of the records
+            if len(recs) < expected:
+                raise ValueError(
+                    f"short page at offset {offset}: got {len(recs)} of "
+                    f"{expected} records — the fetcher caps 'limit' below "
+                    f"page_size; lower page_size to the API's cap")
+            for rec in recs:
                 yield offset, json.dumps(rec, sort_keys=True)
 
 
@@ -153,9 +163,17 @@ class RestPagesStreamReader(SimpleDataSourceStreamReader):
         out = []
         for page in range(first, last):
             offset = page * self.page_size
-            params = {"offset": offset,
-                      "limit": min(self.page_size, self.total - offset)}
-            for rec in fetch(self.url, params):
+            expected = min(self.page_size, self.total - offset)
+            recs = fetch(self.url, {"offset": offset,
+                                    "limit": int(expected)})
+            # same short-page guard as the batch reader: silence here
+            # would checkpoint PAST records that were never fetched
+            if len(recs) < expected:
+                raise ValueError(
+                    f"short page at offset {offset}: got {len(recs)} of "
+                    f"{expected} records — lower page_size to the API's "
+                    "cap")
+            for rec in recs:
                 out.append((offset, json.dumps(rec, sort_keys=True)))
         return out
 

@@ -43,7 +43,8 @@ def stream_shuffle_partitions(spark: SparkSession, n: int):
 def stream_windowed_counts(events: DataFrame, *, ts_col: str = "ts",
                            key_col: str = "event_type", window: str = "1 hour",
                            watermark: str = "2 hours",
-                           slide: str | None = None) -> DataFrame:
+                           slide: str | None = None,
+                           value_col: str = "value") -> DataFrame:
     """Tumbling (or, with ``slide``, SLIDING/hopping) window count+sum
     per key with a late-data watermark. A slide of w/s replicates each
     event into w/s overlapping windows — state grows by the same factor,
@@ -58,7 +59,7 @@ def stream_windowed_counts(events: DataFrame, *, ts_col: str = "ts",
         events.withWatermark(ts_col, watermark)
         .groupBy(win.alias("w"), F.col(key_col))
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"))
+             F.sum(F.col(value_col).cast("decimal(18,4)")).cast("double").alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), key_col, "n_events", "sum_value")
     )
 
@@ -116,18 +117,31 @@ def foreach_batch_upsert(target_path: str, key: list[str], update_cols: list[str
     from comix_etl_spark.sinks.writers import safe_overwrite_parquet
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
         spark = batch_df.sparkSession
-        try:
-            existing = spark.read.parquet(target_path)
-        except Exception:  # first batch: nothing to merge into
+        # EXISTENCE check, not a broad except: a transient read failure
+        # of a present table must abort the batch — the first-batch
+        # overwrite branch would replace the whole merged history with
+        # one micro-batch (same convention as _replay_guard below)
+        if not os.path.isdir(target_path):
             writer = batch_df.write.mode("overwrite")
             if partition_col:
                 writer = writer.partitionBy(partition_col)
             writer.parquet(target_path)
             return
+        existing = spark.read.parquet(target_path)
         if partition_col:
             touched = [r[0] for r in batch_df.select(partition_col).distinct().collect()]
-            slice_df = existing.filter(F.col(partition_col).isin(touched))
+            # NULL IN (...) is never true: when the batch carries a NULL
+            # partition value, the existing NULL-partition rows must
+            # still join the merge slice — otherwise dynamic overwrite
+            # rewrites __HIVE_DEFAULT_PARTITION__ from the batch alone,
+            # deleting every pre-existing NULL-partition row
+            pred = F.col(partition_col).isin([t for t in touched if t is not None])
+            if any(t is None for t in touched):
+                pred = pred | F.col(partition_col).isNull()
+            slice_df = existing.filter(pred)
             merged = upsert_selective(slice_df, batch_df, key, update_cols)
             merged = merged.localCheckpoint(eager=True)  # cut lineage on replaced files
             prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -238,15 +252,6 @@ def _replay_guard(spark, state_path: str, batch_id: int):
     return False, cur
 
 
-def _stamp_replay_guard(state_path: str, batch_id: int) -> None:
-    """Write the sidecar stamp AFTER the state swap (safe_overwrite
-    replaces the directory, which would wipe a pre-written marker)."""
-    import os
-
-    with open(os.path.join(state_path, "_last_batch_id"), "w") as fh:
-        fh.write(str(int(batch_id)))
-
-
 def foreach_batch_heavy_hitters(summary_path: str, *,
                                 value_col: str = "value",
                                 capacity: int = 256):
@@ -304,14 +309,19 @@ def foreach_batch_heavy_hitters(summary_path: str, *,
             for r in prior.collect():
                 merged[r.value] = merged.get(r.value, 0) + int(r.weight)
         if len(merged) > capacity:
-            m = sorted(merged.values())[len(merged) - capacity - 1]
-            merged = {v: c - m for v, c in merged.items() if c > m}
+            from comix_etl_spark.operators.relational import mg_trim
+
+            merged, _err = mg_trim(merged, capacity)
         out = spark.createDataFrame(
             sorted(merged.items()), "value string, weight long")
         from comix_etl_spark.sinks.writers import safe_overwrite_parquet
 
-        safe_overwrite_parquet(out.coalesce(1), summary_path)
-        _stamp_replay_guard(summary_path, int(batch_id))
+        # the stamp rides INSIDE the staged swap: written after it, a
+        # crash between swap and stamp would leave state with batch N
+        # folded in but no marker — the replay would double-count
+        safe_overwrite_parquet(
+            out.coalesce(1), summary_path,
+            extra_files={"_last_batch_id": str(int(batch_id))})
 
     return apply
 
@@ -356,8 +366,9 @@ def foreach_batch_cms(sketch_path: str, *, key_col: str = "value",
             cells = cells.unionByName(prior)
         merged = (cells.groupBy("depth_i", "bucket")
                   .agg(F.sum("c").cast("long").alias("c")))
-        safe_overwrite_parquet(merged.coalesce(1), sketch_path)
-        _stamp_replay_guard(sketch_path, int(batch_id))
+        safe_overwrite_parquet(
+            merged.coalesce(1), sketch_path,
+            extra_files={"_last_batch_id": str(int(batch_id))})
 
     return apply
 
@@ -424,6 +435,12 @@ def foreach_batch_dedup_screen(corpus_path: str, matches_path: str, *,
             # column (computed on the fly for corpora predating it)
             if "_fp" not in corpus.columns:
                 corpus = corpus.withColumn("_fp", fingerprint(text_col))
+            else:
+                # mixed-schema corpus: rows from files predating _fp
+                # read back NULL once newer files carry the column —
+                # they must still participate in the exact screen
+                corpus = corpus.withColumn(
+                    "_fp", F.coalesce(F.col("_fp"), fingerprint(text_col)))
             cfp = (corpus.groupBy("_fp")
                    .agg(F.min(id_col).alias("match_id")))
             exact = (batch.select(id_col, "_fp").join(cfp, "_fp")
@@ -473,11 +490,15 @@ def foreach_batch_with_dlq(inner, dlq_path: str, *,
                 (batch_df.write.mode("overwrite")
                  .parquet(f"{dlq_path}/batch_id={int(batch_id)}"))
                 spark = batch_df.sparkSession
+                # per-batch partition + overwrite (the module's replay
+                # convention): a crash-replayed poison batch REWRITES
+                # its error row instead of double-counting in monitoring
                 (spark.createDataFrame(
-                    [(int(batch_id), f"{type(e).__name__}: {e}"[:2000])],
-                    "batch_id long, error string")
+                    [(f"{type(e).__name__}: {e}"[:2000],)],
+                    "error string")
                  .withColumn("quarantined_at", F.current_timestamp())
-                 .write.mode("append").parquet(err_path))
+                 .write.mode("overwrite")
+                 .parquet(f"{err_path}/batch_id={int(batch_id)}"))
             except Exception:
                 raise e  # DLQ landing failed: surface the ORIGINAL error
             return

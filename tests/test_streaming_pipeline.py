@@ -649,3 +649,62 @@ def test_pipeline_cold_start_only_on_absent_target(spark, tmpdir):
     # the corrupt-but-present directory was NOT replaced by the batch
     with open(os.path.join(target, "part-00000.parquet"), "rb") as f:
         assert f.read() == b"not a parquet file"
+
+
+def test_foreach_batch_upsert_null_partition_preserved(spark, tmpdir):
+    """NULL IN (...) is never true: a batch touching the NULL partition
+    must still merge against the existing NULL-partition rows instead
+    of overwriting __HIVE_DEFAULT_PARTITION__ from the batch alone."""
+    target = os.path.join(tmpdir, "nullpart")
+    sink = foreach_batch_upsert(target, key=["k"], update_cols=["v"],
+                                partition_col="day")
+    b1 = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", None), (3, "c", None)],
+        "k int, v string, day string")
+    sink(b1, 0)
+    b2 = spark.createDataFrame([(3, "C2", None)], "k int, v string, day string")
+    sink(b2, 1)
+    out = {r.k: (r.v, r.day) for r in spark.read.parquet(target).collect()}
+    # k=2 (existing NULL-partition row NOT in the batch) must survive
+    assert out == {1: ("a", "d1"), 2: ("b", None), 3: ("C2", None)}
+
+
+def test_foreach_batch_upsert_aborts_on_unreadable_target(spark, tmpdir):
+    target = os.path.join(tmpdir, "upsert_corrupt")
+    os.makedirs(target)
+    with open(os.path.join(target, "part-00000.parquet"), "wb") as f:
+        f.write(b"garbage")
+    sink = foreach_batch_upsert(target, key=["k"], update_cols=["v"])
+    b = spark.createDataFrame([(1, "a")], "k int, v string")
+    with pytest.raises(Exception):
+        sink(b, 0)      # present-but-unreadable: abort, don't overwrite
+    with open(os.path.join(target, "part-00000.parquet"), "rb") as f:
+        assert f.read() == b"garbage"
+
+
+def test_dlq_error_log_idempotent_on_replay(spark, tmpdir):
+    from comix_etl_spark.streaming.windowed import foreach_batch_with_dlq
+
+    def poison(batch_df, batch_id):
+        raise RuntimeError("boom")
+
+    dlq = os.path.join(tmpdir, "dlq")
+    sink = foreach_batch_with_dlq(poison, dlq)
+    b = spark.createDataFrame([(1,)], "k int")
+    sink(b, 7)
+    sink(b, 7)    # crash-replay of the same poison batch
+    errs = spark.read.parquet(dlq + "_errors").collect()
+    assert len(errs) == 1 and errs[0].batch_id == 7
+
+
+def test_rest_datasource_rejects_short_pages(spark):
+    """page_size above the fetcher's cap must fail loud, not silently
+    land a fraction of the records."""
+    from comix_etl_spark.sources.python_datasource import register
+
+    register(spark)
+    df = (spark.read.format("comix_rest_pages")
+          .option("total", "400").option("page_size", "200")
+          .option("fetcher", "fake_marvel").load())
+    with pytest.raises(Exception, match="short page"):
+        df.count()
