@@ -11,6 +11,13 @@ right side is unique on the key — measured 0.19 s counted vs 2.24 s
 materialized on substring_dedup), so count-based timings flatter any
 query with that shape. r1–r6 benches were count-based; r7 onward is
 noop-based — compare rounds within a convention, not across.
+
+r8 onward each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3,
+back-to-back) and reports the MEDIAN: the two committed r7 single-shot
+runs disagreed up to 3× on individual queries (tfidf_top_terms 0.98 vs
+2.99 s with identical code), so single-query diffs were untrustworthy.
+The full artifact records {median, min, runs} per query; the stdout
+JSON keeps the flat name→sec map (median) the driver expects.
 """
 
 from __future__ import annotations
@@ -67,21 +74,29 @@ def main() -> None:
              .write.format("noop").mode("overwrite").save())
 
     import gc
+    import statistics
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     per_query: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     for name, q in QUERIES.items():
-        t0 = time.perf_counter()
-        df = q.builder(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.perf_counter() - t0, 4)
-        # drop the plan reference and collect promptly: iterative
-        # operators leave localCheckpoint RDD blocks behind, and the
-        # JVM ContextCleaner can only unpersist them once the Python
-        # side releases its handles — otherwise dead checkpoint blocks
-        # accumulate across the 100+ queries and squeeze execution
-        # memory for the late ones
-        del df
-        gc.collect()
+        times: list[float] = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            df = q.builder(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            times.append(round(time.perf_counter() - t0, 4))
+            # drop the plan reference and collect promptly: iterative
+            # operators leave localCheckpoint RDD blocks behind, and the
+            # JVM ContextCleaner can only unpersist them once the Python
+            # side releases its handles — otherwise dead checkpoint
+            # blocks accumulate across the 100+ queries and squeeze
+            # execution memory for the late ones
+            del df
+            gc.collect()
+        per_query[name] = round(statistics.median(times), 4)
+        detail[name] = {"median": per_query[name],
+                        "min": min(times), "runs": times}
 
     total = round(sum(per_query.values()), 4)
     payload = {
@@ -94,6 +109,7 @@ def main() -> None:
         # (r1: 42 queries, r2: 58), not headline-to-headline
         "n_queries": len(per_query),
         "sec_per_query": round(total / max(len(per_query), 1), 4),
+        "runs_per_query": n_runs,
     }
     print(json.dumps(payload))
     # the driver keeps only the last 2 KB of stdout, which truncates the
@@ -107,7 +123,8 @@ def main() -> None:
     if out_path:
         try:
             with open(out_path, "w") as fh:
-                json.dump(payload, fh, indent=1, sort_keys=True)
+                json.dump({**payload, "query_detail": detail}, fh,
+                          indent=1, sort_keys=True)
         except OSError:
             pass  # never let artifact IO fail the bench line
     spark.stop()

@@ -514,6 +514,14 @@ def embedding_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
     spark = df.sparkSession
     src = _spread_small_scan(
         df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v")))
+    # one materialization for probe + collect + the final batch scan:
+    # without it the upstream plan executes three times, and for a
+    # non-deterministic or concurrently-growing source the row count
+    # could change between the probe and the collect, making the
+    # driver-OOM guard porous (the probe must see the SAME rows the
+    # collect pulls). localCheckpoint severs lineage and pins the
+    # partitions; cleanup rides the RDD's GC.
+    src = src.localCheckpoint(eager=True)
     # guard BEFORE collect: the limit-probe is bounded work, whereas
     # collect-then-check would already have pulled an oversized corpus
     # into the driver (OOM) before the ValueError could fire

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -40,12 +40,19 @@ def dedup_batch(batch: DataFrame, key: Sequence[str], order_by: Sequence[str] | 
     # deterministic tie-break: two rows tying on order_by would
     # otherwise resolve by partition order (a retry could keep the
     # OTHER row, opening a spurious SCD2 version on replay) — an md5
-    # over every remaining column pins the winner on any engine/run
+    # over every remaining column pins the winner on any engine/run.
+    # Each value is length-prefixed so NULL, '' and separator-bearing
+    # strings all hash distinctly (a plain coalesce+concat_ws would
+    # collide NULL with '' and 'a\x1fb' with ('a','b'), reopening the
+    # partition-order dependence exactly where the fix matters).
     rest = [c for c in batch.columns
             if c not in set(key) and c not in set(order_by)]
-    tie = F.md5(F.concat_ws("\x1f",
-                            *[F.coalesce(F.col(c).cast("string"), F.lit(""))
-                              for c in rest])) if rest else F.lit("")
+    def _tagged(c: str) -> Column:
+        s = F.col(c).cast("string")
+        return F.when(s.isNull(), F.lit("N:")).otherwise(
+            F.concat(F.lit("V"), F.length(s).cast("string"), F.lit(":"), s))
+    tie = (F.md5(F.concat(*[_tagged(c) for c in rest]))
+           if rest else F.lit(""))
     w = Window.partitionBy(*key).orderBy(*[F.desc(c) for c in order_by], tie)
     return batch.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 

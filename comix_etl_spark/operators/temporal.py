@@ -103,8 +103,12 @@ def range_join_points_intervals(points: DataFrame, intervals: DataFrame, *,
 
     p_bin, s_bin, e_bin = _bin(point_col), _bin(start_col), _bin(end_col)
 
+    # NULL-bounded intervals pass the guard (Spark's assert_true raises
+    # on NULL conditions, which would kill the job with a misleading
+    # "reversed" message) and then drop naturally: sequence(s, NULL) is
+    # NULL and explode emits nothing — the pre-guard behavior.
     checked_e_bin = F.when(
-        F.assert_true(s_bin <= e_bin,
+        F.assert_true(s_bin.isNull() | e_bin.isNull() | (s_bin <= e_bin),
                       F.lit(f"range_join_points_intervals: {end_col} < "
                             f"{start_col} (reversed interval)")).isNull(),
         e_bin)
@@ -177,8 +181,12 @@ def interval_overlap_pairs(df: DataFrame, *, id_col: str, start_col: str,
         F.unix_micros(F.col(c).cast("timestamp")) / 86_400_000_000)
     # a reversed interval (end < start) would silently emit pairs with
     # NEGATIVE overlap_days (both overlap predicates pass) — fail loud
+    # NULL-bounded rows pass the guard (assert_true raises on NULL) and
+    # are dropped by the join predicates / cell explode downstream —
+    # same contract as range_join_points_intervals above.
     checked_e = F.when(
-        F.assert_true(day(start_col) <= day(end_col),
+        F.assert_true(day(start_col).isNull() | day(end_col).isNull()
+                      | (day(start_col) <= day(end_col)),
                       F.lit(f"interval_overlap_pairs: {end_col} < "
                             f"{start_col} (reversed interval)")).isNull(),
         day(end_col))

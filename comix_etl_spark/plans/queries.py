@@ -3053,7 +3053,15 @@ def q_decile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-task funnel: nine exact percentile fences (one aggregate,
     driver-tiny), broadcast back onto the scan, bucket = 1 + #fences
     below the value via a JVM-side array fold. Scan-parallel at any
-    scale — the bucketing never sorts or windows the full table."""
+    scale — the bucketing never sorts or windows the full table.
+
+    EXACT-vs-APPROX ROUTING: the global exact ``F.percentile`` is a
+    single aggregation buffer holding EVERY value (no partial agg) —
+    acceptable here only because the fence aggregate is computed once
+    over one numeric column at test SF. At 100 TB swap the fence
+    aggregate for ``F.approx_percentile`` (partial-aggregating sketch,
+    same nine-fence broadcast downstream; approx path oracle-checked by
+    ``approx_percentiles_check``). See PLANS.md "Percentile routing"."""
     t = _t(spark, sf_dir, "customer")
     c = t["customer"]
     qs = [i / 10 for i in range(1, 10)]
@@ -3130,7 +3138,19 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization twin of price_outliers (same broadcast-fences plan:
     one exact-percentile aggregate, fences broadcast onto the scan,
     clip + re-aggregate; the big table shuffles once for each agg,
-    never sorts)."""
+    never sorts).
+
+    EXACT-vs-APPROX ROUTING (the broadcast contract of this family):
+    exact ``F.percentile`` cannot partial-aggregate — every value of a
+    group buffers in that group's single reducer aggregation buffer, so
+    with only 3 distinct ``l_returnflag`` values, 100× data funnels
+    ~1/3 of the table through each of 3 buffers. Use the exact form
+    ONLY when groups × per-group values fits one executor's memory
+    (here: oracle parity demands bit-exact quantile_cont semantics at
+    test SF). At scale route to ``F.approx_percentile`` (the
+    sketch partial-aggregates; relative-error fences are fine for
+    clipping) — the approx path is itself oracle-checked by
+    ``approx_percentiles_check``. See PLANS.md "Percentile routing"."""
     t = _t(spark, sf_dir, "lineitem")
     li = t["lineitem"]
     fences = li.groupBy("l_returnflag").agg(
@@ -5464,7 +5484,14 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     3 MADs — the heavy-tail-safe alternative to the z-score screen
     (a single extreme value cannot move the fences). Two exact-median
     aggregation passes; the tiny per-group fences broadcast back onto
-    the scan for the final conditional count."""
+    the scan for the final conditional count.
+
+    EXACT-vs-APPROX ROUTING: exact medians buffer every group value in
+    one reducer buffer (3 l_returnflag groups ⇒ ~n/3 values each — a
+    memory funnel at 100×). Exact only while groups × values fits an
+    executor; else ``F.approx_percentile(x, 0.5)`` twice (MAD tolerates
+    sketch error by construction — it feeds a 3-MAD threshold, not an
+    exact rank). See PLANS.md "Percentile routing"."""
     t = _t(spark, sf_dir, "lineitem")
     li = t["lineitem"].select("l_returnflag",
                               F.col("l_extendedprice").alias("x"))

@@ -177,7 +177,15 @@ def foreach_batch_drift(metrics_path: str, ref_edges: list[float],
     driver-small list of bin edges + expected share per bin — compute
     once, broadcast forever). Cost per batch: one conditional-count
     aggregate over the batch, no shuffle of history; the epsilon floor
-    mirrors the batch monitor (an empty bucket must not emit ln(0))."""
+    mirrors the batch monitor (an empty bucket must not emit ln(0)).
+
+    BREAKING layout migration (r7): earlier versions APPENDED rows with
+    a ``batch_id`` data column to ``metrics_path`` root; this version
+    writes ``batch_id=N`` partition directories. A table holding both
+    layouts (root-level data files plus partition dirs) is unreadable
+    by ``spark.read.parquet``, so the sink detects legacy root-level
+    data files on first write and fails with a migration message
+    instead of corrupting the table."""
     n_bins = len(ref_shares)
     # n_bins buckets need exactly n_bins - 1 interior edges; a full edge
     # list would route rows into a phantom bucket n_bins that inflates
@@ -212,6 +220,22 @@ def foreach_batch_drift(metrics_path: str, ref_edges: list[float],
             p_ref = ref_shares[b]
             psi += (p_cur - p_ref) * math.log(max(p_cur, eps) / max(p_ref, eps))
         spark = batch_df.sparkSession
+        # legacy-layout guard (see docstring): root-level data files
+        # mean the table was written by the pre-r7 append-with-column
+        # sink; mixing in partition dirs would make the whole table
+        # unreadable — fail loud with the migration path instead
+        import os
+
+        if os.path.isdir(metrics_path):
+            legacy = [f for f in os.listdir(metrics_path)
+                      if not f.startswith(("batch_id=", "_", "."))]
+            if legacy:
+                raise ValueError(
+                    f"foreach_batch_drift: {metrics_path} holds root-level "
+                    f"data files from the legacy append-style layout "
+                    f"(e.g. {legacy[0]}); migrate them into batch_id=N "
+                    f"partition dirs (or point at a fresh path) before "
+                    f"using the partitioned sink")
         # per-batch partition + overwrite: foreachBatch replays a batch
         # (same batch_id) after a crash — the rewrite replaces that
         # batch's row instead of appending a duplicate metric

@@ -152,3 +152,30 @@ def test_scd2_reapply_is_idempotent(spark):
     a = sorted(map(tuple, once.collect()))
     b = sorted(map(tuple, twice.collect()))
     assert a == b  # same batch again adds no versions
+
+
+def test_dedup_batch_tiebreak_distinguishes_null_empty_and_separator(spark):
+    """ADVICE r7: the tie-break hash must not collide NULL with '' or
+    'a\\x1fb' with ('a','b') — in a tie on order_by, those collisions
+    made the winner partition-order-dependent again. With length-prefix
+    tagging the winner is pinned regardless of input order."""
+    rows_fwd = [(1, 1, None, "x"), (1, 1, "", "x")]
+    winners = set()
+    for rows in (rows_fwd, rows_fwd[::-1]):
+        batch = spark.createDataFrame(
+            rows, "k int, version int, a string, b string").repartition(4)
+        out = M.dedup_batch(batch, ["k"], order_by=["version"]).collect()
+        assert len(out) == 1
+        winners.add(out[0].a)
+    assert len(winners) == 1  # same winner both input orders
+
+    # separator-collision pair: ('a\x1fb', '') vs ('a', 'b') must also
+    # resolve identically under either input order
+    sep_rows = [(1, 1, "a\x1fb", ""), (1, 1, "a", "b")]
+    winners = set()
+    for rows in (sep_rows, sep_rows[::-1]):
+        batch = spark.createDataFrame(
+            rows, "k int, version int, a string, b string").repartition(4)
+        out = M.dedup_batch(batch, ["k"], order_by=["version"]).collect()
+        winners.add((out[0].a, out[0].b))
+    assert len(winners) == 1, winners

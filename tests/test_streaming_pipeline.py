@@ -708,3 +708,27 @@ def test_rest_datasource_rejects_short_pages(spark):
           .option("fetcher", "fake_marvel").load())
     with pytest.raises(Exception, match="short page"):
         df.count()
+
+
+def test_foreach_batch_drift_rejects_legacy_root_layout(spark, tmpdir):
+    """ADVICE r7: the r7 sink writes batch_id=N partition dirs; pointing
+    it at a metrics table written by the pre-r7 append-style sink
+    (root-level data files) would create a mixed layout that
+    spark.read.parquet cannot read — the sink must fail loud instead."""
+    import pytest
+
+    from comix_etl_spark.streaming.windowed import foreach_batch_drift
+
+    metrics = os.path.join(tmpdir, "legacy_metrics")
+    # simulate the legacy layout: root-level parquet data files with a
+    # batch_id data column
+    spark.createDataFrame(
+        [(0, 1000, 12)], "batch_id long, n_rows long, psi_e6 long"
+    ).coalesce(1).write.mode("overwrite").parquet(metrics)
+
+    batch = spark.createDataFrame(
+        [(float(i % 100) + 0.5,) for i in range(100)], "value double")
+    sink = foreach_batch_drift(metrics, [10.0 * k for k in range(1, 10)],
+                               [0.1] * 10)
+    with pytest.raises(ValueError, match="legacy append-style layout"):
+        sink(batch, 1)

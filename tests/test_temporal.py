@@ -163,3 +163,42 @@ def test_interval_overlap_pre_epoch_days_do_not_collapse(spark):
                cell_days=2).collect()}
     # c spans both days; a-b must NOT pair
     assert got == {("a", "c", 1), ("b", "c", 1)}, got
+
+
+def test_null_bounded_intervals_drop_instead_of_raising(spark):
+    """ADVICE r7: assert_true raises on a NULL condition, so a single
+    NULL-bounded interval used to kill the whole job with a misleading
+    'reversed interval' message. NULL bounds must instead drop the row
+    (the pre-guard sequence(s, NULL) behavior) while a genuinely
+    reversed interval still fails loud."""
+    import pytest
+    from comix_etl_spark.operators.temporal import interval_overlap_pairs
+
+    rows = [("a", _ts("2024-01-01 00:00"), _ts("2024-01-03 00:00")),
+            ("b", _ts("2024-01-02 00:00"), _ts("2024-01-04 00:00")),
+            ("n", None, _ts("2024-01-02 00:00")),
+            ("m", _ts("2024-01-02 00:00"), None)]
+    df = spark.createDataFrame(rows, "uid string, s timestamp, e timestamp")
+    got = {(r.id_a, r.id_b) for r in interval_overlap_pairs(
+        df, id_col="uid", start_col="s", end_col="e", cell_days=2).collect()}
+    assert got == {("a", "b")}, got  # NULL-bounded rows silently dropped
+
+    pts = spark.createDataFrame(
+        [(1, _ts("2024-01-01 12:00"))], "pid long, ts timestamp")
+    ivs = spark.createDataFrame(
+        [(10, _ts("2024-01-01 00:00"), _ts("2024-01-02 00:00")),
+         (11, None, _ts("2024-01-02 00:00"))],
+        "iid long, s timestamp, e timestamp")
+    out = range_join_points_intervals(
+        pts, ivs, point_col="ts", start_col="s", end_col="e",
+        bin_seconds=3600).collect()
+    assert [r.iid for r in out] == [10]
+
+    # reversed (non-NULL) interval still raises
+    bad = spark.createDataFrame(
+        [(12, _ts("2024-01-03 00:00"), _ts("2024-01-01 00:00"))],
+        "iid long, s timestamp, e timestamp")
+    with pytest.raises(Exception, match="reversed interval"):
+        range_join_points_intervals(
+            pts, bad, point_col="ts", start_col="s", end_col="e",
+            bin_seconds=3600).collect()
