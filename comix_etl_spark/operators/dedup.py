@@ -709,3 +709,64 @@ def set_similarity_join_prefix(docs: DataFrame, *, id_col: str = "doc_id",
     # filtering on the rounded value would admit pairs rounded up to τ)
     return (cand.filter(jac >= threshold)
             .select("id_a", "id_b", F.round(jac, 4).alias("jaccard")))
+
+
+def url_dedup(df: DataFrame, *, url_col: str, id_col: str,
+              quality_col: str | None = None,
+              per_host_cap: int | None = None) -> DataFrame:
+    """C4/RefinedWeb-style URL-level dedup — the cheapest dedup stage of
+    a web-corpus pipeline, run BEFORE any content hashing: collapse
+    recrawls/tracking-variant URLs of the same logical page, then
+    optionally cap documents per host (RefinedWeb caps hosts so a
+    single boilerplate-heavy site cannot dominate the training mix).
+
+    Stages:
+      1. canonicalize (``functions.url.canonicalize_url`` — scan-local
+         Column expressions, zero shuffle);
+      2. one keeper per canonical URL: argmax on ``quality_col`` when
+         given (ties and quality-less mode fall to min ``id_col`` — the
+         deterministic tie-break every replayable pipeline needs);
+      3. when ``per_host_cap`` is set, rank keepers within each host
+         (quality desc, id asc) and keep the top N.
+
+    NULL URLs are dropped (no canonical identity to dedup on).
+
+    Output: one row per kept document — (id, host, canon_url,
+    n_variants) where n_variants counts the URL's collapsed crawl
+    variants.
+
+    100 TB shape: exactly two shuffles — a groupBy keyed on the
+    canonical URL (near-unique key ⇒ well spread; map-side combine
+    shrinks recrawl groups early) and, only when capping, a window
+    keyed by host. Host keys are Zipf-skewed at web scale; the window
+    never carries text (id + host + score only), and a planted-hot-key
+    run of the same shape is measured in PLANS.md ("r8 scale evidence",
+    salted_agg row). Extends the reference's single-site F13 path
+    normalization (app/templates/search.html:90-131) to the open web.
+    """
+    from pyspark.sql import Window
+
+    from comix_etl_spark.functions.url import canonicalize_url, url_host
+
+    q = (F.col(quality_col).cast("double") if quality_col
+         else F.lit(0.0))
+    base = (df.filter(F.col(url_col).isNotNull())
+            .select(F.col(id_col).alias("_id"),
+                    canonicalize_url(url_col).alias("canon_url"),
+                    url_host(url_col).alias("host"),
+                    q.alias("_q")))
+    # keeper per canonical URL: max (quality, -id) — a single struct
+    # max_by avoids a window over the near-unique URL key
+    keepers = (base.groupBy("canon_url")
+               .agg(F.max(F.struct(F.col("_q"),
+                                   (-F.col("_id")).alias("_negid"),
+                                   F.col("_id"), F.col("host"))).alias("_w"),
+                    F.count(F.lit(1)).alias("n_variants"))
+               .select(F.col("_w._id").alias("id"),
+                       F.col("_w.host").alias("host"),
+                       "canon_url", "n_variants", F.col("_w._q").alias("_q")))
+    if per_host_cap is not None:
+        w = Window.partitionBy("host").orderBy(F.desc("_q"), F.asc("id"))
+        keepers = (keepers.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") <= per_host_cap).drop("_rn"))
+    return keepers.drop("_q")

@@ -9335,6 +9335,124 @@ GROUP BY 1 ORDER BY cnt DESC, segment LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# §7 — URL-level dedup + per-host cap (C4 / RefinedWeb stage 1)
+# ---------------------------------------------------------------------------
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup with a per-host document cap — the
+    missing web-corpus stage flagged by VERDICT r7 #6 (C4/RefinedWeb:
+    tracking-param/scheme/port/slash-variant recrawls of a page must
+    collapse BEFORE content hashing, and no single host may dominate
+    the mix).
+
+    Each document derives five deterministic crawl-variant surface
+    forms of one logical URL (uppercase www + utm params, explicit :80,
+    :443 + doubled slash + trailing slash + fragment, schemeless +
+    tracking tail, and the clean form); canonicalization must collapse
+    all five, quality (n_chars) elects the keeper, and a per-host cap
+    of 3 ranks hosts' keepers. 500 docs → 100 canonical URLs → 60 kept
+    at sf0.01.
+
+    Plan: canonicalize is scan-local codegen (functions/url.py); one
+    groupBy on the near-unique canonical URL; one host-keyed window
+    over keeper rows only (id/host/score — no text). See
+    operators/dedup.py::url_dedup for the 100 TB contract."""
+    from comix_etl_spark.operators.dedup import url_dedup
+
+    t = _t(spark, sf_dir, "documents")
+    d = t["documents"]
+    # source = src(doc_id % 20) in the testdata, so a 5-variant group
+    # must hold doc_ids congruent mod 20: ids {100*page + 20*v + k}
+    # share source src_k and page, differing only in the variant form
+    page = F.expr("doc_id DIV 100").cast("string")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    v = F.expr("(doc_id DIV 20) % 5")
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://WWW."), host, F.lit("/docs/"),
+                                page, F.lit("?utm_source=feed&v=1")))
+        .when(v == 1, F.concat(F.lit("http://"), host, F.lit(":80/docs/"),
+                               page, F.lit("?v=1")))
+        .when(v == 2, F.concat(F.lit("https://"), host, F.lit(":443//docs/"),
+                               page, F.lit("/?v=1#sec")))
+        .when(v == 3, F.concat(host, F.lit("/docs/"), page,
+                               F.lit("?v=1&utm_campaign=x&ref=tw")))
+        .otherwise(F.concat(F.lit("https://"), host, F.lit("/docs/"),
+                            page, F.lit("?v=1"))))
+    docs = d.select("doc_id", "n_chars", url.alias("url"))
+    out = D.url_dedup(docs, url_col="url", id_col="doc_id",
+                      quality_col="n_chars", per_host_cap=3)
+    return (out.select(F.col("id").alias("doc_id"), "host", "canon_url",
+                       "n_variants")
+            .orderBy("host", "doc_id"))
+
+
+# mirrors functions/url.py's canonical form 1:1 (scheme/fragment strip,
+# host lower + www./default-port strip, slash collapse, tracking-param
+# filter + param sort), then keeper election + per-host cap
+ORACLE_URL_DEDUP = """
+WITH raw AS (
+  SELECT doc_id, n_chars,
+         CASE CAST((doc_id // 20) % 5 AS INT)
+           WHEN 0 THEN 'https://WWW.' || source || '.example.com/docs/' ||
+                       (doc_id // 100) || '?utm_source=feed&v=1'
+           WHEN 1 THEN 'http://' || source || '.example.com:80/docs/' ||
+                       (doc_id // 100) || '?v=1'
+           WHEN 2 THEN 'https://' || source || '.example.com:443//docs/' ||
+                       (doc_id // 100) || '/?v=1#sec'
+           WHEN 3 THEN source || '.example.com/docs/' || (doc_id // 100) ||
+                       '?v=1&utm_campaign=x&ref=tw'
+           ELSE 'https://' || source || '.example.com/docs/' ||
+                (doc_id // 100) || '?v=1'
+         END AS url
+  FROM documents
+), bare AS (
+  SELECT doc_id, n_chars,
+         regexp_replace(regexp_replace(trim(url),
+             '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '#.*', '') AS b
+  FROM raw
+), parts AS (
+  SELECT doc_id, n_chars,
+         regexp_replace(regexp_replace(
+             lower(split_part(split_part(b, '?', 1), '/', 1)),
+             '^www\\.', ''), ':(80|443)$', '') AS host,
+         regexp_replace(regexp_replace(
+             CASE WHEN strpos(split_part(b, '?', 1), '/') > 0
+                  THEN regexp_replace(split_part(b, '?', 1), '^[^/]*', '')
+                  ELSE '' END,
+             '/{2,}', '/', 'g'), '/$', '') AS path,
+         CASE WHEN strpos(b, '?') > 0
+              THEN regexp_replace(b, '^[^?]*\\?', '') ELSE '' END AS q
+  FROM bare
+), canon AS (
+  SELECT doc_id, n_chars, host,
+         host || path || CASE WHEN cq = '' THEN '' ELSE '?' || cq END
+           AS canon_url
+  FROM (
+    SELECT *, array_to_string(list_sort(list_filter(string_split(q, '&'),
+               p -> p <> '' AND NOT regexp_matches(split_part(p, '=', 1),
+               '^(utm_[a-z0-9_]*|gclid|fbclid|ref|mc_cid|mc_eid)$'))),
+               '&') AS cq
+    FROM parts)
+), keepers AS (
+  SELECT doc_id, host, canon_url, n_chars,
+         CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT)
+           AS n_variants,
+         row_number() OVER (PARTITION BY canon_url
+                            ORDER BY n_chars DESC, doc_id) AS _rk
+  FROM canon
+), capped AS (
+  SELECT doc_id, host, canon_url, n_variants,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY n_chars DESC, doc_id) AS _rh
+  FROM keepers WHERE _rk = 1
+)
+SELECT doc_id, host, canon_url, n_variants
+FROM capped WHERE _rh <= 3
+ORDER BY host, doc_id
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -9978,6 +10096,10 @@ QUERIES: dict[str, Query] = {
         q_ivf_recall_eval, ORACLE_IVF_RECALL_EVAL,
         "measured recall@10 of IVF (nprobe=4/16) vs brute-force ground "
         "truth", ("embeddings",)),
+    "url_dedup": Query(
+        q_url_dedup, ORACLE_URL_DEDUP,
+        "C4/RefinedWeb stage-1: URL canonicalization dedup + per-host "
+        "cap", ("documents",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -9988,61 +10110,47 @@ QUERIES: dict[str, Query] = {
 # expensive pair/sketch queries sit at the very end — a budget cut costs
 # re-confirmation of old green rows, not first-time verdicts.
 #
-# r7 ROTATION: CORRECTNESS_r06 went 49/50 — the only red was
-# jl_projection's array-typed output crashing the driver canonicalizer
-# (fixed this round: posexploded to scalar (vec_id, dim, proj_e6) rows;
-# a plan-hygiene test now bans non-scalar output columns registry-wide).
-# This window = jl_projection first (the fix needs its verdict), then
-# the 12 late-r6 queries that have NEVER been driver-checked (cheap
-# shapes first, the kNN self-join and stream last among them), then 37
-# of the 45 r3-era greens whose verdicts are 4 rounds stale — including
-# the whole stream_windowed family, whose events-ts-unit sensitivity
-# makes staleness riskiest (VERDICT r6 #6). r8 BACKLOG: the 8 r3-era
-# greens left out (decontaminate, fuzzy_match, dedup_spans,
-# ann_quantized, pack_sequences, balance_corpus, multimodal_decode,
-# bloom_join) + any r7-new queries that miss this window
-# (markup_strip, cms_freq, cms_join_size, ams_f2, ks_drift,
-# pagerank_personalized landed after the window froze — r8
-# first-timers).
+# r8 ROTATION (r7 window went 50/50 hash-green): url_dedup (new this
+# round) plus the six r7 queries that landed after the r7 window froze
+# take the first slots (never-checked first-timers, cheap shapes before
+# the pair/iterative ones), then the 19 oracle-backed r3-era greens
+# whose verdicts are 5 rounds stale (VERDICT r7 "What's missing" #2),
+# then 24 of the 49 r4-era greens (oldest remaining verdicts, cheap
+# analytic shapes). r9 BACKLOG: the other 25 r4-era greens
+# (stream_session_window, ann_pq, revenue_anomaly, peak_concurrency,
+# compress_ratio, asof_forward, temperature_mixture, fk_audit,
+# late_suppliers, group_mode, running_distinct, trend_slopes,
+# value_bands, nullsafe_join, mom_growth, inverted_index,
+# dedup_keep_best, order_count_dist, decile_mobility, basket_pairs,
+# revenue_concentration, containment_pairs, quantize_calibrated,
+# cohort_ltv, graph_degrees) + the 3 rows-only r3-era checks
+# (dedup_clusters_lsh, approx_cardinality, kmeans_clusters — their
+# hash-checked _det siblings passed r5/r6) + any r8-new queries that
+# miss this window.
 _CHECK_FIRST = [
-    # FAILED r6 (canonicalizer crash), output shape fixed — verdict first
-    "jl_projection",
-    # never driver-checked: late-r6 batch, cheap analytics shapes first
-    "gram_covariance", "percent_rank_cdf", "time_weighted_avg",
-    "subtree_value_rollup", "order_lines_nested", "top_paths",
-    "pseudonymize_join", "hopping_windows",
-    # never driver-checked: late-r6, heavier (pair joins, stream)
-    "set_sim_prefix", "filtered_ann", "knn_join_det", "stream_hopping",
-    # NEW in r7 — offset-free exact-substring dedup, iterative BPE
-    # trainer, certified Misra-Gries heavy hitters, Python DataSource V2
-    # REST read, STL-lite seasonal decomposition, VARIANT JSON probe,
-    # end-to-end semantic dedup, incremental batch-vs-corpus dedup,
-    # learned-BPE application, measured ANN/IVF recall (first-timers)
-    "substring_dedup", "bpe_train", "heavy_hitters", "rest_datasource",
-    "seasonal_decompose", "events_variant", "semantic_dedup",
-    "dedup_incremental", "bpe_tokenize", "ann_recall_eval",
-    "ivf_recall_eval",
-    # r3-era greens, 4 rounds stale — cheap relational/scalar shapes
-    "stats_topk", "keyed_lookup", "marvel_normalize", "marvel_credits",
-    # (snapshot_diff + issue_sort_numeric → r8 backlog: slots for the
-    # tenth/eleventh r7-new first-timers)
-    "rest_paginated", "incremental_refetch", "cover_enrichment",
-    "shipping_priority",
-    # (winsorize → r8 backlog: eighth r7-new first-timer takes its slot)
-    "gap_fill", "decile_buckets", "dict_encode",
-    # (group_sample → r8 backlog: ninth r7-new first-timer takes its slot)
-    "forward_fill", "unpivot_measures", "market_share",
-    "retention_cohorts", "sales_cube", "scd2_orders",
-    # (key_skew → r8 backlog: seventh r7-new first-timer takes its slot)
-    "incremental_rollup", "rolling_dau", "table_fingerprint",
-    # r3-era greens — text/corpus family mostly deferred (lang_balance,
-    # corpus_top_terms, repetition_stats, tfidf_top_terms,
-    # chunk_documents + pii_scrub → r8 backlog so the six r7-new
-    # first-timers fit the window)
-    # r3-era greens — events-ts-sensitive stream family closes the
-    # window (re-checks, so a budget cut costs confirmation only)
-    "multimodal_metadata", "stream_windowed", "stream_sessionize",
-    "stream_join", "stream_dedup", "stream_enrich",
+    # NEW in r8 — C4/RefinedWeb URL canonicalization dedup + host cap
+    "url_dedup",
+    # never driver-checked (landed after the r7 window froze) — cheap
+    # scan-local / sketch shapes first
+    "markup_strip", "ks_drift", "cms_freq", "ams_f2",
+    # never driver-checked — iterative graph + sketch-vs-recount join
+    "pagerank_personalized", "cms_join_size",
+    # r3-era oracle-backed greens, 5 rounds stale — cheap shapes first
+    "issue_sort_numeric", "snapshot_diff", "winsorize", "key_skew",
+    "group_sample", "lang_balance", "corpus_top_terms",
+    "repetition_stats", "tfidf_top_terms", "chunk_documents",
+    "pii_scrub", "multimodal_decode", "bloom_join", "balance_corpus",
+    "pack_sequences", "ann_quantized", "dedup_spans", "fuzzy_match",
+    "decontaminate",
+    # r4-era greens (oldest remaining verdicts) — analytic shapes
+    "events_json", "sessionize", "funnel", "quantize_embeddings",
+    "percentile_profile", "corr_matrix", "spend_zscore",
+    "price_histogram", "customer_churn", "event_transitions",
+    "cdc_apply", "embedding_dim_stats", "grouping_sets", "topk_ties",
+    "session_stats", "salted_agg", "multimodal_frames",
+    "token_histogram", "lm_score", "small_qty_revenue",
+    "constraint_audit", "window_profile", "approx_percentiles",
+    "mad_outliers",
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 QUERIES = {

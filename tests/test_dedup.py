@@ -217,3 +217,40 @@ def test_dedup_against_corpus_empty_sides(spark):
     empty = spark.createDataFrame([], schema)
     assert dedup_against_corpus(docs, empty, "doc_id", "text").count() == 0
     assert dedup_against_corpus(empty, docs, "doc_id", "text").count() == 0
+
+
+def test_url_dedup_collapses_variants_elects_keeper_and_caps_host(spark):
+    """Five surface variants of one page collapse to one keeper (max
+    quality, tie -> min id); per-host cap keeps the top-quality pages;
+    NULL URLs drop."""
+    from comix_etl_spark.operators.dedup import url_dedup
+
+    rows = [
+        # page A on host h1 — 3 crawl variants, quality elects id=2
+        (1, "https://www.h1.com/p/a?utm_source=x", 10.0),
+        (2, "http://h1.com/p/a", 30.0),
+        (3, "h1.com/p/a/#frag", 20.0),
+        # page B on h1, lower quality than A
+        (4, "https://h1.com/p/b", 5.0),
+        # page C on h1, lowest — capped out at per_host_cap=2
+        (5, "https://h1.com/p/c", 1.0),
+        # h2: one page; NULL url dropped
+        (6, "https://h2.com:443/q", 9.0),
+        (7, None, 99.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string, q double")
+    out = {r.id: r for r in url_dedup(
+        df, url_col="url", id_col="id", quality_col="q",
+        per_host_cap=2).collect()}
+    assert set(out) == {2, 4, 6}, out
+    assert out[2].n_variants == 3 and out[2].canon_url == "h1.com/p/a"
+    assert out[6].host == "h2.com"
+
+    # quality tie -> min id wins deterministically
+    tie = spark.createDataFrame(
+        [(9, "https://t.com/x", 1.0), (8, "http://t.com/x?fbclid=z", 1.0)],
+        "id long, url string, q double")
+    got = url_dedup(tie, url_col="url", id_col="id",
+                    quality_col="q").collect()
+    assert [r.id for r in got] == [8]
+    assert got[0].n_variants == 2

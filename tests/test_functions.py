@@ -232,3 +232,34 @@ def test_cents_to_display_null_is_null(spark):
     out = [r.out for r in
            df.select(scalar.cents_to_display("c").alias("out")).collect()]
     assert out == ["$2.50", None, "$-3.50"]
+
+
+def test_canonicalize_url_contract(spark):
+    """functions/url.py module contract: scheme/fragment strip, host
+    lower + www./default-port strip, slash collapse, path case kept,
+    tracking-param drop + param sort, NULL propagation."""
+    from comix_etl_spark.functions.url import canonicalize_url, url_host
+
+    cases = [
+        ("https://WWW.Example.com:443/a//b/?utm_source=x&id=7",
+         "example.com/a/b?id=7"),
+        ("http://example.com/a/b?id=7#frag", "example.com/a/b?id=7"),
+        ("example.com/a/b/?id=7&utm_medium=m", "example.com/a/b?id=7"),
+        ("https://example.com/a/b?ref=tw&id=7", "example.com/a/b?id=7"),
+        # non-default port is load-bearing and kept
+        ("https://example.com:8080/x?id=7", "example.com:8080/x?id=7"),
+        ("https://example.com/", "example.com"),
+        ("https://example.com", "example.com"),
+        # path case preserved (RFC 3986), host case folded
+        ("https://EXAMPLE.com/Path/Case", "example.com/Path/Case"),
+        # param order never distinguishes pages
+        ("https://example.com/s?b=2&a=1", "example.com/s?a=1&b=2"),
+        # query emptied by tracking filter drops its '?'
+        ("https://example.com/s?utm_campaign=x", "example.com/s"),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(canonicalize_url("url").alias("c")).collect()]
+    assert got == [want for _, want in cases], got
+    hosts = [r.h for r in df.select(url_host("url").alias("h")).collect()]
+    assert hosts[0] == "example.com" and hosts[4] == "example.com:8080"
