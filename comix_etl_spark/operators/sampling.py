@@ -170,3 +170,71 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col: str, k: int,
             .withColumn(out_col, -F.log(u) / w)
             .orderBy(F.col(out_col).asc(), c.asc())
             .limit(k))
+
+
+def dsir_importance(corpus: DataFrame, target: DataFrame, *, id_col: str,
+                    text_col: str, buckets: int = 4096) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", public arXiv
+    2302.03169): score every corpus document by how target-like its
+    hashed-n-gram distribution is, for importance resampling toward a
+    small high-quality target set — the standard data-SELECTION stage
+    between dedup and mixing in an LLM pipeline.
+
+    Model: bag of hashed features (unigrams + bigrams of whitespace
+    tokens, md5 → ``buckets``); per-feature add-1-smoothed categorical
+    fits p_target / p_source; document log-weight = Σ_occurrences
+    log(p_t[f] / p_s[f]).
+
+    Determinism contract: the per-bucket log-ratio is quantized ONCE to
+    integer micro-nats (``round(ln(q)·1e6)`` over an exactly-rational
+    q) and documents sum int64s — the cross-engine float hazard is one
+    ln() per bucket (≤ 1 ulp ⇒ flip odds ~1e-10/bucket), never the
+    per-document sum (same trick as bigram_lm_scores' ppm math).
+
+    100 TB shape: one corpus scan for source counts, one target scan,
+    one corpus scan for scoring (feature explode is scan-local
+    zip_with/slice codegen); the ratio table is ≤ ``buckets`` rows
+    BROADCAST back, and the per-doc sum partial-aggregates map-side on
+    the near-unique id key. Nothing shuffles document text.
+
+    Returns (id_col, n_feats, dsir_weight_e6) — weight in micro-nats,
+    higher = more target-like.
+    """
+    from comix_etl_spark.functions.text import tokens
+
+    def feats(df: DataFrame) -> DataFrame:
+        t = tokens(text_col)
+        w = F.size(t) - 1
+        # bigrams WITH multiplicity (functions.text.shingles dedupes,
+        # which would break the bag-of-features counts DSIR fits)
+        bigrams = F.when(F.size(t) >= 2,
+                         F.zip_with(F.slice(t, 1, w), F.slice(t, 2, w),
+                                    lambda a, b: F.concat(a, F.lit(" "), b))
+                         ).otherwise(F.array().cast("array<string>"))
+        grams = F.concat(t, bigrams)
+        return (df.select(F.col(id_col), F.explode(grams).alias("_g"))
+                .select(F.col(id_col),
+                        hash_bucket(F.col("_g"), buckets=buckets)
+                        .alias("_b")))
+
+    src = feats(corpus)
+    tgt_counts = (feats(target).groupBy("_b")
+                  .agg(F.count(F.lit(1)).alias("_ct")))
+    src_counts = src.groupBy("_b").agg(F.count(F.lit(1)).alias("_cs"))
+    # every bucket a corpus doc references exists in src_counts (the
+    # source fit IS the corpus), so a left join loses nothing
+    totals = (src_counts.agg(F.sum("_cs").alias("_ns"))
+              .crossJoin(tgt_counts.agg(F.sum("_ct").alias("_nt"))))
+    b = F.lit(buckets).cast("double")
+    ratio = (src_counts.join(tgt_counts, "_b", "left")
+             .crossJoin(F.broadcast(totals))
+             .select("_b", F.round(F.log(
+                 (F.coalesce(F.col("_ct"), F.lit(0)) + 1).cast("double")
+                 * (F.col("_ns") + b)
+                 / ((F.col("_cs") + 1).cast("double") * (F.col("_nt") + b))
+             ) * 1e6).cast("long").alias("_lr_e6")))
+    return (src.join(F.broadcast(ratio), "_b")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_feats"),
+                 F.sum("_lr_e6").alias("dsir_weight_e6")))

@@ -247,7 +247,8 @@ def dedup_spans(df: DataFrame, id_col: str, text_col: str, *,
 
 
 def exact_substring_dedup(df: DataFrame, id_col: str, text_col: str, *,
-                          k: int = 8) -> DataFrame:
+                          k: int = 8,
+                          ownership: str = "window") -> DataFrame:
     """Cross-document EXACT SUBSTRING dedup at anchor granularity — the
     suffix-array-style pass of "Deduplicating Training Data Makes
     Language Models Better" (Lee et al. 2021, ExactSubstr), re-expressed
@@ -276,14 +277,29 @@ def exact_substring_dedup(df: DataFrame, id_col: str, text_col: str, *,
 
     Scale shape (100 TB): anchors are one posexplode of a scan-local
     slice/transform — O(total tokens) rows, no UDF. ONE wide shuffle
-    keys the anchors by shingle text for the ownership window (hot keys
-    are bounded exactly like dedup_spans: a partition holds one
-    shingle's occurrence list). Removal positions explode only from
-    NON-OWNER duplicated anchors (≤ k rows each, distinct-bounded by
-    the document's own length), and reconstruction is one groupBy on
-    ``id_col`` whose state is bounded by the document itself. Nothing
-    is ever all-pairs and nothing leaves the cluster.
+    keys the anchors by shingle text for the ownership pass. Removal
+    positions explode only from NON-OWNER duplicated anchors (≤ k rows
+    each, distinct-bounded by the document's own length), and
+    reconstruction is one groupBy on ``id_col`` whose state is bounded
+    by the document itself. Nothing is ever all-pairs and nothing
+    leaves the cluster.
+
+    OWNERSHIP ROUTING (``ownership=``, r8 — PLANS.md "r8 scale
+    evidence"): ``"window"`` (default) resolves owners with one
+    row_number window — one exchange, bench-fastest, but a window
+    partition holds one shingle's ENTIRE occurrence list in one task,
+    which a viral boilerplate shingle (billions of occurrences at
+    100 TB) breaks. ``"agg_join"`` resolves the owner as a min-struct
+    groupBy (partial-aggregates map-side ⇒ the hot shingle's reduce
+    input is ≤ #map-tasks rows, not #occurrences) and joins it back —
+    the join IS AQE-skew-splittable where a window is not (measured,
+    hotkey_join experiment). Identical output (pytest-asserted); route
+    by corpus: window until a shingle's occurrence count can exceed a
+    task's memory, agg_join beyond.
     """
+    if ownership not in ("window", "agg_join"):
+        raise ValueError(
+            f"ownership must be window|agg_join, not {ownership!r}")
     toks = df.select(F.col(id_col), tokens(text_col).alias("_tk"))
     n_starts = F.size("_tk") - (k - 1)
     anchors = (toks.filter(F.size("_tk") >= k)
@@ -292,11 +308,22 @@ def exact_substring_dedup(df: DataFrame, id_col: str, text_col: str, *,
                            F.sequence(F.lit(1), n_starts),
                            lambda s: F.array_join(F.slice("_tk", s, k), " ")))
                        .alias("_p", "_g")))
-    w_ord = Window.partitionBy("_g").orderBy(F.col(id_col), F.col("_p"))
-    # rn > 1 ⟺ the shingle text occurs more than once AND this is not
-    # the owner occurrence — one window, one shuffle, no count needed
-    marked = anchors.withColumn("_rn", F.row_number().over(w_ord))
-    removed_pos = (marked.filter(F.col("_rn") > 1)
+    if ownership == "window":
+        w_ord = Window.partitionBy("_g").orderBy(F.col(id_col), F.col("_p"))
+        # rn > 1 ⟺ the shingle text occurs more than once AND this is
+        # not the owner occurrence — one window, one shuffle, no count
+        marked = anchors.withColumn("_rn", F.row_number().over(w_ord))
+        dup_occ = marked.filter(F.col("_rn") > 1)
+    else:
+        owners = (anchors.groupBy("_g")
+                  .agg(F.min(F.struct(F.col(id_col), F.col("_p")))
+                       .alias("_own"),
+                       F.count(F.lit(1)).alias("_cnt")))
+        dup_occ = (anchors.join(owners, "_g")
+                   .filter((F.col("_cnt") > 1)
+                           & ~((F.col(id_col) == F.col(f"_own.{id_col}"))
+                               & (F.col("_p") == F.col("_own._p")))))
+    removed_pos = (dup_occ
                    .select(F.col(id_col),
                            F.explode(F.sequence(
                                F.col("_p"), F.col("_p") + (k - 1)))

@@ -9453,6 +9453,67 @@ ORDER BY host, doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# §7 — DSIR importance weighting (data selection toward a target set)
+# ---------------------------------------------------------------------------
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/sampling.py::dsir_importance):
+    score every document by hashed-ngram importance toward the English
+    subset as the target distribution, take the 20 most target-like
+    (weight desc, id tie-break). The per-bucket log-ratio quantizes to
+    integer micro-nats BEFORE the per-doc sum, so both engines sum
+    exact int64s (see the operator's determinism contract)."""
+    from comix_etl_spark.operators.sampling import dsir_importance
+
+    t = _t(spark, sf_dir, "documents")
+    d = t["documents"]
+    out = dsir_importance(d, d.filter(F.col("lang") == "en"),
+                          id_col="doc_id", text_col="text", buckets=4096)
+    return (out.orderBy(F.col("dsir_weight_e6").desc(), F.col("doc_id"))
+            .limit(20))
+
+
+# feature = unigram|bigram bag with multiplicity; bucket = md5 first 8
+# hex chars mod 4096 (the repo's cross-engine hash idiom); add-1
+# smoothing; log-ratio quantized to e6 per bucket, summed as BIGINT
+ORACLE_DSIR_WEIGHTS = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), feats AS (
+  SELECT doc_id, lang, unnest(t) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+           AS g
+  FROM toks WHERE len(t) >= 2
+), fb AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS INT) AS b
+  FROM feats
+), sc AS (SELECT b, count(*) AS cs FROM fb GROUP BY b),
+tc AS (SELECT b, count(*) AS ct FROM fb WHERE lang = 'en' GROUP BY b),
+tot AS (SELECT (SELECT sum(cs) FROM sc) AS ns,
+               (SELECT sum(ct) FROM tc) AS nt),
+ratio AS (
+  SELECT sc.b,
+         CAST(round(ln((coalesce(tc.ct, 0) + 1) * (tot.ns + 4096.0)
+                       / ((sc.cs + 1) * (tot.nt + 4096.0))) * 1e6)
+              AS BIGINT) AS lr
+  FROM sc LEFT JOIN tc USING (b), tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       CAST(sum(lr) AS BIGINT) AS dsir_weight_e6
+FROM fb JOIN ratio ON fb.b = ratio.b
+GROUP BY doc_id
+ORDER BY dsir_weight_e6 DESC, doc_id
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -10100,6 +10161,10 @@ QUERIES: dict[str, Query] = {
         q_url_dedup, ORACLE_URL_DEDUP,
         "C4/RefinedWeb stage-1: URL canonicalization dedup + per-host "
         "cap", ("documents",)),
+    "dsir_weights": Query(
+        q_dsir_weights, ORACLE_DSIR_WEIGHTS,
+        "DSIR hashed-ngram importance weights toward a target set",
+        ("documents",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -10117,7 +10182,7 @@ QUERIES: dict[str, Query] = {
 # whose verdicts are 5 rounds stale (VERDICT r7 "What's missing" #2),
 # then 24 of the 49 r4-era greens (oldest remaining verdicts, cheap
 # analytic shapes). r9 BACKLOG: the other 25 r4-era greens
-# (stream_session_window, ann_pq, revenue_anomaly, peak_concurrency,
+# (mad_outliers, stream_session_window, ann_pq, revenue_anomaly, peak_concurrency,
 # compress_ratio, asof_forward, temperature_mixture, fk_audit,
 # late_suppliers, group_mode, running_distinct, trend_slopes,
 # value_bands, nullsafe_join, mom_growth, inverted_index,
@@ -10128,8 +10193,9 @@ QUERIES: dict[str, Query] = {
 # hash-checked _det siblings passed r5/r6) + any r8-new queries that
 # miss this window.
 _CHECK_FIRST = [
-    # NEW in r8 — C4/RefinedWeb URL canonicalization dedup + host cap
-    "url_dedup",
+    # NEW in r8 — C4/RefinedWeb URL canonicalization dedup + host cap,
+    # and DSIR hashed-ngram importance weighting (data selection)
+    "url_dedup", "dsir_weights",
     # never driver-checked (landed after the r7 window froze) — cheap
     # scan-local / sketch shapes first
     "markup_strip", "ks_drift", "cms_freq", "ams_f2",
@@ -10150,7 +10216,6 @@ _CHECK_FIRST = [
     "session_stats", "salted_agg", "multimodal_frames",
     "token_histogram", "lm_score", "small_qty_revenue",
     "constraint_audit", "window_profile", "approx_percentiles",
-    "mad_outliers",
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 QUERIES = {

@@ -361,3 +361,27 @@ def test_ks_two_sample_bounds_and_shift(spark):
         + [(float(i + 100), False) for i in range(200)]
     df = spark.createDataFrame(rows, "v double, a boolean")
     assert ks_two_sample(df, "v", "a").collect()[0].d_stat_e6 == 500_000
+
+
+def test_dsir_importance_ranks_target_like_docs_higher(spark):
+    """Documents drawn from the target vocabulary must outscore
+    documents from a disjoint vocabulary; weights are integer
+    micro-nats summed exactly (rerun-stable)."""
+    from comix_etl_spark.operators.sampling import dsir_importance
+
+    tgt_text = "the quick brown fox jumps over the lazy dog again and again"
+    src_text = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    rows = ([(i, tgt_text) for i in range(10)]
+            + [(100 + i, src_text) for i in range(30)])
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    target = corpus.filter("doc_id < 10")
+    out = dsir_importance(corpus, target, id_col="doc_id",
+                          text_col="text", buckets=512)
+    w = {r.doc_id: r.dsir_weight_e6 for r in out.collect()}
+    assert len(w) == 40
+    assert min(w[i] for i in range(10)) > max(w[100 + i] for i in range(30))
+    # deterministic across executions
+    w2 = {r.doc_id: r.dsir_weight_e6 for r in dsir_importance(
+        corpus, target, id_col="doc_id", text_col="text",
+        buckets=512).collect()}
+    assert w == w2
