@@ -605,3 +605,58 @@ def knn_join_lsh(corpus: DataFrame, *, dim: int, id_col: str = "vec_id",
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine_sim"), F.col("id_b"))
     return (scored.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def kcenter_sample(df: DataFrame, *, id_col: str = "vec_id",
+                   vec_col: str = "embedding", k: int = 8) -> DataFrame:
+    """Greedy k-center / farthest-point diversity sampling (Gonzalez
+    1985) over an embedding column — the coverage-maximizing SELECTION
+    step of data curation (pick k maximally-diverse exemplars; the
+    2-approximation to the optimal k-center cover). Distance = cosine
+    distance quantized to integer micro-units, so every argmax compares
+    int64s and the sample is engine- and rerun-deterministic (the same
+    6dp-rounded-cosine idiom the ANN oracles already prove).
+
+    Plan per round (k-1 rounds after the min-id seed): the chosen
+    centers ride INSIDE the expression as literal arrays (k·dim
+    doubles — broadcast-by-constant), one scan computes min distance to
+    the chosen set, and a TakeOrdered(1) picks the farthest point —
+    O(k) scans total, no pairwise shuffle, driver state bounded by k
+    vectors. At 100 TB this is k passes over the corpus; for large k
+    switch to the cached-min-distance variant (keep a running _mind
+    column, localCheckpoint per round — same kmeans-loop shape).
+
+    Returns (sel_order, id, mindist_e6): selection order (0 = seed),
+    point id, and its min cosine distance ×1e6 to the previously
+    chosen set at selection time (NULL for the seed).
+    """
+    from comix_etl_spark.functions.vector import cosine
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    src = df.select(F.col(id_col).cast("long").alias("_id"),
+                    F.transform(F.col(vec_col),
+                                lambda x: x.cast("double")).alias("_v"))
+    seed = src.orderBy("_id").limit(1).collect()
+    if not seed:
+        return df.sparkSession.createDataFrame(
+            [], "sel_order int, id long, mindist_e6 long")
+    chosen: list[tuple[int, list, int | None]] = [
+        (seed[0]._id, list(seed[0]._v), None)]
+    for _ in range(1, k):
+        dists = [F.round((F.lit(1.0) - F.round(
+            cosine(F.col("_v"),
+                   F.array(*[F.lit(float(x)) for x in vec])), 6))
+            * 1e6).cast("long")
+            for (_cid, vec, _md) in chosen]
+        mind = F.least(*dists) if len(dists) > 1 else dists[0]
+        picked = (src.filter(~F.col("_id").isin([c[0] for c in chosen]))
+                  .select("_id", "_v", mind.alias("_md"))
+                  .orderBy(F.col("_md").desc(), F.col("_id").asc())
+                  .limit(1).collect())
+        if not picked:  # k exceeds the corpus — return what exists
+            break
+        chosen.append((picked[0]._id, list(picked[0]._v), picked[0]._md))
+    return df.sparkSession.createDataFrame(
+        [(i, cid, md) for i, (cid, _vec, md) in enumerate(chosen)],
+        "sel_order int, id long, mindist_e6 long")

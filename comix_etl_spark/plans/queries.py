@@ -9514,6 +9514,67 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# §7 — k-center diversity sampling (greedy farthest-point)
+# ---------------------------------------------------------------------------
+
+def q_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy farthest-point diversity sample of 8 exemplars over the
+    embeddings table (operators/similarity.py::kcenter_sample) — the
+    coverage-maximizing selection step of data curation. Distances are
+    integer micro-units of 6dp-rounded cosine, so every argmax is an
+    int64 comparison and both engines pick identical centers. Oracle =
+    the 7 selection rounds unrolled as chained CTEs (generated below,
+    same idiom as ORACLE_PAGERANK)."""
+    from comix_etl_spark.operators.similarity import kcenter_sample
+
+    t = _t(spark, sf_dir, "embeddings")
+    return (kcenter_sample(t["embeddings"], id_col="vec_id",
+                           vec_col="embedding", k=8)
+            .orderBy("sel_order"))
+
+
+def _kcenter_oracle_sql(k: int = 8) -> str:
+    """Unrolled greedy k-center oracle: per round, min integer-quantized
+    cosine distance to the chosen set, argmax with id tie-break —
+    mirrors kcenter_sample round by round."""
+    parts = ["""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), s0 AS MATERIALIZED (
+  SELECT vec_id, v, 0 AS sel_order, CAST(NULL AS BIGINT) AS md
+  FROM emb WHERE vec_id = (SELECT min(vec_id) FROM emb)
+)"""]
+    for i in range(1, k):
+        p = f"s{i - 1}"
+        # MATERIALIZED is load-bearing: each s{{i}} is referenced three
+        # times (cross side, NOT IN, union); inlined CTEs re-expand the
+        # whole chain 3^k times (measured: k=4 0.1 s, k=8 timeout)
+        parts.append(f""", m{i} AS MATERIALIZED (
+  SELECT e.vec_id,
+         min(CAST(round((1 - round(list_dot_product(e.v, c.v)
+             / (sqrt(list_dot_product(e.v, e.v))
+                * sqrt(list_dot_product(c.v, c.v))), 6)) * 1e6)
+             AS BIGINT)) AS md
+  FROM emb e, {p} c
+  WHERE e.vec_id NOT IN (SELECT vec_id FROM {p})
+  GROUP BY e.vec_id
+), c{i} AS MATERIALIZED (
+  SELECT m.vec_id, emb.v, {i} AS sel_order, m.md
+  FROM m{i} m JOIN emb USING (vec_id)
+  ORDER BY m.md DESC, m.vec_id LIMIT 1
+), s{i} AS MATERIALIZED (
+  SELECT * FROM {p} UNION ALL SELECT * FROM c{i}
+)""")
+    parts.append(f"""
+SELECT sel_order, vec_id AS id, md AS mindist_e6
+FROM s{k - 1} ORDER BY sel_order""")
+    return "".join(parts)
+
+
+ORACLE_KCENTER_SAMPLE = _kcenter_oracle_sql(8)
+
+
 QUERIES: dict[str, Query] = {
     "stats_topk": Query(q_stats_topk, ORACLE_STATS_TOPK,
                         "A1/J1/O3 top-k dims by fact count", ("lineitem", "part")),
@@ -10165,6 +10226,10 @@ QUERIES: dict[str, Query] = {
         q_dsir_weights, ORACLE_DSIR_WEIGHTS,
         "DSIR hashed-ngram importance weights toward a target set",
         ("documents",)),
+    "kcenter_sample": Query(
+        q_kcenter_sample, ORACLE_KCENTER_SAMPLE,
+        "greedy farthest-point k-center diversity sample (8 exemplars)",
+        ("embeddings",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -10182,7 +10247,7 @@ QUERIES: dict[str, Query] = {
 # whose verdicts are 5 rounds stale (VERDICT r7 "What's missing" #2),
 # then 24 of the 49 r4-era greens (oldest remaining verdicts, cheap
 # analytic shapes). r9 BACKLOG: the other 25 r4-era greens
-# (mad_outliers, stream_session_window, ann_pq, revenue_anomaly, peak_concurrency,
+# (approx_percentiles, mad_outliers, stream_session_window, ann_pq, revenue_anomaly, peak_concurrency,
 # compress_ratio, asof_forward, temperature_mixture, fk_audit,
 # late_suppliers, group_mode, running_distinct, trend_slopes,
 # value_bands, nullsafe_join, mom_growth, inverted_index,
@@ -10194,8 +10259,9 @@ QUERIES: dict[str, Query] = {
 # miss this window.
 _CHECK_FIRST = [
     # NEW in r8 — C4/RefinedWeb URL canonicalization dedup + host cap,
-    # and DSIR hashed-ngram importance weighting (data selection)
-    "url_dedup", "dsir_weights",
+    # DSIR hashed-ngram importance weighting (data selection), and
+    # greedy k-center diversity sampling
+    "url_dedup", "dsir_weights", "kcenter_sample",
     # never driver-checked (landed after the r7 window froze) — cheap
     # scan-local / sketch shapes first
     "markup_strip", "ks_drift", "cms_freq", "ams_f2",
@@ -10215,7 +10281,7 @@ _CHECK_FIRST = [
     "cdc_apply", "embedding_dim_stats", "grouping_sets", "topk_ties",
     "session_stats", "salted_agg", "multimodal_frames",
     "token_histogram", "lm_score", "small_qty_revenue",
-    "constraint_audit", "window_profile", "approx_percentiles",
+    "constraint_audit", "window_profile",
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 QUERIES = {

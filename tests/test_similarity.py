@@ -242,3 +242,30 @@ def test_knn_join_recall_vs_brute_force(spark, sf_small):
     true_edges = {(q, v) for q, vs in per_q.items() for v in vs}
     recall = len(true_edges & got_edges) / len(true_edges)
     assert recall >= 0.5, f"kNN-join recall {recall:.2f}"
+
+
+def test_kcenter_sample_picks_diverse_exemplars(spark):
+    """Three tight clusters + k=3 must pick one exemplar per cluster
+    (farthest-point coverage), seeded at the min id; k > n truncates."""
+    from comix_etl_spark.operators.similarity import kcenter_sample
+
+    def around(base, eps):
+        return [base[0] + eps, base[1] + eps]
+
+    a, b, c = [1.0, 0.0], [0.0, 1.0], [-1.0, -1.0]
+    rows = [(0, around(a, 0.00)), (1, around(a, 0.01)),
+            (2, around(b, 0.00)), (3, around(b, 0.01)),
+            (4, around(c, 0.00)), (5, around(c, 0.01))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kcenter_sample(df, id_col="vec_id", vec_col="embedding", k=3).collect()
+    assert [r.sel_order for r in out] == [0, 1, 2]
+    picked = [r.id for r in out]
+    assert picked[0] == 0  # min-id seed
+    clusters = {0: "a", 1: "a", 2: "b", 3: "b", 4: "c", 5: "c"}
+    assert len({clusters[i] for i in picked}) == 3  # one per cluster
+    assert out[0].mindist_e6 is None and out[1].mindist_e6 > 0
+
+    # k exceeding the corpus truncates instead of looping
+    small = spark.createDataFrame(rows[:2], "vec_id long, embedding array<double>")
+    assert kcenter_sample(small, id_col="vec_id", vec_col="embedding",
+                          k=5).count() == 2
