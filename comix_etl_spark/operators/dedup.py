@@ -514,18 +514,17 @@ def embedding_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
     spark = df.sparkSession
     src = _spread_small_scan(
         df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v")))
-    # one materialization for probe + collect + the final batch scan:
-    # without it the upstream plan executes three times, and for a
-    # non-deterministic or concurrently-growing source the row count
-    # could change between the probe and the collect, making the
-    # driver-OOM guard porous (the probe must see the SAME rows the
-    # collect pulls). localCheckpoint severs lineage and pins the
-    # partitions; cleanup rides the RDD's GC.
-    src = src.localCheckpoint(eager=True)
-    # guard BEFORE collect: the limit-probe is bounded work, whereas
-    # collect-then-check would already have pulled an oversized corpus
-    # into the driver (OOM) before the ValueError could fire
-    if src.limit(max_broadcast_rows + 1).count() > max_broadcast_rows:
+    # one BOUNDED materialization shared by probe + collect + the final
+    # batch scan: checkpointing the LIMITED frame (not src) keeps the
+    # guard's bounded-work contract — an oversized corpus materializes
+    # at most max_broadcast_rows + 1 rows before the ValueError fires —
+    # while still guaranteeing the probe counts the SAME rows the
+    # collect pulls (a non-deterministic or concurrently-growing source
+    # can no longer slip extra rows between the two). When the guard
+    # passes, the limited frame IS the whole corpus, so the mapInPandas
+    # scan below reads the identical materialization too.
+    src = src.limit(max_broadcast_rows + 1).localCheckpoint(eager=True)
+    if src.count() > max_broadcast_rows:
         raise ValueError(
             f"more than max_broadcast_rows={max_broadcast_rows} vectors; "
             "bucket with LSH first and verify per bucket")

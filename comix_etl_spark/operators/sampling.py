@@ -227,13 +227,22 @@ def dsir_importance(corpus: DataFrame, target: DataFrame, *, id_col: str,
     totals = (src_counts.agg(F.sum("_cs").alias("_ns"))
               .crossJoin(tgt_counts.agg(F.sum("_ct").alias("_nt"))))
     b = F.lit(buckets).cast("double")
+    lr = F.round(F.log(
+        (F.coalesce(F.col("_ct"), F.lit(0)) + 1).cast("double")
+        * (F.col("_ns") + b)
+        / ((F.col("_cs") + 1).cast("double") * (F.col("_nt") + b))
+    ) * 1e6).cast("long")
+    # an EMPTY target (e.g. a filter that matched nothing) makes _nt
+    # NULL, which would silently NULL every weight and turn the
+    # downstream top-k into arbitrary selection — fail loud instead
+    checked_lr = F.when(
+        F.assert_true(F.col("_nt").isNotNull(),
+                      F.lit("dsir_importance: target set is empty — "
+                            "no distribution to weight toward")).isNull(),
+        lr)
     ratio = (src_counts.join(tgt_counts, "_b", "left")
              .crossJoin(F.broadcast(totals))
-             .select("_b", F.round(F.log(
-                 (F.coalesce(F.col("_ct"), F.lit(0)) + 1).cast("double")
-                 * (F.col("_ns") + b)
-                 / ((F.col("_cs") + 1).cast("double") * (F.col("_nt") + b))
-             ) * 1e6).cast("long").alias("_lr_e6")))
+             .select("_b", checked_lr.alias("_lr_e6")))
     return (src.join(F.broadcast(ratio), "_b")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_feats"),

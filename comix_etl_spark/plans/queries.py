@@ -9380,7 +9380,7 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("https://"), host, F.lit("/docs/"),
                             page, F.lit("?v=1"))))
     docs = d.select("doc_id", "n_chars", url.alias("url"))
-    out = D.url_dedup(docs, url_col="url", id_col="doc_id",
+    out = url_dedup(docs, url_col="url", id_col="doc_id",
                       quality_col="n_chars", per_host_cap=3)
     return (out.select(F.col("id").alias("doc_id"), "host", "canon_url",
                        "n_variants")
@@ -10245,8 +10245,8 @@ QUERIES: dict[str, Query] = {
 # take the first slots (never-checked first-timers, cheap shapes before
 # the pair/iterative ones), then the 19 oracle-backed r3-era greens
 # whose verdicts are 5 rounds stale (VERDICT r7 "What's missing" #2),
-# then 24 of the 49 r4-era greens (oldest remaining verdicts, cheap
-# analytic shapes). r9 BACKLOG: the other 25 r4-era greens
+# then 22 of the 49 r4-era greens (oldest remaining verdicts, cheap
+# analytic shapes). r9 BACKLOG: the other 27 r4-era greens
 # (approx_percentiles, mad_outliers, stream_session_window, ann_pq, revenue_anomaly, peak_concurrency,
 # compress_ratio, asof_forward, temperature_mixture, fk_audit,
 # late_suppliers, group_mode, running_distinct, trend_slopes,

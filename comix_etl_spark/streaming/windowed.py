@@ -223,11 +223,17 @@ def foreach_batch_drift(metrics_path: str, ref_edges: list[float],
         # legacy-layout guard (see docstring): root-level data files
         # mean the table was written by the pre-r7 append-with-column
         # sink; mixing in partition dirs would make the whole table
-        # unreadable — fail loud with the migration path instead
+        # unreadable — fail loud with the migration path instead.
+        # Local paths only (bare or file:): a remote metrics_path
+        # (hdfs://, s3a://) bypasses this best-effort check — migrate
+        # remote legacy tables manually before pointing the sink there.
         import os
 
-        if os.path.isdir(metrics_path):
-            legacy = [f for f in os.listdir(metrics_path)
+        local = metrics_path
+        if local.startswith("file:"):
+            local = local[len("file:"):] or "/"
+        if "://" not in local and os.path.isdir(local):
+            legacy = [f for f in os.listdir(local)
                       if not f.startswith(("batch_id=", "_", "."))]
             if legacy:
                 raise ValueError(

@@ -3,7 +3,7 @@ executed 10x evidence beyond the dedup/ANN family to the three other
 shuffle-heavy shapes. Each experiment ends in a hazard-or-holds verdict
 recorded in PLANS.md.
 
-1. PLANTED HOT KEY x SALTING — a join where one key holds 50% of the
+1. PLANTED HOT KEY x SALTING — a join where one key holds 80% of the
    fact side, run three ways: naive SMJ with AQE skew-join OFF (the
    unprotected plan), naive with AQE skew-join ON (what the session
    config ships), and the explicit ``salted_join``. Evidence = wall
@@ -100,7 +100,7 @@ def timed(spark, build) -> dict:
 
 
 def exp_join(spark) -> dict:
-    """Planted hot key: 50% of 10M fact rows on key 0, 10k-key dim."""
+    """Planted hot key: 80% of 10M fact rows on key 0, 10k-key dim."""
     from pyspark.sql import functions as F
 
     from comix_etl_spark.operators.relational import salted_join

@@ -385,3 +385,19 @@ def test_dsir_importance_ranks_target_like_docs_higher(spark):
         corpus, target, id_col="doc_id", text_col="text",
         buckets=512).collect()}
     assert w == w2
+
+
+def test_dsir_importance_empty_target_fails_loud(spark):
+    """Review r8: an empty target must raise, not silently NULL every
+    weight (which would turn downstream top-k into arbitrary picks)."""
+    import pytest
+
+    from comix_etl_spark.operators.sampling import dsir_importance
+
+    corpus = spark.createDataFrame(
+        [(1, "some words here"), (2, "other words there")],
+        "doc_id long, text string")
+    empty_target = corpus.filter("doc_id < 0")
+    with pytest.raises(Exception, match="target set is empty"):
+        dsir_importance(corpus, empty_target, id_col="doc_id",
+                        text_col="text", buckets=64).collect()
