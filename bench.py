@@ -65,10 +65,14 @@ def main() -> None:
     # one-time, 0.5 s steady); quantize_calibrated's calibrate-then-
     # quantize Arrow shape is likewise first-touch-heavy (5.8 s cold,
     # 0.7 s warm — isolate-profiled r7)
+    # cusum_changepoint warms the global_running_sum family
+    # (repartitionByRange + lazy localCheckpoint + offset window):
+    # isolate-profiled r8 at 9.45 s cold vs 1.48 s steady — without the
+    # warm-up the registry-order neighbor absorbs that one-time cost
     for warm in ("stats_topk", "order_sequence", "token_counts",
                  "doc_quality", "ann_cosine_topk", "simhash_det",
                  "ann_ivf_det", "bpe_train", "rest_datasource",
-                 "quantize_calibrated"):
+                 "quantize_calibrated", "cusum_changepoint"):
         if warm in QUERIES:
             (QUERIES[warm].builder(spark, sf_dir)
              .write.format("noop").mode("overwrite").save())
