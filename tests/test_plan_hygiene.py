@@ -202,3 +202,30 @@ def test_dedup_incremental_no_corpus_self_join(spark, sf_small):
 
     s = plan_summary(QUERIES["dedup_incremental"].builder(spark, sf_small))
     assert s.n_sort_merge_joins == 0
+
+
+def test_dsir_target_filter_pushed_and_ratio_broadcast(spark, sf_small):
+    # The lang='en' target predicate must reach the parquet scan, and
+    # the bucket ratio table must come back as a broadcast join (never
+    # a corpus-side shuffle on the bucket key).
+    from comix_etl_spark.plans.introspect import plan_summary
+
+    df = QUERIES["dsir_weights"].builder(spark, sf_small)
+    plan = _plan(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("EqualTo(lang,en)" in ln for ln in pushed), plan
+    s = plan_summary(df)
+    assert s.n_broadcast_hash_joins >= 1, s
+    assert s.n_sort_merge_joins == 0, s
+
+
+def test_url_dedup_single_scan_no_joins(spark, sf_small):
+    # Canonicalization is scan-local: one documents scan, no join of
+    # any kind; the only exchanges are the canon groupBy, the host
+    # window, and the output sort.
+    from comix_etl_spark.plans.introspect import plan_summary
+
+    s = plan_summary(QUERIES["url_dedup"].builder(spark, sf_small))
+    assert s.n_scans == 1, s
+    assert s.n_sort_merge_joins == 0 and s.n_broadcast_hash_joins == 0, s
+    assert s.n_exchanges <= 3, s
