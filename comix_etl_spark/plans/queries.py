@@ -9339,32 +9339,15 @@ GROUP BY 1 ORDER BY cnt DESC, segment LIMIT 10
 # §7 — URL-level dedup + per-host cap (C4 / RefinedWeb stage 1)
 # ---------------------------------------------------------------------------
 
-def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL canonicalization dedup with a per-host document cap — the
-    missing web-corpus stage flagged by VERDICT r7 #6 (C4/RefinedWeb:
-    tracking-param/scheme/port/slash-variant recrawls of a page must
-    collapse BEFORE content hashing, and no single host may dominate
-    the mix).
-
-    Each document derives five deterministic crawl-variant surface
-    forms of one logical URL (uppercase www + utm params, explicit :80,
-    :443 + doubled slash + trailing slash + fragment, schemeless +
-    tracking tail, and the clean form); canonicalization must collapse
-    all five, quality (n_chars) elects the keeper, and a per-host cap
-    of 3 ranks hosts' keepers. 500 docs → 100 canonical URLs → 60 kept
-    at sf0.01.
-
-    Plan: canonicalize is scan-local codegen (functions/url.py); one
-    groupBy on the near-unique canonical URL; one host-keyed window
-    over keeper rows only (id/host/score — no text). See
-    operators/dedup.py::url_dedup for the 100 TB contract."""
-    from comix_etl_spark.operators.dedup import url_dedup
-
-    t = _t(spark, sf_dir, "documents")
-    d = t["documents"]
-    # source = src(doc_id % 20) in the testdata, so a 5-variant group
-    # must hold doc_ids congruent mod 20: ids {100*page + 20*v + k}
-    # share source src_k and page, differing only in the variant form
+def _crawl_urls(d: DataFrame) -> DataFrame:
+    """Five deterministic crawl-variant surface forms of one logical URL
+    per document (uppercase www + utm params, explicit :80, :443 +
+    doubled slash + trailing slash + fragment, schemeless + tracking
+    tail, and the clean form). source = src(doc_id % 20) in the
+    testdata, so a 5-variant group must hold doc_ids congruent mod 20:
+    ids {100*page + 20*v + k} share source src_k and page, differing
+    only in the variant form. Shared by q_url_dedup and
+    q_web_corpus_prep (SQL mirror: _URL_CANON_CTES)."""
     page = F.expr("doc_id DIV 100").cast("string")
     host = F.concat(F.col("source"), F.lit(".example.com"))
     v = F.expr("(doc_id DIV 20) % 5")
@@ -9379,9 +9362,31 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.lit("?v=1&utm_campaign=x&ref=tw")))
         .otherwise(F.concat(F.lit("https://"), host, F.lit("/docs/"),
                             page, F.lit("?v=1"))))
-    docs = d.select("doc_id", "n_chars", url.alias("url"))
+    return d.select("doc_id", "n_chars", url.alias("url"))
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup with a per-host document cap — the
+    missing web-corpus stage flagged by VERDICT r7 #6 (C4/RefinedWeb:
+    tracking-param/scheme/port/slash-variant recrawls of a page must
+    collapse BEFORE content hashing, and no single host may dominate
+    the mix).
+
+    Canonicalization must collapse all five crawl variants
+    (_crawl_urls), quality (n_chars) elects the keeper, and a per-host
+    cap of 3 ranks hosts' keepers. 500 docs → 100 canonical URLs → 60
+    kept at sf0.01.
+
+    Plan: canonicalize is scan-local codegen (functions/url.py); one
+    groupBy on the near-unique canonical URL; one host-keyed window
+    over keeper rows only (id/host/score — no text). See
+    operators/dedup.py::url_dedup for the 100 TB contract."""
+    from comix_etl_spark.operators.dedup import url_dedup
+
+    t = _t(spark, sf_dir, "documents")
+    docs = _crawl_urls(t["documents"])
     out = url_dedup(docs, url_col="url", id_col="doc_id",
-                      quality_col="n_chars", per_host_cap=3)
+                    quality_col="n_chars", per_host_cap=3)
     return (out.select(F.col("id").alias("doc_id"), "host", "canon_url",
                        "n_variants")
             .orderBy("host", "doc_id"))
@@ -9390,8 +9395,13 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mirrors functions/url.py's canonical form 1:1 (scheme/fragment strip,
 # host lower + www./default-port strip, slash collapse, tracking-param
 # filter + param sort), then keeper election + per-host cap
-ORACLE_URL_DEDUP = """
-WITH raw AS (
+# shared canonicalization CTE chain (mirrors functions/url.py 1:1):
+# crawl-variant derivation, scheme/fragment strip, host lower +
+# www./default-port strip, slash collapse, tracking-param filter +
+# param sort, then keeper election. Composed by ORACLE_URL_DEDUP (over
+# the raw table) and ORACLE_WEB_CORPUS_PREP (over the quality-gated
+# subset) with different per-host caps.
+_URL_CANON_CTES_TMPL = """raw AS (
   SELECT doc_id, n_chars,
          CASE CAST((doc_id // 20) % 5 AS INT)
            WHEN 0 THEN 'https://WWW.' || source || '.example.com/docs/' ||
@@ -9405,7 +9415,7 @@ WITH raw AS (
            ELSE 'https://' || source || '.example.com/docs/' ||
                 (doc_id // 100) || '?v=1'
          END AS url
-  FROM documents
+  FROM {src}
 ), bare AS (
   SELECT doc_id, n_chars,
          regexp_replace(regexp_replace(trim(url),
@@ -9441,7 +9451,18 @@ WITH raw AS (
          row_number() OVER (PARTITION BY canon_url
                             ORDER BY n_chars DESC, doc_id) AS _rk
   FROM canon
-), capped AS (
+)"""
+
+
+def _url_canon_ctes(src: str = "documents") -> str:
+    return _URL_CANON_CTES_TMPL.replace("{src}", src)
+
+
+_URL_CANON_CTES = _url_canon_ctes()
+
+
+ORACLE_URL_DEDUP = f"""
+WITH {_URL_CANON_CTES}, capped AS (
   SELECT doc_id, host, canon_url, n_variants,
          row_number() OVER (PARTITION BY host
                             ORDER BY n_chars DESC, doc_id) AS _rh
@@ -9450,6 +9471,79 @@ WITH raw AS (
 SELECT doc_id, host, canon_url, n_variants
 FROM capped WHERE _rh <= 3
 ORDER BY host, doc_id
+"""
+
+
+def q_web_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed WEB-corpus prep pipeline in ONE plan, in the C4
+    stage order: quality gate FIRST (score ≥ 0.8 — the corpus scores
+    {0.3, 0.6, 0.7, 1.0}, so the gate removes ~10% and changes which
+    crawl variant wins keeper election downstream), then URL
+    canonicalization dedup + per-host cap (4), then exact content
+    dedup, then the per-HOST doc/token budget. The web-crawl sibling of
+    q_corpus_prep, proving the r8 URL stage composes with the content
+    chain in a single Catalyst plan: the gate is scan-local, the URL
+    stage shuffles slim (id, url-derived) rows, and only the tiny host
+    rollup leaves the executors."""
+    from comix_etl_spark.operators.dedup import url_dedup
+
+    t = _t(spark, sf_dir, "documents")
+    gated = t["documents"].filter(text.quality_score("text") >= 0.8)
+    kept_urls = url_dedup(_crawl_urls(gated), url_col="url",
+                          id_col="doc_id", quality_col="n_chars",
+                          per_host_cap=4)
+    kept = gated.join(kept_urls.select(F.col("id").alias("doc_id"), "host"),
+                      "doc_id")
+    feat = kept.select(
+        "doc_id", "host",
+        text.fingerprint("text").alias("fp"),
+        text.token_count("text").alias("n_tokens"))
+    deduped = (feat.withColumn(
+        "keep_id", F.min("doc_id").over(Window.partitionBy("fp")))
+        .filter(F.col("doc_id") == F.col("keep_id")))
+    return (deduped.groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"))
+            .orderBy("host"))
+
+
+ORACLE_WEB_CORPUS_PREP = f"""
+WITH gated AS (
+  SELECT doc_id, n_chars, source, text
+  FROM (
+    SELECT *, {_Q_EXPR} AS q
+    FROM (SELECT *,
+         CAST(len(list_filter(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> ''),
+                              x -> list_contains(['the','a','of','and','is'], x))) AS DOUBLE)
+           / CAST(CASE WHEN len(trim(text)) = 0 THEN 1
+                       ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) END AS DOUBLE)
+           AS sw_ratio
+          FROM documents))
+  WHERE q >= 0.8
+), {_url_canon_ctes('gated')}, capped AS (
+  SELECT doc_id, host,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY n_chars DESC, doc_id) AS _rh
+  FROM keepers WHERE _rk = 1
+), kept AS (
+  SELECT c.doc_id, c.host, g.text
+  FROM capped c JOIN gated g USING (doc_id)
+  WHERE c._rh <= 4
+), feat AS (
+  SELECT doc_id, host,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) END AS n_tokens
+  FROM kept
+), keep AS (
+  SELECT fp, min(doc_id) AS keep_id FROM feat GROUP BY fp
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM feat JOIN keep ON feat.fp = keep.fp AND feat.doc_id = keep.keep_id
+GROUP BY host
+ORDER BY host
 """
 
 
@@ -10230,6 +10324,10 @@ QUERIES: dict[str, Query] = {
         q_kcenter_sample, ORACLE_KCENTER_SAMPLE,
         "greedy farthest-point k-center diversity sample (8 exemplars)",
         ("embeddings",)),
+    "web_corpus_prep": Query(
+        q_web_corpus_prep, ORACLE_WEB_CORPUS_PREP,
+        "composed web pipeline: URL dedup + host cap -> quality gate -> "
+        "exact dedup -> per-host budget", ("documents",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -10245,9 +10343,9 @@ QUERIES: dict[str, Query] = {
 # take the first slots (never-checked first-timers, cheap shapes before
 # the pair/iterative ones), then the 19 oracle-backed r3-era greens
 # whose verdicts are 5 rounds stale (VERDICT r7 "What's missing" #2),
-# then 22 of the 49 r4-era greens (oldest remaining verdicts, cheap
-# analytic shapes). r9 BACKLOG: the other 27 r4-era greens
-# (approx_percentiles, mad_outliers, stream_session_window, ann_pq, revenue_anomaly, peak_concurrency,
+# then 21 of the 49 r4-era greens (oldest remaining verdicts, cheap
+# analytic shapes). r9 BACKLOG: the other 28 r4-era greens
+# (window_profile, approx_percentiles, mad_outliers, stream_session_window, ann_pq, revenue_anomaly, peak_concurrency,
 # compress_ratio, asof_forward, temperature_mixture, fk_audit,
 # late_suppliers, group_mode, running_distinct, trend_slopes,
 # value_bands, nullsafe_join, mom_growth, inverted_index,
@@ -10259,9 +10357,10 @@ QUERIES: dict[str, Query] = {
 # miss this window.
 _CHECK_FIRST = [
     # NEW in r8 — C4/RefinedWeb URL canonicalization dedup + host cap,
-    # DSIR hashed-ngram importance weighting (data selection), and
-    # greedy k-center diversity sampling
-    "url_dedup", "dsir_weights", "kcenter_sample",
+    # DSIR hashed-ngram importance weighting (data selection), greedy
+    # k-center diversity sampling, and the composed gate->URL-dedup->
+    # content-dedup->budget web pipeline
+    "url_dedup", "dsir_weights", "kcenter_sample", "web_corpus_prep",
     # never driver-checked (landed after the r7 window froze) — cheap
     # scan-local / sketch shapes first
     "markup_strip", "ks_drift", "cms_freq", "ams_f2",
@@ -10281,7 +10380,7 @@ _CHECK_FIRST = [
     "cdc_apply", "embedding_dim_stats", "grouping_sets", "topk_ties",
     "session_stats", "salted_agg", "multimodal_frames",
     "token_histogram", "lm_score", "small_qty_revenue",
-    "constraint_audit", "window_profile",
+    "constraint_audit",
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 QUERIES = {
