@@ -254,3 +254,30 @@ def test_url_dedup_collapses_variants_elects_keeper_and_caps_host(spark):
                     quality_col="q").collect()
     assert [r.id for r in got] == [8]
     assert got[0].n_variants == 2
+
+
+def test_url_dedup_two_phase_cap_matches_window(spark):
+    """The two_phase host-cap route (hot-host 100 TB path) must be
+    output-identical to the window route — exact local-then-global
+    top-N, including quality ties broken by id."""
+    from comix_etl_spark.operators.dedup import url_dedup
+
+    rows = []
+    # hot host: 40 pages with ties in quality; cold host: 3 pages
+    for i in range(40):
+        rows.append((i, f"https://hot.com/p/{i}", float(i % 5)))
+    for i in range(3):
+        rows.append((100 + i, f"https://cold.com/p/{i}", float(i)))
+    df = spark.createDataFrame(rows, "id long, url string, q double")
+    a = sorted(map(tuple, url_dedup(
+        df, url_col="url", id_col="id", quality_col="q",
+        per_host_cap=6, cap_mode="window").collect()))
+    b = sorted(map(tuple, url_dedup(
+        df, url_col="url", id_col="id", quality_col="q",
+        per_host_cap=6, cap_mode="two_phase", cap_salts=4).collect()))
+    assert a == b and len([r for r in a if "hot.com" in r[1]]) == 6
+
+    import pytest
+    with pytest.raises(ValueError, match="cap_mode"):
+        url_dedup(df, url_col="url", id_col="id", per_host_cap=2,
+                  cap_mode="nope")
