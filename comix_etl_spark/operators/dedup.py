@@ -712,8 +712,7 @@ def set_similarity_join_prefix(docs: DataFrame, *, id_col: str = "doc_id",
 
 def url_dedup(df: DataFrame, *, url_col: str, id_col: str,
               quality_col: str | None = None,
-              per_host_cap: int | None = None,
-              cap_mode: str = "window", cap_salts: int = 32) -> DataFrame:
+              per_host_cap: int | None = None) -> DataFrame:
     """C4/RefinedWeb-style URL-level dedup — the cheapest dedup stage of
     a web-corpus pipeline, run BEFORE any content hashing: collapse
     recrawls/tracking-variant URLs of the same logical page, then
@@ -738,19 +737,20 @@ def url_dedup(df: DataFrame, *, url_col: str, id_col: str,
     100 TB shape: exactly two shuffles — a groupBy keyed on the
     canonical URL (near-unique key ⇒ well spread; map-side combine
     shrinks recrawl groups early) and, only when capping, the host-cap
-    ranking. Host keys are Zipf-skewed at web scale, and the cap has
-    the same routing contract as exact_substring_dedup's ownership:
-    ``cap_mode="window"`` (default) ranks each host in one window
-    partition — bench-fastest, but a single task holds ALL of a hot
-    host's keeper rows (a million-page host at web scale is a
-    single-task ceiling; windows are not AQE-splittable).
-    ``cap_mode="two_phase"`` takes the EXACT local-then-global top-N
-    route: top-cap within each of ``cap_salts`` salt buckets per host
-    (bounded partitions), then top-cap over the ≤ salts·cap survivors
-    — identical output (pytest-asserted), skew-proof, one extra tiny
-    exchange. Neither route ever carries text (id + host + score
-    only). Extends the reference's single-site F13 path normalization
-    (app/templates/search.html:90-131) to the open web.
+    window. Host keys are Zipf-skewed at web scale, but the
+    ``row_number() ≤ cap`` filter pattern lets Catalyst insert
+    **WindowGroupLimit** on BOTH sides of the exchange (map-side
+    partial top-cap per task + reduce-side final — verified in the
+    formatted plan and locked by tests/test_plan_hygiene.py), so a hot
+    host's reduce input is ≤ cap·#map-tasks rows, never its full page
+    list. An explicit salted two-phase top-N was measured r8 and
+    REMOVED: it duplicated exactly this optimization one exchange
+    slower (PLANS.md "url_dedup host cap"). The window never carries
+    text (id + host + score only). Contrast exact_substring_dedup's
+    ownership filter (``_rn > 1`` keeps the COMPLEMENT of a top-k, so
+    WindowGroupLimit cannot prune it — that operator's agg_join route
+    remains necessary). Extends the reference's single-site F13 path
+    normalization (app/templates/search.html:90-131) to the open web.
     """
     from pyspark.sql import Window
 
@@ -774,32 +774,7 @@ def url_dedup(df: DataFrame, *, url_col: str, id_col: str,
                        F.col("_w.host").alias("host"),
                        "canon_url", "n_variants", F.col("_w._q").alias("_q")))
     if per_host_cap is not None:
-        if cap_mode == "window":
-            w = Window.partitionBy("host").orderBy(F.desc("_q"),
-                                                   F.asc("id"))
-            keepers = (keepers.withColumn("_rn", F.row_number().over(w))
-                       .filter(F.col("_rn") <= per_host_cap).drop("_rn"))
-        elif cap_mode == "two_phase":
-            # EXACT distributed top-N per hot key: local top-cap within
-            # each (host, salt) bucket — bounded partitions — then the
-            # global top-cap over the ≤ salts·cap survivors per host.
-            # Identical output to the window route (the global phase is
-            # the same exact ranking over a provable superset of the
-            # true top-cap: every true top-cap row wins its own salt
-            # bucket's local top-cap).
-            salt = F.pmod(F.xxhash64(F.col("id")), F.lit(cap_salts)) \
-                .cast("int")
-            w1 = Window.partitionBy("host", "_salt").orderBy(
-                F.desc("_q"), F.asc("id"))
-            local = (keepers.withColumn("_salt", salt)
-                     .withColumn("_rn", F.row_number().over(w1))
-                     .filter(F.col("_rn") <= per_host_cap)
-                     .drop("_rn", "_salt"))
-            w2 = Window.partitionBy("host").orderBy(F.desc("_q"),
-                                                    F.asc("id"))
-            keepers = (local.withColumn("_rn", F.row_number().over(w2))
-                       .filter(F.col("_rn") <= per_host_cap).drop("_rn"))
-        else:
-            raise ValueError(
-                f"cap_mode must be window|two_phase, not {cap_mode!r}")
+        w = Window.partitionBy("host").orderBy(F.desc("_q"), F.asc("id"))
+        keepers = (keepers.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") <= per_host_cap).drop("_rn"))
     return keepers.drop("_q")

@@ -21,7 +21,12 @@ recorded in PLANS.md.
    occurrence list all lands in ONE task's sort — the sweep measures
    whether that hot partition dominates (max task runtime again).
 
-Usage:  python scripts/scale_evidence_r8.py [join|pagerank|substr]...
+4. URL HOST-CAP HOT HOST — 50% of 10M pages on one host through the
+   per-host cap window; Catalyst's WindowGroupLimit must keep the
+   host-cap stage flat (it does — and made an explicit salted
+   two-phase variant redundant; measured, then removed).
+
+Usage:  python scripts/scale_evidence_r8.py [join|pagerank|substr|urlcap]...
         (no args = all three)
 Writes: JSON to stdout + /tmp/scale_evidence_r8.json
 """
@@ -215,6 +220,43 @@ def exp_substr(spark) -> dict:
     return out
 
 
+
+def exp_urlcap(spark) -> dict:
+    """Planted hot host: 50% of 10M canonical pages on one host,
+    per-host cap 1000 via the row_number window. Spark inserts
+    WindowGroupLimit on both sides of the exchange for rank-filter
+    patterns (verified in the formatted plan, locked by
+    tests/test_dedup.py), so the hot host's reduce input is bounded —
+    the host-cap stage's task profile must stay FLAT. (An explicit
+    salted two-phase top-N was measured here in r8 and removed: wall
+    8.2 s vs 6.9 s for identical output — Catalyst already does the
+    two-phase split.)"""
+    from pyspark.sql import functions as F
+
+    from comix_etl_spark.operators.dedup import url_dedup
+
+    N = 10_000_000
+    base = spark.range(N).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, F.lit("hot.example.com"))
+         .otherwise(F.concat(F.lit("h"),
+                             F.pmod(F.xxhash64("id"), F.lit(500))
+                             .cast("string"),
+                             F.lit(".example.com"))).alias("h"),
+        (F.col("id") % 97).cast("double").alias("q"))
+    docs = base.select(
+        "id", "q",
+        F.concat(F.lit("https://"), F.col("h"), F.lit("/p/"),
+                 F.col("id").cast("string")).alias("url"))
+
+    def run():
+        return url_dedup(docs, url_col="url", id_col="id",
+                         quality_col="q", per_host_cap=1000)
+
+    run().write.format("noop").mode("overwrite").save()  # warm-up
+    return {"cap_window_wgl": timed(spark, run)}
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
     spark = (SparkSession.builder
@@ -232,7 +274,7 @@ def main() -> None:
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     picks = [a for a in sys.argv[1:] if not a.startswith("-")] or \
-        ["join", "pagerank", "substr"]
+        ["join", "pagerank", "substr", "urlcap"]
     report = {}
     if "join" in picks:
         report["hotkey_join"] = exp_join(spark)
@@ -240,6 +282,8 @@ def main() -> None:
         report["pagerank_10x"] = exp_pagerank(spark)
     if "substr" in picks:
         report["substring_dedup_dup_sweep"] = exp_substr(spark)
+    if "urlcap" in picks:
+        report["url_hostcap_hot_host"] = exp_urlcap(spark)
     print(json.dumps(report, indent=1))
     with open("/tmp/scale_evidence_r8.json", "w") as fh:
         json.dump(report, fh, indent=1)

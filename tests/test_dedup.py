@@ -256,28 +256,31 @@ def test_url_dedup_collapses_variants_elects_keeper_and_caps_host(spark):
     assert got[0].n_variants == 2
 
 
-def test_url_dedup_two_phase_cap_matches_window(spark):
-    """The two_phase host-cap route (hot-host 100 TB path) must be
-    output-identical to the window route — exact local-then-global
-    top-N, including quality ties broken by id."""
+def test_url_dedup_host_cap_gets_window_group_limit(spark):
+    """r8: the row_number <= cap filter must keep compiling to Catalyst's
+    two-sided WindowGroupLimit (map-side partial top-cap + reduce-side
+    final), which is what bounds a hot host's reduce input to
+    cap * #map-tasks rows. An explicit salted two-phase top-N was
+    measured r8 and removed — it duplicated this optimization one
+    exchange slower (PLANS.md "url_dedup host cap")."""
+    import io
+    from contextlib import redirect_stdout
+
     from comix_etl_spark.operators.dedup import url_dedup
 
-    rows = []
-    # hot host: 40 pages with ties in quality; cold host: 3 pages
-    for i in range(40):
-        rows.append((i, f"https://hot.com/p/{i}", float(i % 5)))
-    for i in range(3):
-        rows.append((100 + i, f"https://cold.com/p/{i}", float(i)))
+    rows = [(i, f"https://h{i % 3}.com/p/{i}", float(i % 7))
+            for i in range(60)]
     df = spark.createDataFrame(rows, "id long, url string, q double")
-    a = sorted(map(tuple, url_dedup(
-        df, url_col="url", id_col="id", quality_col="q",
-        per_host_cap=6, cap_mode="window").collect()))
-    b = sorted(map(tuple, url_dedup(
-        df, url_col="url", id_col="id", quality_col="q",
-        per_host_cap=6, cap_mode="two_phase", cap_salts=4).collect()))
-    assert a == b and len([r for r in a if "hot.com" in r[1]]) == 6
-
-    import pytest
-    with pytest.raises(ValueError, match="cap_mode"):
-        url_dedup(df, url_col="url", id_col="id", per_host_cap=2,
-                  cap_mode="nope")
+    out = url_dedup(df, url_col="url", id_col="id", quality_col="q",
+                    per_host_cap=5)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    # and the cap itself is correct
+    got = out.collect()
+    per_host = {}
+    for r in got:
+        per_host[r.host] = per_host.get(r.host, 0) + 1
+    assert all(v == 5 for v in per_host.values()), per_host
