@@ -9547,6 +9547,60 @@ ORDER BY host
 """
 
 
+def q_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: for every benchmark/eval item
+    (label = 0) find its nearest TRAINING-corpus neighbor (label ≠ 0)
+    and flag semantic leakage at cosine ≥ 0.45 — the embedding sibling
+    of the 5-gram `decontaminate` screen (FineWeb/OLMo run both: n-gram
+    overlap misses paraphrased eval items, embeddings catch them).
+    One row per benchmark item (best match + leaked flag), so the
+    report doubles as the audit trail for the clean items.
+
+    Plan: the benchmark side is broadcast (tiny by contract), the
+    corpus is scanned once through the Arrow-batched matmul of
+    brute_force_topk (k=1) — at 100 TB the corpus never shuffles; for
+    web-scale benchmark sets route through the LSH/IVF ANN family
+    first, same operator contract."""
+    t = _t(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    bench = (e.filter(F.col("label") == 0)
+             .select(F.col("vec_id").alias("bench_id"), "embedding"))
+    corpus = e.filter(F.col("label") != 0)
+    top = S.brute_force_topk(corpus, bench, id_col="vec_id",
+                             vec_col="embedding", k=1,
+                             query_id_col="bench_id")
+    return (top.select(F.col("query_id").alias("bench_id"),
+                       F.col("vec_id").alias("corpus_id"),
+                       "cosine_sim",
+                       (F.col("cosine_sim") >= 0.45).alias("leaked"))
+            .orderBy("bench_id"))
+
+
+ORACLE_EMBEDDING_DECONTAMINATE = """
+WITH b AS (
+  SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE label = 0
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE label <> 0
+), scored AS (
+  SELECT b.bench_id, c.vec_id,
+         round(list_dot_product(c.v, b.qv)
+               / (sqrt(list_dot_product(c.v, c.v))
+                  * sqrt(list_dot_product(b.qv, b.qv))), 6) AS cosine_sim
+  FROM b, c
+)
+SELECT bench_id, vec_id AS corpus_id, cosine_sim,
+       cosine_sim >= 0.45 AS leaked
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY bench_id
+                               ORDER BY cosine_sim DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn = 1
+ORDER BY bench_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # §7 — DSIR importance weighting (data selection toward a target set)
 # ---------------------------------------------------------------------------
@@ -10326,8 +10380,12 @@ QUERIES: dict[str, Query] = {
         ("embeddings",)),
     "web_corpus_prep": Query(
         q_web_corpus_prep, ORACLE_WEB_CORPUS_PREP,
-        "composed web pipeline: URL dedup + host cap -> quality gate -> "
+        "composed web pipeline: quality gate -> URL dedup + host cap -> "
         "exact dedup -> per-host budget", ("documents",)),
+    "embedding_decontaminate": Query(
+        q_embedding_decontaminate, ORACLE_EMBEDDING_DECONTAMINATE,
+        "semantic eval-leak screen: nearest corpus neighbor per "
+        "benchmark item + leak flag", ("embeddings",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -10343,9 +10401,9 @@ QUERIES: dict[str, Query] = {
 # take the first slots (never-checked first-timers, cheap shapes before
 # the pair/iterative ones), then the 19 oracle-backed r3-era greens
 # whose verdicts are 5 rounds stale (VERDICT r7 "What's missing" #2),
-# then 21 of the 49 r4-era greens (oldest remaining verdicts, cheap
-# analytic shapes). r9 BACKLOG: the other 28 r4-era greens
-# (window_profile, approx_percentiles, mad_outliers, stream_session_window, ann_pq, revenue_anomaly, peak_concurrency,
+# then 20 of the 49 r4-era greens (oldest remaining verdicts, cheap
+# analytic shapes). r9 BACKLOG: the other 29 r4-era greens
+# (constraint_audit, window_profile, approx_percentiles, mad_outliers, stream_session_window, ann_pq, revenue_anomaly, peak_concurrency,
 # compress_ratio, asof_forward, temperature_mixture, fk_audit,
 # late_suppliers, group_mode, running_distinct, trend_slopes,
 # value_bands, nullsafe_join, mom_growth, inverted_index,
@@ -10358,9 +10416,11 @@ QUERIES: dict[str, Query] = {
 _CHECK_FIRST = [
     # NEW in r8 — C4/RefinedWeb URL canonicalization dedup + host cap,
     # DSIR hashed-ngram importance weighting (data selection), greedy
-    # k-center diversity sampling, and the composed gate->URL-dedup->
-    # content-dedup->budget web pipeline
+    # k-center diversity sampling, the composed gate->URL-dedup->
+    # content-dedup->budget web pipeline, and the embedding-space
+    # eval-leak screen
     "url_dedup", "dsir_weights", "kcenter_sample", "web_corpus_prep",
+    "embedding_decontaminate",
     # never driver-checked (landed after the r7 window froze) — cheap
     # scan-local / sketch shapes first
     "markup_strip", "ks_drift", "cms_freq", "ams_f2",
@@ -10380,7 +10440,6 @@ _CHECK_FIRST = [
     "cdc_apply", "embedding_dim_stats", "grouping_sets", "topk_ties",
     "session_stats", "salted_agg", "multimodal_frames",
     "token_histogram", "lm_score", "small_qty_revenue",
-    "constraint_audit",
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 QUERIES = {
