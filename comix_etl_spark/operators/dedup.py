@@ -741,7 +741,7 @@ def url_dedup(df: DataFrame, *, url_col: str, id_col: str,
     ``row_number() ≤ cap`` filter pattern lets Catalyst insert
     **WindowGroupLimit** on BOTH sides of the exchange (map-side
     partial top-cap per task + reduce-side final — verified in the
-    formatted plan and locked by tests/test_plan_hygiene.py), so a hot
+    formatted plan and locked by tests/test_dedup.py), so a hot
     host's reduce input is ≤ cap·#map-tasks rows, never its full page
     list. An explicit salted two-phase top-N was measured r8 and
     REMOVED: it duplicated exactly this optimization one exchange

@@ -636,9 +636,14 @@ def kcenter_sample(df: DataFrame, *, id_col: str = "vec_id",
 
     if k < 1:
         raise ValueError("k must be >= 1")
-    src = df.select(F.col(id_col).cast("long").alias("_id"),
-                    F.transform(F.col(vec_col),
-                                lambda x: x.cast("double")).alias("_v"))
+    # NULL ids (or ids that fail the long cast) are dropped: a NULL
+    # seed would poison every round's ~isin filter (NULL comparisons
+    # filter the whole corpus — every round came back empty), and the
+    # oracle's min(vec_id) skips NULLs anyway
+    src = (df.select(F.col(id_col).cast("long").alias("_id"),
+                     F.transform(F.col(vec_col),
+                                 lambda x: x.cast("double")).alias("_v"))
+           .filter(F.col("_id").isNotNull()))
     # fold each row's norm ONCE per scan (the naive per-center cosine
     # recomputes it i times per row per round — measured ~40% of round
     # cost); the CENTER's norm is a driver-side float over the same

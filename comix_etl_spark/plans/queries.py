@@ -9488,12 +9488,17 @@ def q_web_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comix_etl_spark.operators.dedup import url_dedup
 
     t = _t(spark, sf_dir, "documents")
-    gated = t["documents"].filter(text.quality_score("text") >= 0.8)
+    d = t["documents"]
+    gated = d.filter(text.quality_score("text") >= 0.8)
     kept_urls = url_dedup(_crawl_urls(gated), url_col="url",
                           id_col="doc_id", quality_col="n_chars",
                           per_host_cap=4)
-    kept = gated.join(kept_urls.select(F.col("id").alias("doc_id"), "host"),
-                      "doc_id")
+    # join back to the RAW table, not the gated frame: kept ids are a
+    # subset of gate survivors by construction (doc_id is unique), so
+    # the result is identical and the regex-heavy quality gate is
+    # evaluated once, not twice
+    kept = d.join(kept_urls.select(F.col("id").alias("doc_id"), "host"),
+                  "doc_id")
     feat = kept.select(
         "doc_id", "host",
         text.fingerprint("text").alias("fp"),

@@ -1,6 +1,6 @@
 """r8 scale-evidence run (VERDICT r7 "Next round" #4): extend the
-executed 10x evidence beyond the dedup/ANN family to the three other
-shuffle-heavy shapes. Each experiment ends in a hazard-or-holds verdict
+executed 10x evidence beyond the dedup/ANN family to the other
+shuffle-heavy shapes (four experiments). Each experiment ends in a hazard-or-holds verdict
 recorded in PLANS.md.
 
 1. PLANTED HOT KEY x SALTING — a join where one key holds 80% of the
@@ -27,7 +27,7 @@ recorded in PLANS.md.
    two-phase variant redundant; measured, then removed).
 
 Usage:  python scripts/scale_evidence_r8.py [join|pagerank|substr|urlcap]...
-        (no args = all three)
+        (no args = all four)
 Writes: JSON to stdout + /tmp/scale_evidence_r8.json
 """
 

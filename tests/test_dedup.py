@@ -277,7 +277,10 @@ def test_url_dedup_host_cap_gets_window_group_limit(spark):
     with redirect_stdout(buf):
         out.explain("formatted")
     plan = buf.getvalue()
-    assert plan.count("WindowGroupLimit") >= 2, plan
+    # formatted explain prints every node twice (tree line + detail
+    # header): the two-sided map+reduce shape yields count 4; a
+    # one-sided plan would yield 2 and must FAIL here
+    assert plan.count("WindowGroupLimit") >= 4, plan
     # and the cap itself is correct
     got = out.collect()
     per_host = {}

@@ -269,3 +269,18 @@ def test_kcenter_sample_picks_diverse_exemplars(spark):
     small = spark.createDataFrame(rows[:2], "vec_id long, embedding array<double>")
     assert kcenter_sample(small, id_col="vec_id", vec_col="embedding",
                           k=5).count() == 2
+
+
+def test_kcenter_sample_drops_null_ids(spark):
+    """Review r8: a NULL (or uncastable) id must be dropped, not become
+    the seed — a NULL seed used to poison every round's ~isin filter and
+    return a single NULL row instead of k exemplars."""
+    from comix_etl_spark.operators.similarity import kcenter_sample
+
+    rows = [(None, [1.0, 0.0]), (1, [1.0, 0.01]),
+            (2, [0.0, 1.0]), (3, [-1.0, -1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kcenter_sample(df, id_col="vec_id", vec_col="embedding", k=3).collect()
+    assert [r.sel_order for r in out] == [0, 1, 2]
+    assert None not in {r.id for r in out}
+    assert out[0].id == 1  # min NON-NULL id seeds
