@@ -9606,6 +9606,73 @@ ORDER BY bench_id
 """
 
 
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: cumulative distinct token
+    types vs cumulative token occurrences over ten corpus deciles (by
+    doc_id, which is dense 0..n-1 in this dataset) — the sizing curve a
+    tokenizer-training job reads to decide how much corpus saturates a
+    target vocab (complements vocab_coverage's OOV screen).
+
+    Plan: a type is NEW in the decile of its FIRST occurrence, so one
+    token explode feeds (1) a groupBy(token) min-doc aggregate
+    (map-side combine collapses repeats scan-side) and (2) a per-decile
+    occurrence count; both roll up to ten rows and the cumulative sums
+    are a window over those ten rows only — the corpus never sorts and
+    no window sees more than 10 rows."""
+    t = _t(spark, sf_dir, "documents")
+    d = t["documents"]
+    n_docs = d.agg(F.count(F.lit(1)).alias("_n"))
+    toks = (d.select("doc_id",
+                     F.explode(text.tokens("text")).alias("tok")))
+    decile = F.least(F.lit(9), F.floor(F.col("doc_id") * 10 / F.col("_n"))) \
+        .cast("int").alias("decile")
+    occ = (toks.crossJoin(F.broadcast(n_docs))
+           .select(decile)
+           .groupBy("decile").agg(F.count(F.lit(1)).alias("_occ")))
+    first = (toks.groupBy("tok").agg(F.min("doc_id").alias("doc_id"))
+             .crossJoin(F.broadcast(n_docs))
+             .select(decile)
+             .groupBy("decile").agg(F.count(F.lit(1)).alias("_new")))
+    w = (Window.orderBy("decile")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (occ.join(first, "decile", "left")
+            .select("decile",
+                    F.sum("_occ").over(w).alias("cum_tokens"),
+                    F.sum(F.coalesce(F.col("_new"), F.lit(0))).over(w)
+                    .alias("cum_types"))
+            .orderBy("decile"))
+
+
+ORACLE_VOCAB_GROWTH = """
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+toks AS (
+  SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(lower(trim(text)), '\\s+'),
+             x -> x <> '')) AS tok
+  FROM documents
+), dec AS (
+  SELECT doc_id, least(9, CAST(doc_id * 10 // n.n_docs AS INT)) AS decile
+  FROM (SELECT DISTINCT doc_id FROM toks), n
+), occ AS (
+  SELECT d.decile, CAST(count(*) AS BIGINT) AS _occ
+  FROM toks t JOIN dec d USING (doc_id) GROUP BY 1
+), first AS (
+  SELECT least(9, CAST(min(doc_id) * 10 // (SELECT n_docs FROM n) AS INT))
+           AS decile,
+         tok
+  FROM toks GROUP BY tok
+), new_types AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS _new FROM first GROUP BY 1
+)
+SELECT o.decile,
+       CAST(sum(o._occ) OVER (ORDER BY o.decile) AS BIGINT) AS cum_tokens,
+       CAST(sum(coalesce(nt._new, 0)) OVER (ORDER BY o.decile) AS BIGINT)
+         AS cum_types
+FROM occ o LEFT JOIN new_types nt USING (decile)
+ORDER BY o.decile
+"""
+
+
 # ---------------------------------------------------------------------------
 # §7 — DSIR importance weighting (data selection toward a target set)
 # ---------------------------------------------------------------------------
@@ -10391,6 +10458,10 @@ QUERIES: dict[str, Query] = {
         q_embedding_decontaminate, ORACLE_EMBEDDING_DECONTAMINATE,
         "semantic eval-leak screen: nearest corpus neighbor per "
         "benchmark item + leak flag", ("embeddings",)),
+    "vocab_growth": Query(
+        q_vocab_growth, ORACLE_VOCAB_GROWTH,
+        "Heaps-law cumulative type/token growth over corpus deciles",
+        ("documents",)),
 }
 
 # Registry ORDER is the driver's correctness-check order, and each round's
@@ -10406,9 +10477,9 @@ QUERIES: dict[str, Query] = {
 # take the first slots (never-checked first-timers, cheap shapes before
 # the pair/iterative ones), then the 19 oracle-backed r3-era greens
 # whose verdicts are 5 rounds stale (VERDICT r7 "What's missing" #2),
-# then 20 of the 49 r4-era greens (oldest remaining verdicts, cheap
-# analytic shapes). r9 BACKLOG: the other 29 r4-era greens
-# (constraint_audit, window_profile, approx_percentiles, mad_outliers, stream_session_window, ann_pq, revenue_anomaly, peak_concurrency,
+# then 19 of the 49 r4-era greens (oldest remaining verdicts, cheap
+# analytic shapes). r9 BACKLOG: the other 30 r4-era greens
+# (small_qty_revenue, constraint_audit, window_profile, approx_percentiles, mad_outliers, stream_session_window, ann_pq, revenue_anomaly, peak_concurrency,
 # compress_ratio, asof_forward, temperature_mixture, fk_audit,
 # late_suppliers, group_mode, running_distinct, trend_slopes,
 # value_bands, nullsafe_join, mom_growth, inverted_index,
@@ -10422,10 +10493,10 @@ _CHECK_FIRST = [
     # NEW in r8 — C4/RefinedWeb URL canonicalization dedup + host cap,
     # DSIR hashed-ngram importance weighting (data selection), greedy
     # k-center diversity sampling, the composed gate->URL-dedup->
-    # content-dedup->budget web pipeline, and the embedding-space
-    # eval-leak screen
+    # content-dedup->budget web pipeline, the embedding-space
+    # eval-leak screen, and the Heaps-law vocabulary growth curve
     "url_dedup", "dsir_weights", "kcenter_sample", "web_corpus_prep",
-    "embedding_decontaminate",
+    "embedding_decontaminate", "vocab_growth",
     # never driver-checked (landed after the r7 window froze) — cheap
     # scan-local / sketch shapes first
     "markup_strip", "ks_drift", "cms_freq", "ams_f2",
@@ -10444,7 +10515,7 @@ _CHECK_FIRST = [
     "price_histogram", "customer_churn", "event_transitions",
     "cdc_apply", "embedding_dim_stats", "grouping_sets", "topk_ties",
     "session_stats", "salted_agg", "multimodal_frames",
-    "token_histogram", "lm_score", "small_qty_revenue",
+    "token_histogram", "lm_score",
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 QUERIES = {
