@@ -17,9 +17,11 @@ Canonical form (documented contract, mirrored 1:1 by the DuckDB oracle):
    bare-host root path becomes empty); case is PRESERVED — unlike
    hosts, URL paths are case-sensitive per RFC 3986
 4. query: split on ``&``, empty params and tracking params dropped
-   (``utm_*``, ``gclid``, ``fbclid``, ``ref``, ``mc_cid``, ``mc_eid``),
-   the survivors sorted (param order never distinguishes pages) and
-   re-joined; an emptied query drops its ``?``
+   (default set ``utm_*``, ``gclid``, ``fbclid``, ``mc_cid``,
+   ``mc_eid``; the key set is a parameter — see ``TRACKING_KEY_RE``
+   vs ``TRACKING_KEY_RE_AGGRESSIVE`` below), the survivors sorted
+   (param order never distinguishes pages) and re-joined; an emptied
+   query drops its ``?``
 
 Percent-decoding and IDN normalization are deliberately out of scope
 (they need a real URL parser; at that point use a pandas_udf over
@@ -35,10 +37,18 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# anchored key-only regex: matched against the part BEFORE '=' of each
-# query param (utm_source, utm_medium, ..., bare 'ref', mailchimp ids,
-# google/facebook click ids)
-TRACKING_KEY_RE = r"^(utm_[a-z0-9_]*|gclid|fbclid|ref|mc_cid|mc_eid)$"
+# anchored key-only regexes: matched against the part BEFORE '=' of
+# each query param. The DEFAULT set is conservative — utm_*, google /
+# facebook click ids and mailchimp ids are tracking-only everywhere.
+# Bare ``ref`` is NOT in the default: on several major hosts it is
+# content-bearing (GitLab / Bitbucket file views use ``?ref=<branch>``),
+# so stripping it collapses distinct pages to one canonical URL and
+# url_dedup would then DELETE all but one of them. Crawls that know
+# their hosts use referral ``ref`` as tracking (news/social shares) can
+# opt in via ``TRACKING_KEY_RE_AGGRESSIVE`` or any custom regex — every
+# function here takes ``tracking_key_re=``.
+TRACKING_KEY_RE = r"^(utm_[a-z0-9_]*|gclid|fbclid|mc_cid|mc_eid)$"
+TRACKING_KEY_RE_AGGRESSIVE = r"^(utm_[a-z0-9_]*|gclid|fbclid|ref|mc_cid|mc_eid)$"
 
 _SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://"
 
@@ -58,9 +68,16 @@ def url_host(c: Column | str) -> Column:
     return F.regexp_replace(host, r":(80|443)$", "")
 
 
-def canonicalize_url(c: Column | str) -> Column:
+def canonicalize_url(c: Column | str,
+                     tracking_key_re: str = TRACKING_KEY_RE) -> Column:
     """Canonical URL string per the module contract — the dedup key of
-    ``operators.dedup.url_dedup``. NULL in → NULL out."""
+    ``operators.dedup.url_dedup``. NULL in → NULL out.
+
+    ``tracking_key_re`` selects which query-param KEYS are dropped as
+    tracking noise (anchored regex over the part before ``=``). Default
+    is the conservative set; pass ``TRACKING_KEY_RE_AGGRESSIVE`` to also
+    strip bare ``ref`` — see the module-level note on the collision risk
+    (``?ref=<branch>`` is content-bearing on GitLab/Bitbucket)."""
     bare = F.regexp_replace(
         F.regexp_replace(F.trim(_col(c)), _SCHEME_RE, ""), r"#.*", "")
     hostpath = F.substring_index(bare, "?", 1)
@@ -77,7 +94,7 @@ def canonicalize_url(c: Column | str) -> Column:
     kept = F.filter(
         F.split(query, "&"),
         lambda p: (p != "")
-        & ~F.substring_index(p, "=", 1).rlike(TRACKING_KEY_RE))
+        & ~F.substring_index(p, "=", 1).rlike(tracking_key_re))
     canon_q = F.array_join(F.array_sort(kept), "&")
     return F.when(_col(c).isNull(), F.lit(None).cast("string")).otherwise(
         F.concat(host, path,

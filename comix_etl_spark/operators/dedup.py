@@ -512,45 +512,53 @@ def embedding_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
     import numpy as np
 
     spark = df.sparkSession
-    src = _spread_small_scan(
-        df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v")))
-    # one BOUNDED materialization shared by probe + collect + the final
-    # batch scan: checkpointing the LIMITED frame (not src) keeps the
-    # guard's bounded-work contract — an oversized corpus materializes
-    # at most max_broadcast_rows + 1 rows before the ValueError fires —
-    # while still guaranteeing the probe counts the SAME rows the
-    # collect pulls (a non-deterministic or concurrently-growing source
-    # can no longer slip extra rows between the two). When the guard
-    # passes, the limited frame IS the whole corpus, so the mapInPandas
-    # scan below reads the identical materialization too.
-    src = src.limit(max_broadcast_rows + 1).localCheckpoint(eager=True)
-    if src.count() > max_broadcast_rows:
+    src = df.select(F.col(id_col).cast("long").alias("_id"),
+                    F.col(vec_col).alias("_v"))
+    # ONE bounded materialization: collect the LIMITED frame and guard
+    # on the collected length driver-side. An oversized corpus pulls at
+    # most max_broadcast_rows + 1 rows before the ValueError fires (the
+    # same memory the guard already budgets for the pass case), and
+    # probe + data are by construction the same rows — no checkpoint
+    # needed to pin them, so nothing persists past this call. (The
+    # previous limit().localCheckpoint() formulation planned a single-
+    # partition GlobalLimit, which both serialized the materialization
+    # AND left the checkpoint blocks resident for the app lifetime;
+    # collect on a limited frame instead runs Spark's incremental
+    # take-style job.)
+    rows = src.limit(max_broadcast_rows + 1).collect()
+    if len(rows) > max_broadcast_rows:
         raise ValueError(
             f"more than max_broadcast_rows={max_broadcast_rows} vectors; "
             "bucket with LSH first and verify per bucket")
-    rows = src.collect()  # driver-small — proven by the probe above
     ids = np.array([r._id for r in rows], dtype=np.int64)
     mat = np.array([r._v for r in rows], dtype=np.float64)
+    del rows
     norms = np.linalg.norm(mat, axis=1)
     keep = norms > 0
     ids, mat, norms = ids[keep], mat[keep], norms[keep]
     # raw matrix + norms (dot-then-divide, float64): the same evaluation
     # shape as the Column `cosine` and the SQL oracle, so 6dp rounds agree
-    bc = spark.sparkContext.broadcast((ids, mat.T, norms))  # dim × N
+    bc = spark.sparkContext.broadcast((ids, mat, norms))  # N × dim
+    n_kept = int(ids.shape[0])
+    # the batch side reads row-index slices of the SAME broadcast — the
+    # corpus ships to each executor exactly once, and the scan is a
+    # spark.range over indices spread across defaultParallelism tasks,
+    # so the O(N²/P) BLAS matmuls genuinely run multi-core (the old
+    # re-scan of the checkpointed frame inherited GlobalLimit's single
+    # partition and ran as ONE task).
+    n_parts = max(1, spark.sparkContext.defaultParallelism)
 
     def pairs(batches):
         import pandas as pd
-        all_ids, mat_t, all_norms = bc.value
+        all_ids, full_mat, all_norms = bc.value
+        mat_t = full_mat.T  # view, no copy
         for pdf in batches:
             if not len(pdf):
                 continue
-            bids = pdf["_id"].to_numpy(dtype=np.int64)
-            x = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
-            xn = np.linalg.norm(x, axis=1)
-            ok = xn > 0
-            if not ok.any():
-                continue
-            bids, x, xn = bids[ok], x[ok], xn[ok]
+            idx = pdf["id"].to_numpy(dtype=np.int64)
+            bids = all_ids[idx]
+            x = full_mat[idx]
+            xn = all_norms[idx]
             sims = (x @ mat_t) / xn[:, None] / all_norms[None, :]  # batch × N
             bi, cj = np.nonzero((np.round(sims, 6) >= threshold)
                                 & (bids[:, None] < all_ids[None, :]))
@@ -559,7 +567,9 @@ def embedding_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
                 "cosine_sim": np.round(sims[bi, cj], 6),
             })
 
-    return src.mapInPandas(pairs, schema="id_a long, id_b long, cosine_sim double")
+    return (spark.range(0, n_kept, 1, numPartitions=n_parts)
+            .mapInPandas(pairs,
+                         schema="id_a long, id_b long, cosine_sim double"))
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str,
@@ -712,7 +722,8 @@ def set_similarity_join_prefix(docs: DataFrame, *, id_col: str = "doc_id",
 
 def url_dedup(df: DataFrame, *, url_col: str, id_col: str,
               quality_col: str | None = None,
-              per_host_cap: int | None = None) -> DataFrame:
+              per_host_cap: int | None = None,
+              tracking_key_re: str | None = None) -> DataFrame:
     """C4/RefinedWeb-style URL-level dedup — the cheapest dedup stage of
     a web-corpus pipeline, run BEFORE any content hashing: collapse
     recrawls/tracking-variant URLs of the same logical page, then
@@ -729,6 +740,14 @@ def url_dedup(df: DataFrame, *, url_col: str, id_col: str,
          (quality desc, id asc) and keep the top N.
 
     NULL URLs are dropped (no canonical identity to dedup on).
+
+    ``tracking_key_re`` overrides which query-param keys are stripped
+    as tracking noise (default: ``functions.url.TRACKING_KEY_RE``, the
+    conservative set WITHOUT bare ``ref`` — stripping ``ref`` collapses
+    content-bearing ``?ref=<branch>`` pages on GitLab/Bitbucket-style
+    hosts and this operator would then DELETE the collapsed pages; opt
+    into ``TRACKING_KEY_RE_AGGRESSIVE`` only for crawls where ``ref``
+    is known to be referral tracking).
 
     Output: one row per kept document — (id, host, canon_url,
     n_variants) where n_variants counts the URL's collapsed crawl
@@ -754,13 +773,16 @@ def url_dedup(df: DataFrame, *, url_col: str, id_col: str,
     """
     from pyspark.sql import Window
 
-    from comix_etl_spark.functions.url import canonicalize_url, url_host
+    from comix_etl_spark.functions.url import (
+        TRACKING_KEY_RE, canonicalize_url, url_host)
 
+    tkre = TRACKING_KEY_RE if tracking_key_re is None else tracking_key_re
     q = (F.col(quality_col).cast("double") if quality_col
          else F.lit(0.0))
     base = (df.filter(F.col(url_col).isNotNull())
             .select(F.col(id_col).alias("_id"),
-                    canonicalize_url(url_col).alias("canon_url"),
+                    canonicalize_url(url_col, tracking_key_re=tkre)
+                    .alias("canon_url"),
                     url_host(url_col).alias("host"),
                     q.alias("_q")))
     # keeper per canonical URL: max (quality, -id) — a single struct

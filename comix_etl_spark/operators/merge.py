@@ -45,6 +45,17 @@ def dedup_batch(batch: DataFrame, key: Sequence[str], order_by: Sequence[str] | 
     # strings all hash distinctly (a plain coalesce+concat_ws would
     # collide NULL with '' and 'a\x1fb' with ('a','b'), reopening the
     # partition-order dependence exactly where the fix matters).
+    # BEHAVIOR CHANGE (r8): the length-prefixed tagging hashes tied
+    # rows differently from the pre-r8 coalesce+concat_ws form, so a
+    # tie CAN elect the other row than earlier deployments did. For
+    # rows whose order_by is genuinely unique this is invisible; for
+    # pipelines that replay batches emitted before the change against
+    # an SCD2 table built by the old code, the first post-upgrade
+    # replay of a TIED batch may open one spurious version (new winner
+    # vs old landed winner). Run a one-time reconciliation of
+    # open-version rows whose attributes are permutation-equal, or pin
+    # the old election by pre-deduping historical batches with the old
+    # build before replaying. Steady-state behavior is unchanged.
     rest = [c for c in batch.columns
             if c not in set(key) and c not in set(order_by)]
     def _tagged(c: str) -> Column:

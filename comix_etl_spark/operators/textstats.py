@@ -221,6 +221,20 @@ def dedup_spans(df: DataFrame, id_col: str, text_col: str, *,
     occurrences — the same df-bound the aggregate had. Per-doc
     aggregation state is bounded by the document's own span list —
     the same bound the scan already held.
+
+    VIRAL-SPAN CEILING + ESCAPE HATCH: like
+    ``exact_substring_dedup(ownership="window")``, the min-owner window
+    puts ONE span text's entire occurrence list in one task — a viral
+    boilerplate span (billions of occurrences at 100 TB) is a
+    single-task ceiling that AQE cannot split. The escape is the same
+    ``agg_join`` rewrite measured there (PLANS.md "r8 scale evidence"):
+    resolve the owner as ``groupBy("chunk_text").agg(F.min(F.struct(
+    id, chunk_id)))`` — map-side partials bound the hot span's reduce
+    input by #map-tasks — and join it back (the join IS
+    AQE-skew-splittable). This operator keeps window-only because its
+    aligned fixed chunks are far less collision-prone than any-offset
+    shingles and no measurement has shown the ceiling here; apply the
+    rewrite when a corpus's top span count approaches a task's memory.
     """
     spans = chunk_documents(df, id_col, text_col, chunk_size=chunk_size)
     w = Window.partitionBy("chunk_text")

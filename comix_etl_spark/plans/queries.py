@@ -9385,8 +9385,15 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _t(spark, sf_dir, "documents")
     docs = _crawl_urls(t["documents"])
+    # the crawl variants carry referral ref=tw tails — this corpus is
+    # the known-referral case, so opt into the aggressive key set (the
+    # conservative default keeps content-bearing ?ref=<branch> params;
+    # functions/url.py module note). Oracle mirrors the aggressive set.
+    from comix_etl_spark.functions.url import TRACKING_KEY_RE_AGGRESSIVE
+
     out = url_dedup(docs, url_col="url", id_col="doc_id",
-                    quality_col="n_chars", per_host_cap=3)
+                    quality_col="n_chars", per_host_cap=3,
+                    tracking_key_re=TRACKING_KEY_RE_AGGRESSIVE)
     return (out.select(F.col("id").alias("doc_id"), "host", "canon_url",
                        "n_variants")
             .orderBy("host", "doc_id"))
@@ -9490,9 +9497,14 @@ def q_web_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "documents")
     d = t["documents"]
     gated = d.filter(text.quality_score("text") >= 0.8)
+    from comix_etl_spark.functions.url import TRACKING_KEY_RE_AGGRESSIVE
+
+    # aggressive key set: the crawl variants' ref=tw is referral
+    # tracking here (see q_url_dedup); oracle regex matches
     kept_urls = url_dedup(_crawl_urls(gated), url_col="url",
                           id_col="doc_id", quality_col="n_chars",
-                          per_host_cap=4)
+                          per_host_cap=4,
+                          tracking_key_re=TRACKING_KEY_RE_AGGRESSIVE)
     # join back to the RAW table, not the gated frame: kept ids are a
     # subset of gate survivors by construction (doc_id is unique), so
     # the result is identical and the regex-heavy quality gate is

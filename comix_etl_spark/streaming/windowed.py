@@ -194,6 +194,10 @@ def foreach_batch_drift(metrics_path: str, ref_edges: list[float],
         raise ValueError(
             f"ref_edges must hold the {n_bins - 1} interior edges for "
             f"{n_bins} ref_shares bins, got {len(ref_edges)}")
+    # legacy-layout guard memo: the check is a directory listing of the
+    # sink root — run it once per path per query, not on every
+    # micro-batch (True = checked and clean)
+    _layout_ok: dict[str, bool] = {}
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
@@ -224,17 +228,32 @@ def foreach_batch_drift(metrics_path: str, ref_edges: list[float],
         # mean the table was written by the pre-r7 append-with-column
         # sink; mixing in partition dirs would make the whole table
         # unreadable — fail loud with the migration path instead.
-        # Local paths only (bare or file:): a remote metrics_path
-        # (hdfs://, s3a://) bypasses this best-effort check — migrate
-        # remote legacy tables manually before pointing the sink there.
-        import os
+        # Listing goes through the Hadoop FileSystem API so the guard
+        # covers REMOTE roots (hdfs://, s3a://, ...) too, not just
+        # bare/file: paths, and the result is memoized per path — one
+        # listing per query, not one per micro-batch. Spark-Connect
+        # sessions have no JVM gateway; there the guard degrades to a
+        # local-path os.listdir (best effort, as pre-r9).
+        if not _layout_ok.get(metrics_path):
+            legacy: list[str] = []
+            try:
+                jvm = spark._jvm
+                jpath = jvm.org.apache.hadoop.fs.Path(metrics_path)
+                fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+                if fs.exists(jpath):
+                    for st in fs.listStatus(jpath):
+                        name = st.getPath().getName()
+                        if not name.startswith(("batch_id=", "_", ".")):
+                            legacy.append(name)
+            except Exception:
+                import os
 
-        local = metrics_path
-        if local.startswith("file:"):
-            local = local[len("file:"):] or "/"
-        if "://" not in local and os.path.isdir(local):
-            legacy = [f for f in os.listdir(local)
-                      if not f.startswith(("batch_id=", "_", "."))]
+                local = metrics_path
+                if local.startswith("file:"):
+                    local = local[len("file:"):] or "/"
+                if "://" not in local and os.path.isdir(local):
+                    legacy = [f for f in os.listdir(local)
+                              if not f.startswith(("batch_id=", "_", "."))]
             if legacy:
                 raise ValueError(
                     f"foreach_batch_drift: {metrics_path} holds root-level "
@@ -242,6 +261,7 @@ def foreach_batch_drift(metrics_path: str, ref_edges: list[float],
                     f"(e.g. {legacy[0]}); migrate them into batch_id=N "
                     f"partition dirs (or point at a fresh path) before "
                     f"using the partitioned sink")
+            _layout_ok[metrics_path] = True
         # per-batch partition + overwrite: foreachBatch replays a batch
         # (same batch_id) after a crash — the rewrite replaces that
         # batch's row instead of appending a duplicate metric

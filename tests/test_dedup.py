@@ -277,10 +277,15 @@ def test_url_dedup_host_cap_gets_window_group_limit(spark):
     with redirect_stdout(buf):
         out.explain("formatted")
     plan = buf.getvalue()
-    # formatted explain prints every node twice (tree line + detail
-    # header): the two-sided map+reduce shape yields count 4; a
-    # one-sided plan would yield 2 and must FAIL here
-    assert plan.count("WindowGroupLimit") >= 4, plan
+    # count DISTINCT WindowGroupLimit nodes in the TREE section only
+    # (formatted explain = tree, blank line, then per-node details —
+    # counting the whole output double-counts each node via its detail
+    # header, which is an explain-formatting quirk, not a plan
+    # property). The two-sided map+reduce shape has exactly two nodes
+    # (Partial + Final); a one-sided plan has one and must FAIL here.
+    tree = plan.split("\n\n", 1)[0]
+    n_wgl = sum("WindowGroupLimit" in ln for ln in tree.splitlines())
+    assert n_wgl == 2, (n_wgl, plan)
     # and the cap itself is correct
     got = out.collect()
     per_host = {}

@@ -238,14 +238,18 @@ def test_canonicalize_url_contract(spark):
     """functions/url.py module contract: scheme/fragment strip, host
     lower + www./default-port strip, slash collapse, path case kept,
     tracking-param drop + param sort, NULL propagation."""
-    from comix_etl_spark.functions.url import canonicalize_url, url_host
+    from comix_etl_spark.functions.url import (
+        TRACKING_KEY_RE_AGGRESSIVE, canonicalize_url, url_host)
 
     cases = [
         ("https://WWW.Example.com:443/a//b/?utm_source=x&id=7",
          "example.com/a/b?id=7"),
         ("http://example.com/a/b?id=7#frag", "example.com/a/b?id=7"),
         ("example.com/a/b/?id=7&utm_medium=m", "example.com/a/b?id=7"),
-        ("https://example.com/a/b?ref=tw&id=7", "example.com/a/b?id=7"),
+        # bare ref is content-bearing on GitLab/Bitbucket-style hosts —
+        # the DEFAULT key set keeps it (aggressive opt-in strips it,
+        # asserted below)
+        ("https://example.com/a/b?ref=tw&id=7", "example.com/a/b?id=7&ref=tw"),
         # non-default port is load-bearing and kept
         ("https://example.com:8080/x?id=7", "example.com:8080/x?id=7"),
         ("https://example.com/", "example.com"),
@@ -263,3 +267,8 @@ def test_canonicalize_url_contract(spark):
     assert got == [want for _, want in cases], got
     hosts = [r.h for r in df.select(url_host("url").alias("h")).collect()]
     assert hosts[0] == "example.com" and hosts[4] == "example.com:8080"
+    # aggressive opt-in strips bare ref (referral-tracking crawls)
+    agg = [r.c for r in df.select(
+        canonicalize_url("url", tracking_key_re=TRACKING_KEY_RE_AGGRESSIVE)
+        .alias("c")).collect()]
+    assert agg[3] == "example.com/a/b?id=7", agg[3]
