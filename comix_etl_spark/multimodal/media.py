@@ -100,6 +100,96 @@ def decode_image_features(df: DataFrame, *, id_col: str = "media_id",
     return df.select(id_col, payload_col).mapInPandas(decode, schema=FEATURE_SCHEMA)
 
 
+DHASH_W, DHASH_H = 9, 8  # 8 rows x 8 column-comparisons = 64 bits; bit 63 skipped
+
+
+def _decode_gray(data: bytes):
+    """Decode a payload to a 2-D float64 grayscale matrix, or None when
+    undecodable. The RAW8 container (b'RW8' + width byte + height byte
+    + row-major uint8 pixels) is parsed for REAL — header validation,
+    length check, reshape — so the fingerprint path below is exercised
+    end-to-end on actual bytes.
+    ---- STUB boundary: real impl adds, before the RAW8 branch,
+    `PIL.Image.open(BytesIO(data)).convert("L")` for PNG/JPEG/WebP
+    payloads (this container has no image libs; see module docstring).
+    Swapping in Pillow changes THIS function only — the distributed
+    plan, batch shape and fingerprint contract are unchanged. ----"""
+    import numpy as np
+
+    if len(data) < 5 or data[:3] != b"RW8":
+        return None
+    w, h = data[3], data[4]
+    px = np.frombuffer(data, dtype=np.uint8, offset=5)
+    if w == 0 or h == 0 or px.size != w * h:
+        return None
+    return px.reshape(h, w).astype(np.float64)
+
+
+def _area_resize(img, out_h: int, out_w: int):
+    """INTER_AREA-style downscale: mean over the source block each
+    target cell covers (edges at floor(i*src/out) — exact block means
+    when src is an integer multiple of out). Pure numpy reduceat, no
+    image libs."""
+    import numpy as np
+
+    h, w = img.shape
+    re = (np.arange(out_h) * h) // out_h
+    ce = (np.arange(out_w) * w) // out_w
+    s = np.add.reduceat(np.add.reduceat(img, re, axis=0), ce, axis=1)
+    rc = np.diff(np.append(re, h)).astype(np.float64)
+    cc = np.diff(np.append(ce, w)).astype(np.float64)
+    return s / rc[:, None] / cc[None, :]
+
+
+def image_dhash(df: DataFrame, *, id_col: str = "media_id",
+                payload_col: str = "payload") -> DataFrame:
+    """63-bit difference hash (dHash) per image — the perceptual
+    fingerprint behind LAION-style image dedup (recrawled /
+    re-encoded / brightness-shifted copies of a picture hash close in
+    Hamming distance while distinct pictures land far apart).
+
+    Per payload: decode to grayscale (``_decode_gray``), area-mean
+    resize to 9×8, then bit b = r*8+c is 1 iff cell (r, c+1) > (r, c) —
+    the standard dHash gradient sign, invariant under any monotone
+    global brightness/contrast shift. Bit 63 is skipped (int64 sign
+    bit — the same convention as this repo's ``simhash``), so the
+    fingerprint is a non-negative BIGINT that any engine can band,
+    xor and popcount. Undecodable payloads yield NULL (callers drop or
+    quarantine them; silently hashing garbage would cluster all broken
+    files together).
+
+    Plan shape: one projected (id, payload) scan through an
+    Arrow-batched ``mapInPandas`` — the decode stage pattern of
+    ``decode_image_features``. No shuffle; pair finding happens
+    downstream on the 8-byte fingerprints ONLY, so at 100 TB the image
+    bytes are read exactly once and never leave their scan tasks.
+    Generalizes the reference's cover-image handling
+    (cv_fetch_covers.py:116-126, S9) from store-and-serve to
+    dedup-grade fingerprints.
+    """
+    import numpy as np
+
+    def dh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(63, dtype=np.uint64)
+        for pdf in batches:
+            ids, fps = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = _decode_gray(bytes(payload)) if payload is not None else None
+                if img is None:
+                    ids.append(int(mid)); fps.append(None)
+                    continue
+                g = _area_resize(img, DHASH_H, DHASH_W)
+                bits = (g[:, 1:] > g[:, :-1]).flatten()[:63]
+                fp = int((bits.astype(np.uint64) << shifts).sum())
+                ids.append(int(mid)); fps.append(fp)
+            yield pd.DataFrame({"media_id": ids,
+                                "dhash": pd.array(fps, dtype="Int64")})
+
+    return (df.select(F.col(id_col).alias(id_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(dh, schema="media_id long, dhash long"))
+
+
 def frame_sample_plan(df: DataFrame, *, every_ms: int = 1000,
                       duration_col: str = "meta.duration_ms",
                       id_col: str = "media_id") -> DataFrame:

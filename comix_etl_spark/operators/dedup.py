@@ -800,3 +800,171 @@ def url_dedup(df: DataFrame, *, url_col: str, id_col: str,
         keepers = (keepers.withColumn("_rn", F.row_number().over(w))
                    .filter(F.col("_rn") <= per_host_cap).drop("_rn"))
     return keepers.drop("_q")
+
+
+def image_near_dup_pairs(fp: DataFrame, *, id_col: str = "media_id",
+                         fp_col: str = "dhash", max_hamming: int = 2,
+                         n_bands: int = 7) -> DataFrame:
+    """Near-duplicate image pairs by banded Hamming LSH over 63-bit
+    perceptual fingerprints (``multimodal.media.image_dhash``) — the
+    LAION-style image-dedup pairing stage.
+
+    The 63 fingerprint bits split into ``n_bands`` contiguous bands
+    (floor(63/n) bits each, the final band taking the remainder); two
+    images become a CANDIDATE iff at least one band is bit-identical,
+    and a candidate is emitted iff ``bit_count(xor) <= max_hamming``.
+    Pigeonhole recall guarantee: d flipped bits touch at most d bands,
+    so every pair within Hamming ``n_bands - 1`` shares an intact band
+    — with the defaults (7 bands, max_hamming 2) banding loses NOTHING
+    vs all-pairs, it only prunes the candidate set. Keep
+    ``max_hamming < n_bands`` to preserve the guarantee.
+
+    Output: (id_a < id_b, hamming) — verified pairs only.
+
+    100 TB shape: fingerprints are 8-byte ints, so the band explode is
+    ``n_bands`` slim rows per image; one shuffle keys candidates by
+    (band, band-value) — near-dup clusters collide, everything else
+    spreads — and verification is a JVM xor+popcount on the joined
+    rows, never a payload touch. A viral band value (e.g. millions of
+    flat-white thumbnails sharing low-gradient bands) degrades to that
+    bucket's pair count; mitigate upstream by quarantining degenerate
+    fingerprints (all-zero/all-one gradients) before pairing, exactly
+    as NULL (undecodable) fingerprints are dropped here.
+    """
+    if not 1 <= n_bands <= 63:
+        raise ValueError(f"n_bands must be in [1, 63], got {n_bands}")
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= n_bands={n_bands} voids the "
+            "pigeonhole recall guarantee; raise n_bands")
+    width = 63 // n_bands
+    f = fp.filter(F.col(fp_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
+
+    def band_val(bi: int) -> Column:
+        lo = bi * width
+        w = (63 - lo) if bi == n_bands - 1 else width
+        return F.shiftrightunsigned(F.col("_fp"), lo).bitwiseAND((1 << w) - 1)
+
+    bands = f.select(
+        "_id", "_fp",
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"), band_val(bi).alias("bv"))
+            for bi in range(n_bands)])).alias("bb")
+    ).select("_id", "_fp", "bb.band", "bb.bv")
+    a = bands.select(F.col("_id").alias("id_a"), F.col("_fp").alias("_fa"),
+                     "band", "bv")
+    b = bands.select(F.col("_id").alias("id_b"), F.col("_fp").alias("_fb"),
+                     "band", "bv")
+    cand = (a.join(b, ["band", "bv"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
+    return (cand.withColumn("hamming", ham.cast("long"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+def image_dedup(df: DataFrame, *, id_col: str = "media_id",
+                payload_col: str = "payload", max_hamming: int = 2,
+                n_bands: int = 7) -> DataFrame:
+    """End-to-end perceptual image dedup: fingerprint (dHash) →
+    banded-Hamming pairing → greedy min-id keeper election. An image
+    is REMOVED iff it has a verified near-dup with a smaller id — the
+    same lexicographic first-occurrence ownership rule as
+    ``textstats.exact_substring_dedup`` (deterministic, replayable; a
+    removed image's keeper chain always ends at a kept image ≤ its
+    id, though ownership is pairwise, not transitive-closure — the
+    connected-components escalation is ``near_dup_clusters`` over
+    these pairs when cluster-level curation is needed).
+
+    Output: one row per KEPT image — (media_id, dhash, n_near) where
+    ``n_near`` counts its verified near-dup pairs (degree in the pair
+    graph; 0 for unique images). Undecodable payloads are dropped at
+    the fingerprint stage (NULL dhash).
+
+    100 TB shape: image bytes are touched once, scan-local, by the
+    Arrow dHash stage; everything after moves only (id, int64) rows —
+    the band shuffle and one left_anti + one aggregated-degree join,
+    all broadcast-able once pairs ≪ corpus. Reference seed: the
+    cover-image pipeline (cv_fetch_covers.py:116-126, S9), which
+    refetches every cover; this is the stage that would skip
+    perceptual re-downloads.
+    """
+    from comix_etl_spark.multimodal.media import image_dhash
+
+    fps = image_dhash(df, id_col=id_col, payload_col=payload_col)
+    fps = fps.filter(F.col("dhash").isNotNull())
+    pairs = image_near_dup_pairs(fps, max_hamming=max_hamming,
+                                 n_bands=n_bands)
+    # degree per image (both pair sides), removed = appears as id_b
+    deg = (pairs.select(F.col("id_a").alias("media_id"))
+           .unionAll(pairs.select(F.col("id_b").alias("media_id")))
+           .groupBy("media_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_near")))
+    kept = fps.join(pairs.select(F.col("id_b").alias("media_id")).distinct(),
+                    "media_id", "left_anti")
+    return (kept.join(deg, "media_id", "left")
+            .select("media_id", "dhash",
+                    F.coalesce(F.col("n_near"), F.lit(0).cast("long"))
+                    .alias("n_near")))
+
+
+def image_probe_pairs(corpus_fp: DataFrame, probe_fp: DataFrame, *,
+                      id_col: str = "media_id", fp_col: str = "dhash",
+                      max_hamming: int = 2, n_bands: int = 7) -> DataFrame:
+    """Cross-set perceptual matches: every (corpus image, probe image)
+    pair within ``max_hamming`` bits — the image-side eval-set
+    DECONTAMINATION screen (scrub benchmark images and their near-
+    duplicate recrawls/re-encodes out of a training corpus before
+    training; the pixel-space sibling of the registry's
+    ``embedding_decontaminate``) and equally the incremental-ingest
+    probe (batch-vs-corpus, like ``dedup_against_corpus`` for text).
+
+    Same banded-Hamming machinery and pigeonhole recall guarantee as
+    ``image_near_dup_pairs`` (every pair within ``n_bands - 1`` bits
+    shares an intact band), but across TWO framesets and without the
+    ``id <`` orientation — output is (corpus_id, probe_id, hamming).
+
+    100 TB shape: the corpus side never self-joins; its band rows
+    stream once against the probe side's band rows, and a real probe
+    set (a benchmark suite — thousands of images, n_bands rows each)
+    broadcasts, so the screen is one corpus scan + one broadcast-hash
+    probe with zero corpus shuffle. NULL fingerprints drop on both
+    sides. In production the corpus band rows are computed once and
+    PERSISTED bucketed-by-(band, band-value); each new benchmark then
+    probes without touching corpus pixels again.
+    """
+    if not 1 <= n_bands <= 63:
+        raise ValueError(f"n_bands must be in [1, 63], got {n_bands}")
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= n_bands={n_bands} voids the "
+            "pigeonhole recall guarantee; raise n_bands")
+    width = 63 // n_bands
+
+    def band_rows(fp: DataFrame, out_id: str, out_fp: str) -> DataFrame:
+        f = fp.filter(F.col(fp_col).isNotNull()).select(
+            F.col(id_col).alias(out_id), F.col(fp_col).alias(out_fp))
+
+        def band_val(bi: int):
+            lo = bi * width
+            w = (63 - lo) if bi == n_bands - 1 else width
+            return (F.shiftrightunsigned(F.col(out_fp), lo)
+                    .bitwiseAND((1 << w) - 1))
+
+        return f.select(
+            out_id, out_fp,
+            F.explode(F.array(*[
+                F.struct(F.lit(bi).alias("band"), band_val(bi).alias("bv"))
+                for bi in range(n_bands)])).alias("bb")
+        ).select(out_id, out_fp, "bb.band", "bb.bv")
+
+    c = band_rows(corpus_fp, "corpus_id", "_fc")
+    p = band_rows(probe_fp, "probe_id", "_fp")
+    cand = (c.join(F.broadcast(p), ["band", "bv"])
+            .dropDuplicates(["corpus_id", "probe_id"]))
+    ham = F.bit_count(F.col("_fc").bitwiseXOR(F.col("_fp")))
+    return (cand.withColumn("hamming", ham.cast("long"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("corpus_id", "probe_id", "hamming"))

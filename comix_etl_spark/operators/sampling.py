@@ -197,6 +197,13 @@ def dsir_importance(corpus: DataFrame, target: DataFrame, *, id_col: str,
     zip_with/slice codegen); the ratio table is ≤ ``buckets`` rows
     BROADCAST back, and the per-doc sum partial-aggregates map-side on
     the near-unique id key. Nothing shuffles document text.
+    Broadcast routing (measured r9, PLANS.md): at buckets=1M on a
+    3.8M-gram corpus the ratio table is ~1M (long,long) rows ≈ 16-25
+    MB — comfortably broadcast, reduce tasks flat. The table is
+    bounded by ``buckets`` regardless of corpus size; past ~4M buckets
+    (when ~24 B/row approaches the broadcast threshold) drop the
+    ``F.broadcast`` hint on the scoring join and let it shuffle —
+    identical plan otherwise.
 
     Returns (id_col, n_feats, dsir_weight_e6) — weight in micro-nats,
     higher = more target-like.

@@ -608,7 +608,8 @@ def knn_join_lsh(corpus: DataFrame, *, dim: int, id_col: str = "vec_id",
 
 
 def kcenter_sample(df: DataFrame, *, id_col: str = "vec_id",
-                   vec_col: str = "embedding", k: int = 8) -> DataFrame:
+                   vec_col: str = "embedding", k: int = 8,
+                   cached: bool = False) -> DataFrame:
     """Greedy k-center / farthest-point diversity sampling (Gonzalez
     1985) over an embedding column — the coverage-maximizing SELECTION
     step of data curation (pick k maximally-diverse exemplars; the
@@ -622,9 +623,24 @@ def kcenter_sample(df: DataFrame, *, id_col: str = "vec_id",
     doubles — broadcast-by-constant), one scan computes min distance to
     the chosen set, and a TakeOrdered(1) picks the farthest point —
     O(k) scans total, no pairwise shuffle, driver state bounded by k
-    vectors. At 100 TB this is k passes over the corpus; for large k
-    switch to the cached-min-distance variant (keep a running _mind
-    column, localCheckpoint per round — same kmeans-loop shape).
+    vectors. Each round's scan re-evaluates ALL i chosen centers, so
+    total work is O(k²) center-distance evaluations per row — optimal
+    simplicity at small k (the curation-exemplar regime, k ≲ 32).
+
+    ``cached=True`` switches to the incremental variant for LARGE k
+    (real curation runs pick thousands of centers): a running ``_md``
+    column holds each row's min distance to the chosen set, each round
+    updates it against ONLY the newest center (``least(_md, dist)``)
+    and eagerly ``localCheckpoint``s to pin the value and truncate
+    lineage — O(k) total center-distance evaluations per row, the
+    k-means-loop shape. Output is IDENTICAL to the scans form
+    (pytest-asserted): int64 micro-unit distances make
+    ``least(least(a,b),c) == least(a,b,c)`` exact, including the
+    NULL-skip for zero-norm vectors. Cost of the trade: one
+    checkpoint materialization of (id, vec, norm, mind) per round —
+    size the executor storage pool for one corpus copy; superseded
+    checkpoint blocks are released by Spark's ContextCleaner as the
+    previous frame goes unreferenced.
 
     Returns (sel_order, id, mindist_e6): selection order (0 = seed),
     point id, and its min cosine distance ×1e6 to the previously
@@ -668,16 +684,29 @@ def kcenter_sample(df: DataFrame, *, id_col: str = "vec_id",
                      / (F.col("_n") * F.lit(cn)))
         return F.round((F.lit(1.0) - F.round(cos, 6)) * 1e6).cast("long")
 
-    for _ in range(1, k):
-        dists = [_dist(vec) for (_cid, vec, _md) in chosen]
-        mind = F.least(*dists) if len(dists) > 1 else dists[0]
-        picked = (src.filter(~F.col("_id").isin([c[0] for c in chosen]))
-                  .select("_id", "_v", mind.alias("_md"))
-                  .orderBy(F.col("_md").desc(), F.col("_id").asc())
-                  .limit(1).collect())
-        if not picked:  # k exceeds the corpus — return what exists
-            break
-        chosen.append((picked[0]._id, list(picked[0]._v), picked[0]._md))
+    if cached:
+        cur = src.withColumn("_md", _dist(list(seed[0]._v)))
+        for _ in range(1, k):
+            cur = cur.localCheckpoint(eager=True)
+            picked = (cur.filter(~F.col("_id").isin([c[0] for c in chosen]))
+                      .orderBy(F.col("_md").desc(), F.col("_id").asc())
+                      .limit(1).collect())
+            if not picked:  # k exceeds the corpus — return what exists
+                break
+            chosen.append((picked[0]._id, list(picked[0]._v), picked[0]._md))
+            cur = cur.withColumn(
+                "_md", F.least(F.col("_md"), _dist(list(picked[0]._v))))
+    else:
+        for _ in range(1, k):
+            dists = [_dist(vec) for (_cid, vec, _md) in chosen]
+            mind = F.least(*dists) if len(dists) > 1 else dists[0]
+            picked = (src.filter(~F.col("_id").isin([c[0] for c in chosen]))
+                      .select("_id", "_v", mind.alias("_md"))
+                      .orderBy(F.col("_md").desc(), F.col("_id").asc())
+                      .limit(1).collect())
+            if not picked:  # k exceeds the corpus — return what exists
+                break
+            chosen.append((picked[0]._id, list(picked[0]._v), picked[0]._md))
     return df.sparkSession.createDataFrame(
         [(i, cid, md) for i, (cid, _vec, md) in enumerate(chosen)],
         "sel_order int, id long, mindist_e6 long")

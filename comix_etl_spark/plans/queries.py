@@ -9686,6 +9686,156 @@ ORDER BY o.decile
 
 
 # ---------------------------------------------------------------------------
+# §7 — LAION-style perceptual image dedup (multimodal/media.py::image_dhash
+#       + operators/dedup.py::image_dedup)
+# ---------------------------------------------------------------------------
+
+# Deterministic synthetic RAW8 images (b'RW8' + w + h + row-major uint8
+# pixels), 18×16, built in codegen as hex → unhex. Each image is a 2×-
+# upscaled 9×8 grid of constant 2×2 blocks, so the operator's REAL
+# area-mean resize recovers the block values exactly and the oracle can
+# recompute the dHash analytically from the generating formula. Groups
+# of 5 (g = doc_id DIV 5): variants v=0..3 apply a uniform brightness
+# shift (+3v — dHash-invariant by design, the perceptual-dedup point),
+# v=4 additionally inverts block (3,4), flipping ≤ 2 dHash bits (a
+# near- but not exact-duplicate). Block value pre-brightness is
+# (g*(r+3)*(c+5) + g*g*7 + r*11 + c*13) % 244 — the 244 modulus keeps
+# +3v ≤ +12 from ever clamping at 255, preserving exact invariance.
+_IMG_PX_SQL = """
+  CASE WHEN (doc_id % 5) = 4 AND ((i DIV 18) DIV 2) = 3
+            AND ((i % 18) DIV 2) = 4
+    THEN 255 - ((((doc_id DIV 5) * (((i DIV 18) DIV 2) + 3)
+                  * (((i % 18) DIV 2) + 5)
+                  + (doc_id DIV 5) * (doc_id DIV 5) * 7
+                  + ((i DIV 18) DIV 2) * 11 + ((i % 18) DIV 2) * 13) % 244)
+                + 3 * (doc_id % 5))
+    ELSE ((((doc_id DIV 5) * (((i DIV 18) DIV 2) + 3)
+            * (((i % 18) DIV 2) + 5)
+            + (doc_id DIV 5) * (doc_id DIV 5) * 7
+            + ((i DIV 18) DIV 2) * 11 + ((i % 18) DIV 2) * 13) % 244)
+          + 3 * (doc_id % 5))
+  END"""
+
+
+def _synthetic_images(d: DataFrame) -> DataFrame:
+    """(media_id, payload) — RAW8 payload bytes assembled JVM-side
+    (hex transform + unhex), one image per document row."""
+    px_hex = F.expr(
+        "array_join(transform(sequence(0, 287), i -> "
+        f"lpad(hex({_IMG_PX_SQL}), 2, '0')), '')")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.concat(F.lit("5257381210"), px_hex)).alias("payload"))
+
+
+def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup end-to-end: RAW8 payload bytes → real
+    header-parse + area-mean resize + 63-bit dHash (Arrow batch) →
+    7-band Hamming LSH pairing → greedy min-id keeper election. The
+    fingerprints are plain BIGINTs, so the whole pipeline — including
+    the Arrow decode stage — gets a value-hash oracle gate: DuckDB
+    recomputes the dHash analytically from the pixel-generator formula
+    while Spark computes it from the actual payload bytes; any drift
+    in parse/resize/bit order breaks the hash match."""
+    from comix_etl_spark.operators.dedup import image_dedup
+
+    t = _t(spark, sf_dir, "documents")
+    out = image_dedup(_synthetic_images(t["documents"]),
+                      max_hamming=2, n_bands=7)
+    return out.orderBy("media_id")
+
+
+# The oracle pairs with ALL-PAIRS Hamming <= 2, which equals the Spark
+# side's banded-LSH + verify EXACTLY: <= 2 flipped bits touch <= 2 of
+# the 7 bands, so every qualifying pair keeps an intact band and is
+# guaranteed a candidate (pigeonhole recall — see
+# operators/dedup.py::image_near_dup_pairs); candidates beyond the
+# Hamming cap are filtered by both engines.
+# shared analytic-dHash CTE chain (docs → block pixel values → bit
+# values → 63-bit hashes), composed by ORACLE_IMAGE_DEDUP and
+# ORACLE_IMAGE_DECONTAMINATE
+_IMG_HASH_CTES = """docs AS (
+  SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS v FROM documents
+), px AS (
+  SELECT doc_id, r, c,
+         CASE WHEN v = 4 AND r = 3 AND c = 4
+              THEN 255 - (((g*(r+3)*(c+5) + g*g*7 + r*11 + c*13) % 244)
+                          + 3*v)
+              ELSE (((g*(r+3)*(c+5) + g*g*7 + r*11 + c*13) % 244) + 3*v)
+         END AS val
+  FROM docs, unnest(range(8)) AS tr(r), unnest(range(9)) AS tc(c)
+), bits AS (
+  SELECT a.doc_id, a.r * 8 + a.c AS b,
+         CASE WHEN n.val > a.val
+              THEN 1::BIGINT << CAST(a.r * 8 + a.c AS INT)
+              ELSE 0::BIGINT END AS bitval
+  FROM px a JOIN px n
+    ON n.doc_id = a.doc_id AND n.r = a.r AND n.c = a.c + 1
+  WHERE a.c < 8 AND a.r * 8 + a.c < 63
+), hashes AS (
+  SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS dhash FROM bits GROUP BY 1
+)"""
+
+
+ORACLE_IMAGE_DEDUP = f"""
+WITH {_IMG_HASH_CTES}, pairs AS (
+  SELECT a.doc_id AS ia, b2.doc_id AS ib
+  FROM hashes a JOIN hashes b2 ON a.doc_id < b2.doc_id
+  WHERE bit_count(xor(a.dhash, b2.dhash)) <= 2
+), deg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near
+  FROM (SELECT ia AS doc_id FROM pairs
+        UNION ALL SELECT ib AS doc_id FROM pairs) u
+  GROUP BY 1
+)
+SELECT h.doc_id AS media_id, h.dhash,
+       coalesce(d.n_near, 0::BIGINT) AS n_near
+FROM hashes h LEFT JOIN deg d USING (doc_id)
+WHERE h.doc_id NOT IN (SELECT ib FROM pairs)
+ORDER BY media_id
+"""
+
+
+def q_image_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-side eval-set decontamination — the pixel-space sibling of
+    q_embedding_decontaminate: every 50th document's image stands in as
+    a benchmark suite, and the screen reports each corpus image with a
+    perceptual match (Hamming ≤ 2 over 63-bit dHash) to ANY benchmark
+    image, with its hit count and closest distance. The corpus side
+    never self-joins; the small benchmark band rows broadcast
+    (operators/dedup.py::image_probe_pairs)."""
+    from comix_etl_spark.multimodal.media import image_dhash
+    from comix_etl_spark.operators.dedup import image_probe_pairs
+
+    t = _t(spark, sf_dir, "documents")
+    d = t["documents"]
+    corpus = image_dhash(_synthetic_images(d))
+    probe = image_dhash(_synthetic_images(d.filter(F.col("doc_id") % 50 == 0)))
+    pairs = image_probe_pairs(corpus, probe, max_hamming=2, n_bands=7)
+    return (pairs.groupBy("corpus_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
+                 F.min("hamming").cast("long").alias("min_hamming"))
+            .select(F.col("corpus_id").alias("media_id"),
+                    "n_bench_hits", "min_hamming")
+            .orderBy("media_id"))
+
+
+# all-pairs Hamming <= 2 == banded-LSH + verify, by the same pigeonhole
+# recall argument as ORACLE_IMAGE_DEDUP
+ORACLE_IMAGE_DECONTAMINATE = f"""
+WITH {_IMG_HASH_CTES}, hits AS (
+  SELECT c.doc_id AS cid, p.doc_id AS pid,
+         bit_count(xor(c.dhash, p.dhash)) AS h
+  FROM hashes c JOIN hashes p ON p.doc_id % 50 = 0
+  WHERE bit_count(xor(c.dhash, p.dhash)) <= 2
+)
+SELECT cid AS media_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+       CAST(min(h) AS BIGINT) AS min_hamming
+FROM hits GROUP BY 1 ORDER BY media_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # §7 — DSIR importance weighting (data selection toward a target set)
 # ---------------------------------------------------------------------------
 
@@ -10454,6 +10604,14 @@ QUERIES: dict[str, Query] = {
         q_url_dedup, ORACLE_URL_DEDUP,
         "C4/RefinedWeb stage-1: URL canonicalization dedup + per-host "
         "cap", ("documents",)),
+    "image_dedup": Query(
+        q_image_dedup, ORACLE_IMAGE_DEDUP,
+        "LAION-style perceptual image dedup: dHash fingerprint + "
+        "banded Hamming LSH + min-id keeper election", ("documents",)),
+    "image_decontaminate": Query(
+        q_image_decontaminate, ORACLE_IMAGE_DECONTAMINATE,
+        "image-side eval-set decontamination: corpus-vs-benchmark "
+        "perceptual probe (broadcast band join)", ("documents",)),
     "dsir_weights": Query(
         q_dsir_weights, ORACLE_DSIR_WEIGHTS,
         "DSIR hashed-ngram importance weights toward a target set",
@@ -10484,50 +10642,47 @@ QUERIES: dict[str, Query] = {
 # expensive pair/sketch queries sit at the very end — a budget cut costs
 # re-confirmation of old green rows, not first-time verdicts.
 #
-# r8 ROTATION (r7 window went 50/50 hash-green): url_dedup (new this
-# round) plus the six r7 queries that landed after the r7 window froze
-# take the first slots (never-checked first-timers, cheap shapes before
-# the pair/iterative ones), then the 19 oracle-backed r3-era greens
-# whose verdicts are 5 rounds stale (VERDICT r7 "What's missing" #2),
-# then 19 of the 49 r4-era greens (oldest remaining verdicts, cheap
-# analytic shapes). r9 BACKLOG: the other 30 r4-era greens
-# (small_qty_revenue, constraint_audit, window_profile, approx_percentiles, mad_outliers, stream_session_window, ann_pq, revenue_anomaly, peak_concurrency,
-# compress_ratio, asof_forward, temperature_mixture, fk_audit,
-# late_suppliers, group_mode, running_distinct, trend_slopes,
-# value_bands, nullsafe_join, mom_growth, inverted_index,
-# dedup_keep_best, order_count_dist, decile_mobility, basket_pairs,
-# revenue_concentration, containment_pairs, quantize_calibrated,
-# cohort_ltv, graph_degrees) + the 3 rows-only r3-era checks
-# (dedup_clusters_lsh, approx_cardinality, kmeans_clusters — their
-# hash-checked _det siblings passed r5/r6) + any r8-new queries that
-# miss this window.
+# r9 ROTATION (r8 window went 50/50 hash-green; VERDICT r8 "Next
+# round" #1): the two r9-new image queries take the first slots
+# (never-checked first-timers), then the 30 r4-era oracle-backed
+# greens + the 3 r3-era rows-only checks (dedup_clusters_lsh,
+# approx_cardinality, kmeans_clusters — their hash-checked _det
+# siblings passed r5/r6) — after this window no registry query's
+# latest verdict is older than r5 — then 15 of the 45 r5-era greens
+# (cheap scan/merge shapes first). r10 BACKLOG: the other 30 r5-era
+# greens (keyed_scan, lang_id, lexicographic_sort, money_cents,
+# monthly_buckets, moving_average, ngram_jaccard, order_sequence,
+# orphan_count, prefix_crawl, price_outliers, pricing_summary,
+# quality_metrics, range_join, relevance_search, sales_rollup,
+# search_substring, segment_totals, semi_join, token_counts,
+# token_overlap, top_customer_per_nation, upsert_selective,
+# variant_flag, ann_cosine_topk, ann_ivf_det, ann_lsh_det,
+# corpus_prep, dedup_clusters, dedup_embedding) + any r9-new queries
+# that miss this window.
 _CHECK_FIRST = [
-    # NEW in r8 — C4/RefinedWeb URL canonicalization dedup + host cap,
-    # DSIR hashed-ngram importance weighting (data selection), greedy
-    # k-center diversity sampling, the composed gate->URL-dedup->
-    # content-dedup->budget web pipeline, the embedding-space
-    # eval-leak screen, and the Heaps-law vocabulary growth curve
-    "url_dedup", "dsir_weights", "kcenter_sample", "web_corpus_prep",
-    "embedding_decontaminate", "vocab_growth",
-    # never driver-checked (landed after the r7 window froze) — cheap
-    # scan-local / sketch shapes first
-    "markup_strip", "ks_drift", "cms_freq", "ams_f2",
-    # never driver-checked — iterative graph + sketch-vs-recount join
-    "pagerank_personalized", "cms_join_size",
-    # r3-era oracle-backed greens, 5 rounds stale — cheap shapes first
-    "issue_sort_numeric", "snapshot_diff", "winsorize", "key_skew",
-    "group_sample", "lang_balance", "corpus_top_terms",
-    "repetition_stats", "tfidf_top_terms", "chunk_documents",
-    "pii_scrub", "multimodal_decode", "bloom_join", "balance_corpus",
-    "pack_sequences", "ann_quantized", "dedup_spans", "fuzzy_match",
-    "decontaminate",
-    # r4-era greens (oldest remaining verdicts) — analytic shapes
-    "events_json", "sessionize", "funnel", "quantize_embeddings",
-    "percentile_profile", "corr_matrix", "spend_zscore",
-    "price_histogram", "customer_churn", "event_transitions",
-    "cdc_apply", "embedding_dim_stats", "grouping_sets", "topk_ties",
-    "session_stats", "salted_agg", "multimodal_frames",
-    "token_histogram", "lm_score",
+    # NEW in r9 — LAION-style perceptual image dedup (dHash + banded
+    # Hamming LSH + min-id keeper election) and the image-side
+    # eval-set decontamination probe
+    "image_dedup", "image_decontaminate",
+    # r4-era oracle-backed greens, 5 rounds stale — cheap analytic
+    # shapes first, pair/iterative shapes last
+    "small_qty_revenue", "constraint_audit", "window_profile",
+    "mad_outliers", "stream_session_window", "revenue_anomaly",
+    "peak_concurrency", "asof_forward", "temperature_mixture",
+    "fk_audit", "late_suppliers", "group_mode", "running_distinct",
+    "trend_slopes", "value_bands", "nullsafe_join", "mom_growth",
+    "inverted_index", "dedup_keep_best", "order_count_dist",
+    "decile_mobility", "revenue_concentration", "quantize_calibrated",
+    "cohort_ltv", "graph_degrees", "basket_pairs", "containment_pairs",
+    # r4-era rows-only checks (hash-green _det/_check siblings exist)
+    "approx_percentiles", "ann_pq", "compress_ratio",
+    # r3-era rows-only checks — the oldest verdicts in the registry
+    "dedup_clusters_lsh", "approx_cardinality", "kmeans_clusters",
+    # r5-era greens (oldest remaining oracle verdicts) — cheap shapes
+    "above_nation_avg", "asof_join", "audit_trail", "backfill_if_null",
+    "bridge_roles", "bridge_upsert", "clean_coalesce", "csv_ingest",
+    "dedup_exact", "doc_fingerprint", "doc_quality", "duplicate_keys",
+    "event_pivot", "guardrail_check", "insert_if_absent",
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 QUERIES = {

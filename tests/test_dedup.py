@@ -292,3 +292,94 @@ def test_url_dedup_host_cap_gets_window_group_limit(spark):
     for r in got:
         per_host[r.host] = per_host.get(r.host, 0) + 1
     assert all(v == 5 for v in per_host.values()), per_host
+
+
+def _raw8(px_rows):
+    """RAW8 payload from a list of pixel rows."""
+    h = len(px_rows); w = len(px_rows[0])
+    return b"RW8" + bytes([w, h]) + bytes(b for row in px_rows for b in row)
+
+
+def test_image_dhash_brightness_invariant_and_resize(spark):
+    """dHash is invariant under uniform brightness shift; the area-mean
+    resize reduces a 4x-upscaled image to the same fingerprint as its
+    9x8 base; undecodable payloads yield NULL."""
+    import random
+
+    from comix_etl_spark.multimodal.media import image_dhash
+
+    rng = random.Random(7)
+    base = [[rng.randrange(0, 200) for _ in range(9)] for _ in range(8)]
+    bright = [[v + 40 for v in row] for row in base]
+    up4 = [[base[r // 4][c // 4] for c in range(36)] for r in range(32)]
+    rows = [(0, _raw8(base)), (1, _raw8(bright)), (2, _raw8(up4)),
+            (3, b"NOTANIMAGE"), (4, b"RW8\x09\x08short")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r.dhash for r in image_dhash(df).collect()}
+    assert got[0] is not None and got[0] >= 0
+    assert got[1] == got[0], "uniform brightness must not change dHash"
+    assert got[2] == got[0], "area-mean downscale of 4x upscale must agree"
+    assert got[3] is None and got[4] is None
+
+
+def test_image_near_dup_pairs_banding_recall(spark):
+    """Pigeonhole guarantee: every pair within Hamming <= n_bands-1 is
+    found through the band join; far fingerprints yield no pair."""
+    from comix_etl_spark.operators.dedup import image_near_dup_pairs
+
+    base = (1 << 50) | (1 << 30) | (1 << 3)
+    rows = [(0, base),
+            (1, base ^ (1 << 5)),            # hamming 1
+            (2, base ^ (1 << 5) ^ (1 << 44)),  # hamming 2 from 0
+            (3, (1 << 62) - 123),             # far away
+            (4, None)]                        # undecodable, dropped
+    df = spark.createDataFrame(rows, "media_id long, dhash long")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in image_near_dup_pairs(df, max_hamming=2).collect()}
+    assert got[(0, 1)] == 1 and got[(0, 2)] == 2 and got[(1, 2)] == 1
+    assert all(3 not in p and 4 not in p for p in got), got
+    # guard rails: voiding the pigeonhole guarantee is an error
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        image_near_dup_pairs(df, max_hamming=7, n_bands=7)
+
+
+def test_image_dedup_keeper_election(spark):
+    """min-id ownership: within a near-dup set the smallest id is kept,
+    every other member is removed; n_near counts verified pairs."""
+    from comix_etl_spark.operators.dedup import image_dedup
+
+    rng_px = [[(r * 11 + c * 13) % 200 for c in range(9)] for r in range(8)]
+    shifted = [[v + 9 for v in row] for row in rng_px]
+    other = [[(200 - r * 17 - c * 7) % 200 for c in range(9)]
+             for r in range(8)]
+    rows = [(10, _raw8(rng_px)), (11, _raw8(shifted)), (12, _raw8(other)),
+            (13, b"garbage")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in image_dedup(df).collect()}
+    assert 10 in got and 11 not in got, got
+    assert got[10].n_near == 1
+    assert 12 in got and got[12].n_near == 0
+    assert 13 not in got  # undecodable: quarantined, not clustered
+
+
+def test_image_probe_pairs_cross_set(spark):
+    """Corpus-vs-probe banded matches: near pairs found, far pairs and
+    NULLs dropped, no corpus self-pairs, both orientations of closeness
+    covered (probe id smaller AND larger than corpus id)."""
+    from comix_etl_spark.operators.dedup import image_probe_pairs
+
+    base = (1 << 40) | (1 << 22) | 7
+    corpus = spark.createDataFrame(
+        [(100, base), (101, base ^ (1 << 9)), (102, (1 << 61) - 999),
+         (103, None)],
+        "media_id long, dhash long")
+    probe = spark.createDataFrame(
+        [(1, base), (2, base ^ (1 << 9) ^ (1 << 33)), (3, None)],
+        "media_id long, dhash long")
+    got = {(r.corpus_id, r.probe_id): r.hamming
+           for r in image_probe_pairs(corpus, probe,
+                                      max_hamming=2).collect()}
+    assert got[(100, 1)] == 0 and got[(100, 2)] == 2
+    assert got[(101, 1)] == 1 and got[(101, 2)] == 1
+    assert not any(c == 102 or c == 103 or p == 3 for c, p in got), got

@@ -284,3 +284,22 @@ def test_kcenter_sample_drops_null_ids(spark):
     assert [r.sel_order for r in out] == [0, 1, 2]
     assert None not in {r.id for r in out}
     assert out[0].id == 1  # min NON-NULL id seeds
+
+
+def test_kcenter_cached_matches_scans_form(spark, sf_small):
+    """cached=True (running _md column + localCheckpoint per round) must
+    select the IDENTICAL ordered exemplar set with identical micro-unit
+    distances as the literal-array k-scans form — int64 distances make
+    least(least(a,b),c) == least(a,b,c) exact, including the NULL-skip
+    for zero-norm vectors."""
+    from comix_etl_spark.operators.similarity import kcenter_sample
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    # append a zero-norm vector to exercise the NULL-distance path
+    dim = len(emb.select("embedding").first()[0])
+    zero = spark.createDataFrame(
+        [(999_999, [0.0] * dim)], "vec_id long, embedding array<double>")
+    src = emb.select("vec_id", "embedding").unionByName(zero)
+    scans = kcenter_sample(src, k=8).collect()
+    cached = kcenter_sample(src, k=8, cached=True).collect()
+    assert [tuple(r) for r in scans] == [tuple(r) for r in cached]
