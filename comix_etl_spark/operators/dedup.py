@@ -804,7 +804,7 @@ def url_dedup(df: DataFrame, *, url_col: str, id_col: str,
 
 def image_near_dup_pairs(fp: DataFrame, *, id_col: str = "media_id",
                          fp_col: str = "dhash", max_hamming: int = 2,
-                         n_bands: int = 7) -> DataFrame:
+                         n_bands: int | None = None) -> DataFrame:
     """Near-duplicate image pairs by banded Hamming LSH over 63-bit
     perceptual fingerprints (``multimodal.media.image_dhash``) — the
     LAION-style image-dedup pairing stage.
@@ -815,9 +815,21 @@ def image_near_dup_pairs(fp: DataFrame, *, id_col: str = "media_id",
     and a candidate is emitted iff ``bit_count(xor) <= max_hamming``.
     Pigeonhole recall guarantee: d flipped bits touch at most d bands,
     so every pair within Hamming ``n_bands - 1`` shares an intact band
-    — with the defaults (7 bands, max_hamming 2) banding loses NOTHING
-    vs all-pairs, it only prunes the candidate set. Keep
-    ``max_hamming < n_bands`` to preserve the guarantee.
+    — banding loses NOTHING vs all-pairs for the verified threshold,
+    it only prunes the candidate set. Keep ``max_hamming < n_bands``
+    to preserve the guarantee.
+
+    BAND-COUNT SIZING (measured r9, PLANS.md): the default is the
+    MINIMUM ``max_hamming + 1`` bands, which is also the scale-optimal
+    choice. Extra bands only add recall BEYOND the verified threshold
+    (wasted — verification drops those pairs anyway) while shrinking
+    each band's value space exponentially: at 7 bands a band is 9 bits
+    = 512 values, so a 1M-image corpus stuffs ~2000 fingerprints into
+    EVERY bucket and the candidate join goes quadratic (~7e9 pairs —
+    measured as a killed >18 min run); at the default 3 bands a band
+    is 21 bits = 2M values and buckets hold only true near-dup
+    clusters plus ~corpus/2^21 stragglers. General rule: need
+    ``2^(63/n_bands) >> corpus_size / n_bands``.
 
     Output: (id_a < id_b, hamming) — verified pairs only.
 
@@ -831,6 +843,8 @@ def image_near_dup_pairs(fp: DataFrame, *, id_col: str = "media_id",
     fingerprints (all-zero/all-one gradients) before pairing, exactly
     as NULL (undecodable) fingerprints are dropped here.
     """
+    if n_bands is None:
+        n_bands = max_hamming + 1
     if not 1 <= n_bands <= 63:
         raise ValueError(f"n_bands must be in [1, 63], got {n_bands}")
     if max_hamming >= n_bands:
@@ -867,7 +881,7 @@ def image_near_dup_pairs(fp: DataFrame, *, id_col: str = "media_id",
 
 def image_dedup(df: DataFrame, *, id_col: str = "media_id",
                 payload_col: str = "payload", max_hamming: int = 2,
-                n_bands: int = 7) -> DataFrame:
+                n_bands: int | None = None) -> DataFrame:
     """End-to-end perceptual image dedup: fingerprint (dHash) →
     banded-Hamming pairing → greedy min-id keeper election. An image
     is REMOVED iff it has a verified near-dup with a smaller id — the
@@ -894,7 +908,17 @@ def image_dedup(df: DataFrame, *, id_col: str = "media_id",
     from comix_etl_spark.multimodal.media import image_dhash
 
     fps = image_dhash(df, id_col=id_col, payload_col=payload_col)
-    fps = fps.filter(F.col("dhash").isNotNull())
+    # pin the fingerprints ONCE: this plan consumes fps four times
+    # (both band-join sides, the keeper anti-join, the degree join) —
+    # without materialization Catalyst re-runs the full payload decode
+    # per consumer, quadrupling the expensive Arrow stage (measured r9:
+    # the 1M-image run OOMed re-decoding concurrently; checkpointed it
+    # runs in one decode pass). The pinned frame is (id, int64) ≈ 16
+    # B/row — a 1B-image corpus checkpoints ~16 GB cluster-wide, far
+    # smaller than one re-decode; blocks release when the result frame
+    # goes unreferenced.
+    fps = (fps.filter(F.col("dhash").isNotNull())
+           .localCheckpoint(eager=True))
     pairs = image_near_dup_pairs(fps, max_hamming=max_hamming,
                                  n_bands=n_bands)
     # degree per image (both pair sides), removed = appears as id_b
@@ -912,7 +936,8 @@ def image_dedup(df: DataFrame, *, id_col: str = "media_id",
 
 def image_probe_pairs(corpus_fp: DataFrame, probe_fp: DataFrame, *,
                       id_col: str = "media_id", fp_col: str = "dhash",
-                      max_hamming: int = 2, n_bands: int = 7) -> DataFrame:
+                      max_hamming: int = 2,
+                      n_bands: int | None = None) -> DataFrame:
     """Cross-set perceptual matches: every (corpus image, probe image)
     pair within ``max_hamming`` bits — the image-side eval-set
     DECONTAMINATION screen (scrub benchmark images and their near-
@@ -935,6 +960,8 @@ def image_probe_pairs(corpus_fp: DataFrame, probe_fp: DataFrame, *,
     PERSISTED bucketed-by-(band, band-value); each new benchmark then
     probes without touching corpus pixels again.
     """
+    if n_bands is None:
+        n_bands = max_hamming + 1
     if not 1 <= n_bands <= 63:
         raise ValueError(f"n_bands must be in [1, 63], got {n_bands}")
     if max_hamming >= n_bands:

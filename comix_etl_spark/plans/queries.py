@@ -9731,7 +9731,9 @@ def _synthetic_images(d: DataFrame) -> DataFrame:
 def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup end-to-end: RAW8 payload bytes → real
     header-parse + area-mean resize + 63-bit dHash (Arrow batch) →
-    7-band Hamming LSH pairing → greedy min-id keeper election. The
+    banded Hamming LSH pairing (3 × 21-bit bands — the scale-optimal
+    minimum, see the operator's band-count sizing note) → greedy
+    min-id keeper election. The
     fingerprints are plain BIGINTs, so the whole pipeline — including
     the Arrow decode stage — gets a value-hash oracle gate: DuckDB
     recomputes the dHash analytically from the pixel-generator formula
@@ -9740,14 +9742,14 @@ def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comix_etl_spark.operators.dedup import image_dedup
 
     t = _t(spark, sf_dir, "documents")
-    out = image_dedup(_synthetic_images(t["documents"]),
-                      max_hamming=2, n_bands=7)
+    out = image_dedup(_synthetic_images(t["documents"]), max_hamming=2)
     return out.orderBy("media_id")
 
 
 # The oracle pairs with ALL-PAIRS Hamming <= 2, which equals the Spark
 # side's banded-LSH + verify EXACTLY: <= 2 flipped bits touch <= 2 of
-# the 7 bands, so every qualifying pair keeps an intact band and is
+# the n_bands (= max_hamming + 1 = 3) bands, so every qualifying pair
+# keeps an intact band and is
 # guaranteed a candidate (pigeonhole recall — see
 # operators/dedup.py::image_near_dup_pairs); candidates beyond the
 # Hamming cap are filtered by both engines.
@@ -9811,7 +9813,7 @@ def q_image_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t["documents"]
     corpus = image_dhash(_synthetic_images(d))
     probe = image_dhash(_synthetic_images(d.filter(F.col("doc_id") % 50 == 0)))
-    pairs = image_probe_pairs(corpus, probe, max_hamming=2, n_bands=7)
+    pairs = image_probe_pairs(corpus, probe, max_hamming=2)
     return (pairs.groupBy("corpus_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
                  F.min("hamming").cast("long").alias("min_hamming"))

@@ -158,6 +158,59 @@ def exp_vocab(spark) -> dict:
     return out
 
 
+def _experiment_images(spark, n: int):
+    """Full-entropy RAW8 generator for the scale sweep: group-of-5
+    near-dup structure like the registry's `_synthetic_images`, but the
+    block pixel is xxhash64(g, block)-derived, so every group's base
+    image is distinct. (The registry formula is periodic mod 244 in g —
+    harmless at oracle scales where g < 244 and fully mirrored by the
+    oracle, but at 1M images it collapses 200k groups onto ~244
+    distinct hashes, creating ~3300-member duplicate clusters and ~1e9
+    TRUE pairs: the first experiment run measured that data artifact,
+    not the operator.)"""
+    from pyspark.sql import functions as F
+
+    px = ("pmod(xxhash64(doc_id DIV 5, ((i DIV 18) DIV 2) * 9 "
+          "+ ((i % 18) DIV 2)), 244)")
+    val = (f"CASE WHEN (doc_id % 5) = 4 AND ((i DIV 18) DIV 2) = 3 "
+           f"AND ((i % 18) DIV 2) = 4 THEN 255 - ({px} + 3 * (doc_id % 5)) "
+           f"ELSE {px} + 3 * (doc_id % 5) END")
+    px_hex = F.expr(
+        "array_join(transform(sequence(0, 287), i -> "
+        f"lpad(hex({val}), 2, '0')), '')")
+    return (spark.range(n).select(F.col("id").alias("doc_id"))
+            .select(F.col("doc_id").alias("media_id"),
+                    F.unhex(F.concat(F.lit("5257381210"), px_hex))
+                    .alias("payload")))
+
+
+def exp_image(spark) -> dict:
+    """image_dedup at 100k vs 1M synthetic RAW8 images (group-of-5
+    near-dup structure, full-entropy bases) — the hazards under test:
+    the Arrow dHash stage must stay scan-parallel, and the (band,
+    band-value) shuffle + pair volume must track corpus size linearly
+    (groups are disjoint, so true pairs scale 1:1)."""
+    from comix_etl_spark.operators.dedup import image_dedup
+
+    out = {}
+    for n in (100_000, 1_000_000):
+        imgs = _experiment_images(spark, n)
+        g0 = last_stage_id(spark)
+        s0 = shuffle_write_bytes(spark)
+        t0 = time.perf_counter()
+        kept = image_dedup(imgs)
+        kept.write.format("noop").mode("overwrite").save()
+        wall = round(time.perf_counter() - t0, 2)
+        s1 = shuffle_write_bytes(spark)
+        out[f"n_{n}"] = {
+            "wall_sec": wall,
+            "shuffle_mb": round((s1 - s0) / 1e6, 1) if s0 >= 0 else None,
+            **{f"task_{k}": v for k, v in
+               max_task_profile(spark, g0).items()},
+        }
+    return out
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
     spark = (SparkSession.builder
@@ -175,7 +228,7 @@ def main() -> None:
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     picks = [a for a in sys.argv[1:] if not a.startswith("-")] or \
-        ["kcenter", "dsir", "vocab"]
+        ["kcenter", "dsir", "vocab", "image"]
     report = {}
     if "kcenter" in picks:
         report["kcenter_k64"] = exp_kcenter(spark)
@@ -183,6 +236,8 @@ def main() -> None:
         report["dsir_buckets"] = exp_dsir(spark)
     if "vocab" in picks:
         report["vocab_growth_10x"] = exp_vocab(spark)
+    if "image" in picks:
+        report["image_dedup_10x"] = exp_image(spark)
     print(json.dumps(report, indent=1))
     with open("/tmp/scale_evidence_r9.json", "w") as fh:
         json.dump(report, fh, indent=1)

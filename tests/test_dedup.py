@@ -383,3 +383,26 @@ def test_image_probe_pairs_cross_set(spark):
     assert got[(100, 1)] == 0 and got[(100, 2)] == 2
     assert got[(101, 1)] == 1 and got[(101, 2)] == 1
     assert not any(c == 102 or c == 103 or p == 3 for c, p in got), got
+
+
+def test_image_probe_pairs_broadcasts_probe_side(spark):
+    """The benchmark/probe band rows must BROADCAST onto the corpus
+    band rows — a sort-merge here would shuffle the corpus side for a
+    benchmark-sized table (the whole point of the screen is zero
+    corpus shuffle)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from comix_etl_spark.operators.dedup import image_probe_pairs
+
+    corpus = spark.range(1000).selectExpr(
+        "id AS media_id", "xxhash64(id) & 9223372036854775807 AS dhash")
+    probe = spark.range(20).selectExpr(
+        "id AS media_id", "xxhash64(id + 7) & 9223372036854775807 AS dhash")
+    out = image_probe_pairs(corpus, probe)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    tree = buf.getvalue().split("\n\n", 1)[0]
+    assert "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
