@@ -113,6 +113,76 @@ def quality_score(c: Column | str) -> Column:
     return F.round(len_ok * 0.4 + (1.0 - punct_ratio(c)) * 0.3 + sw_ok * 0.3, 4)
 
 
+def gopher_rules(c: Column | str, *,
+                 min_words: int = 50, max_words: int = 100_000) -> dict[str, Column]:
+    """The published Gopher document-quality rule set (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", public arXiv 2112.11446,
+    Table A1 — the standard pre-filter most open corpora re-implement;
+    MassiveWeb's thresholds), as pure Column expressions in an
+    engine-stable integer form. Returns named rule Columns; every rule
+    is True when the document PASSES:
+
+    - ``words_ok``       — word count in [min_words, max_words]
+    - ``mean_len_ok``    — mean word length in [3, 10] chars
+      (integer milli-units: ``mean_word_len_e3`` in [3000, 10000])
+    - ``symbol_ok``      — (# + ellipsis occurrences) / words <= 0.1
+    - ``alpha_ok``       — >= 80% of words contain an alphabetic char
+    - ``stopword_ok``    — >= 2 distinct common-English stopwords occur
+    - ``bullet_ok``      — <= 90% of lines start with a bullet (- or *)
+    - ``ellipsis_ok``    — <= 30% of lines end with an ellipsis
+
+    All ratio thresholds compare integers (10·x <= 9·y form) — no
+    float division anywhere, so any engine agrees bit-for-bit. The
+    whole set is scan-local codegen: at 100 TB this gate runs inside
+    the parquet scan, before anything shuffles (C4/MassiveWeb stage
+    order: rules → dedup → mixing).
+    """
+    t = _col(c)
+    toks = tokens(t)
+    n_words = F.size(toks).cast("long")
+    # token chars exclude whitespace by construction
+    tok_chars = F.aggregate(toks, F.lit(0).cast("long"),
+                            lambda acc, x: acc + F.length(x)).cast("long")
+    # exact integer division (mirrors DuckDB's //): subtract the
+    # remainder BEFORE the double division so the quotient is an exact
+    # integer-valued double — a bare a/b could round up across the
+    # integer the oracle floors to (ulp hazard)
+    scaled = tok_chars * 1000
+    mean_e3 = F.when(n_words > 0,
+                     (scaled - F.pmod(scaled, n_words)) / n_words) \
+        .otherwise(F.lit(0)).cast("long")
+    n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))) \
+        .cast("long")
+    n_ellipsis = ((F.length(t)
+                   - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3) \
+        .cast("long")
+    alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))) \
+        .cast("long")
+    stop_hits = None
+    for w in LANG_MARKERS["en"]:
+        hit = F.array_contains(toks, w).cast("long")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    lines = F.filter(F.transform(F.split(t, "\n"), F.trim),
+                     lambda line: line != "")
+    n_lines = F.size(lines).cast("long")
+    bullet_lines = F.size(F.filter(
+        lines, lambda line: line.startswith("-") | line.startswith("*"))) \
+        .cast("long")
+    ellipsis_lines = F.size(F.filter(
+        lines, lambda line: line.endswith("..."))).cast("long")
+    return {
+        "n_words": n_words,
+        "mean_word_len_e3": mean_e3,
+        "words_ok": (n_words >= min_words) & (n_words <= max_words),
+        "mean_len_ok": (mean_e3 >= 3000) & (mean_e3 <= 10000),
+        "symbol_ok": (n_hash + n_ellipsis) * 10 <= n_words,
+        "alpha_ok": alpha_words * 5 >= n_words * 4,
+        "stopword_ok": stop_hits >= 2,
+        "bullet_ok": bullet_lines * 10 <= n_lines * 9,
+        "ellipsis_ok": ellipsis_lines * 10 <= n_lines * 3,
+    }
+
+
 def normalize_for_fingerprint(c: Column | str) -> Column:
     """Canonical text: lowercase, collapse whitespace, trim."""
     return F.trim(F.regexp_replace(F.lower(_col(c)), r"\s+", " "))

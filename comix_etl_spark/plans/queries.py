@@ -9837,6 +9837,103 @@ FROM hits GROUP BY 1 ORDER BY media_id
 """
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveWeb document-quality rule set (Rae et al.
+    2021, Table A1) evaluated per document as scan-local codegen —
+    word-count band, mean-word-length band, symbol ratio, alpha-word
+    share, stopword presence, bullet-line and ellipsis-line caps; the
+    word-count floor is lowered to 5 so the synthetic corpus exercises
+    both outcomes of every rule (functions/text.py::gopher_rules keeps
+    the published [50, 100k] default). Integer-only ratio forms make
+    every flag engine-stable."""
+    from comix_etl_spark.functions.text import gopher_rules
+
+    t = _t(spark, sf_dir, "documents")
+    r = gopher_rules(F.col("text"), min_words=5)
+    flags = ["words_ok", "mean_len_ok", "symbol_ok", "alpha_ok",
+             "stopword_ok", "bullet_ok", "ellipsis_ok"]
+    passes = sum(r[f].cast("int") for f in flags)
+    return (t["documents"].select(
+        "doc_id", r["n_words"].alias("n_words"),
+        r["mean_word_len_e3"].alias("mean_word_len_e3"),
+        *[r[f].cast("int").alias(f) for f in flags],
+        (F.lit(len(flags)) - passes).cast("long").alias("n_rule_fails"),
+        (passes == len(flags)).cast("int").alias("keep"))
+        .orderBy("doc_id"))
+
+
+ORACLE_GOPHER_RULES = """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+              AS BIGINT) AS tok_chars,
+         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+           AS n_hash,
+         CAST((length(text) - length(replace(text, '...', ''))) // 3
+              AS BIGINT) AS n_ell,
+         CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+              AS BIGINT) AS alpha_words,
+         (CASE WHEN list_contains(t, 'the') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(t, 'a') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(t, 'of') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(t, 'and') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(t, 'is') THEN 1 ELSE 0 END)
+           AS stop_hits,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS lines
+  FROM toks
+), r AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0 THEN tok_chars * 1000 // n_words
+              ELSE 0 END AS mean_e3,
+         n_hash, n_ell, alpha_words, stop_hits,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines,
+              x -> x LIKE '-%' OR x LIKE '*%')) AS BIGINT) AS bullet_lines,
+         CAST(len(list_filter(lines, x -> x LIKE '%...')) AS BIGINT)
+           AS ell_lines
+  FROM m
+), f AS (
+  SELECT doc_id, n_words, CAST(mean_e3 AS BIGINT) AS mean_word_len_e3,
+         CASE WHEN n_words >= 5 AND n_words <= 100000 THEN 1 ELSE 0 END
+           AS words_ok,
+         CASE WHEN mean_e3 >= 3000 AND mean_e3 <= 10000 THEN 1 ELSE 0 END
+           AS mean_len_ok,
+         CASE WHEN (n_hash + n_ell) * 10 <= n_words THEN 1 ELSE 0 END
+           AS symbol_ok,
+         CASE WHEN alpha_words * 5 >= n_words * 4 THEN 1 ELSE 0 END
+           AS alpha_ok,
+         CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS stopword_ok,
+         CASE WHEN bullet_lines * 10 <= n_lines * 9 THEN 1 ELSE 0 END
+           AS bullet_ok,
+         CASE WHEN ell_lines * 10 <= n_lines * 3 THEN 1 ELSE 0 END
+           AS ellipsis_ok
+  FROM r
+)
+SELECT doc_id, n_words, mean_word_len_e3,
+       CAST(words_ok AS INT) AS words_ok,
+       CAST(mean_len_ok AS INT) AS mean_len_ok,
+       CAST(symbol_ok AS INT) AS symbol_ok,
+       CAST(alpha_ok AS INT) AS alpha_ok,
+       CAST(stopword_ok AS INT) AS stopword_ok,
+       CAST(bullet_ok AS INT) AS bullet_ok,
+       CAST(ellipsis_ok AS INT) AS ellipsis_ok,
+       CAST(7 - (words_ok + mean_len_ok + symbol_ok + alpha_ok
+                 + stopword_ok + bullet_ok + ellipsis_ok) AS BIGINT)
+         AS n_rule_fails,
+       CAST(CASE WHEN words_ok + mean_len_ok + symbol_ok + alpha_ok
+                      + stopword_ok + bullet_ok + ellipsis_ok = 7
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM f ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # §7 — DSIR importance weighting (data selection toward a target set)
 # ---------------------------------------------------------------------------
@@ -10614,6 +10711,10 @@ QUERIES: dict[str, Query] = {
         q_image_decontaminate, ORACLE_IMAGE_DECONTAMINATE,
         "image-side eval-set decontamination: corpus-vs-benchmark "
         "perceptual probe (broadcast band join)", ("documents",)),
+    "gopher_rules": Query(
+        q_gopher_rules, ORACLE_GOPHER_RULES,
+        "Gopher/MassiveWeb quality rule set (Rae et al. 2021) as "
+        "scan-local integer-form flags", ("documents",)),
     "dsir_weights": Query(
         q_dsir_weights, ORACLE_DSIR_WEIGHTS,
         "DSIR hashed-ngram importance weights toward a target set",
@@ -10651,8 +10752,8 @@ QUERIES: dict[str, Query] = {
 # approx_cardinality, kmeans_clusters — their hash-checked _det
 # siblings passed r5/r6) — after this window no registry query's
 # latest verdict is older than r5 — then 15 of the 45 r5-era greens
-# (cheap scan/merge shapes first). r10 BACKLOG: the other 30 r5-era
-# greens (keyed_scan, lang_id, lexicographic_sort, money_cents,
+# (cheap scan/merge shapes first). r10 BACKLOG: the other 31 r5-era
+# greens (insert_if_absent, keyed_scan, lang_id, lexicographic_sort, money_cents,
 # monthly_buckets, moving_average, ngram_jaccard, order_sequence,
 # orphan_count, prefix_crawl, price_outliers, pricing_summary,
 # quality_metrics, range_join, relevance_search, sales_rollup,
@@ -10663,9 +10764,9 @@ QUERIES: dict[str, Query] = {
 # that miss this window.
 _CHECK_FIRST = [
     # NEW in r9 — LAION-style perceptual image dedup (dHash + banded
-    # Hamming LSH + min-id keeper election) and the image-side
-    # eval-set decontamination probe
-    "image_dedup", "image_decontaminate",
+    # Hamming LSH + min-id keeper election), the image-side eval-set
+    # decontamination probe, and the Gopher/MassiveWeb quality rules
+    "image_dedup", "image_decontaminate", "gopher_rules",
     # r4-era oracle-backed greens, 5 rounds stale — cheap analytic
     # shapes first, pair/iterative shapes last
     "small_qty_revenue", "constraint_audit", "window_profile",
@@ -10684,7 +10785,7 @@ _CHECK_FIRST = [
     "above_nation_avg", "asof_join", "audit_trail", "backfill_if_null",
     "bridge_roles", "bridge_upsert", "clean_coalesce", "csv_ingest",
     "dedup_exact", "doc_fingerprint", "doc_quality", "duplicate_keys",
-    "event_pivot", "guardrail_check", "insert_if_absent",
+    "event_pivot", "guardrail_check",
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 QUERIES = {

@@ -272,3 +272,36 @@ def test_canonicalize_url_contract(spark):
         canonicalize_url("url", tracking_key_re=TRACKING_KEY_RE_AGGRESSIVE)
         .alias("c")).collect()]
     assert agg[3] == "example.com/a/b?id=7", agg[3]
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    """Each Gopher rule must fail on its crafted violation and pass on
+    a clean document (integer-form thresholds, Rae et al. 2021)."""
+    from comix_etl_spark.functions.text import gopher_rules
+
+    clean = "the cat sat and the dog ran of course it is fine " * 5
+    docs = [
+        (0, clean),
+        (1, "the of " + "word " * 2),                      # too few words
+        (2, ("a " * 30 + "the of is and ")),               # mean len < 3
+        (3, "the of " + "extraordinarily " * 48),          # mean len > 10
+        (4, "the of " + "# " * 20 + "word " * 20),         # symbol ratio
+        (5, "the of " + "123 456 789 000 111 222 " * 10),  # alpha < 80%
+        (6, "lorem ipsum dolor sit amet " * 10),           # no stopwords
+        (7, "the of is\n" + "- bullet\n" * 40),            # bullets > 90%
+        (8, "the of is and then some more words here\n"
+            + "trailing...\n" * 20),                       # ellipsis lines
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from pyspark.sql import functions as F
+    r = gopher_rules(F.col("text"), min_words=5)
+    flags = ["words_ok", "mean_len_ok", "symbol_ok", "alpha_ok",
+             "stopword_ok", "bullet_ok", "ellipsis_ok"]
+    out = {row.doc_id: row for row in
+           df.select("doc_id", *[r[f].alias(f) for f in flags]).collect()}
+    assert all(getattr(out[0], f) for f in flags), out[0]
+    expected_fail = {1: "words_ok", 2: "mean_len_ok", 3: "mean_len_ok",
+                     4: "symbol_ok", 5: "alpha_ok", 6: "stopword_ok",
+                     7: "bullet_ok", 8: "ellipsis_ok"}
+    for doc, flag in expected_fail.items():
+        assert not getattr(out[doc], flag), (doc, flag, out[doc])
