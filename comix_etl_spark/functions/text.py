@@ -183,6 +183,62 @@ def gopher_rules(c: Column | str, *,
     }
 
 
+# lowered/trimmed navigation-chrome lines dropped whole (RefinedWeb-style
+# line correction; extend per corpus)
+NAV_LINES: tuple[str, ...] = (
+    "home", "sign in", "log in", "read more", "accept cookies",
+    "share this article", "advertisement")
+
+
+def line_corrections(c: Column | str) -> dict[str, Column]:
+    """RefinedWeb-style LINE-level corrections (Penedo et al. 2023,
+    "The RefinedWeb Dataset for Falcon LLM", public arXiv 2306.01116
+    §3.3 — line-wise filtering BEFORE document-level dedup): drop
+    boilerplate lines, rebuild the document, and flag documents whose
+    remaining content is less than half the original.
+
+    A line is removed when its lowered/trimmed form is (a) numeric-only
+    chrome (digits/punct like pagination "1 2 3 / 4"), (b) a social
+    counter ("42 likes", "3 comments", ...), (c) a known navigation
+    line (``NAV_LINES``), or (d) the raw line is fully uppercase
+    shouting (equals its upper() and contains a letter). Empty lines
+    are kept as document structure (paragraph breaks are content).
+
+    Returns Columns: ``kept_text`` (lines re-joined with \\n),
+    ``n_lines`` / ``n_removed`` (counts over non-empty lines),
+    ``dropped_doc`` (kept chars × 2 < original chars — RefinedWeb
+    discards documents gutted by their own chrome).
+
+    Everything is array-expression codegen over the scan — zero
+    shuffle, zero Python; at 100 TB this composes with
+    ``gopher_rules`` and URL dedup into one scan-local gate stage.
+    """
+    t = _col(c)
+    lines = F.split(t, "\n")
+
+    def is_bad(line: Column) -> Column:
+        lt = F.lower(F.trim(line))
+        numeric = (lt != "") & lt.rlike(r"^[0-9 .,:/-]+$")
+        counter = lt.rlike(r"^[0-9]+ (likes?|comments?|shares?|views?)$")
+        nav = lt.isin(*NAV_LINES)
+        shouting = (F.trim(line) != "") & (line == F.upper(line)) \
+            & line.rlike("[A-Za-z]")
+        return numeric | counter | nav | shouting
+
+    kept = F.filter(lines, lambda line: ~is_bad(line))
+    kept_text = F.array_join(kept, "\n")
+    nonempty = F.filter(lines, lambda line: F.trim(line) != "")
+    kept_nonempty = F.filter(kept, lambda line: F.trim(line) != "")
+    n_lines = F.size(nonempty).cast("long")
+    n_removed = (n_lines - F.size(kept_nonempty)).cast("long")
+    return {
+        "kept_text": kept_text,
+        "n_lines": n_lines,
+        "n_removed": n_removed,
+        "dropped_doc": F.length(kept_text) * 2 < F.length(t),
+    }
+
+
 def normalize_for_fingerprint(c: Column | str) -> Column:
     """Canonical text: lowercase, collapse whitespace, trim."""
     return F.trim(F.regexp_replace(F.lower(_col(c)), r"\s+", " "))

@@ -9934,6 +9934,84 @@ FROM f ORDER BY doc_id
 """
 
 
+def q_line_corrections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb line-level corrections (functions/text.py::
+    line_corrections) over documents wrapped in deterministic
+    boilerplate: every doc gains a rule-rotating bad header (social
+    counter / nav line / numeric chrome / uppercase shouting,
+    v = doc_id % 4), every 10th doc gains 20 spam counter lines (so
+    ``dropped_doc`` fires both ways), and a trailing nav line. The
+    operator must remove exactly the chrome, rebuild the text, and
+    flag gutted docs — md5 of the rebuilt text is the value gate."""
+    from comix_etl_spark.functions.text import line_corrections
+
+    t = _t(spark, sf_dir, "documents")
+    d = t["documents"]
+    v = F.pmod(F.col("doc_id"), F.lit(4))
+    header = (F.when(v == 0, F.lit("42 likes"))
+              .when(v == 1, F.lit("Read More"))
+              .when(v == 2, F.lit("1 2 3 / 4"))
+              .otherwise(F.lit("BREAKING NEWS")))
+    spam = F.when(F.pmod(F.col("doc_id"), F.lit(10)) == 0,
+                  F.array_repeat(F.lit("999 views"), 20)
+                  ).otherwise(F.array().cast("array<string>"))
+    text2 = F.array_join(
+        F.concat(F.array(header), spam, F.array(F.col("text")),
+                 F.array(F.lit("Share This Article"))), "\n")
+    r = line_corrections(text2)
+    return (d.select(
+        "doc_id", r["n_lines"].alias("n_lines"),
+        r["n_removed"].alias("n_removed"),
+        F.length(r["kept_text"]).cast("long").alias("kept_chars"),
+        F.md5(r["kept_text"]).alias("new_fp"),
+        r["dropped_doc"].cast("int").alias("dropped_doc"))
+        .orderBy("doc_id"))
+
+
+ORACLE_LINE_CORRECTIONS = """
+WITH built AS (
+  SELECT doc_id,
+         [CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN '42 likes' WHEN 1 THEN 'Read More'
+            WHEN 2 THEN '1 2 3 / 4' ELSE 'BREAKING NEWS' END]
+         || CASE WHEN doc_id % 10 = 0
+                 THEN list_transform(range(20), x -> '999 views')
+                 ELSE []::VARCHAR[] END
+         || [text] || ['Share This Article'] AS ls
+  FROM documents
+), lx AS (
+  SELECT doc_id, array_to_string(ls, chr(10)) AS t2,
+         string_split(array_to_string(ls, chr(10)), chr(10)) AS lines
+  FROM built
+), kept AS (
+  SELECT doc_id, t2, lines,
+         list_filter(lines, l -> NOT (
+           (trim(lower(l)) <> ''
+            AND regexp_matches(trim(lower(l)), '^[0-9 .,:/-]+$'))
+           OR regexp_matches(trim(lower(l)),
+                '^[0-9]+ (likes?|comments?|shares?|views?)$')
+           OR list_contains(['home','sign in','log in','read more',
+                'accept cookies','share this article','advertisement'],
+                trim(lower(l)))
+           OR (trim(l) <> '' AND l = upper(l)
+               AND regexp_matches(l, '[A-Za-z]'))
+         )) AS kl
+  FROM lx
+)
+SELECT doc_id,
+       CAST(len(list_filter(lines, l -> trim(l) <> '')) AS BIGINT)
+         AS n_lines,
+       CAST(len(list_filter(lines, l -> trim(l) <> ''))
+            - len(list_filter(kl, l -> trim(l) <> '')) AS BIGINT)
+         AS n_removed,
+       CAST(length(array_to_string(kl, chr(10))) AS BIGINT) AS kept_chars,
+       md5(array_to_string(kl, chr(10))) AS new_fp,
+       CAST(CASE WHEN length(array_to_string(kl, chr(10))) * 2 < length(t2)
+                 THEN 1 ELSE 0 END AS INT) AS dropped_doc
+FROM kept ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # §7 — DSIR importance weighting (data selection toward a target set)
 # ---------------------------------------------------------------------------
@@ -10715,6 +10793,10 @@ QUERIES: dict[str, Query] = {
         q_gopher_rules, ORACLE_GOPHER_RULES,
         "Gopher/MassiveWeb quality rule set (Rae et al. 2021) as "
         "scan-local integer-form flags", ("documents",)),
+    "line_corrections": Query(
+        q_line_corrections, ORACLE_LINE_CORRECTIONS,
+        "RefinedWeb line-level corrections: boilerplate-line removal + "
+        "document rebuild + gutted-doc flag", ("documents",)),
     "dsir_weights": Query(
         q_dsir_weights, ORACLE_DSIR_WEIGHTS,
         "DSIR hashed-ngram importance weights toward a target set",
@@ -10752,8 +10834,8 @@ QUERIES: dict[str, Query] = {
 # approx_cardinality, kmeans_clusters — their hash-checked _det
 # siblings passed r5/r6) — after this window no registry query's
 # latest verdict is older than r5 — then 15 of the 45 r5-era greens
-# (cheap scan/merge shapes first). r10 BACKLOG: the other 31 r5-era
-# greens (insert_if_absent, keyed_scan, lang_id, lexicographic_sort, money_cents,
+# (cheap scan/merge shapes first). r10 BACKLOG: the other 32 r5-era
+# greens (guardrail_check, insert_if_absent, keyed_scan, lang_id, lexicographic_sort, money_cents,
 # monthly_buckets, moving_average, ngram_jaccard, order_sequence,
 # orphan_count, prefix_crawl, price_outliers, pricing_summary,
 # quality_metrics, range_join, relevance_search, sales_rollup,
@@ -10765,8 +10847,10 @@ QUERIES: dict[str, Query] = {
 _CHECK_FIRST = [
     # NEW in r9 — LAION-style perceptual image dedup (dHash + banded
     # Hamming LSH + min-id keeper election), the image-side eval-set
-    # decontamination probe, and the Gopher/MassiveWeb quality rules
+    # decontamination probe, the Gopher/MassiveWeb quality rules, and
+    # the RefinedWeb line-level corrections
     "image_dedup", "image_decontaminate", "gopher_rules",
+    "line_corrections",
     # r4-era oracle-backed greens, 5 rounds stale — cheap analytic
     # shapes first, pair/iterative shapes last
     "small_qty_revenue", "constraint_audit", "window_profile",
@@ -10785,7 +10869,7 @@ _CHECK_FIRST = [
     "above_nation_avg", "asof_join", "audit_trail", "backfill_if_null",
     "bridge_roles", "bridge_upsert", "clean_coalesce", "csv_ingest",
     "dedup_exact", "doc_fingerprint", "doc_quality", "duplicate_keys",
-    "event_pivot", "guardrail_check",
+    "event_pivot",
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 QUERIES = {

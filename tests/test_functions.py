@@ -305,3 +305,34 @@ def test_gopher_rules_each_rule_fires(spark):
                      7: "bullet_ok", 8: "ellipsis_ok"}
     for doc, flag in expected_fail.items():
         assert not getattr(out[doc], flag), (doc, flag, out[doc])
+
+
+def test_line_corrections_rules_and_structure(spark):
+    """Each line rule fires on its crafted line; empty lines survive as
+    paragraph structure; dropped_doc flags a chrome-gutted document."""
+    from comix_etl_spark.functions.text import line_corrections
+
+    good = "This is a perfectly ordinary sentence about nothing much."
+    doc = "\n".join([
+        "42 likes",          # counter
+        good,
+        "",                  # paragraph break — must survive
+        "Read More",         # nav
+        "1 2 3 / 4",         # numeric chrome
+        "SHOUTING HEADER",   # uppercase
+        "second real line here with Words and productive content.",
+    ])
+    gutted = "\n".join(["999 views"] * 10 + ["tiny"])
+    df = spark.createDataFrame([(1, doc), (2, gutted)],
+                               "doc_id long, text string")
+    r = line_corrections(F.col("text"))
+    out = {row.doc_id: row for row in df.select(
+        "doc_id", r["kept_text"].alias("kept"),
+        r["n_lines"].alias("n_lines"), r["n_removed"].alias("n_removed"),
+        r["dropped_doc"].alias("dropped")).collect()}
+    assert out[1].kept.split("\n") == [
+        good, "",
+        "second real line here with Words and productive content."]
+    assert out[1].n_lines == 6 and out[1].n_removed == 4
+    assert not out[1].dropped
+    assert out[2].dropped and out[2].kept == "tiny"
