@@ -10093,6 +10093,21 @@ def q_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("sel_order"))
 
 
+def q_kcenter_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r9 large-k variant of q_kcenter_sample: cached running
+    min-distance column + eager localCheckpoint per round (O(k) center
+    evaluations instead of O(k²); measured 10.3× at k=64, PLANS.md
+    r9). Output contract is IDENTICAL to the scans form — same oracle,
+    so the driver hash-checks the incremental code path itself, not
+    just its pytest equality to the scans form."""
+    from comix_etl_spark.operators.similarity import kcenter_sample
+
+    t = _t(spark, sf_dir, "embeddings")
+    return (kcenter_sample(t["embeddings"], id_col="vec_id",
+                           vec_col="embedding", k=8, cached=True)
+            .orderBy("sel_order"))
+
+
 def _kcenter_oracle_sql(k: int = 8) -> str:
     """Unrolled greedy k-center oracle: per round, min integer-quantized
     cosine distance to the chosen set, argmax with id tie-break —
@@ -10805,6 +10820,10 @@ QUERIES: dict[str, Query] = {
         q_kcenter_sample, ORACLE_KCENTER_SAMPLE,
         "greedy farthest-point k-center diversity sample (8 exemplars)",
         ("embeddings",)),
+    "kcenter_cached": Query(
+        q_kcenter_cached, ORACLE_KCENTER_SAMPLE,
+        "large-k k-center variant: cached running min-distance + "
+        "per-round checkpoint (identical contract)", ("embeddings",)),
     "web_corpus_prep": Query(
         q_web_corpus_prep, ORACLE_WEB_CORPUS_PREP,
         "composed web pipeline: quality gate -> URL dedup + host cap -> "
@@ -10834,8 +10853,8 @@ QUERIES: dict[str, Query] = {
 # approx_cardinality, kmeans_clusters — their hash-checked _det
 # siblings passed r5/r6) — after this window no registry query's
 # latest verdict is older than r5 — then 15 of the 45 r5-era greens
-# (cheap scan/merge shapes first). r10 BACKLOG: the other 32 r5-era
-# greens (guardrail_check, insert_if_absent, keyed_scan, lang_id, lexicographic_sort, money_cents,
+# (cheap scan/merge shapes first). r10 BACKLOG: the other 33 r5-era
+# greens (event_pivot, guardrail_check, insert_if_absent, keyed_scan, lang_id, lexicographic_sort, money_cents,
 # monthly_buckets, moving_average, ngram_jaccard, order_sequence,
 # orphan_count, prefix_crawl, price_outliers, pricing_summary,
 # quality_metrics, range_join, relevance_search, sales_rollup,
@@ -10848,9 +10867,10 @@ _CHECK_FIRST = [
     # NEW in r9 — LAION-style perceptual image dedup (dHash + banded
     # Hamming LSH + min-id keeper election), the image-side eval-set
     # decontamination probe, the Gopher/MassiveWeb quality rules, and
-    # the RefinedWeb line-level corrections
+    # the RefinedWeb line-level corrections and the cached-min-distance
+    # k-center path (identical contract, distinct code path)
     "image_dedup", "image_decontaminate", "gopher_rules",
-    "line_corrections",
+    "line_corrections", "kcenter_cached",
     # r4-era oracle-backed greens, 5 rounds stale — cheap analytic
     # shapes first, pair/iterative shapes last
     "small_qty_revenue", "constraint_audit", "window_profile",
@@ -10869,7 +10889,6 @@ _CHECK_FIRST = [
     "above_nation_avg", "asof_join", "audit_trail", "backfill_if_null",
     "bridge_roles", "bridge_upsert", "clean_coalesce", "csv_ingest",
     "dedup_exact", "doc_fingerprint", "doc_quality", "duplicate_keys",
-    "event_pivot",
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 QUERIES = {
