@@ -919,8 +919,14 @@ def image_dedup(df: DataFrame, *, id_col: str = "media_id",
     # goes unreferenced.
     fps = (fps.filter(F.col("dhash").isNotNull())
            .localCheckpoint(eager=True))
+    # pin the verified pairs as well: the plan reads them three times
+    # (keeper anti-join + both sides of the degree union) — without
+    # materialization the band explode + join re-runs per consumer
+    # (audited in the r9 executedPlan: three copies of the band-join
+    # subtree). Pairs are (long, long, long) rows bounded by the
+    # corpus's true near-dup volume, ≪ corpus size by construction.
     pairs = image_near_dup_pairs(fps, max_hamming=max_hamming,
-                                 n_bands=n_bands)
+                                 n_bands=n_bands).localCheckpoint(eager=True)
     # degree per image (both pair sides), removed = appears as id_b
     deg = (pairs.select(F.col("id_a").alias("media_id"))
            .unionAll(pairs.select(F.col("id_b").alias("media_id")))
