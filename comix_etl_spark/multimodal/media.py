@@ -4,11 +4,14 @@ handling, cv_fetch_covers.py:116-126 / S9).
 
 The Spark-side plumbing is real and tested — schema (schemas.MEDIA),
 binaryFile ingest, metadata derivation in codegen, and Arrow-batched
-``mapInPandas`` decode with a stable batch shape. The pixel/sample
-decode itself is STUBBED (this container has no image/audio libs): a
-clearly-marked deterministic fake stands in where Pillow/ffmpeg would
-be called, so swapping in a real decoder changes one function body and
-nothing about the distributed plan.
+``mapInPandas`` decode with a stable batch shape. Decode reality
+varies by format: compressed-image pixel decode is STUBBED (this
+container has no Pillow/ffmpeg; a clearly-marked deterministic fake
+stands in, so swapping in a real decoder changes one function body
+and nothing about the distributed plan), the RAW8 grayscale container
+(``_decode_gray``) and PCM WAV audio (``decode_wav_pcm`` — full
+RIFF chunk walk, 16-bit PCM, channel downmix) are parsed for REAL
+with numpy only.
 
 Scale notes: payloads never pass through Python except in the decode
 stage (Arrow batches); metadata-only queries (size, hash, mime) stay
@@ -217,3 +220,100 @@ def frame_sample_plan(df: DataFrame, *, every_ms: int = 1000,
         df.select(F.col(id_col), F.explode(grid).alias("frame_idx"))
         .withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
     )
+
+
+AUDIO_FRAMES = 64  # energy-contour frames per clip -> 63 delta bits
+
+
+def decode_wav_pcm(data: bytes):
+    """REAL (not stubbed) PCM WAV decoder — RIFF/WAVE container walk
+    with no external libs: validates the RIFF/WAVE magic, walks chunks
+    ('fmt ' then 'data', tolerating extra chunks like LIST/fact),
+    accepts uncompressed PCM (format code 1) at 16-bit depth, and
+    returns (sample_rate, mono float64 samples) with multi-channel
+    audio downmixed by mean. Returns None for anything else
+    (compressed codecs like MP3/AAC would go through a real decoder
+    lib here — that escalation mirrors `_decode_gray`'s stub boundary,
+    but plain PCM WAV needs none). Truncated/malformed chunks → None,
+    never garbage samples."""
+    import numpy as np
+
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = int.from_bytes(data[pos + 4:pos + 8], "little")
+        body = data[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            return None
+        if cid == b"fmt " and size >= 16:
+            fmt = (int.from_bytes(body[0:2], "little"),    # format code
+                   int.from_bytes(body[2:4], "little"),    # channels
+                   int.from_bytes(body[4:8], "little"),    # sample rate
+                   int.from_bytes(body[14:16], "little"))  # bits/sample
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        return None
+    code, channels, rate, bits = fmt
+    if code != 1 or bits != 16 or channels < 1 or rate <= 0:
+        return None
+    n = len(raw) // (2 * channels)
+    if n == 0:
+        return None
+    samples = (np.frombuffer(raw, dtype="<i2", count=n * channels)
+               .reshape(n, channels).astype(np.float64).mean(axis=1))
+    return rate, samples
+
+
+def audio_energy_fingerprint(df: DataFrame, *, id_col: str = "media_id",
+                             payload_col: str = "payload") -> DataFrame:
+    """63-bit energy-contour fingerprint per audio clip — the
+    volume-invariant dedup sketch for audio corpora (re-encoded /
+    re-normalized copies of a recording keep their LOUDNESS SHAPE even
+    when absolute levels shift; distinct recordings don't).
+
+    Per payload: decode PCM WAV (``decode_wav_pcm`` — a real parser),
+    cut the mono signal into ``AUDIO_FRAMES`` equal frames (remainder
+    truncated; clips shorter than AUDIO_FRAMES samples → NULL), per
+    frame sum |amplitude|, then bit f = energy(f+1) > energy(f) for
+    f in 0..62 — invariant under any positive gain, the same
+    sign-of-delta construction as ``image_dhash`` so the SAME banded
+    Hamming machinery downstream (``operators.dedup.hamming_fp_dedup``
+    / ``image_near_dup_pairs`` / ``image_probe_pairs``) pairs audio.
+
+    Output: (media_id, afp, sample_rate, n_samples) — afp NULL for
+    undecodable payloads. Plan shape: one projected scan through
+    Arrow ``mapInPandas``; audio bytes never leave their scan tasks.
+    """
+    import numpy as np
+
+    def af(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(63, dtype=np.uint64)
+        for pdf in batches:
+            ids, fps, rates, ns = [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = decode_wav_pcm(bytes(payload)) if payload is not None else None
+                ids.append(int(mid))
+                if dec is None or dec[1].size < AUDIO_FRAMES:
+                    fps.append(None); rates.append(None); ns.append(None)
+                    continue
+                rate, s = dec
+                flen = s.size // AUDIO_FRAMES
+                e = np.abs(s[:flen * AUDIO_FRAMES]).reshape(
+                    AUDIO_FRAMES, flen).sum(axis=1)
+                bits = (e[1:] > e[:-1])[:63]
+                fps.append(int((bits.astype(np.uint64) << shifts).sum()))
+                rates.append(int(rate)); ns.append(int(s.size))
+            yield pd.DataFrame({
+                "media_id": ids,
+                "afp": pd.array(fps, dtype="Int64"),
+                "sample_rate": pd.array(rates, dtype="Int64"),
+                "n_samples": pd.array(ns, dtype="Int64")})
+
+    return (df.select(F.col(id_col).alias(id_col),
+                      F.col(payload_col).alias(payload_col))
+            .mapInPandas(af, schema="media_id long, afp long, "
+                                    "sample_rate long, n_samples long"))

@@ -908,26 +908,35 @@ def image_dedup(df: DataFrame, *, id_col: str = "media_id",
     from comix_etl_spark.multimodal.media import image_dhash
 
     fps = image_dhash(df, id_col=id_col, payload_col=payload_col)
-    # pin the fingerprints ONCE: this plan consumes fps four times
-    # (both band-join sides, the keeper anti-join, the degree join) —
-    # without materialization Catalyst re-runs the full payload decode
-    # per consumer, quadrupling the expensive Arrow stage (measured r9:
-    # the 1M-image run OOMed re-decoding concurrently; checkpointed it
-    # runs in one decode pass). The pinned frame is (id, int64) ≈ 16
-    # B/row — a 1B-image corpus checkpoints ~16 GB cluster-wide, far
-    # smaller than one re-decode; blocks release when the result frame
-    # goes unreferenced.
-    fps = (fps.filter(F.col("dhash").isNotNull())
+    return hamming_fp_dedup(fps, fp_col="dhash", max_hamming=max_hamming,
+                            n_bands=n_bands)
+
+
+def hamming_fp_dedup(fps: DataFrame, *, fp_col: str,
+                     max_hamming: int = 2,
+                     n_bands: int | None = None) -> DataFrame:
+    """Generic 63-bit-fingerprint dedup core shared by every perceptual
+    modality (image dHash, audio energy contour, any future 63-bit
+    sketch): banded-Hamming pairing + greedy min-id keeper election
+    over a ``(media_id, fp_col)`` frame. NULL fingerprints
+    (undecodable payloads) are dropped. Output: one row per KEPT item
+    — (media_id, <fp_col>, n_near).
+
+    Plan contract (audited r9, PLANS.md): the fingerprint frame is
+    eagerly checkpointed ONCE — the plan consumes it four times (both
+    band-join sides, the keeper anti-join, the degree join) and would
+    otherwise re-run the upstream decode per consumer (the 1M-image
+    run OOMed exactly this way); the frame is (id, int64) ≈ 16 B/row,
+    far smaller than one re-decode. The verified pairs are likewise
+    pinned — read three times (keeper anti-join + both degree-union
+    sides), bounded by the corpus's true near-dup volume.
+    """
+    fps = (fps.filter(F.col(fp_col).isNotNull())
            .localCheckpoint(eager=True))
-    # pin the verified pairs as well: the plan reads them three times
-    # (keeper anti-join + both sides of the degree union) — without
-    # materialization the band explode + join re-runs per consumer
-    # (audited in the r9 executedPlan: three copies of the band-join
-    # subtree). Pairs are (long, long, long) rows bounded by the
-    # corpus's true near-dup volume, ≪ corpus size by construction.
-    pairs = image_near_dup_pairs(fps, max_hamming=max_hamming,
+    pairs = image_near_dup_pairs(fps, fp_col=fp_col,
+                                 max_hamming=max_hamming,
                                  n_bands=n_bands).localCheckpoint(eager=True)
-    # degree per image (both pair sides), removed = appears as id_b
+    # degree per item (both pair sides), removed = appears as id_b
     deg = (pairs.select(F.col("id_a").alias("media_id"))
            .unionAll(pairs.select(F.col("id_b").alias("media_id")))
            .groupBy("media_id")
@@ -935,7 +944,7 @@ def image_dedup(df: DataFrame, *, id_col: str = "media_id",
     kept = fps.join(pairs.select(F.col("id_b").alias("media_id")).distinct(),
                     "media_id", "left_anti")
     return (kept.join(deg, "media_id", "left")
-            .select("media_id", "dhash",
+            .select("media_id", fp_col,
                     F.coalesce(F.col("n_near"), F.lit(0).cast("long"))
                     .alias("n_near")))
 

@@ -10012,6 +10012,95 @@ FROM kept ORDER BY doc_id
 """
 
 
+# Constant 44-byte PCM WAV header (RIFF/WAVE + fmt + data) for the
+# synthetic audio generator: mono, 16-bit, 8 kHz, 512 data bytes (256
+# samples) — assembled with struct so the magic numbers can't typo.
+import struct as _struct
+
+_WAV_HEADER_HEX = (
+    b"RIFF" + _struct.pack("<I", 36 + 512) + b"WAVE"
+    + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    + b"data" + _struct.pack("<I", 512)).hex()
+
+
+def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio perceptual dedup end-to-end: REAL PCM WAV payloads
+    (44-byte header + 256 int16 LE samples, assembled in codegen) →
+    real RIFF/fmt/data chunk-walk decode + 64-frame energy-contour
+    63-bit fingerprint (multimodal/media.py::audio_energy_fingerprint)
+    → the SAME banded-Hamming dedup core as images
+    (operators/dedup.py::hamming_fp_dedup). Groups of 5: variants
+    v=0..3 are gain-scaled copies (amplitude ×(v+1) — the contour is
+    volume-invariant by construction, so they fingerprint
+    identically); v=4 adds an energy spike at frame 30, flipping ≤ 2
+    contour bits (a near- but not exact-duplicate). Frame magnitude
+    m(g,f) = ((g*(f+7) + f*f*3) % 97) + 1 — periodic mod 97 in g,
+    harmless at oracle scales (mirrored 1:1 by the oracle; cross-group
+    collisions dedup identically on both engines)."""
+    from comix_etl_spark.multimodal.media import audio_energy_fingerprint
+    from comix_etl_spark.operators.dedup import hamming_fp_dedup
+
+    t = _t(spark, sf_dir, "documents")
+    # sample i (0..255): frame f = i DIV 4, value = (v+1) * m'(g, f)
+    # where m' carries the v=4 spike; int16 LE hex = low byte, high byte
+    val = ("((doc_id % 5) + 1) * ("
+           "(((doc_id DIV 5) * ((i DIV 4) + 7) + (i DIV 4) * (i DIV 4) * 3)"
+           " % 97) + 1"
+           " + CASE WHEN (doc_id % 5) = 4 AND (i DIV 4) = 30"
+           " THEN 50 ELSE 0 END)")
+    sample_hex = (f"lpad(hex({val} % 256), 2, '0') || "
+                  f"lpad(hex({val} DIV 256), 2, '0')")
+    payload = F.unhex(F.concat(
+        F.lit(_WAV_HEADER_HEX),
+        F.expr(f"array_join(transform(sequence(0, 255), i -> "
+               f"{sample_hex}), '')")))
+    audio = t["documents"].select(F.col("doc_id").alias("media_id"),
+                                  payload.alias("payload"))
+    fps = audio_energy_fingerprint(audio)
+    out = hamming_fp_dedup(fps.select("media_id", "afp"), fp_col="afp",
+                           max_hamming=2)
+    return out.orderBy("media_id")
+
+
+# energy contour recomputed analytically from the generator's frame
+# magnitudes (the (v+1) gain cancels in every comparison — that IS the
+# volume-invariance contract); all-pairs Hamming <= 2 == banded LSH by
+# the pigeonhole recall guarantee (3 bands default)
+ORACLE_AUDIO_DEDUP = """
+WITH docs AS (
+  SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS v FROM documents
+), mag AS (
+  SELECT doc_id, f,
+         ((g * (f + 7) + f * f * 3) % 97) + 1
+         + CASE WHEN v = 4 AND f = 30 THEN 50 ELSE 0 END AS m
+  FROM docs, unnest(range(64)) AS tf(f)
+), bits AS (
+  SELECT a.doc_id,
+         CASE WHEN n.m > a.m
+              THEN 1::BIGINT << CAST(a.f AS INT) ELSE 0::BIGINT END
+           AS bitval
+  FROM mag a JOIN mag n ON n.doc_id = a.doc_id AND n.f = a.f + 1
+  WHERE a.f < 63
+), hashes AS (
+  SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS afp FROM bits GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS ia, b2.doc_id AS ib
+  FROM hashes a JOIN hashes b2 ON a.doc_id < b2.doc_id
+  WHERE bit_count(xor(a.afp, b2.afp)) <= 2
+), deg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near
+  FROM (SELECT ia AS doc_id FROM pairs
+        UNION ALL SELECT ib AS doc_id FROM pairs) u
+  GROUP BY 1
+)
+SELECT h.doc_id AS media_id, h.afp,
+       coalesce(d.n_near, 0::BIGINT) AS n_near
+FROM hashes h LEFT JOIN deg d USING (doc_id)
+WHERE h.doc_id NOT IN (SELECT ib FROM pairs)
+ORDER BY media_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # §7 — DSIR importance weighting (data selection toward a target set)
 # ---------------------------------------------------------------------------
@@ -10812,6 +10901,10 @@ QUERIES: dict[str, Query] = {
         q_line_corrections, ORACLE_LINE_CORRECTIONS,
         "RefinedWeb line-level corrections: boilerplate-line removal + "
         "document rebuild + gutted-doc flag", ("documents",)),
+    "audio_dedup": Query(
+        q_audio_dedup, ORACLE_AUDIO_DEDUP,
+        "audio perceptual dedup: real PCM WAV decode + energy-contour "
+        "fingerprint through the shared Hamming core", ("documents",)),
     "dsir_weights": Query(
         q_dsir_weights, ORACLE_DSIR_WEIGHTS,
         "DSIR hashed-ngram importance weights toward a target set",
@@ -10853,8 +10946,8 @@ QUERIES: dict[str, Query] = {
 # approx_cardinality, kmeans_clusters — their hash-checked _det
 # siblings passed r5/r6) — after this window no registry query's
 # latest verdict is older than r5 — then 15 of the 45 r5-era greens
-# (cheap scan/merge shapes first). r10 BACKLOG: the other 33 r5-era
-# greens (event_pivot, guardrail_check, insert_if_absent, keyed_scan, lang_id, lexicographic_sort, money_cents,
+# (cheap scan/merge shapes first). r10 BACKLOG: the other 34 r5-era
+# greens (duplicate_keys, event_pivot, guardrail_check, insert_if_absent, keyed_scan, lang_id, lexicographic_sort, money_cents,
 # monthly_buckets, moving_average, ngram_jaccard, order_sequence,
 # orphan_count, prefix_crawl, price_outliers, pricing_summary,
 # quality_metrics, range_join, relevance_search, sales_rollup,
@@ -10867,10 +10960,11 @@ _CHECK_FIRST = [
     # NEW in r9 — LAION-style perceptual image dedup (dHash + banded
     # Hamming LSH + min-id keeper election), the image-side eval-set
     # decontamination probe, the Gopher/MassiveWeb quality rules, and
-    # the RefinedWeb line-level corrections and the cached-min-distance
-    # k-center path (identical contract, distinct code path)
+    # the RefinedWeb line-level corrections, the cached-min-distance
+    # k-center path (identical contract, distinct code path), and audio
+    # perceptual dedup through the shared Hamming core
     "image_dedup", "image_decontaminate", "gopher_rules",
-    "line_corrections", "kcenter_cached",
+    "line_corrections", "kcenter_cached", "audio_dedup",
     # r4-era oracle-backed greens, 5 rounds stale — cheap analytic
     # shapes first, pair/iterative shapes last
     "small_qty_revenue", "constraint_audit", "window_profile",
@@ -10888,7 +10982,7 @@ _CHECK_FIRST = [
     # r5-era greens (oldest remaining oracle verdicts) — cheap shapes
     "above_nation_avg", "asof_join", "audit_trail", "backfill_if_null",
     "bridge_roles", "bridge_upsert", "clean_coalesce", "csv_ingest",
-    "dedup_exact", "doc_fingerprint", "doc_quality", "duplicate_keys",
+    "dedup_exact", "doc_fingerprint", "doc_quality",
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 QUERIES = {
