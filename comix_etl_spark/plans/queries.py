@@ -9756,8 +9756,8 @@ def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared analytic-dHash CTE chain (docs → block pixel values → bit
 # values → 63-bit hashes), composed by ORACLE_IMAGE_DEDUP and
 # ORACLE_IMAGE_DECONTAMINATE
-_IMG_HASH_CTES = """docs AS (
-  SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS v FROM documents
+_IMG_HASH_CTES_TMPL = """docs AS (
+  SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS v FROM {src}
 ), px AS (
   SELECT doc_id, r, c,
          CASE WHEN v = 4 AND r = 3 AND c = 4
@@ -9777,6 +9777,13 @@ _IMG_HASH_CTES = """docs AS (
 ), hashes AS (
   SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS dhash FROM bits GROUP BY 1
 )"""
+
+
+def _img_hash_ctes(src: str = "documents") -> str:
+    return _IMG_HASH_CTES_TMPL.replace("{src}", src)
+
+
+_IMG_HASH_CTES = _img_hash_ctes()
 
 
 ORACLE_IMAGE_DEDUP = f"""
@@ -10098,6 +10105,68 @@ SELECT h.doc_id AS media_id, h.afp,
 FROM hashes h LEFT JOIN deg d USING (doc_id)
 WHERE h.doc_id NOT IN (SELECT ib FROM pairs)
 ORDER BY media_id
+"""
+
+
+def q_caption_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAION-style IMAGE-TEXT PAIR pipeline composed in one plan,
+    in pipeline order: caption quality gate FIRST (quality_score ≥ 0.8
+    — scan-local), then perceptual image dedup over the surviving
+    pairs' images (dHash → banded Hamming → min-id election, with the
+    gate changing which group member survives to win), then the kept
+    pairs re-join the raw table for caption token counts (kept ids are
+    a subset of gate survivors by construction — the regex-heavy gate
+    is evaluated once, the q_web_corpus_prep idiom). The cross-modal
+    sibling of web_corpus_prep: text rules gate, pixels dedup, one
+    Catalyst plan end to end."""
+    from comix_etl_spark.operators.dedup import image_dedup
+
+    t = _t(spark, sf_dir, "documents")
+    d = t["documents"]
+    gated = d.filter(text.quality_score("text") >= 0.8)
+    kept = image_dedup(_synthetic_images(gated), max_hamming=2)
+    return (kept.join(
+        d.select(F.col("doc_id").alias("media_id"),
+                 text.token_count("text").alias("n_tokens")), "media_id")
+        .select(F.col("media_id").alias("doc_id"), "dhash", "n_near",
+                "n_tokens")
+        .orderBy("doc_id"))
+
+
+ORACLE_CAPTION_CORPUS_PREP = f"""
+WITH gated AS (
+  SELECT doc_id, text
+  FROM (
+    SELECT *, {_Q_EXPR} AS q
+    FROM (SELECT *,
+         CAST(len(list_filter(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> ''),
+                              x -> list_contains(['the','a','of','and','is'], x))) AS DOUBLE)
+           / CAST(CASE WHEN len(trim(text)) = 0 THEN 1
+                       ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) END AS DOUBLE)
+           AS sw_ratio
+          FROM documents))
+  WHERE q >= 0.8
+), {_img_hash_ctes('gated')}, pairs AS (
+  SELECT a.doc_id AS ia, b2.doc_id AS ib
+  FROM hashes a JOIN hashes b2 ON a.doc_id < b2.doc_id
+  WHERE bit_count(xor(a.dhash, b2.dhash)) <= 2
+), deg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near
+  FROM (SELECT ia AS doc_id FROM pairs
+        UNION ALL SELECT ib AS doc_id FROM pairs) u
+  GROUP BY 1
+), tok AS (
+  SELECT doc_id,
+         CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   x -> x <> '')) END AS BIGINT) AS n_tokens
+  FROM gated
+)
+SELECT h.doc_id, h.dhash, coalesce(d.n_near, 0::BIGINT) AS n_near,
+       t.n_tokens
+FROM hashes h LEFT JOIN deg d USING (doc_id) JOIN tok t USING (doc_id)
+WHERE h.doc_id NOT IN (SELECT ib FROM pairs)
+ORDER BY doc_id
 """
 
 
@@ -10905,6 +10974,10 @@ QUERIES: dict[str, Query] = {
         q_audio_dedup, ORACLE_AUDIO_DEDUP,
         "audio perceptual dedup: real PCM WAV decode + energy-contour "
         "fingerprint through the shared Hamming core", ("documents",)),
+    "caption_corpus_prep": Query(
+        q_caption_corpus_prep, ORACLE_CAPTION_CORPUS_PREP,
+        "composed image-text pair pipeline: caption quality gate -> "
+        "perceptual image dedup -> kept-pair stats", ("documents",)),
     "dsir_weights": Query(
         q_dsir_weights, ORACLE_DSIR_WEIGHTS,
         "DSIR hashed-ngram importance weights toward a target set",
@@ -10946,8 +11019,8 @@ QUERIES: dict[str, Query] = {
 # approx_cardinality, kmeans_clusters — their hash-checked _det
 # siblings passed r5/r6) — after this window no registry query's
 # latest verdict is older than r5 — then 15 of the 45 r5-era greens
-# (cheap scan/merge shapes first). r10 BACKLOG: the other 34 r5-era
-# greens (duplicate_keys, event_pivot, guardrail_check, insert_if_absent, keyed_scan, lang_id, lexicographic_sort, money_cents,
+# (cheap scan/merge shapes first). r10 BACKLOG: the other 35 r5-era
+# greens (doc_quality, duplicate_keys, event_pivot, guardrail_check, insert_if_absent, keyed_scan, lang_id, lexicographic_sort, money_cents,
 # monthly_buckets, moving_average, ngram_jaccard, order_sequence,
 # orphan_count, prefix_crawl, price_outliers, pricing_summary,
 # quality_metrics, range_join, relevance_search, sales_rollup,
@@ -10961,10 +11034,12 @@ _CHECK_FIRST = [
     # Hamming LSH + min-id keeper election), the image-side eval-set
     # decontamination probe, the Gopher/MassiveWeb quality rules, and
     # the RefinedWeb line-level corrections, the cached-min-distance
-    # k-center path (identical contract, distinct code path), and audio
-    # perceptual dedup through the shared Hamming core
+    # k-center path (identical contract, distinct code path), audio
+    # perceptual dedup through the shared Hamming core, and the
+    # composed caption-gate -> image-dedup pair pipeline
     "image_dedup", "image_decontaminate", "gopher_rules",
     "line_corrections", "kcenter_cached", "audio_dedup",
+    "caption_corpus_prep",
     # r4-era oracle-backed greens, 5 rounds stale — cheap analytic
     # shapes first, pair/iterative shapes last
     "small_qty_revenue", "constraint_audit", "window_profile",
@@ -10982,7 +11057,7 @@ _CHECK_FIRST = [
     # r5-era greens (oldest remaining oracle verdicts) — cheap shapes
     "above_nation_avg", "asof_join", "audit_trail", "backfill_if_null",
     "bridge_roles", "bridge_upsert", "clean_coalesce", "csv_ingest",
-    "dedup_exact", "doc_fingerprint", "doc_quality",
+    "dedup_exact", "doc_fingerprint",
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 QUERIES = {
