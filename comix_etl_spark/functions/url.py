@@ -47,6 +47,16 @@ from pyspark.sql import functions as F
 # their hosts use referral ``ref`` as tracking (news/social shares) can
 # opt in via ``TRACKING_KEY_RE_AGGRESSIVE`` or any custom regex — every
 # function here takes ``tracking_key_re=``.
+#
+# BEHAVIOR CHANGE (r9): bare ``ref`` was removed from the DEFAULT set
+# (it was stripped pre-r9). Canonical URLs computed with the default
+# regex differ across the upgrade for any URL carrying ``?ref=...``:
+# pre-r9 those recrawl variants collapsed to one canonical key and
+# ``url_dedup`` kept a single survivor; post-r9 they survive as
+# distinct pages. Callers persisting canonical-URL keys across the
+# upgrade must either re-canonicalize their stored keys or pass
+# ``tracking_key_re=TRACKING_KEY_RE_AGGRESSIVE``, which restores the
+# old election exactly. (Mirrors the merge.py r8 tie-break note.)
 TRACKING_KEY_RE = r"^(utm_[a-z0-9_]*|gclid|fbclid|mc_cid|mc_eid)$"
 TRACKING_KEY_RE_AGGRESSIVE = r"^(utm_[a-z0-9_]*|gclid|fbclid|ref|mc_cid|mc_eid)$"
 

@@ -159,7 +159,14 @@ def image_dhash(df: DataFrame, *, id_col: str = "media_id",
     fingerprint is a non-negative BIGINT that any engine can band,
     xor and popcount. Undecodable payloads yield NULL (callers drop or
     quarantine them; silently hashing garbage would cluster all broken
-    files together).
+    files together). Images SMALLER than the 9×8 dHash grid are
+    quarantined to NULL too: ``_area_resize`` would assign some target
+    cells zero-width source blocks (repeated reduceat edges), whose
+    0/0 means are inf/nan — distinct tiny images would collapse onto
+    similar nan-driven bit patterns and get deleted as "near-dups".
+    NULL ids are dropped before the decode stage (an id-less payload
+    can't participate in keeper election anyway, and ``int(mid)``
+    on a NULL would fail the whole Arrow batch).
 
     Plan shape: one projected (id, payload) scan through an
     Arrow-batched ``mapInPandas`` — the decode stage pattern of
@@ -184,7 +191,7 @@ def image_dhash(df: DataFrame, *, id_col: str = "media_id",
             ids, fps = [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 img = _decode_gray(bytes(payload)) if payload is not None else None
-                if img is None:
+                if img is None or img.shape[0] < DHASH_H or img.shape[1] < DHASH_W:
                     ids.append(int(mid)); fps.append(None)
                     continue
                 g = _area_resize(img, DHASH_H, DHASH_W)
@@ -194,9 +201,62 @@ def image_dhash(df: DataFrame, *, id_col: str = "media_id",
             yield pd.DataFrame({"media_id": ids,
                                 "dhash": pd.array(fps, dtype="Int64")})
 
-    return (df.select(F.col(id_col).alias(id_col),
-                      F.col(payload_col).alias(payload_col))
+    return (df.filter(F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias(id_col),
+                    F.col(payload_col).alias(payload_col))
             .mapInPandas(dh, schema="media_id long, dhash long"))
+
+
+def image_dhash_wide(df: DataFrame, *, id_col: str = "media_id",
+                     payload_col: str = "payload") -> DataFrame:
+    """126-bit wide perceptual fingerprint — two 63-bit limbs
+    ``(dhash_h, dhash_v)``: the horizontal dHash of ``image_dhash``
+    plus its vertical sibling over the SAME 9×8 area-mean grid
+    (bit r*9+c of the v-limb is 1 iff cell (r+1, c) > (r, c) —
+    7 comparison rows × 9 columns = exactly 63 bits, no skip needed).
+
+    WHY WIDE (measured r9, PLANS.md "image_dedup at 10×"): banded LSH
+    over a 63-bit fingerprint caps out near ~10M items — at minimal
+    banding (3 × 21-bit bands) the accidental-candidate term grows as
+    ~n²/2²¹ and the band value space can't be widened without voiding
+    the pigeonhole guarantee. Doubling the bit space squares the
+    per-band value space at equal band COUNT (126/5 ⇒ 25-bit bands =
+    33M values vs 21-bit = 2M), pushing the same machinery to ~10⁹
+    items (LAION scale). Downstream banding treats the two limbs as
+    one concatenated 126-bit space (``operators.dedup.
+    hamming_band_pairs``); Hamming distance is the SUM of per-limb
+    xor popcounts — still pure JVM codegen on two BIGINT columns.
+
+    Cost: one extra gradient pass over the already-computed 9×8 grid —
+    the decode and resize (the real work) are shared with the 63-bit
+    path. Same quarantine contract as ``image_dhash``: undecodable or
+    sub-9×8 payloads → NULL limbs; NULL ids dropped.
+    """
+    import numpy as np
+
+    def dh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(63, dtype=np.uint64)
+        for pdf in batches:
+            ids, hs, vs = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = _decode_gray(bytes(payload)) if payload is not None else None
+                if img is None or img.shape[0] < DHASH_H or img.shape[1] < DHASH_W:
+                    ids.append(int(mid)); hs.append(None); vs.append(None)
+                    continue
+                g = _area_resize(img, DHASH_H, DHASH_W)
+                hbits = (g[:, 1:] > g[:, :-1]).flatten()[:63]
+                vbits = (g[1:, :] > g[:-1, :]).flatten()[:63]
+                hs.append(int((hbits.astype(np.uint64) << shifts).sum()))
+                vs.append(int((vbits.astype(np.uint64) << shifts).sum()))
+                ids.append(int(mid))
+            yield pd.DataFrame({"media_id": ids,
+                                "dhash_h": pd.array(hs, dtype="Int64"),
+                                "dhash_v": pd.array(vs, dtype="Int64")})
+
+    return (df.filter(F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias(id_col),
+                    F.col(payload_col).alias(payload_col))
+            .mapInPandas(dh, schema="media_id long, dhash_h long, dhash_v long"))
 
 
 def frame_sample_plan(df: DataFrame, *, every_ms: int = 1000,
@@ -285,8 +345,11 @@ def audio_energy_fingerprint(df: DataFrame, *, id_col: str = "media_id",
     / ``image_near_dup_pairs`` / ``image_probe_pairs``) pairs audio.
 
     Output: (media_id, afp, sample_rate, n_samples) — afp NULL for
-    undecodable payloads. Plan shape: one projected scan through
-    Arrow ``mapInPandas``; audio bytes never leave their scan tasks.
+    undecodable payloads. NULL ids are dropped before the decode stage
+    (same contract as ``image_dhash``: an id-less clip can't be elected
+    or deleted, and ``int(mid)`` on NULL would fail the Arrow batch).
+    Plan shape: one projected scan through Arrow ``mapInPandas``;
+    audio bytes never leave their scan tasks.
     """
     import numpy as np
 
@@ -313,7 +376,8 @@ def audio_energy_fingerprint(df: DataFrame, *, id_col: str = "media_id",
                 "sample_rate": pd.array(rates, dtype="Int64"),
                 "n_samples": pd.array(ns, dtype="Int64")})
 
-    return (df.select(F.col(id_col).alias(id_col),
-                      F.col(payload_col).alias(payload_col))
+    return (df.filter(F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias(id_col),
+                    F.col(payload_col).alias(payload_col))
             .mapInPandas(af, schema="media_id long, afp long, "
                                     "sample_rate long, n_samples long"))

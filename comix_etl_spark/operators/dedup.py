@@ -843,37 +843,112 @@ def image_near_dup_pairs(fp: DataFrame, *, id_col: str = "media_id",
     fingerprints (all-zero/all-one gradients) before pairing, exactly
     as NULL (undecodable) fingerprints are dropped here.
     """
+    return hamming_band_pairs(fp, id_col=id_col, fp_cols=[fp_col],
+                              max_hamming=max_hamming, n_bands=n_bands)
+
+
+def _limb_band_val(fp_cols: list[str], lo: int, hi: int,
+                   col_of=F.col) -> Column:
+    """Band value for concatenated bit range [lo, hi) over 63-bit
+    limbs: OR together the piece each limb contributes, shifted into
+    band-local position. Pure shiftrightunsigned/AND/shiftleft —
+    whole-stage codegen, no Python."""
+    pieces = []
+    for k, c in enumerate(fp_cols):
+        a, b = max(lo, 63 * k), min(hi, 63 * (k + 1))
+        if b <= a:
+            continue
+        piece = (F.shiftrightunsigned(col_of(c), a - 63 * k)
+                 .bitwiseAND((1 << (b - a)) - 1))
+        pieces.append(F.shiftleft(piece, a - lo) if a > lo else piece)
+    v = pieces[0]
+    for p in pieces[1:]:
+        v = v.bitwiseOR(p)
+    return v
+
+
+def _band_edges(total_bits: int, n_bands: int) -> list[tuple[int, int]]:
+    width = total_bits // n_bands
+    return [(bi * width,
+             total_bits if bi == n_bands - 1 else (bi + 1) * width)
+            for bi in range(n_bands)]
+
+
+def hamming_band_pairs(fp: DataFrame, *, id_col: str = "media_id",
+                       fp_cols: list[str], max_hamming: int = 2,
+                       n_bands: int | None = None) -> DataFrame:
+    """Banded Hamming LSH over a fingerprint of one OR MORE 63-bit
+    BIGINT limbs, banded over the CONCATENATED bit space — the shared
+    pairing core behind ``image_near_dup_pairs`` (one limb, 63 bits)
+    and the wide 126-bit path (``multimodal.media.image_dhash_wide``
+    limbs ``(dhash_h, dhash_v)``).
+
+    Semantics are all-pairs ``sum_k bit_count(xor(limb_k))`` ≤
+    ``max_hamming`` with the same pigeonhole recall guarantee as the
+    single-limb form: d flipped bits in the concatenated space touch
+    at most d of the ``n_bands`` contiguous bands, so every qualifying
+    pair shares an intact band. Keep ``max_hamming < n_bands``.
+
+    WHY WIDE LIMBS SCALE (the r9 ceiling and its remedy, PLANS.md):
+    the accidental-candidate term of banded LSH is
+    ~``n_bands * n² / 2^band_width``. At 63 bits and the minimal 3
+    bands, band_width = 21 ⇒ the term passes the true-pair volume near
+    ~10M items. At 126 bits and 5 bands (the minimal banding for the
+    equal-RATE threshold max_hamming=4), band_width = 25 and — more
+    importantly — the same n² hits a value space that can grow with
+    the bit budget: each added limb adds 63 bits ⇒ band_width grows
+    ~63/n_bands per limb, dividing accidental candidates by ~2^(63/n).
+    Same machinery, same shuffle shape: n_bands slim (id, limbs, band,
+    bv) rows per item, one shuffle on (band, bv), JVM xor+popcount
+    verification.
+
+    A band never exceeds 63 bits (raise otherwise — its value must fit
+    a non-negative BIGINT join key), which bounds ``n_limbs ≤ n_bands``
+    in practice; the minimal ``max_hamming + 1`` banding satisfies it
+    for any ``max_hamming ≥ n_limbs - 1``.
+    """
+    n_limbs = len(fp_cols)
+    total = 63 * n_limbs
     if n_bands is None:
         n_bands = max_hamming + 1
-    if not 1 <= n_bands <= 63:
-        raise ValueError(f"n_bands must be in [1, 63], got {n_bands}")
+    if not 1 <= n_bands <= total:
+        raise ValueError(f"n_bands must be in [1, {total}], got {n_bands}")
     if max_hamming >= n_bands:
         raise ValueError(
             f"max_hamming={max_hamming} >= n_bands={n_bands} voids the "
             "pigeonhole recall guarantee; raise n_bands")
-    width = 63 // n_bands
-    f = fp.filter(F.col(fp_col).isNotNull()).select(
-        F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
-
-    def band_val(bi: int) -> Column:
-        lo = bi * width
-        w = (63 - lo) if bi == n_bands - 1 else width
-        return F.shiftrightunsigned(F.col("_fp"), lo).bitwiseAND((1 << w) - 1)
+    edges = _band_edges(total, n_bands)
+    if max(hi - lo for lo, hi in edges) > 63:
+        raise ValueError(
+            f"{n_bands} bands over {total} bits makes a band wider than "
+            "63 bits (band values must fit a BIGINT); raise n_bands")
+    notnull = F.col(fp_cols[0]).isNotNull()
+    for c in fp_cols[1:]:
+        notnull = notnull & F.col(c).isNotNull()
+    f = fp.filter(notnull).select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c).alias(f"_fp{k}") for k, c in enumerate(fp_cols)])
+    limbs = [f"_fp{k}" for k in range(n_limbs)]
 
     bands = f.select(
-        "_id", "_fp",
+        "_id", *limbs,
         F.explode(F.array(*[
-            F.struct(F.lit(bi).alias("band"), band_val(bi).alias("bv"))
-            for bi in range(n_bands)])).alias("bb")
-    ).select("_id", "_fp", "bb.band", "bb.bv")
-    a = bands.select(F.col("_id").alias("id_a"), F.col("_fp").alias("_fa"),
-                     "band", "bv")
-    b = bands.select(F.col("_id").alias("id_b"), F.col("_fp").alias("_fb"),
-                     "band", "bv")
+            F.struct(F.lit(bi).alias("band"),
+                     _limb_band_val(limbs, lo, hi).alias("bv"))
+            for bi, (lo, hi) in enumerate(edges)])).alias("bb")
+    ).select("_id", *limbs, "bb.band", "bb.bv")
+    a = bands.select(F.col("_id").alias("id_a"),
+                     *[F.col(l).alias(f"_fa{k}")
+                       for k, l in enumerate(limbs)], "band", "bv")
+    b = bands.select(F.col("_id").alias("id_b"),
+                     *[F.col(l).alias(f"_fb{k}")
+                       for k, l in enumerate(limbs)], "band", "bv")
     cand = (a.join(b, ["band", "bv"])
             .filter(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
-    ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
+    ham = F.bit_count(F.col("_fa0").bitwiseXOR(F.col("_fb0")))
+    for k in range(1, n_limbs):
+        ham = ham + F.bit_count(F.col(f"_fa{k}").bitwiseXOR(F.col(f"_fb{k}")))
     return (cand.withColumn("hamming", ham.cast("long"))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
@@ -912,15 +987,20 @@ def image_dedup(df: DataFrame, *, id_col: str = "media_id",
                             n_bands=n_bands)
 
 
-def hamming_fp_dedup(fps: DataFrame, *, fp_col: str,
+def hamming_fp_dedup(fps: DataFrame, *, fp_col: str | list[str],
                      max_hamming: int = 2,
                      n_bands: int | None = None) -> DataFrame:
-    """Generic 63-bit-fingerprint dedup core shared by every perceptual
-    modality (image dHash, audio energy contour, any future 63-bit
-    sketch): banded-Hamming pairing + greedy min-id keeper election
-    over a ``(media_id, fp_col)`` frame. NULL fingerprints
-    (undecodable payloads) are dropped. Output: one row per KEPT item
-    — (media_id, <fp_col>, n_near).
+    """Generic Hamming-fingerprint dedup core shared by every
+    perceptual modality (image dHash, audio energy contour, the wide
+    126-bit two-limb image fingerprint, any future sketch):
+    banded-Hamming pairing + greedy min-id keeper election over a
+    ``(media_id, <limbs...>)`` frame. ``fp_col`` is one column name
+    (63-bit fingerprint) or a LIST of limb columns banded over the
+    concatenated bit space (``hamming_band_pairs``). NULL fingerprints
+    (undecodable payloads) are dropped — an item is dropped when ANY
+    limb is NULL (limbs come from one decode, so partial NULLs only
+    arise from caller bugs; half-fingerprints must not elect keepers).
+    Output: one row per KEPT item — (media_id, <limb cols...>, n_near).
 
     Plan contract (audited r9, PLANS.md): the fingerprint frame is
     eagerly checkpointed ONCE — the plan consumes it four times (both
@@ -931,11 +1011,14 @@ def hamming_fp_dedup(fps: DataFrame, *, fp_col: str,
     pinned — read three times (keeper anti-join + both degree-union
     sides), bounded by the corpus's true near-dup volume.
     """
-    fps = (fps.filter(F.col(fp_col).isNotNull())
-           .localCheckpoint(eager=True))
-    pairs = image_near_dup_pairs(fps, fp_col=fp_col,
-                                 max_hamming=max_hamming,
-                                 n_bands=n_bands).localCheckpoint(eager=True)
+    fp_cols = [fp_col] if isinstance(fp_col, str) else list(fp_col)
+    notnull = F.col(fp_cols[0]).isNotNull()
+    for c in fp_cols[1:]:
+        notnull = notnull & F.col(c).isNotNull()
+    fps = fps.filter(notnull).localCheckpoint(eager=True)
+    pairs = hamming_band_pairs(fps, fp_cols=fp_cols,
+                               max_hamming=max_hamming,
+                               n_bands=n_bands).localCheckpoint(eager=True)
     # degree per item (both pair sides), removed = appears as id_b
     deg = (pairs.select(F.col("id_a").alias("media_id"))
            .unionAll(pairs.select(F.col("id_b").alias("media_id")))
@@ -944,7 +1027,7 @@ def hamming_fp_dedup(fps: DataFrame, *, fp_col: str,
     kept = fps.join(pairs.select(F.col("id_b").alias("media_id")).distinct(),
                     "media_id", "left_anti")
     return (kept.join(deg, "media_id", "left")
-            .select("media_id", fp_col,
+            .select("media_id", *fp_cols,
                     F.coalesce(F.col("n_near"), F.lit(0).cast("long"))
                     .alias("n_near")))
 

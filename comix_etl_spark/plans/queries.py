@@ -9805,6 +9805,70 @@ ORDER BY media_id
 """
 
 
+def q_image_dedup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup over the WIDE 126-bit two-limb
+    fingerprint (multimodal/media.py::image_dhash_wide — horizontal +
+    vertical dHash limbs over one shared 9×8 area-mean grid) through
+    the SAME banded machinery as q_image_dedup, banding the
+    concatenated bit space (operators/dedup.py::hamming_band_pairs:
+    5 × 25-bit bands for max_hamming=4, the equal-rate threshold of
+    63-bit/Hamming-2). This is the scale path past the measured ~10M-
+    item ceiling of 63-bit banding (r9 sweep, PLANS.md): doubling the
+    bit budget grows each band's value space from 2²¹ to 2²⁵, dividing
+    accidental candidates ~16× at equal corpus size. Both limbs stay
+    plain BIGINTs, so the wide decode+banding+election pipeline is
+    value-hash-gated end-to-end: DuckDB recomputes BOTH limbs
+    analytically from the pixel-generator formula."""
+    from comix_etl_spark.multimodal.media import image_dhash_wide
+    from comix_etl_spark.operators.dedup import hamming_fp_dedup
+
+    t = _t(spark, sf_dir, "documents")
+    fps = image_dhash_wide(_synthetic_images(t["documents"]))
+    out = hamming_fp_dedup(fps, fp_col=["dhash_h", "dhash_v"],
+                           max_hamming=4)
+    return out.orderBy("media_id")
+
+
+# all-pairs SUM of per-limb xor popcounts <= 4 == banded-LSH over the
+# concatenated 126-bit space + verify, by the same pigeonhole argument
+# (<= 4 flips touch <= 4 of the 5 bands). The v-limb bit layout is
+# r*9+c for r in 0..6 (7 comparison rows x 9 columns = 63 bits, max
+# index 62 — no sign-bit skip needed, unlike the h-limb's 8x8=64th).
+_IMG_HASH_WIDE_CTES = _IMG_HASH_CTES + """, vbits AS (
+  SELECT a.doc_id,
+         CASE WHEN n.val > a.val
+              THEN 1::BIGINT << CAST(a.r * 9 + a.c AS INT)
+              ELSE 0::BIGINT END AS bitval
+  FROM px a JOIN px n
+    ON n.doc_id = a.doc_id AND n.c = a.c AND n.r = a.r + 1
+  WHERE a.r < 7
+), hashes_wide AS (
+  SELECT h.doc_id, h.dhash AS dhash_h, v.dhash_v
+  FROM hashes h JOIN (SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS dhash_v
+                      FROM vbits GROUP BY 1) v USING (doc_id)
+)"""
+
+
+ORACLE_IMAGE_DEDUP_WIDE = f"""
+WITH {_IMG_HASH_WIDE_CTES}, pairs AS (
+  SELECT a.doc_id AS ia, b2.doc_id AS ib
+  FROM hashes_wide a JOIN hashes_wide b2 ON a.doc_id < b2.doc_id
+  WHERE bit_count(xor(a.dhash_h, b2.dhash_h))
+        + bit_count(xor(a.dhash_v, b2.dhash_v)) <= 4
+), deg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near
+  FROM (SELECT ia AS doc_id FROM pairs
+        UNION ALL SELECT ib AS doc_id FROM pairs) u
+  GROUP BY 1
+)
+SELECT h.doc_id AS media_id, h.dhash_h, h.dhash_v,
+       coalesce(d.n_near, 0::BIGINT) AS n_near
+FROM hashes_wide h LEFT JOIN deg d USING (doc_id)
+WHERE h.doc_id NOT IN (SELECT ib FROM pairs)
+ORDER BY media_id
+"""
+
+
 def q_image_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-side eval-set decontamination — the pixel-space sibling of
     q_embedding_decontaminate: every 50th document's image stands in as
@@ -10954,6 +11018,11 @@ QUERIES: dict[str, Query] = {
         q_url_dedup, ORACLE_URL_DEDUP,
         "C4/RefinedWeb stage-1: URL canonicalization dedup + per-host "
         "cap", ("documents",)),
+    "image_dedup_wide": Query(
+        q_image_dedup_wide, ORACLE_IMAGE_DEDUP_WIDE,
+        "Wide 126-bit two-limb perceptual image dedup (h+v dHash, "
+        "concatenated-space banding) — the LAION-scale path past the "
+        "63-bit ~10M-item ceiling", ("documents",)),
     "image_dedup": Query(
         q_image_dedup, ORACLE_IMAGE_DEDUP,
         "LAION-style perceptual image dedup: dHash fingerprint + "

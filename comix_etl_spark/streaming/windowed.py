@@ -236,6 +236,11 @@ def foreach_batch_drift(metrics_path: str, ref_edges: list[float],
         # local-path os.listdir (best effort, as pre-r9).
         if not _layout_ok.get(metrics_path):
             legacy: list[str] = []
+            listed = False  # memoize ONLY a listing that actually ran:
+            # a transient FS error (momentary S3 blip) must NOT mark the
+            # path clean forever — the fallback is a no-op for remote
+            # paths, so without this flag one blip would permanently
+            # disable the legacy-layout guard for the rest of the query
             try:
                 jvm = spark._jvm
                 jpath = jvm.org.apache.hadoop.fs.Path(metrics_path)
@@ -245,6 +250,7 @@ def foreach_batch_drift(metrics_path: str, ref_edges: list[float],
                         name = st.getPath().getName()
                         if not name.startswith(("batch_id=", "_", ".")):
                             legacy.append(name)
+                listed = True
             except Exception:
                 import os
 
@@ -254,6 +260,7 @@ def foreach_batch_drift(metrics_path: str, ref_edges: list[float],
                 if "://" not in local and os.path.isdir(local):
                     legacy = [f for f in os.listdir(local)
                               if not f.startswith(("batch_id=", "_", "."))]
+                    listed = True
             if legacy:
                 raise ValueError(
                     f"foreach_batch_drift: {metrics_path} holds root-level "
@@ -261,7 +268,8 @@ def foreach_batch_drift(metrics_path: str, ref_edges: list[float],
                     f"(e.g. {legacy[0]}); migrate them into batch_id=N "
                     f"partition dirs (or point at a fresh path) before "
                     f"using the partitioned sink")
-            _layout_ok[metrics_path] = True
+            if listed:
+                _layout_ok[metrics_path] = True
         # per-batch partition + overwrite: foreachBatch replays a batch
         # (same batch_id) after a crash — the rewrite replaces that
         # batch's row instead of appending a duplicate metric

@@ -322,6 +322,43 @@ def test_image_dhash_brightness_invariant_and_resize(spark):
     assert got[3] is None and got[4] is None
 
 
+def test_image_dhash_sub_grid_images_quarantined(spark):
+    """Valid RAW8 images SMALLER than the 9x8 dHash grid must yield
+    NULL (quarantine), not a garbage fingerprint: _area_resize would
+    assign zero-width source blocks (0/0 -> nan) and distinct tiny
+    images would collapse onto similar nan-driven bit patterns,
+    silently deleting valid images as near-dups. NULL ids are dropped
+    before the decode stage (int(mid) on NULL fails the Arrow batch)."""
+    from comix_etl_spark.multimodal.media import image_dhash
+
+    tiny_1x1 = _raw8([[120]])
+    tiny_8x8 = _raw8([[(r * 7 + c) % 255 for c in range(8)]
+                      for r in range(8)])          # width < DHASH_W
+    tiny_9x7 = _raw8([[(r * 5 + c) % 255 for c in range(9)]
+                      for r in range(7)])          # height < DHASH_H
+    ok_9x8 = _raw8([[(r * 11 + c * 3) % 255 for c in range(9)]
+                    for r in range(8)])
+    rows = [(0, tiny_1x1), (1, tiny_8x8), (2, tiny_9x7), (3, ok_9x8),
+            (None, ok_9x8)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = image_dhash(df).collect()
+    got = {r.media_id: r.dhash for r in out}
+    assert got[0] is None and got[1] is None and got[2] is None, got
+    assert got[3] is not None and got[3] >= 0
+    assert None not in got and len(out) == 4, "NULL ids must be dropped"
+
+
+def test_audio_fingerprint_null_ids_dropped(spark):
+    """audio_energy_fingerprint drops NULL media_id rows instead of
+    failing the whole Arrow stage on int(None)."""
+    from comix_etl_spark.multimodal.media import audio_energy_fingerprint
+
+    rows = [(1, b"not-a-wav"), (None, b"not-a-wav")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = audio_energy_fingerprint(df).collect()
+    assert len(out) == 1 and out[0].media_id == 1 and out[0].afp is None
+
+
 def test_image_near_dup_pairs_banding_recall(spark):
     """Pigeonhole guarantee: every pair within Hamming <= n_bands-1 is
     found through the band join; far fingerprints yield no pair."""
@@ -361,6 +398,95 @@ def test_image_dedup_keeper_election(spark):
     assert got[10].n_near == 1
     assert 12 in got and got[12].n_near == 0
     assert 13 not in got  # undecodable: quarantined, not clustered
+
+
+def test_image_dhash_wide_limbs_and_invariance(spark):
+    """Wide fingerprint: dhash_h equals the 63-bit image_dhash limb;
+    dhash_v is invariant under brightness shift and area resize like
+    the h-limb; sub-grid and undecodable payloads quarantine BOTH
+    limbs to NULL."""
+    import random
+
+    from comix_etl_spark.multimodal.media import image_dhash, image_dhash_wide
+
+    rng = random.Random(11)
+    base = [[rng.randrange(0, 200) for _ in range(9)] for _ in range(8)]
+    bright = [[v + 31 for v in row] for row in base]
+    up4 = [[base[r // 4][c // 4] for c in range(36)] for r in range(32)]
+    rows = [(0, _raw8(base)), (1, _raw8(bright)), (2, _raw8(up4)),
+            (3, b"junk"), (4, _raw8([[9]]))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    wide = {r.media_id: (r.dhash_h, r.dhash_v)
+            for r in image_dhash_wide(df).collect()}
+    narrow = {r.media_id: r.dhash for r in image_dhash(df).collect()}
+    assert wide[0][0] == narrow[0], "h-limb must equal 63-bit dHash"
+    assert wide[0][1] is not None and wide[0][1] >= 0
+    assert wide[1] == wide[0], "brightness shift must not change limbs"
+    assert wide[2] == wide[0], "area-mean downscale must agree"
+    assert wide[3] == (None, None) and wide[4] == (None, None)
+
+
+def test_hamming_band_pairs_two_limb_pigeonhole(spark):
+    """126-bit banding: pairs within max_hamming over the CONCATENATED
+    space are found even when the flips straddle both limbs and sit on
+    a band that spans the limb boundary; far pairs and partial-NULL
+    rows drop; guard rails on band width and recall hold."""
+    import pytest as _pt
+
+    from comix_etl_spark.operators.dedup import hamming_band_pairs
+
+    h0 = (1 << 60) | (1 << 31) | 5
+    v0 = (1 << 44) | (1 << 2)
+    rows = [
+        (0, h0, v0),
+        (1, h0 ^ (1 << 62), v0 ^ 1),             # 1 flip each limb -> ham 2
+        (2, h0, v0 ^ (1 << 20) ^ (1 << 21)),     # 2 flips in v      -> ham 2
+        (3, h0 ^ 0b111111, v0 ^ 0b111),          # ham 9: too far
+        (4, None, v0),                            # partial NULL: dropped
+        (5, h0, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, h long, v long")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in hamming_band_pairs(df, fp_cols=["h", "v"],
+                                       max_hamming=4).collect()}
+    assert got[(0, 1)] == 2 and got[(0, 2)] == 2 and got[(1, 2)] == 4
+    assert all(i not in p for p in got for i in (3, 4, 5)), got
+    with _pt.raises(ValueError):  # 126 bits / 1 band > 63-bit band value
+        hamming_band_pairs(df, fp_cols=["h", "v"], max_hamming=0, n_bands=1)
+    with _pt.raises(ValueError):  # recall guarantee voided
+        hamming_band_pairs(df, fp_cols=["h", "v"], max_hamming=5, n_bands=5)
+
+
+def test_hamming_band_pairs_single_limb_matches_legacy(spark):
+    """One-limb hamming_band_pairs is exactly image_near_dup_pairs
+    (the legacy path now delegates; outputs must be identical)."""
+    from comix_etl_spark.operators.dedup import (
+        hamming_band_pairs, image_near_dup_pairs)
+
+    base = (1 << 50) | (1 << 30) | 3
+    rows = [(i, base ^ (1 << i)) for i in range(8)] + [(99, (1 << 62) - 7)]
+    df = spark.createDataFrame(rows, "media_id long, dhash long")
+    a = sorted(map(tuple, image_near_dup_pairs(df, max_hamming=2).collect()))
+    b = sorted(map(tuple, hamming_band_pairs(df, fp_cols=["dhash"],
+                                             max_hamming=2).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_hamming_fp_dedup_wide_keeper_election(spark):
+    """Two-limb dedup: min-id keeper kept with both limb columns in
+    the output; near-dups across the limb boundary are removed."""
+    from comix_etl_spark.operators.dedup import hamming_fp_dedup
+
+    h0, v0 = (1 << 40) | 9, (1 << 33) | (1 << 7)
+    rows = [(10, h0, v0), (11, h0 ^ (1 << 3), v0 ^ (1 << 50)),
+            (12, ~h0 & ((1 << 63) - 1), v0), (13, None, None)]
+    df = spark.createDataFrame(rows, "media_id long, dhash_h long, dhash_v long")
+    got = {r.media_id: r for r in
+           hamming_fp_dedup(df, fp_col=["dhash_h", "dhash_v"],
+                            max_hamming=4).collect()}
+    assert set(got) == {10, 12}
+    assert got[10].n_near == 1 and got[12].n_near == 0
+    assert got[10].dhash_h == h0 and got[10].dhash_v == v0
 
 
 def test_image_probe_pairs_cross_set(spark):
