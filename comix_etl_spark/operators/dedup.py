@@ -1032,6 +1032,76 @@ def hamming_fp_dedup(fps: DataFrame, *, fp_col: str | list[str],
                     .alias("n_near")))
 
 
+def majority_fingerprint(fps: DataFrame, *, id_col: str = "media_id",
+                         fp_col: str = "dhash", n_bits: int = 63,
+                         out_col: str = "vfp") -> DataFrame:
+    """Collapse MANY per-part fingerprints (one row per frame/chunk)
+    into ONE per-item fingerprint by per-bit MAJORITY vote — the
+    frame→video aggregation of ``video_dedup`` (and equally applicable
+    to audio-chunk contours). Bit b of the output is 1 iff a STRICT
+    majority of the item's non-NULL part fingerprints have bit b set
+    (ties → 0, deterministic). Majority voting is what makes the
+    video-level fingerprint robust to per-frame jitter AND to small
+    trims/offsets: dropping or shifting one frame moves each bit's
+    count by at most 1, so bits with a ≥2 vote margin — i.e. any bit
+    that is stable across the clip — never flip.
+
+    Plan shape: pure codegen — ``n_bits`` shift/AND bit extractions
+    feed one groupBy with ``n_bits`` SUM aggregates (map-side partial
+    combine collapses per-frame rows scan-side, so the shuffle carries
+    one ~``n_bits``-long row per VIDEO, not per frame), then the
+    output int rebuilds from the counts. No Python, no explode — at
+    100 TB the frame fingerprints (8 B each) reduce in place.
+    Output: (``id_col``, ``out_col``, n_parts). NULL part fingerprints
+    (undecodable frames) don't vote; items with ZERO decodable parts
+    are dropped (no fingerprint to elect with).
+    """
+    fp = F.col(fp_col)
+    cnts = [F.sum(F.shiftrightunsigned(fp, b).bitwiseAND(1))
+            .alias(f"_c{b}") for b in range(n_bits)]
+    agg = (fps.filter(fp.isNotNull())
+           .groupBy(F.col(id_col))
+           .agg(F.count(F.lit(1)).alias("n_parts"), *cnts))
+    out = F.lit(0).cast("long")
+    for b in range(n_bits):
+        out = out + F.when(
+            F.col(f"_c{b}") * 2 > F.col("n_parts"),
+            F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return agg.select(id_col, out.alias(out_col), "n_parts")
+
+
+def video_dedup(frames: DataFrame, *, id_col: str = "media_id",
+                payload_col: str = "payload", max_hamming: int = 2,
+                n_bands: int | None = None) -> DataFrame:
+    """End-to-end perceptual VIDEO dedup, composed from the existing
+    parts: per-frame dHash (``multimodal.media.image_dhash`` over a
+    (video_id, frame payload) frame — e.g. the grid from
+    ``media.frame_sample_plan`` after frame decode) → per-video
+    majority fingerprint (``majority_fingerprint``) → banded-Hamming
+    pairing + min-id keeper election (``hamming_fp_dedup``). Two
+    videos near-dup when their majority contours agree within
+    ``max_hamming`` bits — robust to re-encodes, brightness shifts
+    (per-frame dHash invariance) and one-frame trims/offsets
+    (majority-vote margin; see ``majority_fingerprint``).
+
+    Output: one row per KEPT video — (media_id, vfp, n_near).
+
+    100 TB shape: frame bytes are touched once, scan-local, by the
+    Arrow dHash stage; the majority vote is a map-side-combining
+    aggregate (one 63-count row per video crosses the shuffle); the
+    pairing stage then moves only (video_id, int64) rows. Reference
+    seed: the cover-media pipeline (cv_fetch_covers.py:116-126, S9),
+    extended from stills to the frame-sampled video modality.
+    """
+    from comix_etl_spark.multimodal.media import image_dhash
+
+    frame_fps = image_dhash(frames, id_col=id_col, payload_col=payload_col)
+    vfps = majority_fingerprint(frame_fps, id_col="media_id",
+                                fp_col="dhash").drop("n_parts")
+    return hamming_fp_dedup(vfps, fp_col="vfp", max_hamming=max_hamming,
+                            n_bands=n_bands)
+
+
 def image_probe_pairs(corpus_fp: DataFrame, probe_fp: DataFrame, *,
                       id_col: str = "media_id", fp_col: str = "dhash",
                       max_hamming: int = 2,

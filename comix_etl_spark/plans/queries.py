@@ -9869,6 +9869,109 @@ ORDER BY media_id
 """
 
 
+# Deterministic synthetic VIDEOS: 3 RAW8 frames per document, the same
+# 18×16 block construction as _IMG_PX_SQL plus a frame term
+# f*(2r+3c+g+1) so frames differ WITHIN a video while variants of a
+# group stay per-frame dHash-identical (brightness +3v). v=4 inverts
+# block (3,4) in FRAME 1 ONLY — the majority vote then flips ≤ 2 bits
+# of the video fingerprint (a trim/re-encode-style near-dup, not an
+# exact dup). The 244 modulus keeps +3v ≤ +12 from clamping at 255.
+_VID_PX_BASE = ("((((doc_id DIV 5) * (((i DIV 18) DIV 2) + 3)"
+                " * (((i % 18) DIV 2) + 5)"
+                " + (doc_id DIV 5) * (doc_id DIV 5) * 7"
+                " + ((i DIV 18) DIV 2) * 11 + ((i % 18) DIV 2) * 13"
+                " + f * (2 * ((i DIV 18) DIV 2) + 3 * ((i % 18) DIV 2)"
+                "        + (doc_id DIV 5) + 1)) % 244)"
+                " + 3 * (doc_id % 5))")
+_VID_PX_SQL = f"""
+  CASE WHEN (doc_id % 5) = 4 AND f = 1 AND ((i DIV 18) DIV 2) = 3
+            AND ((i % 18) DIV 2) = 4
+    THEN 255 - {_VID_PX_BASE}
+    ELSE {_VID_PX_BASE}
+  END"""
+
+
+def _synthetic_videos(d: DataFrame) -> DataFrame:
+    """(media_id, frame_idx, payload) — one 3-frame RAW8 video per
+    document row, frame payloads assembled JVM-side (hex → unhex; the
+    transform lambda references the outer doc_id/f columns)."""
+    px_hex = F.expr(
+        "array_join(transform(sequence(0, 287), i -> "
+        f"lpad(hex({_VID_PX_SQL}), 2, '0')), '')")
+    return (d.select("doc_id",
+                     F.explode(F.sequence(F.lit(0), F.lit(2))).alias("f"))
+            .select(F.col("doc_id").alias("media_id"),
+                    F.col("f").alias("frame_idx"),
+                    F.unhex(F.concat(F.lit("5257381210"), px_hex))
+                    .alias("payload")))
+
+
+def q_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual VIDEO dedup composed from the existing parts (the
+    r9 verdict's missing modality): per-frame dHash (Arrow decode of
+    real RAW8 frame bytes) → per-video majority fingerprint (per-bit
+    strict-majority vote, a map-side-combining 63-SUM aggregate) →
+    banded Hamming pairing + min-id keeper election
+    (operators/dedup.py::video_dedup / majority_fingerprint). The
+    video fingerprint is a plain BIGINT, so the whole frame-decode →
+    vote → banding → election pipeline is value-hash-gated: DuckDB
+    recomputes every frame's dHash analytically from the frame-pixel
+    generator formula and re-runs the majority vote in SQL."""
+    from comix_etl_spark.operators.dedup import video_dedup
+
+    t = _t(spark, sf_dir, "documents")
+    frames = _synthetic_videos(t["documents"]).drop("frame_idx")
+    return video_dedup(frames, max_hamming=2).orderBy("media_id")
+
+
+# all-pairs Hamming <= 2 over the majority-vote fingerprints == the
+# Spark side's banded-LSH + verify (pigeonhole, 3 bands). fbits yields
+# one 0/1 row per (video, frame, bit); the strict-majority vote
+# (2*sum > n_frames, ties -> 0) mirrors majority_fingerprint exactly.
+ORACLE_VIDEO_DEDUP = """
+WITH docs AS (
+  SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS v FROM documents
+), px AS (
+  SELECT doc_id, f, r, c,
+         CASE WHEN v = 4 AND f = 1 AND r = 3 AND c = 4
+              THEN 255 - (((g*(r+3)*(c+5) + g*g*7 + r*11 + c*13
+                            + f*(2*r + 3*c + g + 1)) % 244) + 3*v)
+              ELSE (((g*(r+3)*(c+5) + g*g*7 + r*11 + c*13
+                      + f*(2*r + 3*c + g + 1)) % 244) + 3*v)
+         END AS val
+  FROM docs, unnest(range(3)) AS tf(f),
+       unnest(range(8)) AS tr(r), unnest(range(9)) AS tc(c)
+), fbits AS (
+  SELECT a.doc_id, a.f, a.r * 8 + a.c AS b,
+         CASE WHEN n.val > a.val THEN 1 ELSE 0 END AS bit
+  FROM px a JOIN px n
+    ON n.doc_id = a.doc_id AND n.f = a.f AND n.r = a.r AND n.c = a.c + 1
+  WHERE a.c < 8 AND a.r * 8 + a.c < 63
+), vote AS (
+  SELECT doc_id, b,
+         CASE WHEN 2 * sum(bit) > count(*)
+              THEN 1::BIGINT << CAST(b AS INT) ELSE 0::BIGINT END AS bitval
+  FROM fbits GROUP BY doc_id, b
+), vhash AS (
+  SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS vfp FROM vote GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS ia, b2.doc_id AS ib
+  FROM vhash a JOIN vhash b2 ON a.doc_id < b2.doc_id
+  WHERE bit_count(xor(a.vfp, b2.vfp)) <= 2
+), deg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near
+  FROM (SELECT ia AS doc_id FROM pairs
+        UNION ALL SELECT ib AS doc_id FROM pairs) u
+  GROUP BY 1
+)
+SELECT h.doc_id AS media_id, h.vfp,
+       coalesce(d.n_near, 0::BIGINT) AS n_near
+FROM vhash h LEFT JOIN deg d USING (doc_id)
+WHERE h.doc_id NOT IN (SELECT ib FROM pairs)
+ORDER BY media_id
+"""
+
+
 def q_image_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-side eval-set decontamination — the pixel-space sibling of
     q_embedding_decontaminate: every 50th document's image stands in as
@@ -11018,6 +11121,11 @@ QUERIES: dict[str, Query] = {
         q_url_dedup, ORACLE_URL_DEDUP,
         "C4/RefinedWeb stage-1: URL canonicalization dedup + per-host "
         "cap", ("documents",)),
+    "video_dedup": Query(
+        q_video_dedup, ORACLE_VIDEO_DEDUP,
+        "Perceptual video dedup: per-frame dHash -> per-video majority "
+        "fingerprint -> banded Hamming pairing + keeper election",
+        ("documents",)),
     "image_dedup_wide": Query(
         q_image_dedup_wide, ORACLE_IMAGE_DEDUP_WIDE,
         "Wide 126-bit two-limb perceptual image dedup (h+v dHash, "

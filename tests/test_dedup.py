@@ -489,6 +489,63 @@ def test_hamming_fp_dedup_wide_keeper_election(spark):
     assert got[10].dhash_h == h0 and got[10].dhash_v == v0
 
 
+def _vid_frames(media_id, frame_pxs):
+    """(media_id, payload) rows, one per frame pixel-grid."""
+    return [(media_id, _raw8(px)) for px in frame_pxs]
+
+
+def test_majority_fingerprint_vote_and_ties(spark):
+    """Per-bit strict majority across parts: 2-of-3 wins, ties -> 0,
+    NULL part fingerprints don't vote, all-NULL items are dropped."""
+    from comix_etl_spark.operators.dedup import majority_fingerprint
+
+    rows = [
+        (1, 0b1011), (1, 0b0011), (1, 0b1101),   # majority 0b0011|1000? ->
+        # bit0: 3/3, bit1: 2/3, bit2: 1/3, bit3: 2/3 -> 0b1011
+        (2, 0b01), (2, 0b10), (2, None),          # 1-of-2 each: ties -> 0
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, dhash long")
+    got = {r.media_id: (r.vfp, r.n_parts)
+           for r in majority_fingerprint(df).collect()}
+    assert got[1] == (0b1011, 3)
+    assert got[2] == (0, 2), "ties must resolve to 0, NULLs must not vote"
+    assert 3 not in got, "items with zero decodable parts are dropped"
+
+
+def test_video_dedup_trim_offset_invariance(spark):
+    """The same video trimmed by one frame (or offset by one) still
+    pairs: every bit of the synthetic clip has a >= 2 vote margin, so
+    the majority fingerprint is IDENTICAL under a one-frame trim and
+    the pair verifies at Hamming 0. A genuinely different video stays
+    unpaired; min-id keeper election removes the trimmed copies."""
+    import random
+
+    from comix_etl_spark.operators.dedup import video_dedup
+
+    rng = random.Random(23)
+    # 5 frames from one base pattern + per-frame noise in ONE cell so
+    # frames differ but every dHash bit keeps a clear majority margin
+    base = [[rng.randrange(0, 180) for _ in range(9)] for _ in range(8)]
+    frames = []
+    for f in range(5):
+        px = [row[:] for row in base]
+        px[f % 8][0] = 200 + f  # touch one cell, margin stays >= 3
+        frames.append(px)
+    other = [[rng.randrange(0, 180) for _ in range(9)] for _ in range(8)]
+    rows = (
+        _vid_frames(10, frames)            # full clip, min id -> keeper
+        + _vid_frames(11, frames[1:])      # head-trimmed (offset by one)
+        + _vid_frames(12, frames[:-1])     # tail-trimmed
+        + _vid_frames(13, [other] * 4)     # different video
+    )
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in video_dedup(df, max_hamming=2).collect()}
+    assert set(got) == {10, 13}, got
+    assert got[10].n_near == 2, "both trimmed copies must pair"
+    assert got[13].n_near == 0
+
+
 def test_image_probe_pairs_cross_set(spark):
     """Corpus-vs-probe banded matches: near pairs found, far pairs and
     NULLs dropped, no corpus self-pairs, both orientations of closeness
