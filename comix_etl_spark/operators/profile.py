@@ -22,20 +22,67 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Exact F.percentile buffers EVERY value of a group in that group's
+# single reducer aggregation buffer (it cannot partial-aggregate).
+# 10M doubles ≈ 80-160 MB of buffer — comfortably one task on a
+# standard executor; past it the sketch is the only safe route.
+PERCENTILE_EXACT_GROUP_LIMIT = 10_000_000
+
+
+def percentile_route(df: DataFrame, group_col: str, *,
+                     exact_group_limit: int = PERCENTILE_EXACT_GROUP_LIMIT,
+                     accuracy: int = 10_000):
+    """Decide exact-vs-approx percentile ONCE per input — the
+    operator-side routing that removes the caller-chosen-route misuse
+    hazard (r9 verdict advisory #1): exact ``F.percentile`` cannot
+    partial-aggregate, so the hazard variable is the MAX per-group row
+    volume (the biggest group's values all buffer in one reducer task).
+
+    Measures it with a slim count-only pre-pass: a groupBy COUNT
+    partial-aggregates map-side, so the pre-pass shuffles one long per
+    group — at 100 TB it costs a scan but never buffers values, which
+    is exactly the failure mode being routed around. (An
+    ``approx_count_distinct``-based average-volume estimate would skip
+    nothing — the scan dominates either way — and misses skew, which
+    is the actual hazard.)
+
+    Returns ``(pct, route)`` — ``pct(col, p)`` builds the chosen
+    aggregate expression (`F.percentile` when the max group fits
+    ``exact_group_limit``, else ``F.approx_percentile`` with
+    ``accuracy``, whose t-digest-style state partial-aggregates and is
+    bounded per group), ``route`` is ``"exact"`` | ``"approx"`` for
+    logging/tests. Both routes are oracle-checked in the registry
+    (exact: winsorize / percentile_profile / mad_outliers at test SF;
+    approx: approx_percentiles_check).
+    """
+    max_vol = (df.groupBy(group_col)
+               .agg(F.count(F.lit(1)).alias("_n"))
+               .agg(F.max("_n").alias("_m")).first()[0]) or 0
+    if max_vol <= exact_group_limit:
+        return (lambda col, p: F.percentile(col, p)), "exact"
+    return (lambda col, p: F.approx_percentile(col, p, accuracy)), "approx"
+
+
 def grouped_percentiles(df: DataFrame, group_col: str, value_col: str, *,
                         probs: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
-                        ndigits: int = 6) -> DataFrame:
-    """Exact interpolated percentiles per group, one column per prob.
+                        ndigits: int = 6,
+                        exact_group_limit: int = PERCENTILE_EXACT_GROUP_LIMIT
+                        ) -> DataFrame:
+    """Interpolated percentiles per group, one column per prob, with
+    AUTOMATIC exact/approx routing (``percentile_route``).
 
-    Uses ``F.percentile`` (exact, linear interpolation at index
-    ``(n-1)*p`` — the same definition as ANSI ``percentile_cont`` /
-    DuckDB ``quantile_cont``, so results are engine-portable). Exact
-    percentiles sort each group inside the aggregate: per-group state is
-    the group's values. That is the right tool up to groups of ~1e8
-    values; for truly unbounded groups switch to
-    ``F.percentile_approx`` (bounded t-digest state) — same plan shape.
+    The exact route uses ``F.percentile`` (linear interpolation at
+    index ``(n-1)*p`` — the same definition as ANSI ``percentile_cont``
+    / DuckDB ``quantile_cont``, so results are engine-portable); it
+    sorts each group inside the aggregate, so per-group state is the
+    group's values — chosen only while the measured max group fits
+    ``exact_group_limit``. Wider groups route to
+    ``F.approx_percentile`` (bounded, partial-aggregating sketch state)
+    — same plan shape, same output schema.
     """
-    aggs = [F.round(F.percentile(value_col, float(p)), ndigits)
+    pct, _route = percentile_route(df, group_col,
+                                   exact_group_limit=exact_group_limit)
+    aggs = [F.round(pct(value_col, float(p)), ndigits)
              .alias(f"p{int(p * 100):02d}")
             for p in probs]
     aggs.append(F.count(F.lit(1)).cast("long").alias("n_rows"))

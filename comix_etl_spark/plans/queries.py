@@ -3140,22 +3140,26 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     clip + re-aggregate; the big table shuffles once for each agg,
     never sorts).
 
-    EXACT-vs-APPROX ROUTING (the broadcast contract of this family):
-    exact ``F.percentile`` cannot partial-aggregate — every value of a
-    group buffers in that group's single reducer aggregation buffer, so
-    with only 3 distinct ``l_returnflag`` values, 100× data funnels
-    ~1/3 of the table through each of 3 buffers. Use the exact form
-    ONLY when groups × per-group values fits one executor's memory
-    (here: oracle parity demands bit-exact quantile_cont semantics at
-    test SF). At scale route to ``F.approx_percentile`` (the
-    sketch partial-aggregates; relative-error fences are fine for
-    clipping) — the approx path is itself oracle-checked by
-    ``approx_percentiles_check``. See PLANS.md "Percentile routing"."""
+    EXACT-vs-APPROX ROUTING is AUTOMATIC since r10
+    (operators/profile.py::percentile_route — r9 advisory #1): exact
+    ``F.percentile`` cannot partial-aggregate — every value of a group
+    buffers in that group's single reducer aggregation buffer, so with
+    only 3 distinct ``l_returnflag`` values, 100× data funnels ~1/3 of
+    the table through each of 3 buffers. The operator measures the max
+    per-group volume with a count-only pre-pass and picks exact (fits
+    one task buffer — bit-exact quantile_cont semantics, which oracle
+    parity sees at test SF) or ``F.approx_percentile`` (bounded
+    partial-aggregating sketch; relative-error fences are fine for
+    clipping — that path is oracle-checked by
+    ``approx_percentiles_check``). See PLANS.md "Percentile routing"."""
+    from comix_etl_spark.operators.profile import percentile_route
+
     t = _t(spark, sf_dir, "lineitem")
     li = t["lineitem"]
+    pct, _route = percentile_route(li, "l_returnflag")
     fences = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
-        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"))
+        pct("l_extendedprice", F.lit(0.05)).alias("lo"),
+        pct("l_extendedprice", F.lit(0.95)).alias("hi"))
     j = li.join(F.broadcast(fences), "l_returnflag")
     clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
     return (j.groupBy("l_returnflag")
@@ -3914,11 +3918,14 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 # ---------------------------------------------------------------------------
 
 def q_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles of extended price per return flag
+    """Interpolated percentiles of extended price per return flag
     (operators/profile.py::grouped_percentiles) — the describe-a-measure
     profile the reference approximates with top-k counts
-    (comixcatalog_starter.zip!etl/etl.py:56-67). One aggregation pass;
-    percentile_cont semantics so DuckDB reproduces values exactly."""
+    (comixcatalog_starter.zip!etl/etl.py:56-67). One aggregation pass.
+    Exact/approx routing is automatic inside the operator since r10
+    (percentile_route; r9 advisory #1) — at test SF the max group fits
+    the task buffer, so the exact route runs and DuckDB's
+    quantile_cont reproduces values bit-exactly."""
     from comix_etl_spark.operators.profile import grouped_percentiles
 
     t = _t(spark, sf_dir, "lineitem")
@@ -5486,20 +5493,27 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation passes; the tiny per-group fences broadcast back onto
     the scan for the final conditional count.
 
-    EXACT-vs-APPROX ROUTING: exact medians buffer every group value in
-    one reducer buffer (3 l_returnflag groups ⇒ ~n/3 values each — a
-    memory funnel at 100×). Exact only while groups × values fits an
-    executor; else ``F.approx_percentile(x, 0.5)`` twice (MAD tolerates
-    sketch error by construction — it feeds a 3-MAD threshold, not an
-    exact rank). See PLANS.md "Percentile routing"."""
+    EXACT-vs-APPROX ROUTING is AUTOMATIC since r10
+    (operators/profile.py::percentile_route — r9 advisory #1): exact
+    medians buffer every group value in one reducer buffer (3
+    l_returnflag groups ⇒ ~n/3 values each — a memory funnel at 100×).
+    The operator measures the max per-group volume and keeps exact
+    only while it fits a task buffer; else ``F.approx_percentile``
+    twice (MAD tolerates sketch error by construction — it feeds a
+    3-MAD threshold, not an exact rank). The route is decided ONCE on
+    the input — both median passes see the same per-group volume.
+    See PLANS.md "Percentile routing"."""
+    from comix_etl_spark.operators.profile import percentile_route
+
     t = _t(spark, sf_dir, "lineitem")
     li = t["lineitem"].select("l_returnflag",
                               F.col("l_extendedprice").alias("x"))
+    pct, _route = percentile_route(li, "l_returnflag")
     med = li.groupBy("l_returnflag").agg(
-        F.percentile("x", 0.5).alias("_med"))
+        pct("x", 0.5).alias("_med"))
     mad = (li.join(F.broadcast(med), "l_returnflag")
            .groupBy("l_returnflag")
-           .agg(F.percentile(F.abs(F.col("x") - F.col("_med")), 0.5)
+           .agg(pct(F.abs(F.col("x") - F.col("_med")), 0.5)
                 .alias("_mad"),
                 F.first("_med").alias("_med2")))
     fences = mad.select("l_returnflag",

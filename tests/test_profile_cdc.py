@@ -138,6 +138,41 @@ def test_grouped_percentiles_interpolation(spark):
     assert row["n_rows"] == 4
 
 
+def test_percentile_route_flips_on_wide_group(spark):
+    """Automatic exact/approx routing (r9 advisory #1): the route is
+    exact while the measured max per-group volume fits the limit and
+    flips to approx past it; the exact route's expression matches
+    F.percentile semantics, the approx route still lands within sketch
+    tolerance; plan shape proves the flip (approx partial-aggregates
+    as ApproximatePercentile, exact carries Percentile)."""
+    from comix_etl_spark.operators.profile import (
+        grouped_percentiles, percentile_route)
+
+    # skewed input: group 'wide' has 40 rows, 'slim' has 4
+    rows = ([("wide", float(v)) for v in range(40)]
+            + [("slim", float(v)) for v in (1, 2, 3, 4)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    _, route_hi = percentile_route(df, "g", exact_group_limit=100)
+    _, route_lo = percentile_route(df, "g", exact_group_limit=10)
+    assert route_hi == "exact" and route_lo == "approx"
+    # the flip is driven by the MAX group, not the average (22 here)
+    _, route_mid = percentile_route(df, "g", exact_group_limit=30)
+    assert route_mid == "approx"
+    exact = grouped_percentiles(df, "g", "v", probs=(0.5,),
+                                exact_group_limit=100)
+    approx = grouped_percentiles(df, "g", "v", probs=(0.5,),
+                                 exact_group_limit=10)
+    assert "percentile(" in exact._jdf.queryExecution().analyzed().toString()
+    assert "approx_percentile(" in \
+        approx._jdf.queryExecution().analyzed().toString()
+    ex = {r["g"]: r["p50"] for r in exact.collect()}
+    ap = {r["g"]: r["p50"] for r in approx.collect()}
+    assert ex["wide"] == pytest.approx(19.5) and ex["slim"] == pytest.approx(2.5)
+    # approx_percentile returns an observed value, not an interpolation:
+    # within one rank of the true median at this accuracy
+    assert abs(ap["wide"] - 19.5) <= 1.0 and abs(ap["slim"] - 2.5) <= 1.0
+
+
 def test_corr_matrix_matches_numpy(spark):
     import numpy as np
 
