@@ -609,7 +609,7 @@ def knn_join_lsh(corpus: DataFrame, *, dim: int, id_col: str = "vec_id",
 
 def kcenter_sample(df: DataFrame, *, id_col: str = "vec_id",
                    vec_col: str = "embedding", k: int = 8,
-                   cached: bool = False) -> DataFrame:
+                   cached: bool = False, batch: int = 1) -> DataFrame:
     """Greedy k-center / farthest-point diversity sampling (Gonzalez
     1985) over an embedding column — the coverage-maximizing SELECTION
     step of data curation (pick k maximally-diverse exemplars; the
@@ -641,6 +641,24 @@ def kcenter_sample(df: DataFrame, *, id_col: str = "vec_id",
     size the executor storage pool for one corpus copy; superseded
     checkpoint blocks are released by Spark's ContextCleaner as the
     previous frame goes unreferenced.
+
+    ``batch=m`` (m > 1) adds Gonzalez OVER-SELECTION on top of the
+    cached representation, for curation-scale k (hundreds-thousands)
+    where the job-per-round driver round-trip is the ceiling: each
+    round fetches the top-m farthest candidates in ONE TakeOrdered(m),
+    then accepts them greedily driver-side — candidate distances to
+    centers accepted EARLIER IN THE SAME BATCH are re-verified with
+    one tiny m-row Spark job built from the SAME quantized-distance
+    expression (so acceptance math is bit-identical to the scan
+    form), and acceptance stops the moment the best updated candidate
+    no longer STRICTLY beats the stale distance of the last fetched
+    candidate (an upper bound on every non-fetched point, whose
+    distances only shrink as centers are added — the pigeonhole of
+    this algorithm). Output is therefore IDENTICAL to ``cached=True``
+    / the scans form (pytest-asserted at k=64); only the round count
+    changes: k/⟨accepted per batch⟩ checkpoints + 2 jobs per round
+    instead of k of each. Worst case (adversarial ties) accepts 1 per
+    round — never worse than unbatched.
 
     Returns (sel_order, id, mindist_e6): selection order (0 = seed),
     point id, and its min cosine distance ×1e6 to the previously
@@ -684,7 +702,66 @@ def kcenter_sample(df: DataFrame, *, id_col: str = "vec_id",
                      / (F.col("_n") * F.lit(cn)))
         return F.round((F.lit(1.0) - F.round(cos, 6)) * 1e6).cast("long")
 
-    if cached:
+    if batch < 1:
+        raise ValueError("batch must be >= 1")
+    if batch > 1:
+        spark = df.sparkSession
+
+        def _key(md, cid):
+            # TakeOrdered order: _md DESC NULLS LAST, _id ASC
+            return (md is None, -(md if md is not None else 0), cid)
+
+        cur = src.withColumn("_md", _dist(list(seed[0]._v)))
+        while len(chosen) < k:
+            cur = cur.localCheckpoint(eager=True)
+            cand = (cur.filter(~F.col("_id").isin([c[0] for c in chosen]))
+                    .orderBy(F.col("_md").desc(), F.col("_id").asc())
+                    .limit(batch)
+                    .select("_id", "_v", "_n", "_md").collect())
+            if not cand:  # k exceeds the corpus — return what exists
+                break
+            # fewer than `batch` rows ⇒ the whole remaining corpus is
+            # in hand and no outside point can outrank anything here
+            exhausted = len(cand) < batch
+            bound = None if exhausted else cand[-1]._md
+            # pairwise quantized distances among candidates via the
+            # SAME _dist expression (bit-identical acceptance math)
+            mat: dict[tuple[int, int], int | None] = {}
+            if len(cand) > 1:
+                cdf = spark.createDataFrame(
+                    [(c._id, list(c._v), float(c._n)) for c in cand],
+                    "_id long, _v array<double>, _n double")
+                drow = cdf.select(
+                    "_id", *[_dist(list(c._v)).alias(f"_d{j}")
+                             for j, c in enumerate(cand)]).collect()
+                for r in drow:
+                    for j, c in enumerate(cand):
+                        mat[(r._id, c._id)] = r[f"_d{j}"]
+            upd = {c._id: c._md for c in cand}
+            vecs = {c._id: list(c._v) for c in cand}
+            pending = [c._id for c in cand]
+            accepted_vecs: list[list] = []
+            while pending and len(chosen) < k:
+                best = min(pending, key=lambda i: _key(upd[i], i))
+                # first pick of the round is the exact greedy argmax;
+                # later picks must STRICTLY beat the stale bound on
+                # every non-fetched point (ties could hide a
+                # smaller-id point outside the batch)
+                if accepted_vecs and not exhausted and not (
+                        upd[best] is not None and bound is not None
+                        and upd[best] > bound):
+                    break
+                chosen.append((best, vecs[best], upd[best]))
+                accepted_vecs.append(vecs[best])
+                pending.remove(best)
+                for i in pending:
+                    vals = [v for v in (upd[i], mat.get((i, best)))
+                            if v is not None]
+                    upd[i] = min(vals) if vals else None
+            cur = cur.withColumn(
+                "_md", F.least(F.col("_md"),
+                               *[_dist(v) for v in accepted_vecs]))
+    elif cached:
         cur = src.withColumn("_md", _dist(list(seed[0]._v)))
         for _ in range(1, k):
             cur = cur.localCheckpoint(eager=True)

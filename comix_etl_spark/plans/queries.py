@@ -10447,6 +10447,23 @@ def q_kcenter_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("sel_order"))
 
 
+def q_kcenter_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r10 curation-scale-k variant of q_kcenter_sample: Gonzalez
+    over-selection — each round fetches the top-`batch` farthest
+    candidates in one TakeOrdered, re-verifies in-batch distances with
+    the same quantized expression, and accepts under a strict bound
+    (operators/similarity.py::kcenter_sample(batch=m); measured at
+    k=512 in PLANS.md r10). Output contract is IDENTICAL to the scans
+    and cached forms — same oracle, so the driver hash-checks the
+    batched acceptance logic itself, not just its pytest equality."""
+    from comix_etl_spark.operators.similarity import kcenter_sample
+
+    t = _t(spark, sf_dir, "embeddings")
+    return (kcenter_sample(t["embeddings"], id_col="vec_id",
+                           vec_col="embedding", k=8, batch=4)
+            .orderBy("sel_order"))
+
+
 def _kcenter_oracle_sql(k: int = 8) -> str:
     """Unrolled greedy k-center oracle: per round, min integer-quantized
     cosine distance to the chosen set, argmax with id tie-break —
@@ -11181,6 +11198,11 @@ QUERIES: dict[str, Query] = {
         q_kcenter_cached, ORACLE_KCENTER_SAMPLE,
         "large-k k-center variant: cached running min-distance + "
         "per-round checkpoint (identical contract)", ("embeddings",)),
+    "kcenter_batched": Query(
+        q_kcenter_batched, ORACLE_KCENTER_SAMPLE,
+        "curation-scale-k k-center variant: Gonzalez over-selection "
+        "batches with strict-bound acceptance (identical contract)",
+        ("embeddings",)),
     "web_corpus_prep": Query(
         q_web_corpus_prep, ORACLE_WEB_CORPUS_PREP,
         "composed web pipeline: quality gate -> URL dedup + host cap -> "
@@ -11203,52 +11225,54 @@ QUERIES: dict[str, Query] = {
 # expensive pair/sketch queries sit at the very end — a budget cut costs
 # re-confirmation of old green rows, not first-time verdicts.
 #
-# r9 ROTATION (r8 window went 50/50 hash-green; VERDICT r8 "Next
-# round" #1): the two r9-new image queries take the first slots
-# (never-checked first-timers), then the 30 r4-era oracle-backed
-# greens + the 3 r3-era rows-only checks (dedup_clusters_lsh,
-# approx_cardinality, kmeans_clusters — their hash-checked _det
-# siblings passed r5/r6) — after this window no registry query's
-# latest verdict is older than r5 — then 15 of the 45 r5-era greens
-# (cheap scan/merge shapes first). r10 BACKLOG: the other 35 r5-era
-# greens (doc_quality, duplicate_keys, event_pivot, guardrail_check, insert_if_absent, keyed_scan, lang_id, lexicographic_sort, money_cents,
-# monthly_buckets, moving_average, ngram_jaccard, order_sequence,
-# orphan_count, prefix_crawl, price_outliers, pricing_summary,
-# quality_metrics, range_join, relevance_search, sales_rollup,
-# search_substring, segment_totals, semi_join, token_counts,
-# token_overlap, top_customer_per_nation, upsert_selective,
-# variant_flag, ann_cosine_topk, ann_ivf_det, ann_lsh_det,
-# corpus_prep, dedup_clusters, dedup_embedding) + any r9-new queries
-# that miss this window.
+# r10 ROTATION (r9 window went 50/50 as designed; VERDICT r9 "Next
+# round" #1 "retire the r5-era backlog"): the three r10-new queries
+# take the first slots (never-checked first-timers: video_dedup,
+# image_dedup_wide, kcenter_batched), then ALL 39 queries whose
+# latest verdict is r5-era — the §2 serving core first, then the
+# r5-era dedup/ANN families (incl. the 4 rows-only: minhash_lsh,
+# simhash_pairs, ann_lsh, ann_ivf — their hash-checked _det siblings
+# are r6-green) — then 8 of the cheapest r6-era greens. After this
+# window NO registry query's latest verdict is older than r6.
+# r11 BACKLOG: the other 41 r6-era greens (analyze_stats, ann_pq_det,
+# approx_cardinality_check, approx_percentiles_check, attribution,
+# big_orders, bm25_search, bpe_pair_counts, bracket_revenue,
+# cdc_chunking, centroid_cohesion, chi_square, cusum_changepoint,
+# dedup_clusters_lsh_det, drift_psi, hierarchy_rollup, hll_rollup,
+# important_parts, interval_overlap, kmeans_assign_det,
+# local_supplier_volume, min_cost_supplier, minhash_lsh_det,
+# order_priority_check, pagerank, pareto_frontier, priority_mix,
+# profit_by_nation, promo_suppliers, range_frame_window,
+# returned_items, schema_evolution, sequence_gaps, set_operations,
+# simhash_det, stream_outer_join, supplier_triangles,
+# supplier_variety, trade_volume, vocab_coverage, weighted_median)
+# + any r10-new queries that miss this window.
 _CHECK_FIRST = [
-    # NEW in r9 — LAION-style perceptual image dedup (dHash + banded
-    # Hamming LSH + min-id keeper election), the image-side eval-set
-    # decontamination probe, the Gopher/MassiveWeb quality rules, and
-    # the RefinedWeb line-level corrections, the cached-min-distance
-    # k-center path (identical contract, distinct code path), audio
-    # perceptual dedup through the shared Hamming core, and the
-    # composed caption-gate -> image-dedup pair pipeline
-    "image_dedup", "image_decontaminate", "gopher_rules",
-    "line_corrections", "kcenter_cached", "audio_dedup",
-    "caption_corpus_prep",
-    # r4-era oracle-backed greens, 5 rounds stale — cheap analytic
-    # shapes first, pair/iterative shapes last
-    "small_qty_revenue", "constraint_audit", "window_profile",
-    "mad_outliers", "stream_session_window", "revenue_anomaly",
-    "peak_concurrency", "asof_forward", "temperature_mixture",
-    "fk_audit", "late_suppliers", "group_mode", "running_distinct",
-    "trend_slopes", "value_bands", "nullsafe_join", "mom_growth",
-    "inverted_index", "dedup_keep_best", "order_count_dist",
-    "decile_mobility", "revenue_concentration", "quantize_calibrated",
-    "cohort_ltv", "graph_degrees", "basket_pairs", "containment_pairs",
-    # r4-era rows-only checks (hash-green _det/_check siblings exist)
-    "approx_percentiles", "ann_pq", "compress_ratio",
-    # r3-era rows-only checks — the oldest verdicts in the registry
-    "dedup_clusters_lsh", "approx_cardinality", "kmeans_clusters",
-    # r5-era greens (oldest remaining oracle verdicts) — cheap shapes
-    "above_nation_avg", "asof_join", "audit_trail", "backfill_if_null",
-    "bridge_roles", "bridge_upsert", "clean_coalesce", "csv_ingest",
-    "dedup_exact", "doc_fingerprint",
+    # NEW in r10 — perceptual video dedup (frame dHash -> majority
+    # fingerprint -> Hamming election), the wide 126-bit two-limb
+    # image dedup (the LAION-scale path past the 63-bit ceiling), and
+    # the batched k-center acceptance path (identical contract)
+    "video_dedup", "image_dedup_wide", "kcenter_batched",
+    # the r5-era §2 serving core, 5 rounds stale — cheap scan/merge/
+    # agg shapes
+    "keyed_scan", "search_substring", "relevance_search", "semi_join",
+    "orphan_count", "quality_metrics", "insert_if_absent",
+    "upsert_selective", "money_cents", "prefix_crawl", "variant_flag",
+    "token_overlap", "lexicographic_sort", "monthly_buckets",
+    "order_sequence", "segment_totals", "top_customer_per_nation",
+    "duplicate_keys", "event_pivot", "guardrail_check",
+    "moving_average", "price_outliers", "pricing_summary",
+    "sales_rollup", "range_join",
+    # r5-era text/dedup/ANN families — heavier pair/probe shapes
+    "doc_quality", "lang_id", "token_counts", "corpus_prep",
+    "ngram_jaccard", "dedup_clusters", "dedup_embedding",
+    "ann_cosine_topk", "ann_ivf_det", "ann_lsh_det",
+    # r5-era rows-only checks (hash-green _det siblings are r6-green)
+    "minhash_lsh", "simhash_pairs", "ann_lsh", "ann_ivf",
+    # cheapest r6-era greens (the next-oldest verdicts) fill the window
+    "discount_revenue", "hash_split", "weighted_sample", "promo_share",
+    "top_supplier", "zorder_layout", "idle_customers",
+    "benford_deviation",
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 QUERIES = {

@@ -303,3 +303,27 @@ def test_kcenter_cached_matches_scans_form(spark, sf_small):
     scans = kcenter_sample(src, k=8).collect()
     cached = kcenter_sample(src, k=8, cached=True).collect()
     assert [tuple(r) for r in scans] == [tuple(r) for r in cached]
+
+
+def test_kcenter_batched_matches_cached_form(spark, sf_small):
+    """batch=m (Gonzalez over-selection + strict-bound acceptance +
+    same-expression re-verification) must select the IDENTICAL ordered
+    exemplar set with identical micro-unit distances as the cached
+    form at k=64 — the r9 verdict's 'batched over-selection at
+    identical output' contract — including when k exceeds the corpus
+    (exhausted-batch path) and with a zero-norm (NULL-distance) row."""
+    from comix_etl_spark.operators.similarity import kcenter_sample
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    zero = spark.createDataFrame(
+        [(999_999, [0.0] * dim)], "vec_id long, embedding array<double>")
+    src = emb.select("vec_id", "embedding").unionByName(zero)
+    cached = kcenter_sample(src, k=64, cached=True).collect()
+    batched = kcenter_sample(src, k=64, batch=8).collect()
+    assert [tuple(r) for r in cached] == [tuple(r) for r in batched]
+    # k > corpus: both return every point, same order
+    tiny = src.limit(5)
+    a = kcenter_sample(tiny, k=64, cached=True).collect()
+    b = kcenter_sample(tiny, k=64, batch=4).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b] and len(a) == 5
