@@ -9986,6 +9986,79 @@ ORDER BY media_id
 """
 
 
+def q_video_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-side eval-set decontamination: every 50th document's video
+    stands in as a benchmark suite; the screen reports each corpus
+    video whose MAJORITY fingerprint (frame dHash → per-bit vote, the
+    q_video_dedup pipeline) perceptually matches ANY benchmark video
+    within Hamming ≤ 2 — trims/re-encodes of a benchmark clip included,
+    by the same vote-margin robustness pytest-proven for video_dedup.
+    Composition only: majority_fingerprint feeds the SAME broadcast
+    cross-set band probe as images (operators/dedup.py::
+    image_probe_pairs, fp_col='vfp') — corpus never self-joins, the
+    tiny benchmark band rows broadcast."""
+    from comix_etl_spark.multimodal.media import image_dhash
+    from comix_etl_spark.operators.dedup import (
+        image_probe_pairs, majority_fingerprint)
+
+    t = _t(spark, sf_dir, "documents")
+    d = t["documents"]
+
+    def vfps(src: DataFrame) -> DataFrame:
+        frames = _synthetic_videos(src).drop("frame_idx")
+        return majority_fingerprint(image_dhash(frames)).drop("n_parts")
+
+    corpus = vfps(d)
+    probe = vfps(d.filter(F.col("doc_id") % 50 == 0))
+    pairs = image_probe_pairs(corpus, probe, fp_col="vfp", max_hamming=2)
+    return (pairs.groupBy("corpus_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
+                 F.min("hamming").cast("long").alias("min_hamming"))
+            .select(F.col("corpus_id").alias("media_id"),
+                    "n_bench_hits", "min_hamming")
+            .orderBy("media_id"))
+
+
+# all-pairs Hamming <= 2 over majority fingerprints == banded cross-set
+# probe (pigeonhole); vhash CTE chain identical to ORACLE_VIDEO_DEDUP
+ORACLE_VIDEO_DECONTAMINATE = """
+WITH docs AS (
+  SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS v FROM documents
+), px AS (
+  SELECT doc_id, f, r, c,
+         CASE WHEN v = 4 AND f = 1 AND r = 3 AND c = 4
+              THEN 255 - (((g*(r+3)*(c+5) + g*g*7 + r*11 + c*13
+                            + f*(2*r + 3*c + g + 1)) % 244) + 3*v)
+              ELSE (((g*(r+3)*(c+5) + g*g*7 + r*11 + c*13
+                      + f*(2*r + 3*c + g + 1)) % 244) + 3*v)
+         END AS val
+  FROM docs, unnest(range(3)) AS tf(f),
+       unnest(range(8)) AS tr(r), unnest(range(9)) AS tc(c)
+), fbits AS (
+  SELECT a.doc_id, a.f, a.r * 8 + a.c AS b,
+         CASE WHEN n.val > a.val THEN 1 ELSE 0 END AS bit
+  FROM px a JOIN px n
+    ON n.doc_id = a.doc_id AND n.f = a.f AND n.r = a.r AND n.c = a.c + 1
+  WHERE a.c < 8 AND a.r * 8 + a.c < 63
+), vote AS (
+  SELECT doc_id, b,
+         CASE WHEN 2 * sum(bit) > count(*)
+              THEN 1::BIGINT << CAST(b AS INT) ELSE 0::BIGINT END AS bitval
+  FROM fbits GROUP BY doc_id, b
+), vhash AS (
+  SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS vfp FROM vote GROUP BY 1
+), hits AS (
+  SELECT c.doc_id AS cid, p.doc_id AS pid,
+         bit_count(xor(c.vfp, p.vfp)) AS h
+  FROM vhash c JOIN vhash p ON p.doc_id % 50 = 0
+  WHERE bit_count(xor(c.vfp, p.vfp)) <= 2
+)
+SELECT cid AS media_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+       CAST(min(h) AS BIGINT) AS min_hamming
+FROM hits GROUP BY 1 ORDER BY media_id
+"""
+
+
 def q_image_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-side eval-set decontamination — the pixel-space sibling of
     q_embedding_decontaminate: every 50th document's image stands in as
@@ -11157,6 +11230,10 @@ QUERIES: dict[str, Query] = {
         "Perceptual video dedup: per-frame dHash -> per-video majority "
         "fingerprint -> banded Hamming pairing + keeper election",
         ("documents",)),
+    "video_decontaminate": Query(
+        q_video_decontaminate, ORACLE_VIDEO_DECONTAMINATE,
+        "video-side eval-set decontamination: majority fingerprints "
+        "through the broadcast cross-set band probe", ("documents",)),
     "image_dedup_wide": Query(
         q_image_dedup_wide, ORACLE_IMAGE_DEDUP_WIDE,
         "Wide 126-bit two-limb perceptual image dedup (h+v dHash, "
@@ -11232,9 +11309,9 @@ QUERIES: dict[str, Query] = {
 # latest verdict is r5-era — the §2 serving core first, then the
 # r5-era dedup/ANN families (incl. the 4 rows-only: minhash_lsh,
 # simhash_pairs, ann_lsh, ann_ivf — their hash-checked _det siblings
-# are r6-green) — then 8 of the cheapest r6-era greens. After this
+# are r6-green) — then 7 of the cheapest r6-era greens. After this
 # window NO registry query's latest verdict is older than r6.
-# r11 BACKLOG: the other 41 r6-era greens (analyze_stats, ann_pq_det,
+# r11 BACKLOG: the other 42 r6-era greens (analyze_stats, ann_pq_det,
 # approx_cardinality_check, approx_percentiles_check, attribution,
 # big_orders, bm25_search, bpe_pair_counts, bracket_revenue,
 # cdc_chunking, centroid_cohesion, chi_square, cusum_changepoint,
@@ -11249,10 +11326,12 @@ QUERIES: dict[str, Query] = {
 # + any r10-new queries that miss this window.
 _CHECK_FIRST = [
     # NEW in r10 — perceptual video dedup (frame dHash -> majority
-    # fingerprint -> Hamming election), the wide 126-bit two-limb
-    # image dedup (the LAION-scale path past the 63-bit ceiling), and
-    # the batched k-center acceptance path (identical contract)
-    "video_dedup", "image_dedup_wide", "kcenter_batched",
+    # fingerprint -> Hamming election), its cross-set decontamination
+    # probe, the wide 126-bit two-limb image dedup (the LAION-scale
+    # path past the 63-bit ceiling), and the batched k-center
+    # acceptance path (identical contract)
+    "video_dedup", "video_decontaminate", "image_dedup_wide",
+    "kcenter_batched",
     # the r5-era §2 serving core, 5 rounds stale — cheap scan/merge/
     # agg shapes
     "keyed_scan", "search_substring", "relevance_search", "semi_join",
@@ -11272,7 +11351,6 @@ _CHECK_FIRST = [
     # cheapest r6-era greens (the next-oldest verdicts) fill the window
     "discount_revenue", "hash_split", "weighted_sample", "promo_share",
     "top_supplier", "zorder_layout", "idle_customers",
-    "benford_deviation",
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 QUERIES = {
