@@ -143,8 +143,9 @@ def _experiment_wavs(spark, n: int):
         F.lit(_WAV_HEADER_HEX),
         F.expr(f"array_join(transform(sequence(0, 255), i -> "
                f"{sample_hex}), '')")))
-    return spark.range(n).select(F.col("id").alias("media_id"),
-                                 payload.alias("payload"))
+    return (spark.range(n).select(F.col("id").alias("doc_id"))
+            .select(F.col("doc_id").alias("media_id"),
+                    payload.alias("payload")))
 
 
 def exp_audio(spark) -> dict:
@@ -259,17 +260,23 @@ def main() -> None:
     picks = [a for a in sys.argv[1:] if not a.startswith("-")] or \
         ["imagewide", "audio", "caption", "kcenter"]
     report = {}
+
+    def _flush():
+        # dump after EVERY experiment so a later failure can't lose
+        # earlier measurements (burned once: the audio generator bug
+        # threw after the 1M imagewide run had finished)
+        with open("/tmp/scale_evidence_r10.json", "w") as fh:
+            json.dump(report, fh, indent=1)
+
     if "imagewide" in picks:
-        report["image_wide_1m"] = exp_imagewide(spark)
+        report["image_wide_1m"] = exp_imagewide(spark); _flush()
     if "audio" in picks:
-        report["audio_dedup_10x"] = exp_audio(spark)
+        report["audio_dedup_10x"] = exp_audio(spark); _flush()
     if "caption" in picks:
-        report["caption_prep_10x"] = exp_caption(spark)
+        report["caption_prep_10x"] = exp_caption(spark); _flush()
     if "kcenter" in picks:
-        report["kcenter_k512"] = exp_kcenter512(spark)
+        report["kcenter_k512"] = exp_kcenter512(spark); _flush()
     print(json.dumps(report, indent=1))
-    with open("/tmp/scale_evidence_r10.json", "w") as fh:
-        json.dump(report, fh, indent=1)
     spark.stop()
 
 
