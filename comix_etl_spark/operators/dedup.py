@@ -1128,38 +1128,65 @@ def image_probe_pairs(corpus_fp: DataFrame, probe_fp: DataFrame, *,
     PERSISTED bucketed-by-(band, band-value); each new benchmark then
     probes without touching corpus pixels again.
     """
+    return hamming_band_probe(corpus_fp, probe_fp, id_col=id_col,
+                              fp_cols=[fp_col], max_hamming=max_hamming,
+                              n_bands=n_bands)
+
+
+def hamming_band_probe(corpus_fp: DataFrame, probe_fp: DataFrame, *,
+                       id_col: str = "media_id", fp_cols: list[str],
+                       max_hamming: int = 2,
+                       n_bands: int | None = None) -> DataFrame:
+    """Cross-set banded Hamming probe over one OR MORE 63-bit limbs —
+    the multi-limb core behind ``image_probe_pairs`` (one limb) and
+    the wide 126-bit decontamination path. Bands cover the
+    CONCATENATED bit space (same ``_band_edges``/``_limb_band_val``
+    machinery and pigeonhole recall guarantee as
+    ``hamming_band_pairs``); Hamming is the sum of per-limb xor
+    popcounts. Output: (corpus_id, probe_id, hamming), no ``id <``
+    orientation. The probe side's band rows broadcast; the corpus
+    never self-joins — one corpus scan + one broadcast-hash probe,
+    zero corpus shuffle. Rows with ANY NULL limb drop on both sides.
+    """
+    n_limbs = len(fp_cols)
+    total = 63 * n_limbs
     if n_bands is None:
         n_bands = max_hamming + 1
-    if not 1 <= n_bands <= 63:
-        raise ValueError(f"n_bands must be in [1, 63], got {n_bands}")
+    if not 1 <= n_bands <= total:
+        raise ValueError(f"n_bands must be in [1, {total}], got {n_bands}")
     if max_hamming >= n_bands:
         raise ValueError(
             f"max_hamming={max_hamming} >= n_bands={n_bands} voids the "
             "pigeonhole recall guarantee; raise n_bands")
-    width = 63 // n_bands
+    edges = _band_edges(total, n_bands)
+    if max(hi - lo for lo, hi in edges) > 63:
+        raise ValueError(
+            f"{n_bands} bands over {total} bits makes a band wider than "
+            "63 bits (band values must fit a BIGINT); raise n_bands")
 
-    def band_rows(fp: DataFrame, out_id: str, out_fp: str) -> DataFrame:
-        f = fp.filter(F.col(fp_col).isNotNull()).select(
-            F.col(id_col).alias(out_id), F.col(fp_col).alias(out_fp))
-
-        def band_val(bi: int):
-            lo = bi * width
-            w = (63 - lo) if bi == n_bands - 1 else width
-            return (F.shiftrightunsigned(F.col(out_fp), lo)
-                    .bitwiseAND((1 << w) - 1))
-
+    def band_rows(fp: DataFrame, out_id: str, pref: str) -> DataFrame:
+        notnull = F.col(fp_cols[0]).isNotNull()
+        for c in fp_cols[1:]:
+            notnull = notnull & F.col(c).isNotNull()
+        f = fp.filter(notnull).select(
+            F.col(id_col).alias(out_id),
+            *[F.col(c).alias(f"{pref}{k}") for k, c in enumerate(fp_cols)])
+        limbs = [f"{pref}{k}" for k in range(n_limbs)]
         return f.select(
-            out_id, out_fp,
+            out_id, *limbs,
             F.explode(F.array(*[
-                F.struct(F.lit(bi).alias("band"), band_val(bi).alias("bv"))
-                for bi in range(n_bands)])).alias("bb")
-        ).select(out_id, out_fp, "bb.band", "bb.bv")
+                F.struct(F.lit(bi).alias("band"),
+                         _limb_band_val(limbs, lo, hi).alias("bv"))
+                for bi, (lo, hi) in enumerate(edges)])).alias("bb")
+        ).select(out_id, *limbs, "bb.band", "bb.bv")
 
     c = band_rows(corpus_fp, "corpus_id", "_fc")
     p = band_rows(probe_fp, "probe_id", "_fp")
     cand = (c.join(F.broadcast(p), ["band", "bv"])
             .dropDuplicates(["corpus_id", "probe_id"]))
-    ham = F.bit_count(F.col("_fc").bitwiseXOR(F.col("_fp")))
+    ham = F.bit_count(F.col("_fc0").bitwiseXOR(F.col("_fp0")))
+    for k in range(1, n_limbs):
+        ham = ham + F.bit_count(F.col(f"_fc{k}").bitwiseXOR(F.col(f"_fp{k}")))
     return (cand.withColumn("hamming", ham.cast("long"))
             .filter(F.col("hamming") <= max_hamming)
             .select("corpus_id", "probe_id", "hamming"))

@@ -4646,6 +4646,81 @@ LIMIT 100
 """
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail quality bucketing (Wenzek et al. 2020)
+    composed end to end: corpus-trained bigram LM score per document
+    (operators/textstats.py::bigram_lm_scores — integer ppm math) →
+    GLOBAL tercile fences → per-doc bucket label. The real pipeline
+    routes head to training, middle to maybe, tail to drop; docs too
+    short to score (< 2 tokens) are labeled 'unscored', not silently
+    dropped or mis-binned.
+
+    The global-percentile fence is the scale funnel of this shape
+    (every doc's score in ONE reducer buffer when exact), so it goes
+    through r10's automatic routing (operators/profile.py::
+    percentile_route over a constant group): exact while the corpus
+    fits a task buffer — which oracle parity sees at test SF — and the
+    bounded approx_percentile sketch beyond. Fences land strictly
+    between adjacent order statistics (or exactly ON a tied one), so
+    the >= comparisons are robust to fence-interpolation LSB noise.
+    One token explode feeds the LM aggregates; scores are one slim
+    row per doc; fences broadcast back as a 1-row cross join."""
+    from comix_etl_spark.operators.profile import percentile_route
+    from comix_etl_spark.operators.textstats import bigram_lm_scores
+
+    t = _t(spark, sf_dir, "documents")
+    s = bigram_lm_scores(t["documents"], "doc_id", "text")
+    scored = s.filter(F.col("n_bigrams") > 0)
+    pct, _route = percentile_route(scored.withColumn("_g", F.lit(1)), "_g")
+    fences = scored.agg(pct("lm_score_e6", F.lit(2.0 / 3)).alias("_hi"),
+                        pct("lm_score_e6", F.lit(1.0 / 3)).alias("_lo"))
+    bucket = (F.when(F.col("lm_score_e6").isNull(), F.lit("unscored"))
+              .when(F.col("lm_score_e6") >= F.col("_hi"), F.lit("head"))
+              .when(F.col("lm_score_e6") >= F.col("_lo"), F.lit("middle"))
+              .otherwise(F.lit("tail")))
+    return (s.crossJoin(F.broadcast(fences))
+            .select("doc_id", "n_bigrams", "lm_score_e6",
+                    bucket.alias("bucket"))
+            .orderBy("doc_id"))
+
+
+# scoring CTE chain identical to ORACLE_LM_SCORE; quantile_cont shares
+# Spark F.percentile's (n-1)*p interpolation so the fences agree
+ORACLE_CCNET_BUCKETS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks WHERE len(t) >= 2
+), bgp AS (
+  SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS prefix FROM bg
+), bc AS (SELECT bigram, count(*) AS nbg FROM bgp GROUP BY bigram),
+pc AS (SELECT prefix, count(*) AS npre FROM bgp GROUP BY prefix),
+scores AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(nbg * 1000000 // npre) // count(*) AS BIGINT) AS lm_score_e6
+  FROM bgp JOIN bc USING (bigram) JOIN pc USING (prefix)
+  GROUP BY doc_id
+), all_docs AS (
+  SELECT d.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         s.lm_score_e6
+  FROM documents d LEFT JOIN scores s USING (doc_id)
+), f AS (
+  SELECT quantile_cont(lm_score_e6, 2.0/3) AS hi,
+         quantile_cont(lm_score_e6, 1.0/3) AS lo
+  FROM scores
+)
+SELECT doc_id, n_bigrams, lm_score_e6,
+       CASE WHEN lm_score_e6 IS NULL THEN 'unscored'
+            WHEN lm_score_e6 >= hi THEN 'head'
+            WHEN lm_score_e6 >= lo THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM all_docs, f ORDER BY doc_id
+"""
+
+
 def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue locked up in small-quantity lineitems —
     lines with quantity below 50% of their part's average. The
@@ -10098,6 +10173,52 @@ FROM hits GROUP BY 1 ORDER BY media_id
 """
 
 
+def q_image_decontaminate_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-side eval-set decontamination over the WIDE 126-bit
+    two-limb fingerprint — q_image_decontaminate at the equal-rate
+    threshold (Hamming ≤ 4 over 126 bits ≡ 2/63), through the
+    multi-limb cross-set probe (operators/dedup.py::
+    hamming_band_probe: 5 × 25-bit bands over the concatenated space,
+    probe side broadcast, corpus never self-joins). Completes the wide
+    family: dedup (image_dedup_wide) AND decontamination both run past
+    the 63-bit ~10M-item ceiling with the same two BIGINT limbs."""
+    from comix_etl_spark.multimodal.media import image_dhash_wide
+    from comix_etl_spark.operators.dedup import hamming_band_probe
+
+    t = _t(spark, sf_dir, "documents")
+    d = t["documents"]
+    corpus = image_dhash_wide(_synthetic_images(d))
+    probe = image_dhash_wide(
+        _synthetic_images(d.filter(F.col("doc_id") % 50 == 0)))
+    pairs = hamming_band_probe(corpus, probe,
+                               fp_cols=["dhash_h", "dhash_v"],
+                               max_hamming=4)
+    return (pairs.groupBy("corpus_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
+                 F.min("hamming").cast("long").alias("min_hamming"))
+            .select(F.col("corpus_id").alias("media_id"),
+                    "n_bench_hits", "min_hamming")
+            .orderBy("media_id"))
+
+
+# all-pairs summed-limb Hamming <= 4 == banded cross-set probe over the
+# concatenated 126-bit space (pigeonhole: <= 4 flips touch <= 4 of 5
+# bands); limb CTE chain shared with ORACLE_IMAGE_DEDUP_WIDE
+ORACLE_IMAGE_DECONTAMINATE_WIDE = f"""
+WITH {_IMG_HASH_WIDE_CTES}, hits AS (
+  SELECT c.doc_id AS cid, p.doc_id AS pid,
+         bit_count(xor(c.dhash_h, p.dhash_h))
+         + bit_count(xor(c.dhash_v, p.dhash_v)) AS h
+  FROM hashes_wide c JOIN hashes_wide p ON p.doc_id % 50 = 0
+  WHERE bit_count(xor(c.dhash_h, p.dhash_h))
+        + bit_count(xor(c.dhash_v, p.dhash_v)) <= 4
+)
+SELECT cid AS media_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+       CAST(min(h) AS BIGINT) AS min_hamming
+FROM hits GROUP BY 1 ORDER BY media_id
+"""
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher/MassiveWeb document-quality rule set (Rae et al.
     2021, Table A1) evaluated per document as scan-local codegen —
@@ -10858,6 +10979,10 @@ QUERIES: dict[str, Query] = {
     "lm_score": Query(q_lm_score, ORACLE_LM_SCORE,
                       "corpus-trained bigram LM quality score (CCNet-style)",
                       ("documents",)),
+    "ccnet_buckets": Query(
+        q_ccnet_buckets, ORACLE_CCNET_BUCKETS,
+        "CCNet head/middle/tail quality bucketing: bigram-LM score -> "
+        "routed global tercile fences -> per-doc label", ("documents",)),
     "small_qty_revenue": Query(q_small_qty_revenue, ORACLE_SMALL_QTY_REVENUE,
                                "TPC-H Q17 correlated-aggregate filter",
                                ("lineitem",)),
@@ -11239,6 +11364,11 @@ QUERIES: dict[str, Query] = {
         "Wide 126-bit two-limb perceptual image dedup (h+v dHash, "
         "concatenated-space banding) — the LAION-scale path past the "
         "63-bit ~10M-item ceiling", ("documents",)),
+    "image_decontaminate_wide": Query(
+        q_image_decontaminate_wide, ORACLE_IMAGE_DECONTAMINATE_WIDE,
+        "wide-fingerprint eval-set decontamination: two-limb cross-set "
+        "band probe at the equal-rate Hamming-4 threshold",
+        ("documents",)),
     "image_dedup": Query(
         q_image_dedup, ORACLE_IMAGE_DEDUP,
         "LAION-style perceptual image dedup: dHash fingerprint + "
@@ -11309,9 +11439,10 @@ QUERIES: dict[str, Query] = {
 # latest verdict is r5-era — the §2 serving core first, then the
 # r5-era dedup/ANN families (incl. the 4 rows-only: minhash_lsh,
 # simhash_pairs, ann_lsh, ann_ivf — their hash-checked _det siblings
-# are r6-green) — then 7 of the cheapest r6-era greens. After this
+# are r6-green) — then 5 of the cheapest r6-era greens. After this
 # window NO registry query's latest verdict is older than r6.
-# r11 BACKLOG: the other 42 r6-era greens (analyze_stats, ann_pq_det,
+# r11 BACKLOG: the other 44 r6-era greens (zorder_layout,
+# idle_customers, benford_deviation, analyze_stats, ann_pq_det,
 # approx_cardinality_check, approx_percentiles_check, attribution,
 # big_orders, bm25_search, bpe_pair_counts, bracket_revenue,
 # cdc_chunking, centroid_cohesion, chi_square, cusum_changepoint,
@@ -11326,12 +11457,13 @@ QUERIES: dict[str, Query] = {
 # + any r10-new queries that miss this window.
 _CHECK_FIRST = [
     # NEW in r10 — perceptual video dedup (frame dHash -> majority
-    # fingerprint -> Hamming election), its cross-set decontamination
-    # probe, the wide 126-bit two-limb image dedup (the LAION-scale
-    # path past the 63-bit ceiling), and the batched k-center
-    # acceptance path (identical contract)
+    # fingerprint -> Hamming election) and its cross-set
+    # decontamination probe, the wide 126-bit two-limb image dedup +
+    # decontamination (the LAION-scale path past the 63-bit ceiling),
+    # the batched k-center acceptance path (identical contract), and
+    # CCNet head/middle/tail bucketing over the routed global fences
     "video_dedup", "video_decontaminate", "image_dedup_wide",
-    "kcenter_batched",
+    "image_decontaminate_wide", "kcenter_batched", "ccnet_buckets",
     # the r5-era §2 serving core, 5 rounds stale — cheap scan/merge/
     # agg shapes
     "keyed_scan", "search_substring", "relevance_search", "semi_join",
@@ -11350,7 +11482,7 @@ _CHECK_FIRST = [
     "minhash_lsh", "simhash_pairs", "ann_lsh", "ann_ivf",
     # cheapest r6-era greens (the next-oldest verdicts) fill the window
     "discount_revenue", "hash_split", "weighted_sample", "promo_share",
-    "top_supplier", "zorder_layout", "idle_customers",
+    "top_supplier",
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 QUERIES = {

@@ -472,6 +472,43 @@ def test_hamming_band_pairs_single_limb_matches_legacy(spark):
     assert a == b and len(a) > 0
 
 
+def test_hamming_band_probe_two_limb_cross_set(spark):
+    """126-bit cross-set probe: near pairs found across the limb
+    boundary, far and partial-NULL rows drop, no corpus self-pairs,
+    single-limb form equals the legacy image_probe_pairs; guards on
+    band width and recall hold."""
+    import pytest as _pt
+
+    from comix_etl_spark.operators.dedup import (
+        hamming_band_probe, image_probe_pairs)
+
+    h0, v0 = (1 << 45) | 17, (1 << 29) | (1 << 4)
+    corpus = spark.createDataFrame(
+        [(100, h0, v0), (101, h0 ^ (1 << 62), v0 ^ 3),   # ham 3
+         (102, ~h0 & ((1 << 63) - 1), v0), (103, None, v0)],
+        "media_id long, h long, v long")
+    probe = spark.createDataFrame(
+        [(1, h0, v0), (2, h0 ^ 1, v0 ^ (1 << 50)), (3, h0, None)],
+        "media_id long, h long, v long")
+    got = {(r.corpus_id, r.probe_id): r.hamming
+           for r in hamming_band_probe(corpus, probe, fp_cols=["h", "v"],
+                                       max_hamming=4).collect()}
+    assert got[(100, 1)] == 0 and got[(100, 2)] == 2
+    assert got[(101, 1)] == 3
+    assert (101, 2) not in got, "summed-limb Hamming 5 must not pass 4"
+    assert all(p[0] != 102 and p[0] != 103 and p[1] != 3 for p in got), got
+    with _pt.raises(ValueError):
+        hamming_band_probe(corpus, probe, fp_cols=["h", "v"],
+                           max_hamming=0, n_bands=1)
+    # single-limb delegation: identical to legacy probe output
+    c1 = corpus.select("media_id", F.col("h").alias("dhash"))
+    p1 = probe.select("media_id", F.col("h").alias("dhash"))
+    a = sorted(map(tuple, image_probe_pairs(c1, p1, max_hamming=2).collect()))
+    b = sorted(map(tuple, hamming_band_probe(c1, p1, fp_cols=["dhash"],
+                                             max_hamming=2).collect()))
+    assert a == b
+
+
 def test_hamming_fp_dedup_wide_keeper_election(spark):
     """Two-limb dedup: min-id keeper kept with both limb columns in
     the output; near-dups across the limb boundary are removed."""
