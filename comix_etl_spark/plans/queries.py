@@ -4669,7 +4669,12 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comix_etl_spark.operators.textstats import bigram_lm_scores
 
     t = _t(spark, sf_dir, "documents")
-    s = bigram_lm_scores(t["documents"], "doc_id", "text")
+    # pin the slim (doc_id, n_bigrams, score) frame ONCE: three
+    # consumers (route pre-pass, fences, labeled output) would each
+    # re-run the bigram explode + two model joins otherwise — the r9
+    # multi-consumed-frame lesson (hamming_fp_dedup's checkpoint)
+    s = (bigram_lm_scores(t["documents"], "doc_id", "text")
+         .localCheckpoint(eager=True))
     scored = s.filter(F.col("n_bigrams") > 0)
     pct, _route = percentile_route(scored.withColumn("_g", F.lit(1)), "_g")
     fences = scored.agg(pct("lm_score_e6", F.lit(2.0 / 3)).alias("_hi"),
