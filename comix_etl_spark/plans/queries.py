@@ -10178,6 +10178,166 @@ FROM hits GROUP BY 1 ORDER BY media_id
 """
 
 
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus filter-FUNNEL report — the per-stage survivor counts a
+    RedPajama/FineWeb-style curation run publishes (how many documents
+    each gate dropped, in pipeline order): quality gate (score ≥ 0.8)
+    → Gopher rules (all 7, min_words=5 as q_gopher_rules) → RefinedWeb
+    gutted-doc flag → exact dedup keeper election. Every flag is
+    computed in ONE scan (all three text gates are scan-local
+    codegen); the only shuffle is the md5-fingerprint window for the
+    dedup keeper flag plus the final 1-row aggregate — at 100 TB the
+    funnel costs one pass over the corpus, which is exactly what a
+    pipeline-observability report may cost. Output: 4 rows
+    (stage_idx, stage, n_in, n_out, drop_ppm — integer ppm so both
+    engines agree bit-for-bit)."""
+    from comix_etl_spark.functions.text import (
+        gopher_rules, line_corrections, quality_score)
+
+    t = _t(spark, sf_dir, "documents")
+    d = t["documents"]
+    g = gopher_rules(F.col("text"), min_words=5)
+    gok = (g["words_ok"] & g["mean_len_ok"] & g["symbol_ok"]
+           & g["alpha_ok"] & g["stopword_ok"] & g["bullet_ok"]
+           & g["ellipsis_ok"])
+    lok = ~line_corrections(F.col("text"))["dropped_doc"]
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    flags = d.select(
+        (quality_score("text") >= 0.8).alias("_q"),
+        gok.alias("_g"), lok.alias("_l"),
+        (F.row_number().over(w) == 1).alias("_k"))
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(F.col("_q").cast("long")).alias("n1"),
+        F.sum((F.col("_q") & F.col("_g")).cast("long")).alias("n2"),
+        F.sum((F.col("_q") & F.col("_g") & F.col("_l")).cast("long"))
+        .alias("n3"),
+        F.sum((F.col("_q") & F.col("_g") & F.col("_l") & F.col("_k"))
+              .cast("long")).alias("n4"))
+    stages = agg.selectExpr(
+        "stack(4, 1, 'quality_gate', n0, n1,"
+        "         2, 'gopher_rules', n1, n2,"
+        "         3, 'line_corrections', n2, n3,"
+        "         4, 'exact_dedup', n3, n4)"
+        " as (stage_idx, stage, n_in, n_out)")
+    return (stages.select(
+        "stage_idx", "stage", "n_in", "n_out",
+        F.when(F.col("n_in") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("(n_in - n_out) * 1000000L div n_in"))
+        .alias("drop_ppm"))
+        .orderBy("stage_idx"))
+
+
+# gopher flag chain = ORACLE_GOPHER_RULES's CTEs verbatim; quality gate
+# = _Q_EXPR (the caption/corpus-prep idiom); gutted flag = the
+# line_corrections keep-filter over RAW text; dedup keeper = min doc_id
+# per md5(text)
+ORACLE_FILTER_FUNNEL = f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+              AS BIGINT) AS tok_chars,
+         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+           AS n_hash,
+         CAST((length(text) - length(replace(text, '...', ''))) // 3
+              AS BIGINT) AS n_ell,
+         CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+              AS BIGINT) AS alpha_words,
+         (CASE WHEN list_contains(t, 'the') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(t, 'a') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(t, 'of') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(t, 'and') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(t, 'is') THEN 1 ELSE 0 END)
+           AS stop_hits,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS lines
+  FROM toks
+), r AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0 THEN tok_chars * 1000 // n_words
+              ELSE 0 END AS mean_e3,
+         n_hash, n_ell, alpha_words, stop_hits,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines,
+              x -> x LIKE '-%' OR x LIKE '*%')) AS BIGINT) AS bullet_lines,
+         CAST(len(list_filter(lines, x -> x LIKE '%...')) AS BIGINT)
+           AS ell_lines
+  FROM m
+), gf AS (
+  SELECT doc_id,
+         CASE WHEN n_words >= 5 AND n_words <= 100000
+               AND mean_e3 >= 3000 AND mean_e3 <= 10000
+               AND (n_hash + n_ell) * 10 <= n_words
+               AND alpha_words * 5 >= n_words * 4
+               AND stop_hits >= 2
+               AND bullet_lines * 10 <= n_lines * 9
+               AND ell_lines * 10 <= n_lines * 3
+              THEN 1 ELSE 0 END AS g_ok
+  FROM r
+), qf AS (
+  SELECT doc_id, CASE WHEN {_Q_EXPR} >= 0.8 THEN 1 ELSE 0 END AS q_ok
+  FROM (
+    SELECT *,
+         CAST(len(list_filter(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> ''),
+                              x -> list_contains(['the','a','of','and','is'], x))) AS DOUBLE)
+           / CAST(CASE WHEN len(trim(text)) = 0 THEN 1
+                       ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) END AS DOUBLE)
+           AS sw_ratio
+    FROM documents)
+), lf AS (
+  SELECT doc_id,
+         CASE WHEN length(array_to_string(list_filter(
+                string_split(text, chr(10)), l -> NOT (
+                  (trim(lower(l)) <> ''
+                   AND regexp_matches(trim(lower(l)), '^[0-9 .,:/-]+$'))
+                  OR regexp_matches(trim(lower(l)),
+                       '^[0-9]+ (likes?|comments?|shares?|views?)$')
+                  OR list_contains(['home','sign in','log in','read more',
+                       'accept cookies','share this article','advertisement'],
+                       trim(lower(l)))
+                  OR (trim(l) <> '' AND l = upper(l)
+                      AND regexp_matches(l, '[A-Za-z]'))
+                )), chr(10))) * 2 < length(text)
+              THEN 0 ELSE 1 END AS l_ok
+  FROM documents
+), kf AS (
+  SELECT doc_id,
+         CASE WHEN row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) = 1
+              THEN 1 ELSE 0 END AS k_ok
+  FROM documents
+), a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0,
+         CAST(sum(q_ok) AS BIGINT) AS n1,
+         CAST(sum(q_ok * g_ok) AS BIGINT) AS n2,
+         CAST(sum(q_ok * g_ok * l_ok) AS BIGINT) AS n3,
+         CAST(sum(q_ok * g_ok * l_ok * k_ok) AS BIGINT) AS n4
+  FROM qf JOIN gf USING (doc_id) JOIN lf USING (doc_id)
+          JOIN kf USING (doc_id)
+)
+SELECT * FROM (
+  SELECT 1 AS stage_idx, 'quality_gate' AS stage, n0 AS n_in, n1 AS n_out,
+         CASE WHEN n0 = 0 THEN 0 ELSE (n0 - n1) * 1000000 // n0 END AS drop_ppm
+  FROM a
+  UNION ALL
+  SELECT 2, 'gopher_rules', n1, n2,
+         CASE WHEN n1 = 0 THEN 0 ELSE (n1 - n2) * 1000000 // n1 END FROM a
+  UNION ALL
+  SELECT 3, 'line_corrections', n2, n3,
+         CASE WHEN n2 = 0 THEN 0 ELSE (n2 - n3) * 1000000 // n2 END FROM a
+  UNION ALL
+  SELECT 4, 'exact_dedup', n3, n4,
+         CASE WHEN n3 = 0 THEN 0 ELSE (n3 - n4) * 1000000 // n3 END FROM a
+) ORDER BY stage_idx
+"""
+
+
 def q_image_decontaminate_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-side eval-set decontamination over the WIDE 126-bit
     two-limb fingerprint — q_image_decontaminate at the equal-rate
@@ -11374,6 +11534,11 @@ QUERIES: dict[str, Query] = {
         "wide-fingerprint eval-set decontamination: two-limb cross-set "
         "band probe at the equal-rate Hamming-4 threshold",
         ("documents",)),
+    "filter_funnel": Query(
+        q_filter_funnel, ORACLE_FILTER_FUNNEL,
+        "per-stage curation funnel report: quality gate -> Gopher -> "
+        "RefinedWeb gutted flag -> exact dedup, one corpus pass",
+        ("documents",)),
     "image_dedup": Query(
         q_image_dedup, ORACLE_IMAGE_DEDUP,
         "LAION-style perceptual image dedup: dHash fingerprint + "
@@ -11444,10 +11609,10 @@ QUERIES: dict[str, Query] = {
 # latest verdict is r5-era — the §2 serving core first, then the
 # r5-era dedup/ANN families (incl. the 4 rows-only: minhash_lsh,
 # simhash_pairs, ann_lsh, ann_ivf — their hash-checked _det siblings
-# are r6-green) — then 5 of the cheapest r6-era greens. After this
+# are r6-green) — then 4 of the cheapest r6-era greens. After this
 # window NO registry query's latest verdict is older than r6.
-# r11 BACKLOG: the other 44 r6-era greens (zorder_layout,
-# idle_customers, benford_deviation, analyze_stats, ann_pq_det,
+# r11 BACKLOG: the other 45 r6-era greens (zorder_layout,
+# idle_customers, benford_deviation, top_supplier, analyze_stats, ann_pq_det,
 # approx_cardinality_check, approx_percentiles_check, attribution,
 # big_orders, bm25_search, bpe_pair_counts, bracket_revenue,
 # cdc_chunking, centroid_cohesion, chi_square, cusum_changepoint,
@@ -11469,6 +11634,7 @@ _CHECK_FIRST = [
     # CCNet head/middle/tail bucketing over the routed global fences
     "video_dedup", "video_decontaminate", "image_dedup_wide",
     "image_decontaminate_wide", "kcenter_batched", "ccnet_buckets",
+    "filter_funnel",
     # the r5-era §2 serving core, 5 rounds stale — cheap scan/merge/
     # agg shapes
     "keyed_scan", "search_substring", "relevance_search", "semi_join",
@@ -11487,7 +11653,6 @@ _CHECK_FIRST = [
     "minhash_lsh", "simhash_pairs", "ann_lsh", "ann_ivf",
     # cheapest r6-era greens (the next-oldest verdicts) fill the window
     "discount_revenue", "hash_split", "weighted_sample", "promo_share",
-    "top_supplier",
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 QUERIES = {
