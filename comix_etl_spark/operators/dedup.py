@@ -1032,6 +1032,102 @@ def hamming_fp_dedup(fps: DataFrame, *, fp_col: str | list[str],
                     .alias("n_near")))
 
 
+def fingerprint_band_rows(fps: DataFrame, *, id_col: str = "media_id",
+                          fp_cols: list[str], n_bands: int) -> DataFrame:
+    """The persistable banded form of a fingerprint frame: one
+    (id, limbs..., band, bv) row per (item, band) — the exploded rows
+    ``hamming_band_pairs`` joins on, with USER-FACING column names so
+    they can be written to a table and reused across jobs. NULL-limb
+    rows drop (same quarantine as the pairing)."""
+    total = 63 * len(fp_cols)
+    if not 1 <= n_bands <= total:
+        raise ValueError(f"n_bands must be in [1, {total}], got {n_bands}")
+    edges = _band_edges(total, n_bands)
+    if max(hi - lo for lo, hi in edges) > 63:
+        raise ValueError(
+            f"{n_bands} bands over {total} bits makes a band wider than "
+            "63 bits (band values must fit a BIGINT); raise n_bands")
+    notnull = F.col(fp_cols[0]).isNotNull()
+    for c in fp_cols[1:]:
+        notnull = notnull & F.col(c).isNotNull()
+    return (fps.filter(notnull).select(id_col, *fp_cols)
+            .select(
+                id_col, *fp_cols,
+                F.explode(F.array(*[
+                    F.struct(F.lit(bi).alias("band"),
+                             _limb_band_val(fp_cols, lo, hi).alias("bv"))
+                    for bi, (lo, hi) in enumerate(edges)])).alias("bb"))
+            .select(id_col, *fp_cols, "bb.band", "bb.bv"))
+
+
+def persist_fingerprint_store(fps: DataFrame, table: str, *,
+                              id_col: str = "media_id",
+                              fp_cols: list[str], max_hamming: int = 2,
+                              n_bands: int | None = None,
+                              n_buckets: int = 64) -> None:
+    """Persist a corpus's banded fingerprint rows as a table BUCKETED
+    by (band, bv) — the production serving pattern the probe/pairing
+    docstrings name: fingerprint the corpus ONCE, pay the band shuffle
+    ONCE at write, then every later self-pairing
+    (``near_dup_pairs_from_store``) sort-merge-joins the bucketed
+    layout with ZERO Exchange (plan-asserted in
+    tests/test_dedup.py::test_fingerprint_store_no_exchange_pairing)
+    and every new benchmark probes it without touching payloads again.
+
+    At 100 TB this converts perceptual dedup from a per-run
+    decode+shuffle job into a one-time build + cheap incremental
+    reads; incremental ingest appends its batch's band rows with the
+    same bucketing. CONTRACT: the store bakes in its band layout —
+    read-side ``max_hamming`` must stay < the ``n_bands`` used here or
+    the pigeonhole recall guarantee is void (the reader validates
+    against the stored band count it observes)."""
+    from comix_etl_spark.sinks.writers import save_bucketed_table
+
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    rows = fingerprint_band_rows(fps, id_col=id_col, fp_cols=fp_cols,
+                                 n_bands=n_bands)
+    save_bucketed_table(rows, table, ["band", "bv"], n_buckets,
+                        sort_cols=["band", "bv"])
+
+
+def near_dup_pairs_from_store(spark, table: str, *,
+                              id_col: str = "media_id",
+                              fp_cols: list[str],
+                              max_hamming: int = 2) -> DataFrame:
+    """Verified near-dup pairs from a persisted fingerprint store
+    (``persist_fingerprint_store``) — output-identical to
+    ``hamming_band_pairs`` on the same fingerprints (pytest-locked),
+    but the corpus-scale (band, bv) self-join runs WITHOUT any
+    Exchange: both join sides read the same bucketed, bucket-sorted
+    layout. Validates the recall contract against the band count
+    actually present in the store (one cheap max(band) read) instead
+    of trusting the caller."""
+    bands = spark.table(table)
+    n_bands = bands.agg(F.max("band")).first()[0]
+    n_bands = (n_bands + 1) if n_bands is not None else 0
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= stored n_bands={n_bands} voids "
+            "the pigeonhole recall guarantee; rebuild the store with more "
+            "bands or lower max_hamming")
+    a = bands.select(F.col(id_col).alias("id_a"),
+                     *[F.col(c).alias(f"_fa{k}")
+                       for k, c in enumerate(fp_cols)], "band", "bv")
+    b = bands.select(F.col(id_col).alias("id_b"),
+                     *[F.col(c).alias(f"_fb{k}")
+                       for k, c in enumerate(fp_cols)], "band", "bv")
+    cand = (a.join(b, ["band", "bv"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    ham = F.bit_count(F.col("_fa0").bitwiseXOR(F.col("_fb0")))
+    for k in range(1, len(fp_cols)):
+        ham = ham + F.bit_count(F.col(f"_fa{k}").bitwiseXOR(F.col(f"_fb{k}")))
+    return (cand.withColumn("hamming", ham.cast("long"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
 def majority_fingerprint(fps: DataFrame, *, id_col: str = "media_id",
                          fp_col: str = "dhash", n_bits: int = 63,
                          out_col: str = "vfp") -> DataFrame:

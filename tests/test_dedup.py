@@ -472,6 +472,47 @@ def test_hamming_band_pairs_single_limb_matches_legacy(spark):
     assert a == b and len(a) > 0
 
 
+def test_fingerprint_store_no_exchange_pairing(spark):
+    """The persisted bucketed fingerprint store: the (band, bv)
+    self-join runs with ZERO Exchange (the shuffle was paid once at
+    write), the pairs are identical to the direct hamming_band_pairs
+    computation, and reading with a max_hamming that voids the stored
+    band layout's recall guarantee raises."""
+    import pytest as _pt
+
+    from comix_etl_spark.operators.dedup import (
+        hamming_band_pairs, near_dup_pairs_from_store,
+        persist_fingerprint_store)
+
+    base = (1 << 55) | (1 << 21) | 9
+    rows = ([(i, base ^ (1 << (i * 3))) for i in range(12)]
+            + [(50, (1 << 61) - 77), (51, None)])
+    fps = spark.createDataFrame(rows, "media_id long, dhash long")
+    persist_fingerprint_store(fps, "fp_store_t", fp_cols=["dhash"],
+                              max_hamming=2)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = near_dup_pairs_from_store(spark, "fp_store_t",
+                                        fp_cols=["dhash"], max_hamming=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the only allowed Exchange is the pair-level dropDuplicates
+        # ABOVE the join; the corpus-scale join itself reuses buckets
+        join_sub = plan[plan.index("SortMergeJoin"):]
+        assert "Exchange" not in join_sub, join_sub
+        direct = sorted(map(tuple,
+                            hamming_band_pairs(fps, fp_cols=["dhash"],
+                                               max_hamming=2).collect()))
+        stored = sorted(map(tuple, out.collect()))
+        assert direct == stored and len(stored) > 0
+        with _pt.raises(ValueError):
+            near_dup_pairs_from_store(spark, "fp_store_t",
+                                      fp_cols=["dhash"], max_hamming=5)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS fp_store_t")
+
+
 def test_hamming_band_probe_two_limb_cross_set(spark):
     """126-bit cross-set probe: near pairs found across the limb
     boundary, far and partial-NULL rows drop, no corpus self-pairs,
