@@ -10178,6 +10178,58 @@ FROM hits GROUP BY 1 ORDER BY media_id
 """
 
 
+def q_stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup as a STREAMING job — the real Arrow
+    ``mapInPandas`` decode stage (multimodal/media.py::image_dhash)
+    runs INSIDE a structured stream, feeding a stateful fingerprint
+    aggregation: per distinct 63-bit dHash, the min media id (keeper)
+    and copy count. Because dHash is brightness/re-encode invariant,
+    exact-match on the fingerprint is the streaming-friendly
+    perceptual screen (recrawled/re-leveled copies collapse; state is
+    ONE slim row per distinct fingerprint — dropDuplicatesWithin-
+    Watermark bounds it in a 24/7 deployment once rows carry event
+    time). Near-dup (Hamming > 0) pairing stays a batch/foreachBatch
+    concern: its self-join is the part streaming can't express
+    unbounded — the incremental route is ``image_probe_pairs`` against
+    the persisted fingerprint store per micro-batch.
+
+    Batch/stream parity by construction: DuckDB recomputes the dHash
+    analytically from the pixel-generator formula and replays the
+    grouping — the streaming Arrow decode path itself is
+    value-hash-gated, same contract as q_image_dedup."""
+    from pyspark.sql import types as T
+
+    from comix_etl_spark.multimodal.media import image_dhash
+    from comix_etl_spark.streaming.windowed import (
+        run_stream_to_memory, stream_shuffle_partitions)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+
+    def dedup(stream: DataFrame) -> DataFrame:
+        fps = image_dhash(_synthetic_images(stream))
+        return (fps.filter(F.col("dhash").isNotNull())
+                .groupBy("dhash")
+                .agg(F.min("media_id").alias("keep_id"),
+                     F.count(F.lit(1)).alias("n_copies")))
+
+    with stream_shuffle_partitions(spark, 8):
+        return run_stream_to_memory(
+            spark, sf_dir, schema, dedup,
+            query_name="q_stream_image_dedup", glob="documents.parquet",
+        )
+
+
+ORACLE_STREAM_IMAGE_DEDUP = f"""
+WITH {_IMG_HASH_CTES}
+SELECT dhash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM hashes GROUP BY dhash
+"""
+
+
 def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus filter-FUNNEL report — the per-stage survivor counts a
     RedPajama/FineWeb-style curation run publishes (how many documents
@@ -11534,6 +11586,11 @@ QUERIES: dict[str, Query] = {
         "wide-fingerprint eval-set decontamination: two-limb cross-set "
         "band probe at the equal-rate Hamming-4 threshold",
         ("documents",)),
+    "stream_image_dedup": Query(
+        q_stream_image_dedup, ORACLE_STREAM_IMAGE_DEDUP,
+        "streaming perceptual dedup: Arrow dHash decode inside a "
+        "structured stream + stateful fingerprint aggregation",
+        ("documents",)),
     "filter_funnel": Query(
         q_filter_funnel, ORACLE_FILTER_FUNNEL,
         "per-stage curation funnel report: quality gate -> Gopher -> "
@@ -11609,10 +11666,11 @@ QUERIES: dict[str, Query] = {
 # latest verdict is r5-era — the §2 serving core first, then the
 # r5-era dedup/ANN families (incl. the 4 rows-only: minhash_lsh,
 # simhash_pairs, ann_lsh, ann_ivf — their hash-checked _det siblings
-# are r6-green) — then 4 of the cheapest r6-era greens. After this
+# are r6-green) — then 3 of the cheapest r6-era greens. After this
 # window NO registry query's latest verdict is older than r6.
-# r11 BACKLOG: the other 45 r6-era greens (zorder_layout,
-# idle_customers, benford_deviation, top_supplier, analyze_stats, ann_pq_det,
+# r11 BACKLOG: the other 46 r6-era greens (zorder_layout,
+# idle_customers, benford_deviation, top_supplier, promo_share,
+# analyze_stats, ann_pq_det,
 # approx_cardinality_check, approx_percentiles_check, attribution,
 # big_orders, bm25_search, bpe_pair_counts, bracket_revenue,
 # cdc_chunking, centroid_cohesion, chi_square, cusum_changepoint,
@@ -11634,7 +11692,7 @@ _CHECK_FIRST = [
     # CCNet head/middle/tail bucketing over the routed global fences
     "video_dedup", "video_decontaminate", "image_dedup_wide",
     "image_decontaminate_wide", "kcenter_batched", "ccnet_buckets",
-    "filter_funnel",
+    "filter_funnel", "stream_image_dedup",
     # the r5-era §2 serving core, 5 rounds stale — cheap scan/merge/
     # agg shapes
     "keyed_scan", "search_substring", "relevance_search", "semi_join",
@@ -11652,7 +11710,7 @@ _CHECK_FIRST = [
     # r5-era rows-only checks (hash-green _det siblings are r6-green)
     "minhash_lsh", "simhash_pairs", "ann_lsh", "ann_ivf",
     # cheapest r6-era greens (the next-oldest verdicts) fill the window
-    "discount_revenue", "hash_split", "weighted_sample", "promo_share",
+    "discount_revenue", "hash_split", "weighted_sample",
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 QUERIES = {
