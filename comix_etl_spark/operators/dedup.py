@@ -1104,8 +1104,11 @@ def near_dup_pairs_from_store(spark, table: str, *,
     actually present in the store (one cheap max(band) read) instead
     of trusting the caller."""
     bands = spark.table(table)
-    n_bands = bands.agg(F.max("band")).first()[0]
-    n_bands = (n_bands + 1) if n_bands is not None else 0
+    max_band = bands.agg(F.max("band")).first()[0]
+    if max_band is None:  # empty store: no items, no pairs (not an error)
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, hamming long")
+    n_bands = max_band + 1
     if max_hamming >= n_bands:
         raise ValueError(
             f"max_hamming={max_hamming} >= stored n_bands={n_bands} voids "

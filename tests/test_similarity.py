@@ -327,3 +327,21 @@ def test_kcenter_batched_matches_cached_form(spark, sf_small):
     a = kcenter_sample(tiny, k=64, cached=True).collect()
     b = kcenter_sample(tiny, k=64, batch=4).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b] and len(a) == 5
+
+
+def test_kcenter_batched_pathological_ties(spark):
+    """Adversarial ties: many exact-duplicate vectors make every
+    distance in a batch identical, so the strict acceptance bound
+    flushes after one accept per round — the batched form must degrade
+    to per-round behavior, never mis-order. Identical output to the
+    cached form, including the id tie-breaks."""
+    from comix_etl_spark.operators.similarity import kcenter_sample
+
+    rows = ([(i, [1.0, 0.0, 0.0]) for i in range(6)]      # 6 copies of A
+            + [(10 + i, [0.0, 1.0, 0.0]) for i in range(6)]  # 6 of B
+            + [(20 + i, [0.0, 0.0, 1.0]) for i in range(6)]  # 6 of C
+            + [(99, [0.5, 0.5, 0.0])])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cached = kcenter_sample(df, k=10, cached=True).collect()
+    batched = kcenter_sample(df, k=10, batch=5).collect()
+    assert [tuple(r) for r in cached] == [tuple(r) for r in batched]
