@@ -10622,6 +10622,27 @@ _WAV_HEADER_HEX = (
     + b"data" + _struct.pack("<I", 512)).hex()
 
 
+def _synthetic_wavs(d: DataFrame) -> DataFrame:
+    """(media_id, payload) — one REAL PCM WAV per document row (44-byte
+    header + 256 int16 LE samples, assembled in codegen). Sample i
+    (0..255): frame f = i DIV 4, value = (v+1) * m'(g, f) where m'
+    carries the v=4 spike; int16 LE hex = low byte then high byte.
+    Shared by q_audio_dedup and q_audio_decontaminate."""
+    val = ("((doc_id % 5) + 1) * ("
+           "(((doc_id DIV 5) * ((i DIV 4) + 7) + (i DIV 4) * (i DIV 4) * 3)"
+           " % 97) + 1"
+           " + CASE WHEN (doc_id % 5) = 4 AND (i DIV 4) = 30"
+           " THEN 50 ELSE 0 END)")
+    sample_hex = (f"lpad(hex({val} % 256), 2, '0') || "
+                  f"lpad(hex({val} DIV 256), 2, '0')")
+    payload = F.unhex(F.concat(
+        F.lit(_WAV_HEADER_HEX),
+        F.expr(f"array_join(transform(sequence(0, 255), i -> "
+               f"{sample_hex}), '')")))
+    return d.select(F.col("doc_id").alias("media_id"),
+                    payload.alias("payload"))
+
+
 def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio perceptual dedup end-to-end: REAL PCM WAV payloads
     (44-byte header + 256 int16 LE samples, assembled in codegen) →
@@ -10640,22 +10661,7 @@ def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comix_etl_spark.operators.dedup import hamming_fp_dedup
 
     t = _t(spark, sf_dir, "documents")
-    # sample i (0..255): frame f = i DIV 4, value = (v+1) * m'(g, f)
-    # where m' carries the v=4 spike; int16 LE hex = low byte, high byte
-    val = ("((doc_id % 5) + 1) * ("
-           "(((doc_id DIV 5) * ((i DIV 4) + 7) + (i DIV 4) * (i DIV 4) * 3)"
-           " % 97) + 1"
-           " + CASE WHEN (doc_id % 5) = 4 AND (i DIV 4) = 30"
-           " THEN 50 ELSE 0 END)")
-    sample_hex = (f"lpad(hex({val} % 256), 2, '0') || "
-                  f"lpad(hex({val} DIV 256), 2, '0')")
-    payload = F.unhex(F.concat(
-        F.lit(_WAV_HEADER_HEX),
-        F.expr(f"array_join(transform(sequence(0, 255), i -> "
-               f"{sample_hex}), '')")))
-    audio = t["documents"].select(F.col("doc_id").alias("media_id"),
-                                  payload.alias("payload"))
-    fps = audio_energy_fingerprint(audio)
+    fps = audio_energy_fingerprint(_synthetic_wavs(t["documents"]))
     out = hamming_fp_dedup(fps.select("media_id", "afp"), fp_col="afp",
                            max_hamming=2)
     return out.orderBy("media_id")
@@ -10697,6 +10703,69 @@ SELECT h.doc_id AS media_id, h.afp,
 FROM hashes h LEFT JOIN deg d USING (doc_id)
 WHERE h.doc_id NOT IN (SELECT ib FROM pairs)
 ORDER BY media_id
+"""
+
+
+def q_audio_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-side eval-set decontamination — completes the modality ×
+    decontamination matrix (image / wide-image / video / AUDIO):
+    every 50th document's clip stands in as a benchmark suite; the
+    screen reports each corpus clip whose volume-invariant energy
+    contour matches ANY benchmark clip within Hamming ≤ 2 — gain-
+    rescaled re-encodes of a benchmark recording included, by the same
+    invariance pytest-proven for audio_dedup. Pure composition:
+    audio_energy_fingerprint feeds the SAME broadcast cross-set band
+    probe as every other modality (operators/dedup.py::
+    image_probe_pairs, fp_col='afp'); corpus never self-joins."""
+    from comix_etl_spark.multimodal.media import audio_energy_fingerprint
+    from comix_etl_spark.operators.dedup import image_probe_pairs
+
+    t = _t(spark, sf_dir, "documents")
+    d = t["documents"]
+
+    def afps(src: DataFrame) -> DataFrame:
+        return (audio_energy_fingerprint(_synthetic_wavs(src))
+                .select("media_id", "afp"))
+
+    corpus = afps(d)
+    probe = afps(d.filter(F.col("doc_id") % 50 == 0))
+    pairs = image_probe_pairs(corpus, probe, fp_col="afp", max_hamming=2)
+    return (pairs.groupBy("corpus_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
+                 F.min("hamming").cast("long").alias("min_hamming"))
+            .select(F.col("corpus_id").alias("media_id"),
+                    "n_bench_hits", "min_hamming")
+            .orderBy("media_id"))
+
+
+# contour CTE chain identical to ORACLE_AUDIO_DEDUP; all-pairs
+# Hamming <= 2 == banded cross-set probe (pigeonhole)
+ORACLE_AUDIO_DECONTAMINATE = """
+WITH docs AS (
+  SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS v FROM documents
+), mag AS (
+  SELECT doc_id, f,
+         ((g * (f + 7) + f * f * 3) % 97) + 1
+         + CASE WHEN v = 4 AND f = 30 THEN 50 ELSE 0 END AS m
+  FROM docs, unnest(range(64)) AS tf(f)
+), bits AS (
+  SELECT a.doc_id,
+         CASE WHEN n.m > a.m
+              THEN 1::BIGINT << CAST(a.f AS INT) ELSE 0::BIGINT END
+           AS bitval
+  FROM mag a JOIN mag n ON n.doc_id = a.doc_id AND n.f = a.f + 1
+  WHERE a.f < 63
+), hashes AS (
+  SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS afp FROM bits GROUP BY 1
+), hits AS (
+  SELECT c.doc_id AS cid, p.doc_id AS pid,
+         bit_count(xor(c.afp, p.afp)) AS h
+  FROM hashes c JOIN hashes p ON p.doc_id % 50 = 0
+  WHERE bit_count(xor(c.afp, p.afp)) <= 2
+)
+SELECT cid AS media_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+       CAST(min(h) AS BIGINT) AS min_hamming
+FROM hits GROUP BY 1 ORDER BY media_id
 """
 
 
@@ -11616,6 +11685,10 @@ QUERIES: dict[str, Query] = {
         q_audio_dedup, ORACLE_AUDIO_DEDUP,
         "audio perceptual dedup: real PCM WAV decode + energy-contour "
         "fingerprint through the shared Hamming core", ("documents",)),
+    "audio_decontaminate": Query(
+        q_audio_decontaminate, ORACLE_AUDIO_DECONTAMINATE,
+        "audio-side eval-set decontamination: energy contours through "
+        "the broadcast cross-set band probe", ("documents",)),
     "caption_corpus_prep": Query(
         q_caption_corpus_prep, ORACLE_CAPTION_CORPUS_PREP,
         "composed image-text pair pipeline: caption quality gate -> "
@@ -11666,11 +11739,11 @@ QUERIES: dict[str, Query] = {
 # latest verdict is r5-era — the §2 serving core first, then the
 # r5-era dedup/ANN families (incl. the 4 rows-only: minhash_lsh,
 # simhash_pairs, ann_lsh, ann_ivf — their hash-checked _det siblings
-# are r6-green) — then 3 of the cheapest r6-era greens. After this
+# are r6-green) — then 2 of the cheapest r6-era greens. After this
 # window NO registry query's latest verdict is older than r6.
-# r11 BACKLOG: the other 46 r6-era greens (zorder_layout,
+# r11 BACKLOG: the other 47 r6-era greens (zorder_layout,
 # idle_customers, benford_deviation, top_supplier, promo_share,
-# analyze_stats, ann_pq_det,
+# weighted_sample, analyze_stats, ann_pq_det,
 # approx_cardinality_check, approx_percentiles_check, attribution,
 # big_orders, bm25_search, bpe_pair_counts, bracket_revenue,
 # cdc_chunking, centroid_cohesion, chi_square, cusum_changepoint,
@@ -11692,7 +11765,7 @@ _CHECK_FIRST = [
     # CCNet head/middle/tail bucketing over the routed global fences
     "video_dedup", "video_decontaminate", "image_dedup_wide",
     "image_decontaminate_wide", "kcenter_batched", "ccnet_buckets",
-    "filter_funnel", "stream_image_dedup",
+    "filter_funnel", "stream_image_dedup", "audio_decontaminate",
     # the r5-era §2 serving core, 5 rounds stale — cheap scan/merge/
     # agg shapes
     "keyed_scan", "search_substring", "relevance_search", "semi_join",
@@ -11710,7 +11783,7 @@ _CHECK_FIRST = [
     # r5-era rows-only checks (hash-green _det siblings are r6-green)
     "minhash_lsh", "simhash_pairs", "ann_lsh", "ann_ivf",
     # cheapest r6-era greens (the next-oldest verdicts) fill the window
-    "discount_revenue", "hash_split", "weighted_sample",
+    "discount_revenue", "hash_split",
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 QUERIES = {
