@@ -259,6 +259,63 @@ def image_dhash_wide(df: DataFrame, *, id_col: str = "media_id",
             .mapInPandas(dh, schema="media_id long, dhash_h long, dhash_v long"))
 
 
+def image_dhash_xwide(df: DataFrame, *, id_col: str = "media_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """189-bit THREE-limb perceptual fingerprint ``(dhash_h, dhash_v,
+    dhash_d)`` — the next rung of the width ladder measured in the r10
+    crossover sweep (PLANS.md: narrow63 accidental candidates cross
+    true pairs near ~3M items, wide126 near ~30M; three limbs at
+    max_hamming=6 give 7 × 27-bit bands ⇒ crossover ~120M). The
+    pairing/probe/election machinery is the SAME N-limb code
+    (``hamming_band_pairs`` / ``hamming_band_probe`` /
+    ``hamming_fp_dedup``) — this function is the ONLY new code a rung
+    costs, exactly as the ladder note claims.
+
+    Limbs over the shared 9×8 area-mean grid: h and v exactly as
+    ``image_dhash_wide``; the d-limb packs 56 main-diagonal gradient
+    signs (bit r*8+c = cell (r+1, c+1) > cell (r, c), r∈0..6, c∈0..7)
+    plus 7 anti-diagonal signs from the top rows (bit 56+c =
+    cell (1, c) > cell (0, c+1), c∈0..6) — 63 used bits, no sign bit,
+    all invariant under monotone brightness shifts like the other
+    limbs. Same quarantine contract: undecodable / sub-9×8 payloads →
+    all limbs NULL; NULL ids dropped.
+    """
+    import numpy as np
+
+    def dh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(63, dtype=np.uint64)
+        d_shifts = np.arange(56, dtype=np.uint64)
+        a_shifts = np.arange(56, 63, dtype=np.uint64)
+        for pdf in batches:
+            ids, hs, vs, ds = [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = _decode_gray(bytes(payload)) if payload is not None else None
+                if img is None or img.shape[0] < DHASH_H or img.shape[1] < DHASH_W:
+                    ids.append(int(mid))
+                    hs.append(None); vs.append(None); ds.append(None)
+                    continue
+                g = _area_resize(img, DHASH_H, DHASH_W)
+                hbits = (g[:, 1:] > g[:, :-1]).flatten()[:63]
+                vbits = (g[1:, :] > g[:-1, :]).flatten()[:63]
+                dbits = (g[1:, 1:] > g[:-1, :-1]).flatten()[:56]
+                abits = (g[1, :7] > g[0, 1:8])
+                hs.append(int((hbits.astype(np.uint64) << shifts).sum()))
+                vs.append(int((vbits.astype(np.uint64) << shifts).sum()))
+                ds.append(int((dbits.astype(np.uint64) << d_shifts).sum()
+                              + (abits.astype(np.uint64) << a_shifts).sum()))
+                ids.append(int(mid))
+            yield pd.DataFrame({"media_id": ids,
+                                "dhash_h": pd.array(hs, dtype="Int64"),
+                                "dhash_v": pd.array(vs, dtype="Int64"),
+                                "dhash_d": pd.array(ds, dtype="Int64")})
+
+    return (df.filter(F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias(id_col),
+                    F.col(payload_col).alias(payload_col))
+            .mapInPandas(dh, schema="media_id long, dhash_h long, "
+                                    "dhash_v long, dhash_d long"))
+
+
 def frame_sample_plan(df: DataFrame, *, every_ms: int = 1000,
                       duration_col: str = "meta.duration_ms",
                       id_col: str = "media_id") -> DataFrame:

@@ -10178,6 +10178,79 @@ FROM hits GROUP BY 1 ORDER BY media_id
 """
 
 
+def q_image_dedup_xwide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup over the 189-bit THREE-limb fingerprint
+    (multimodal/media.py::image_dhash_xwide — h + v + diagonal dHash
+    limbs, one shared grid) at the equal-rate threshold Hamming ≤ 6,
+    through the UNCHANGED N-limb banding machinery (7 × 27-bit bands
+    over the concatenated space). This rung exists to prove the
+    PLANS.md ladder claim in code: moving up the width ladder costs
+    ONE new fingerprint function and zero new pairing code, and each
+    rung multiplies the accidental-candidate crossover (~3M narrow,
+    ~30M wide, ~120M here — measured curve in
+    scripts/scale_evidence_r10b_results.json). All three limbs stay
+    BIGINTs, so DuckDB recomputes them analytically and the whole
+    decode+banding+election pipeline is value-hash-gated."""
+    from comix_etl_spark.multimodal.media import image_dhash_xwide
+    from comix_etl_spark.operators.dedup import hamming_fp_dedup
+
+    t = _t(spark, sf_dir, "documents")
+    fps = image_dhash_xwide(_synthetic_images(t["documents"]))
+    out = hamming_fp_dedup(fps, fp_col=["dhash_h", "dhash_v", "dhash_d"],
+                           max_hamming=6)
+    return out.orderBy("media_id")
+
+
+# d-limb layout: 56 main-diagonal bits (r*8+c, cell (r+1,c+1) vs
+# (r,c)) + 7 anti-diagonal bits (56+c, cell (1,c) vs (0,c+1)); summed
+# three-limb Hamming <= 6 == 7-band concatenated-space LSH (pigeonhole)
+_IMG_HASH_XWIDE_CTES = _IMG_HASH_WIDE_CTES + """, dbits AS (
+  SELECT a.doc_id,
+         CASE WHEN n.val > a.val
+              THEN 1::BIGINT << CAST(a.r * 8 + a.c AS INT)
+              ELSE 0::BIGINT END AS bitval
+  FROM px a JOIN px n
+    ON n.doc_id = a.doc_id AND n.r = a.r + 1 AND n.c = a.c + 1
+  WHERE a.r < 7 AND a.c < 8
+  UNION ALL
+  SELECT a.doc_id,
+         CASE WHEN n.val > a.val
+              THEN 1::BIGINT << CAST(56 + a.c - 1 AS INT)
+              ELSE 0::BIGINT END AS bitval
+  FROM px a JOIN px n
+    ON n.doc_id = a.doc_id AND n.r = 1 AND a.r = 0 AND n.c = a.c - 1
+  WHERE a.c BETWEEN 1 AND 7
+), hashes_xwide AS (
+  SELECT w.doc_id, w.dhash_h, w.dhash_v, d.dhash_d
+  FROM hashes_wide w JOIN (SELECT doc_id, CAST(sum(bitval) AS BIGINT)
+                           AS dhash_d FROM dbits GROUP BY 1) d
+       USING (doc_id)
+)"""
+
+
+ORACLE_IMAGE_DEDUP_XWIDE = f"""
+WITH {_IMG_HASH_XWIDE_CTES}, pairs AS (
+  SELECT a.doc_id AS ia, b2.doc_id AS ib
+  FROM hashes_xwide a JOIN hashes_xwide b2 ON a.doc_id < b2.doc_id
+  -- bit_count returns TINYINT: three 63-bit limbs can sum past 127,
+  -- so each term is widened before the addition
+  WHERE CAST(bit_count(xor(a.dhash_h, b2.dhash_h)) AS INT)
+        + CAST(bit_count(xor(a.dhash_v, b2.dhash_v)) AS INT)
+        + CAST(bit_count(xor(a.dhash_d, b2.dhash_d)) AS INT) <= 6
+), deg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near
+  FROM (SELECT ia AS doc_id FROM pairs
+        UNION ALL SELECT ib AS doc_id FROM pairs) u
+  GROUP BY 1
+)
+SELECT h.doc_id AS media_id, h.dhash_h, h.dhash_v, h.dhash_d,
+       coalesce(d.n_near, 0::BIGINT) AS n_near
+FROM hashes_xwide h LEFT JOIN deg d USING (doc_id)
+WHERE h.doc_id NOT IN (SELECT ib FROM pairs)
+ORDER BY media_id
+"""
+
+
 def q_stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup as a STREAMING job — the real Arrow
     ``mapInPandas`` decode stage (multimodal/media.py::image_dhash)
@@ -11650,6 +11723,11 @@ QUERIES: dict[str, Query] = {
         "Wide 126-bit two-limb perceptual image dedup (h+v dHash, "
         "concatenated-space banding) — the LAION-scale path past the "
         "63-bit ~10M-item ceiling", ("documents",)),
+    "image_dedup_xwide": Query(
+        q_image_dedup_xwide, ORACLE_IMAGE_DEDUP_XWIDE,
+        "189-bit three-limb perceptual dedup (h+v+diag dHash) at "
+        "Hamming 6 through the unchanged N-limb banding - the next "
+        "width-ladder rung", ("documents",)),
     "image_decontaminate_wide": Query(
         q_image_decontaminate_wide, ORACLE_IMAGE_DECONTAMINATE_WIDE,
         "wide-fingerprint eval-set decontamination: two-limb cross-set "
@@ -11739,9 +11817,9 @@ QUERIES: dict[str, Query] = {
 # latest verdict is r5-era — the §2 serving core first, then the
 # r5-era dedup/ANN families (incl. the 4 rows-only: minhash_lsh,
 # simhash_pairs, ann_lsh, ann_ivf — their hash-checked _det siblings
-# are r6-green) — then 2 of the cheapest r6-era greens. After this
+# are r6-green) — then 1 of the cheapest r6-era greens. After this
 # window NO registry query's latest verdict is older than r6.
-# r11 BACKLOG: the other 47 r6-era greens (zorder_layout,
+# r11 BACKLOG: the other 48 r6-era greens (hash_split, zorder_layout,
 # idle_customers, benford_deviation, top_supplier, promo_share,
 # weighted_sample, analyze_stats, ann_pq_det,
 # approx_cardinality_check, approx_percentiles_check, attribution,
@@ -11766,6 +11844,7 @@ _CHECK_FIRST = [
     "video_dedup", "video_decontaminate", "image_dedup_wide",
     "image_decontaminate_wide", "kcenter_batched", "ccnet_buckets",
     "filter_funnel", "stream_image_dedup", "audio_decontaminate",
+    "image_dedup_xwide",
     # the r5-era §2 serving core, 5 rounds stale — cheap scan/merge/
     # agg shapes
     "keyed_scan", "search_substring", "relevance_search", "semi_join",
@@ -11783,7 +11862,7 @@ _CHECK_FIRST = [
     # r5-era rows-only checks (hash-green _det siblings are r6-green)
     "minhash_lsh", "simhash_pairs", "ann_lsh", "ann_ivf",
     # cheapest r6-era greens (the next-oldest verdicts) fill the window
-    "discount_revenue", "hash_split",
+    "discount_revenue",
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 QUERIES = {

@@ -513,6 +513,41 @@ def test_fingerprint_store_no_exchange_pairing(spark):
         spark.sql("DROP TABLE IF EXISTS fp_store_t")
 
 
+def test_image_dhash_xwide_three_limbs(spark):
+    """189-bit rung: h/v limbs equal the wide form bit-for-bit, the
+    d-limb is brightness-invariant like the others, quarantine covers
+    all three limbs, and the THREE-limb dedup runs through the same
+    hamming_fp_dedup with zero new pairing code."""
+    import random
+
+    from comix_etl_spark.multimodal.media import (
+        image_dhash_wide, image_dhash_xwide)
+    from comix_etl_spark.operators.dedup import hamming_fp_dedup
+
+    rng = random.Random(31)
+    base = [[rng.randrange(0, 200) for _ in range(9)] for _ in range(8)]
+    bright = [[v + 22 for v in row] for row in base]
+    other = [[rng.randrange(0, 200) for _ in range(9)] for _ in range(8)]
+    rows = [(0, _raw8(base)), (1, _raw8(bright)), (2, _raw8(other)),
+            (3, b"junk")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    x = {r.media_id: (r.dhash_h, r.dhash_v, r.dhash_d)
+         for r in image_dhash_xwide(df).collect()}
+    w = {r.media_id: (r.dhash_h, r.dhash_v)
+         for r in image_dhash_wide(df).collect()}
+    assert (x[0][0], x[0][1]) == w[0], "h/v limbs must equal the wide form"
+    assert x[0][2] is not None and x[0][2] >= 0
+    assert x[1] == x[0], "brightness shift must not change any limb"
+    assert x[3] == (None, None, None)
+    fps = image_dhash_xwide(df)
+    kept = {r.media_id: r.n_near
+            for r in hamming_fp_dedup(
+                fps, fp_col=["dhash_h", "dhash_v", "dhash_d"],
+                max_hamming=6).collect()}
+    assert 0 in kept and 1 not in kept and kept[0] == 1
+    assert 2 in kept and kept[2] == 0
+
+
 def test_hamming_band_probe_two_limb_cross_set(spark):
     """126-bit cross-set probe: near pairs found across the limb
     boundary, far and partial-NULL rows drop, no corpus self-pairs,
