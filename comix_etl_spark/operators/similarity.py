@@ -491,6 +491,199 @@ def pq_topk(corpus: DataFrame, query: DataFrame, *, codebooks=None,
             .filter(F.col("_rn") <= k).drop("_rn"))
 
 
+def train_residual_codebooks(corpus: DataFrame, centers, *,
+                             vec_col: str = "embedding", m: int = 8,
+                             k: int = 16, sample_rows: int = 4096,
+                             iters: int = 10, seed: int = 42):
+    """PQ codebooks trained on IVF RESIDUALS (x − nearest-centroid) —
+    the IVF-PQ layout (Jégou et al. 2011 §IV, public): residuals have
+    far smaller spread than raw vectors, so the same m×k code budget
+    quantizes them much more finely.
+
+    Same bounded driver-sample contract as train_ivf_centroids /
+    train_pq_codebooks: ``sample_rows`` vectors (a few MB at any corpus
+    size), seconds of numpy, deterministic under the seed."""
+    ct = np.asarray(centers, dtype=np.float64)
+    rows = (corpus.select(vec_col).limit(sample_rows)).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    x = x[norms > 0] / norms[norms > 0][:, None]
+    assign = (x @ ct.T - (ct * ct).sum(axis=1) / 2.0).argmax(axis=1)
+    r = x - ct[assign]
+    dim = r.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, k, sub), dtype=np.float64)
+    for j in range(m):
+        rj = r[:, j * sub:(j + 1) * sub]
+        cent = rj[rng.choice(len(rj), size=min(k, len(rj)), replace=False)]
+        for _ in range(iters):
+            d = ((rj[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for c in range(len(cent)):
+                msk = a == c
+                if msk.any():
+                    cent[c] = rj[msk].mean(axis=0)
+        books[j, :len(cent)] = cent
+    return books
+
+
+def ivf_pq_encode(df: DataFrame, centers, codebooks, *,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Scan-local IVF-PQ encoding: ONE Arrow pass per batch does
+    normalize → nearest-centroid assignment → residual → per-subspace
+    PQ argmax. Output is the at-rest IVF-PQ layout — (id, centroid_id,
+    array<int> code): ~m bytes + one int per vector, the 100 TB index
+    build with zero shuffle (the vectors never leave their scan tasks).
+    """
+    ct = np.asarray(centers, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, _, sub = books.shape
+    chalf = (ct * ct).sum(axis=1) / 2.0
+
+    def encode_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(x, axis=1)
+            n[n == 0] = 1.0
+            x = x / n[:, None]
+            cid = (x @ ct.T - chalf).argmax(axis=1)
+            r = x - ct[cid]
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                rj = r[:, j * sub:(j + 1) * sub]
+                bt = books[j].T                      # sub × k
+                half = (bt * bt).sum(axis=0) / 2.0
+                codes[:, j] = (rj @ bt - half).argmax(axis=1)
+            yield pd.DataFrame({"_id": pdf["_id"],
+                                "centroid_id": cid.astype(np.int32),
+                                "pq_code": list(codes)})
+
+    idt = df.schema[id_col].dataType.simpleString()
+    return (df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+            .mapInPandas(encode_batches,
+                         schema=f"_id {idt}, centroid_id int, pq_code array<int>")
+            .withColumnRenamed("_id", id_col))
+
+
+def ivf_pq_topk(corpus: DataFrame, query: DataFrame, *, centers=None,
+                codebooks=None, id_col: str = "vec_id",
+                vec_col: str = "embedding", k: int = 10, nprobe: int = 4,
+                n_centroids: int = 16, m: int = 8, n_codes: int = 16,
+                rerank: int = 50, seed: int = 42,
+                query_id_col: str = "query_id") -> DataFrame:
+    """IVF-PQ approximate cosine top-k — the composed billion-scale ANN
+    architecture (FAISS ``IVFx,PQm``-shaped, from the public Jégou et
+    al. 2011 paper): coarse centroids route each query to ``nprobe``
+    inverted lists, PQ codes of the RESIDUALS give m-byte vectors and
+    m-lookup ADC scores, exact cosine re-ranks the survivors.
+
+    ADC decomposes over the routing: for x in list c with residual code
+    (c₁..c_m),  ⟨q, x⟩ ≈ ⟨q, center_c⟩ + Σⱼ lut[q, j, cⱼ] — the constant
+    term is per-(query, probed list), the LUT is shared across lists
+    because residual codebooks are shared (the standard IVFADC layout).
+
+    Plan shape: one Arrow scan encodes (no shuffle — ivf_pq_encode);
+    the tiny (query → probe set, LUT, constants) bundle broadcasts to
+    every task; one mapInPandas pass scores ONLY rows whose list is
+    probed and emits each batch's local top-``rerank`` per query with
+    boundary ties kept (same determinism contract as pq_topk); a
+    per-query window takes the global top-``rerank``; exact cosine
+    re-ranks to the final k. The corpus never shuffles — only bounded
+    candidate rows move, and unprobed lists are never scored.
+    """
+    from pyspark.sql import Window
+
+    if centers is None:
+        centers = train_ivf_centroids(corpus, vec_col=vec_col,
+                                      n_centroids=n_centroids, seed=seed)
+    ct = np.asarray(centers, dtype=np.float64)
+    if codebooks is None:
+        codebooks = train_residual_codebooks(corpus, ct, vec_col=vec_col,
+                                             m=m, k=n_codes, seed=seed)
+    books = np.asarray(codebooks, dtype=np.float64)
+    mm, _, sub = books.shape
+
+    q = (query.withColumnRenamed(id_col, query_id_col)
+         if query_id_col not in query.columns else query)
+    qrows = q.select(query_id_col, vec_col).collect()  # tiny by contract
+    qids = [r[0] for r in qrows]
+    qx = np.array([r[1] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qx, axis=1)
+    qn[qn == 0] = 1.0
+    qx = qx / qn[:, None]
+    # routing: each query probes its nprobe nearest lists (L2 argmin via
+    # the x·c − ‖c‖²/2 identity, ties to the lowest centroid index —
+    # same tie rule the oracle reproduces with a (score DESC, c) window)
+    cscore = qx @ ct.T - (ct * ct).sum(axis=1) / 2.0        # nq × C
+    order = np.argsort(-cscore, axis=1, kind="stable")       # score desc, c asc on ties
+    probe_sets = [order[i, :nprobe].astype(np.int64) for i in range(len(qx))]
+    # shared residual LUT + per-list constant term
+    luts = np.einsum("qjs,jcs->qjc", qx.reshape(len(qx), mm, sub), books)
+    consts = qx @ ct.T                                       # nq × C: ⟨q, center⟩
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((qids, probe_sets, luts, consts))
+
+    encoded = ivf_pq_encode(spread_small_scan(corpus.select(id_col, vec_col)),
+                            ct, books, id_col=id_col, vec_col=vec_col)
+
+    def score_batches(batches):
+        ids_b, probes_b, luts_b, consts_b = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.vstack(pdf["pq_code"].to_numpy()).astype(np.int64)
+            cids = pdf["centroid_id"].to_numpy().astype(np.int64)
+            rowids = pdf["_cid"].to_numpy()
+            out = []
+            for qi in range(len(ids_b)):
+                mask = np.isin(cids, probes_b[qi])
+                if not mask.any():
+                    continue
+                sel = np.nonzero(mask)[0]
+                scores = consts_b[qi][cids[sel]] + np.take_along_axis(
+                    luts_b[qi], codes[sel].T, axis=1).sum(axis=0)
+                top = min(rerank, len(sel))
+                # keep ALL boundary ties (pq_topk's determinism rule):
+                # the global (score desc, id) window breaks them, not
+                # batch order
+                kth = np.partition(scores, len(sel) - top)[len(sel) - top]
+                idx = np.nonzero(scores >= kth)[0]
+                out.append(pd.DataFrame({
+                    "query_id": ids_b[qi],
+                    "_cid": rowids[sel[idx]],
+                    "adc_score": scores[idx],
+                }))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    qid_type = q.schema[query_id_col].dataType.simpleString()
+    cid_type = corpus.schema[id_col].dataType.simpleString()
+    batch_top = (encoded.select(F.col(id_col).alias("_cid"),
+                                "centroid_id", "pq_code")
+                 .mapInPandas(score_batches,
+                              schema=f"query_id {qid_type}, _cid {cid_type}, "
+                                     "adc_score double"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc("_cid"))
+    cand = (batch_top.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= rerank).drop("_rn", "adc_score"))
+    cv = corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"))
+    qv = spark.createDataFrame(
+        [(r[0], list(map(float, r[1]))) for r in qrows],
+        f"query_id {qid_type}, _qv array<double>")
+    scored = (cand.join(cv, "_cid").join(F.broadcast(qv), "query_id")
+              .select("query_id", F.col("_cid").alias(id_col),
+                      F.round(cosine("_cv", "_qv"), 6).alias("cosine_sim")))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (scored.withColumn("_rn", F.row_number().over(w2))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
 def group_centroid_cosine(df: DataFrame, group_col: str, id_col: str,
                           vec_col: str = "embedding",
                           broadcast_centroid: bool = True) -> DataFrame:

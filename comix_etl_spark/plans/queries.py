@@ -6424,6 +6424,277 @@ SELECT query_id, vec_id, cosine_sim FROM (
 """
 
 
+_IVFPQ_DET_CENTER_IDS = (90, 190, 290, 390)  # 4 fixed coarse centroids
+
+
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (similarity.py::ivf_pq_topk) — the COMPOSED
+    billion-scale architecture: trained coarse centroids route each
+    query to nprobe inverted lists, PQ codes of the residuals give
+    m-byte vectors and m-lookup ADC scores, exact cosine re-ranks.
+    Rows-only (seeded k-means training isn't SQL-expressible); the
+    whole routing+encode+ADC pipeline is hash-checked by its det anchor
+    `ann_ivf_pq_det`, and recall vs brute force is pytest-gated."""
+    t = _t(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    queries = (emb.filter(F.col("vec_id").isin(0, 1, 2))
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return S.ivf_pq_topk(emb, queries, id_col="vec_id", vec_col="embedding",
+                         k=10, nprobe=4, n_centroids=16, m=8, n_codes=16,
+                         rerank=100)
+
+
+def q_ann_ivf_pq_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN with FIXED coarse centroids (4 designated normalized
+    corpus vectors) and FIXED residual codebooks (subspace slices of the
+    16 ann_pq_det vectors), so the DuckDB oracle independently
+    recomputes the ENTIRE composed pipeline: nearest-centroid
+    assignment, residual, per-subspace encode argmax, per-query probe
+    routing, the ⟨q,center⟩ + Σ lut ADC decomposition, the top-100
+    candidate window, and the exact-cosine top-10. Det anchor for
+    `ann_ivf_pq` (same code path, different center/codebook source)."""
+    import numpy as np
+
+    t = _t(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    crow = (emb.filter(F.col("vec_id").isin(*_IVFPQ_DET_CENTER_IDS))
+            .orderBy("vec_id").select("embedding").collect())
+    c = np.array([r[0] for r in crow], dtype=np.float64)
+    c = c / np.linalg.norm(c, axis=1)[:, None]
+    brow = (emb.filter(F.col("vec_id").isin(*_IVF_DET_CENTROID_IDS))
+            .orderBy("vec_id").select("embedding").collect())
+    b = np.array([r[0] for r in brow], dtype=np.float64)
+    b = b / np.linalg.norm(b, axis=1)[:, None]
+    books = b.reshape(16, 8, 8).transpose(1, 0, 2)  # m=8, k=16, sub=8
+    queries = (emb.filter(F.col("vec_id").isin(0, 1, 2))
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return S.ivf_pq_topk(emb, queries, centers=c, codebooks=books,
+                         id_col="vec_id", vec_col="embedding", k=10,
+                         nprobe=2, rerank=100)
+
+
+def q_ivf_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the det-configured IVF-PQ search (4 fixed coarse
+    centroids, nprobe=2, fixed residual codebooks, ADC rerank=100)
+    against brute-force ground truth — the measured objective of the
+    nprobe/codebook budget trade for the COMPOSED pipeline, same shape
+    as ann_recall_eval (LSH) and ivf_recall_eval (IVF). Deterministic
+    end to end, so the oracle recomputes routing, residual encode,
+    IVFADC, both top-10 sets, and the recall join."""
+    import numpy as np
+
+    t = _t(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    crow = (emb.filter(F.col("vec_id").isin(*_IVFPQ_DET_CENTER_IDS))
+            .orderBy("vec_id").select("embedding").collect())
+    c = np.array([r[0] for r in crow], dtype=np.float64)
+    c = c / np.linalg.norm(c, axis=1)[:, None]
+    brow = (emb.filter(F.col("vec_id").isin(*_IVF_DET_CENTROID_IDS))
+            .orderBy("vec_id").select("embedding").collect())
+    b = np.array([r[0] for r in brow], dtype=np.float64)
+    b = b / np.linalg.norm(b, axis=1)[:, None]
+    books = b.reshape(16, 8, 8).transpose(1, 0, 2)
+    queries = (emb.filter(F.col("vec_id").isin(0, 1, 2, 3, 4))
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    ivfpq = S.ivf_pq_topk(emb, queries, centers=c, codebooks=books,
+                          id_col="vec_id", vec_col="embedding", k=10,
+                          nprobe=2, rerank=100)
+    brute = S.brute_force_topk(emb, queries, id_col="vec_id",
+                               vec_col="embedding", k=10,
+                               query_id_col="query_id")
+    hits = (ivfpq.select("query_id", "vec_id")
+            .join(brute.select("query_id", "vec_id"),
+                  ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+    return (brute.select("query_id").distinct()
+            .join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    (F.coalesce("n_hits", F.lit(0)) * 100_000)
+                    .cast("long").alias("recall_e6"))
+            .orderBy("query_id"))
+
+
+ORACLE_IVF_PQ_RECALL_EVAL = """
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), nv AS (
+  SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nvv
+  FROM vecs
+), cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, nvv AS cv
+  FROM nv WHERE vec_id IN (90, 190, 290, 390)
+), bvecs AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS bc, nvv
+  FROM nv WHERE vec_id IN (5,10,15,20,25,30,35,40,45,50,55,60,65,70,75,80)
+), books AS (
+  SELECT j.j, bc AS c, list_slice(nvv, j.j * 8 + 1, j.j * 8 + 8) AS bv
+  FROM bvecs, range(8) j(j)
+), assigned AS (
+  SELECT vec_id, c AS cid, cv FROM (
+    SELECT n.vec_id, ct.c, ct.cv,
+           row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             list_dot_product(n.nvv, ct.cv)
+             - list_dot_product(ct.cv, ct.cv) / 2.0 DESC, ct.c) AS rn
+    FROM nv n, cents ct
+  ) WHERE rn = 1
+), resid AS (
+  SELECT a.vec_id, a.cid,
+         list_transform(range(1, len(n.nvv) + 1), i -> n.nvv[i] - a.cv[i]) AS rv
+  FROM assigned a JOIN nv n USING (vec_id)
+), codes AS (
+  SELECT vec_id, j, c FROM (
+    SELECT r.vec_id, b.j, b.c,
+           row_number() OVER (PARTITION BY r.vec_id, b.j ORDER BY
+             list_dot_product(list_slice(r.rv, b.j * 8 + 1, b.j * 8 + 8), b.bv)
+             - list_dot_product(b.bv, b.bv) / 2.0 DESC, b.c) AS rn
+    FROM resid r, books b
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, nvv AS qv FROM nv WHERE vec_id IN (0, 1, 2, 3, 4)
+), probes AS (
+  SELECT query_id, cid, cterm FROM (
+    SELECT q.query_id, ct.c AS cid,
+           list_dot_product(q.qv, ct.cv) AS cterm,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_dot_product(q.qv, ct.cv)
+             - list_dot_product(ct.cv, ct.cv) / 2.0 DESC, ct.c) AS rn
+    FROM q, cents ct
+  ) WHERE rn <= 2
+), luts AS (
+  SELECT q.query_id, b.j, b.c,
+         list_dot_product(list_slice(q.qv, b.j * 8 + 1, b.j * 8 + 8), b.bv) AS lut
+  FROM q, books b
+), adc AS (
+  SELECT p.query_id, a.vec_id, p.cterm + sum(l.lut) AS adc_score
+  FROM assigned a
+  JOIN probes p ON p.cid = a.cid
+  JOIN codes cd ON cd.vec_id = a.vec_id
+  JOIN luts l ON l.query_id = p.query_id AND l.j = cd.j AND l.c = cd.c
+  GROUP BY p.query_id, a.vec_id, p.cterm
+), cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY adc_score DESC, vec_id) AS rn
+    FROM adc
+  ) WHERE rn <= 100
+), ivfpq AS (
+  SELECT query_id, vec_id FROM (
+    SELECT c.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY c.query_id ORDER BY
+             round(list_dot_product(e.v, qr.v)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(qr.v, qr.v))), 6) DESC,
+             c.vec_id) AS rn
+    FROM cand c JOIN vecs e ON e.vec_id = c.vec_id
+                JOIN vecs qr ON qr.vec_id = c.query_id
+  ) WHERE rn <= 10
+), brute AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             round(list_dot_product(e.v, q.v)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(q.v, q.v))), 6) DESC,
+             e.vec_id) AS rn
+    FROM vecs e, vecs q WHERE q.vec_id IN (0, 1, 2, 3, 4)
+  ) WHERE rn <= 10
+), hits AS (
+  SELECT b.query_id, CAST(count(i.vec_id) AS BIGINT) AS n_hits
+  FROM brute b LEFT JOIN ivfpq i
+    ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+  GROUP BY b.query_id
+)
+SELECT query_id, n_hits,
+       CAST(n_hits * 100000 AS BIGINT) AS recall_e6
+FROM hits ORDER BY query_id
+"""
+
+
+ORACLE_ANN_IVF_PQ_DET = """
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), nv AS (
+  SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nvv
+  FROM vecs
+), cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, nvv AS cv
+  FROM nv WHERE vec_id IN (90, 190, 290, 390)
+), bvecs AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS bc, nvv
+  FROM nv WHERE vec_id IN (5,10,15,20,25,30,35,40,45,50,55,60,65,70,75,80)
+), books AS (
+  SELECT j.j, bc AS c, list_slice(nvv, j.j * 8 + 1, j.j * 8 + 8) AS bv
+  FROM bvecs, range(8) j(j)
+), assigned AS (
+  -- nearest coarse centroid on the NORMALIZED vector:
+  -- argmax(x·c − ‖c‖²/2) ≡ L2 argmin; ties to the lowest index
+  SELECT vec_id, c AS cid, cv FROM (
+    SELECT n.vec_id, ct.c, ct.cv,
+           row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             list_dot_product(n.nvv, ct.cv)
+             - list_dot_product(ct.cv, ct.cv) / 2.0 DESC, ct.c) AS rn
+    FROM nv n, cents ct
+  ) WHERE rn = 1
+), resid AS (
+  SELECT a.vec_id, a.cid,
+         list_transform(range(1, len(n.nvv) + 1), i -> n.nvv[i] - a.cv[i]) AS rv
+  FROM assigned a JOIN nv n USING (vec_id)
+), codes AS (
+  -- per-subspace residual encode: argmax(r_j·b_jc − ‖b_jc‖²/2)
+  SELECT vec_id, j, c FROM (
+    SELECT r.vec_id, b.j, b.c,
+           row_number() OVER (PARTITION BY r.vec_id, b.j ORDER BY
+             list_dot_product(list_slice(r.rv, b.j * 8 + 1, b.j * 8 + 8), b.bv)
+             - list_dot_product(b.bv, b.bv) / 2.0 DESC, b.c) AS rn
+    FROM resid r, books b
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, nvv AS qv FROM nv WHERE vec_id IN (0, 1, 2)
+), probes AS (
+  -- each query probes its 2 nearest lists; the per-list ADC constant
+  -- term is carried along
+  SELECT query_id, cid, cterm FROM (
+    SELECT q.query_id, ct.c AS cid,
+           list_dot_product(q.qv, ct.cv) AS cterm,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_dot_product(q.qv, ct.cv)
+             - list_dot_product(ct.cv, ct.cv) / 2.0 DESC, ct.c) AS rn
+    FROM q, cents ct
+  ) WHERE rn <= 2
+), luts AS (
+  SELECT q.query_id, b.j, b.c,
+         list_dot_product(list_slice(q.qv, b.j * 8 + 1, b.j * 8 + 8), b.bv) AS lut
+  FROM q, books b
+), adc AS (
+  -- IVFADC: score = <q, center> + Σ_j lut[j, code_j], only over probed lists
+  SELECT p.query_id, a.vec_id, p.cterm + sum(l.lut) AS adc_score
+  FROM assigned a
+  JOIN probes p ON p.cid = a.cid
+  JOIN codes cd ON cd.vec_id = a.vec_id
+  JOIN luts l ON l.query_id = p.query_id AND l.j = cd.j AND l.c = cd.c
+  GROUP BY p.query_id, a.vec_id, p.cterm
+), cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY adc_score DESC, vec_id) AS rn
+    FROM adc
+  ) WHERE rn <= 100
+), scored AS (
+  SELECT c.query_id, c.vec_id,
+         round(list_dot_product(e.v, qr.v)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qr.v, qr.v))), 6) AS cosine_sim
+  FROM cand c JOIN vecs e ON e.vec_id = c.vec_id JOIN vecs qr ON qr.vec_id = c.query_id
+)
+SELECT query_id, vec_id, cosine_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # §2.4 — the 80% guardrail + the A4 audit lifecycle as hard driver signal
 # ---------------------------------------------------------------------------
@@ -7158,6 +7429,107 @@ WITH base AS (
 )
 SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
 ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: Okapi BM25 (fixed query {spark, merge, window})
+    and dense cosine (fixed query vector = embedding 7) each produce a
+    bounded top-50 candidate list; Reciprocal Rank Fusion (Cormack et
+    al. 2009, public: Σ 1/(60 + rank)) merges them into one top-20 —
+    the standard lexical+dense serving pattern for RAG corpora.
+
+    Scale shape: each arm is corpus-scan → TakeOrdered(50) (no global
+    sort, no corpus shuffle); the rank windows and the full-outer fusion
+    join run over ≤100 rows BY CONSTRUCTION (post-limit), so the
+    single-partition windows are bounded at any corpus size. Ranks are
+    assigned on ROUNDED scores with id tie-breaks, so the fused output
+    is engine-reproducible."""
+    from comix_etl_spark.operators import textstats as TS
+
+    t = _t(spark, sf_dir, "documents", "embeddings")
+    lex_top = (TS.bm25_scores(t["documents"], "doc_id", "text",
+                              ["spark", "merge", "window"])
+               .filter(F.col("bm25") > 0)
+               .orderBy(F.col("bm25").desc(), "doc_id").limit(50))
+    wl = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    lex = lex_top.select("doc_id", F.row_number().over(wl).alias("lex_rank"))
+    qvec = t["embeddings"].filter(F.col("vec_id") == 7).select("embedding")
+    dense_top = S.brute_force_topk(t["embeddings"], qvec, k=50)
+    wd = Window.orderBy(F.col("cosine_sim").desc(), "vec_id")
+    dense = dense_top.select(F.col("vec_id").alias("doc_id"),
+                             F.row_number().over(wd).alias("dense_rank"))
+    fused = lex.join(dense, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("dense_rank")), F.lit(0.0)),
+        6)
+    return (fused.select("doc_id", "lex_rank", "dense_rank",
+                         rrf.alias("rrf_score"))
+            .orderBy(F.col("rrf_score").desc(), "doc_id").limit(20))
+
+
+ORACLE_HYBRID_SEARCH_RRF = """
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '')) AS dl,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x = 'spark'))  AS tf0,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x = 'merge'))  AS tf1,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x = 'window')) AS tf2
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n, sum(dl) AS sum_dl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM base
+), bm AS (
+  SELECT doc_id, round(
+      ln(1.0 + (CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+        * CAST(tf0 AS DOUBLE) * (1.2 + 1)
+        / (CAST(tf0 AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+             / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE))))
+    + ln(1.0 + (CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+        * CAST(tf1 AS DOUBLE) * (1.2 + 1)
+        / (CAST(tf1 AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+             / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE))))
+    + ln(1.0 + (CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+        * CAST(tf2 AS DOUBLE) * (1.2 + 1)
+        / (CAST(tf2 AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+             / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE)))), 6) AS bm25
+  FROM base, stats
+), lex AS (
+  SELECT doc_id, r_lex FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+    FROM bm WHERE bm25 > 0
+  ) WHERE r_lex <= 50
+), vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), qv AS (
+  SELECT v FROM vecs WHERE vec_id = 7
+), dsc AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_dot_product(e.v, q.v)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))), 6) AS cs
+  FROM vecs e, qv q
+), dense AS (
+  SELECT doc_id, r_dense FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id) AS r_dense
+    FROM dsc
+  ) WHERE r_dense <= 50
+), fused AS (
+  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         l.r_lex AS lex_rank, d.r_dense AS dense_rank,
+         round(COALESCE(1.0 / (60 + l.r_lex), 0)
+               + COALESCE(1.0 / (60 + d.r_dense), 0), 6) AS rrf_score
+  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, lex_rank, dense_rank, rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20
 """
 
 
@@ -11464,6 +11836,18 @@ QUERIES: dict[str, Query] = {
     "ann_pq_det": Query(q_ann_pq_det, ORACLE_ANN_PQ_DET,
                         "PQ ANN with fixed codebooks — encode/ADC/re-rank "
                         "under a hash-checked oracle", ("embeddings",)),
+    "ann_ivf_pq": Query(q_ann_ivf_pq, None,
+                        "IVF-PQ ANN (trained route + residual ADC + re-rank) "
+                        "— the composed billion-scale layout",
+                        ("embeddings",)),
+    "ann_ivf_pq_det": Query(q_ann_ivf_pq_det, ORACLE_ANN_IVF_PQ_DET,
+                            "IVF-PQ with fixed centers/codebooks — routing, "
+                            "residual encode, IVFADC and re-rank all "
+                            "recomputed by the oracle", ("embeddings",)),
+    "ivf_pq_recall_eval": Query(q_ivf_pq_recall_eval, ORACLE_IVF_PQ_RECALL_EVAL,
+                                "recall@10 of det IVF-PQ vs brute force — "
+                                "the composed pipeline's measured objective",
+                                ("embeddings",)),
     "order_priority_check": Query(q_order_priority_check, ORACLE_ORDER_PRIORITY_CHECK,
                                   "TPC-H Q4 shape: EXISTS late-lineitem priority counts",
                                   ("orders", "lineitem")),
@@ -11508,6 +11892,10 @@ QUERIES: dict[str, Query] = {
                            "Johnson–Lindenstrauss 64→16 projection with "
                            "md5 Rademacher planes (hash-checked)",
                            ("embeddings",)),
+    "hybrid_search_rrf": Query(q_hybrid_search_rrf, ORACLE_HYBRID_SEARCH_RRF,
+                               "BM25 + dense-cosine reciprocal rank fusion "
+                               "(bounded top-50 arms, fused top-20)",
+                               ("documents", "embeddings")),
     "bm25_search": Query(q_bm25_search, ORACLE_BM25_SEARCH,
                          "Okapi BM25 keyword ranking, scan-local tf + "
                          "1-row stats broadcast", ("documents",)),
@@ -11817,7 +12205,8 @@ QUERIES: dict[str, Query] = {
 # latest verdict is r5-era — the §2 serving core first, then the
 # r5-era dedup/ANN families (incl. the 4 rows-only: minhash_lsh,
 # simhash_pairs, ann_lsh, ann_ivf — their hash-checked _det siblings
-# are r6-green) — then 1 of the cheapest r6-era greens. After this
+# are r6-green) — then the newest first-timer (ann_ivf_pq_det, the
+# hash-checked IVF-PQ composition) fills the final slot. After this
 # window NO registry query's latest verdict is older than r6.
 # r11 BACKLOG: the other 48 r6-era greens (hash_split, zorder_layout,
 # idle_customers, benford_deviation, top_supplier, promo_share,
@@ -11832,8 +12221,11 @@ QUERIES: dict[str, Query] = {
 # profit_by_nation, promo_suppliers, range_frame_window,
 # returned_items, schema_evolution, sequence_gaps, set_operations,
 # simhash_det, stream_outer_join, supplier_triangles,
-# supplier_variety, trade_volume, vocab_coverage, weighted_median)
-# + any r10-new queries that miss this window.
+# supplier_variety, trade_volume, vocab_coverage, weighted_median,
+# discount_revenue)
+# + the r10-new queries that miss this window (first: ann_ivf_pq —
+# rows-only, its hash-checked ann_ivf_pq_det sibling IS in the r10
+# window — then hybrid_search_rrf and ivf_pq_recall_eval).
 _CHECK_FIRST = [
     # NEW in r10 — perceptual video dedup (frame dHash -> majority
     # fingerprint -> Hamming election) and its cross-set
@@ -11861,8 +12253,9 @@ _CHECK_FIRST = [
     "ann_cosine_topk", "ann_ivf_det", "ann_lsh_det",
     # r5-era rows-only checks (hash-green _det siblings are r6-green)
     "minhash_lsh", "simhash_pairs", "ann_lsh", "ann_ivf",
-    # cheapest r6-era greens (the next-oldest verdicts) fill the window
-    "discount_revenue",
+    # newest first-timer: the composed IVF-PQ pipeline under a full
+    # analytic oracle (routing + residual encode + IVFADC + re-rank)
+    "ann_ivf_pq_det",
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 QUERIES = {

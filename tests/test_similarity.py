@@ -150,6 +150,76 @@ def test_pq_topk_recall_vs_brute_force(spark, sf_small):
     assert len(exact & got) / len(exact) >= 0.6
 
 
+def test_ivf_pq_recall_vs_brute_force(spark, sf_small):
+    """IVF-PQ (16 lists, probe 4, residual PQ m=8 k=16, rerank=100) must
+    recover most of the exact top-10. The floor is BELOW pq_topk's 0.6:
+    probing 4/16 lists can route a true neighbor away before ADC ever
+    sees it — that's the recall/nprobe trade the operator exists to
+    expose. Self-hit must survive (the query's own list is always its
+    nearest, so self always lands in a probed list)."""
+    from comix_etl_spark.operators.similarity import brute_force_topk, ivf_pq_topk
+    from comix_etl_spark.session import load_tables
+
+    emb = load_tables(spark, sf_small, ("embeddings",))["embeddings"]
+    qdf = (emb.filter(F.col("vec_id").isin(0, 1, 2))
+           .select(F.col("vec_id").alias("query_id"), "embedding"))
+    exact = {(r["query_id"], r["vec_id"])
+             for r in brute_force_topk(emb, emb.filter(F.col("vec_id").isin(0, 1, 2)),
+                                       id_col="vec_id", k=10,
+                                       query_id_col="vec_id").collect()}
+    got_rows = ivf_pq_topk(emb, qdf, id_col="vec_id", k=10, nprobe=4,
+                           n_centroids=16, m=8, n_codes=16, rerank=100).collect()
+    got = {(r["query_id"], r["vec_id"]) for r in got_rows}
+    assert len(got) == len(exact)
+    assert {(q, q) for q in (0, 1, 2)} <= got          # self-hit per query
+    assert len(exact & got) / len(exact) >= 0.4
+
+
+def test_ivf_pq_full_probe_matches_pq_quality(spark, sf_small):
+    """With nprobe = n_centroids every list is probed, so IVF-PQ
+    degenerates to plain residual-PQ ADC over the whole corpus — the
+    routing can no longer LOSE a neighbor, and recall must meet the
+    pq_topk floor (residual codes quantize finer, not coarser)."""
+    from comix_etl_spark.operators.similarity import brute_force_topk, ivf_pq_topk
+    from comix_etl_spark.session import load_tables
+
+    emb = load_tables(spark, sf_small, ("embeddings",))["embeddings"]
+    qdf = (emb.filter(F.col("vec_id").isin(0, 1, 2))
+           .select(F.col("vec_id").alias("query_id"), "embedding"))
+    exact = {(r["query_id"], r["vec_id"])
+             for r in brute_force_topk(emb, emb.filter(F.col("vec_id").isin(0, 1, 2)),
+                                       id_col="vec_id", k=10,
+                                       query_id_col="vec_id").collect()}
+    got = {(r["query_id"], r["vec_id"])
+           for r in ivf_pq_topk(emb, qdf, id_col="vec_id", k=10, nprobe=16,
+                                n_centroids=16, m=8, n_codes=16,
+                                rerank=100).collect()}
+    assert len(got) == len(exact)
+    assert len(exact & got) / len(exact) >= 0.6
+
+
+def test_ivf_pq_encode_layout(spark, sf_small):
+    """The at-rest IVF-PQ layout: every row carries a list id in
+    [0, C) and an m-length code with entries in [0, k)."""
+    from comix_etl_spark.operators.similarity import (
+        ivf_pq_encode,
+        train_ivf_centroids,
+        train_residual_codebooks,
+    )
+    from comix_etl_spark.session import load_tables
+
+    emb = load_tables(spark, sf_small, ("embeddings",))["embeddings"]
+    centers = train_ivf_centroids(emb, n_centroids=4)
+    books = train_residual_codebooks(emb, centers, m=8, k=16)
+    assert books.shape == (8, 16, 8)
+    rows = ivf_pq_encode(emb.limit(25), centers, books).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert 0 <= r["centroid_id"] < 4
+        assert len(r["pq_code"]) == 8
+        assert all(0 <= c < 16 for c in r["pq_code"])
+
+
 def test_pq_encode_shape_and_range(spark, sf_small):
     from comix_etl_spark.operators.similarity import pq_encode, train_pq_codebooks
     from comix_etl_spark.session import load_tables
