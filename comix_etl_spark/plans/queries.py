@@ -6473,6 +6473,108 @@ def q_ann_ivf_pq_det(spark: SparkSession, sf_dir: str) -> DataFrame:
                          nprobe=2, rerank=100)
 
 
+def q_ann_ivf_pq_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted inverted-list layout END-TO-END: build the
+    centroid_id-partitioned IVF-PQ store (similarity.py::
+    persist_ivf_pq_store — encode scan paid once, overwrite keeps the
+    builder idempotent), then search it via partition-pruned probes
+    (ivf_pq_topk_from_store: only the nprobe probed list directories
+    are read, plan-asserted in tests/test_similarity.py). Det
+    centers/codebooks — the result is IDENTICAL to ann_ivf_pq_det by
+    construction, so the same analytic oracle hash-checks the whole
+    store round-trip (write → prune → ADC → re-rank)."""
+    import numpy as np
+
+    t = _t(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    crow = (emb.filter(F.col("vec_id").isin(*_IVFPQ_DET_CENTER_IDS))
+            .orderBy("vec_id").select("embedding").collect())
+    c = np.array([r[0] for r in crow], dtype=np.float64)
+    c = c / np.linalg.norm(c, axis=1)[:, None]
+    brow = (emb.filter(F.col("vec_id").isin(*_IVF_DET_CENTROID_IDS))
+            .orderBy("vec_id").select("embedding").collect())
+    b = np.array([r[0] for r in brow], dtype=np.float64)
+    b = b / np.linalg.norm(b, axis=1)[:, None]
+    books = b.reshape(16, 8, 8).transpose(1, 0, 2)
+    queries = (emb.filter(F.col("vec_id").isin(0, 1, 2))
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    S.persist_ivf_pq_store(emb, c, books, "comix_ivfpq_store",
+                           id_col="vec_id", vec_col="embedding")
+    return S.ivf_pq_topk_from_store(emb, queries, "comix_ivfpq_store",
+                                    centers=c, codebooks=books,
+                                    id_col="vec_id", vec_col="embedding",
+                                    k=10, nprobe=2, rerank=100)
+
+
+def q_stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE retrieval against the persisted IVF-PQ index: a REAL
+    file-source stream of query vectors (availableNow) probes the
+    centroid-partitioned store per micro-batch through foreachBatch —
+    each batch routes its queries driver-side, scans ONLY its probed
+    list directories (partition pruning), and writes its top-k to a
+    batch_id-partitioned result sink (overwrite-per-batch, so
+    foreachBatch replay after a crash is idempotent — same contract as
+    foreach_batch_drift). This is the serving composition: build the
+    index once, answer query streams forever.
+
+    Det centers/codebooks and a fixed query-id gate ⇒ the collected
+    results are IDENTICAL to ann_ivf_pq_det by construction, so the
+    same analytic oracle hash-checks the whole streaming round-trip
+    (stream → route → prune → ADC → re-rank → sink)."""
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from comix_etl_spark.streaming.windowed import run_stream_foreach_batch
+
+    t = _t(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    crow = (emb.filter(F.col("vec_id").isin(*_IVFPQ_DET_CENTER_IDS))
+            .orderBy("vec_id").select("embedding").collect())
+    c = np.array([r[0] for r in crow], dtype=np.float64)
+    c = c / np.linalg.norm(c, axis=1)[:, None]
+    brow = (emb.filter(F.col("vec_id").isin(*_IVF_DET_CENTROID_IDS))
+            .orderBy("vec_id").select("embedding").collect())
+    b = np.array([r[0] for r in brow], dtype=np.float64)
+    b = b / np.linalg.norm(b, axis=1)[:, None]
+    books = b.reshape(16, 8, 8).transpose(1, 0, 2)
+    S.persist_ivf_pq_store(emb, c, books, "comix_ivfpq_store_stream",
+                           id_col="vec_id", vec_col="embedding")
+
+    # stable per-process dirs wiped on entry: the builder stays
+    # idempotent across repeated driver calls without leaking a fresh
+    # mkdtemp per call
+    base = os.path.join(tempfile.gettempdir(),
+                        f"comix_annprobe_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    results = os.path.join(base, "results")
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        qb = (batch.filter(F.col("vec_id").isin(0, 1, 2))
+              .select(F.col("vec_id").alias("query_id"), "embedding"))
+        if qb.isEmpty():
+            return
+        out = S.ivf_pq_topk_from_store(
+            emb, qb, "comix_ivfpq_store_stream", centers=c,
+            codebooks=books, id_col="vec_id", vec_col="embedding",
+            k=10, nprobe=2, rerank=100)
+        (out.write.mode("overwrite")
+         .parquet(os.path.join(results, f"batch_id={int(batch_id)}")))
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    run_stream_foreach_batch(spark, sf_dir, schema, apply,
+                             glob="embeddings.parquet",
+                             checkpoint=os.path.join(base, "ckpt"))
+    return (spark.read.parquet(results)
+            .select("query_id", "vec_id", "cosine_sim"))
+
+
 def q_ivf_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of the det-configured IVF-PQ search (4 fixed coarse
     centroids, nprobe=2, fixed residual codebooks, ADC rerank=100)
@@ -11848,6 +11950,16 @@ QUERIES: dict[str, Query] = {
                                 "recall@10 of det IVF-PQ vs brute force — "
                                 "the composed pipeline's measured objective",
                                 ("embeddings",)),
+    "ann_ivf_pq_store": Query(q_ann_ivf_pq_store, ORACLE_ANN_IVF_PQ_DET,
+                              "persisted centroid-partitioned IVF-PQ store: "
+                              "build + partition-pruned probe, hash-checked "
+                              "against the same analytic oracle",
+                              ("embeddings",)),
+    "stream_ann_probe": Query(q_stream_ann_probe, ORACLE_ANN_IVF_PQ_DET,
+                              "REAL query-vector stream probing the "
+                              "persisted IVF-PQ store per micro-batch "
+                              "(foreachBatch, idempotent batch sink)",
+                              ("embeddings",)),
     "order_priority_check": Query(q_order_priority_check, ORACLE_ORDER_PRIORITY_CHECK,
                                   "TPC-H Q4 shape: EXISTS late-lineitem priority counts",
                                   ("orders", "lineitem")),
@@ -12225,7 +12337,8 @@ QUERIES: dict[str, Query] = {
 # discount_revenue)
 # + the r10-new queries that miss this window (first: ann_ivf_pq —
 # rows-only, its hash-checked ann_ivf_pq_det sibling IS in the r10
-# window — then hybrid_search_rrf and ivf_pq_recall_eval).
+# window — then hybrid_search_rrf, ivf_pq_recall_eval,
+# ann_ivf_pq_store and stream_ann_probe).
 _CHECK_FIRST = [
     # NEW in r10 — perceptual video dedup (frame dHash -> majority
     # fingerprint -> Hamming election) and its cross-set

@@ -93,6 +93,29 @@ def run_stream_to_memory(spark: SparkSession, source_dir: str, schema,
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def run_stream_foreach_batch(spark: SparkSession, source_dir: str, schema,
+                             apply_fn, *, glob: str | None = None,
+                             checkpoint: str | None = None,
+                             ts_fix: Callable[[DataFrame], DataFrame] | None = None) -> None:
+    """Drive a file-source stream through a foreachBatch sink to
+    completion (availableNow) — the harness counterpart of
+    run_stream_to_memory for sinks that own their output (parquet
+    upsert, drift metrics, ANN probe results). ``checkpoint`` should be
+    a caller-owned dir for restart semantics; None lets Spark allocate
+    a temp checkpoint (fine for one-shot availableNow runs)."""
+    reader = spark.readStream.schema(schema)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.parquet(source_dir)
+    if ts_fix is not None:
+        raw = ts_fix(raw)
+    writer = raw.writeStream.foreachBatch(apply_fn)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
 def foreach_batch_upsert(target_path: str, key: list[str], update_cols: list[str],
                          *, partition_col: str | None = None):
     """foreachBatch sink: merge each micro-batch into a parquet table via

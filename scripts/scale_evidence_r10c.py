@@ -60,12 +60,26 @@ def synth_vectors(spark, n: int):
 
 
 def main() -> None:
+    from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
     from comix_etl_spark.operators import similarity as S
-    from comix_etl_spark.session import get_spark
 
-    spark = get_spark("scale_evidence_r10c")
+    # own builder, NOT get_spark: the engine session disables the UI,
+    # and the shuffle/task metrics here come from the UI REST API
+    spark = (SparkSession.builder
+             .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count())}]")
+             .appName("scale_evidence_r10c")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.autoBroadcastJoinThreshold",
+                     str(64 * 1024 * 1024))
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .config("spark.ui.enabled", "true")
+             .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     out: dict = {"n": N, "dim": DIM, "C": C, "nprobe": NPROBE,
                  "m": M, "n_codes": NCODES, "rerank": RERANK}
@@ -79,7 +93,8 @@ def main() -> None:
     import numpy as np
 
     t0 = time.perf_counter()
-    centers = S.train_ivf_centroids(corpus, n_centroids=C, sample_rows=4096)
+    centers = S.train_ivf_centroids(corpus, n_centroids=C, sample_rows=4096,
+                                    normalize=True)
     books = S.train_residual_codebooks(corpus, centers, m=M, k=NCODES,
                                        sample_rows=4096)
     out["train_sec"] = round(time.perf_counter() - t0, 2)
@@ -98,6 +113,16 @@ def main() -> None:
     out["rows_probed"] = enc.filter(F.col("centroid_id").isin(probed)).count()
     out["probed_frac"] = round(out["rows_probed"] / N, 4)
     out["distinct_probe_lists"] = len(probed)
+    # list balance: a healthy coarse quantizer spreads the corpus over
+    # all C lists; max/p50 near 1 means no hot list
+    occ = (enc.groupBy("centroid_id").count()
+           .agg(F.count("*").alias("n_lists"),
+                F.max("count").alias("mx"),
+                F.expr("percentile_approx(count, 0.5)").alias("p50"))
+           .collect()[0])
+    out["n_lists_used"] = int(occ["n_lists"])
+    out["list_max"] = int(occ["mx"])
+    out["list_p50"] = int(occ["p50"])
 
     # --- 2. search: ivf_pq vs brute over the same corpus -------------
     out["ivf_pq"] = timed(
@@ -108,16 +133,26 @@ def main() -> None:
         spark, lambda: S.brute_force_topk(
             corpus, queries, k=10, query_id_col="query_id"))
 
-    got = {(r["query_id"], r["vec_id"])
-           for r in S.ivf_pq_topk(corpus, queries, centers=centers,
-                                  codebooks=books, k=10, nprobe=NPROBE,
-                                  m=M, n_codes=NCODES,
-                                  rerank=RERANK).collect()}
     exact = {(r["query_id"], r["vec_id"])
              for r in S.brute_force_topk(corpus, queries, k=10,
                                          query_id_col="query_id").collect()}
-    out["recall_at_10"] = round(len(got & exact) / len(exact), 3)
-    out["self_hits"] = sum((q, q) in got for q in (0, 1, 2))
+
+    def recall(nprobe: int, rerank: int) -> dict:
+        got = {(r["query_id"], r["vec_id"])
+               for r in S.ivf_pq_topk(corpus, queries, centers=centers,
+                                      codebooks=books, k=10, nprobe=nprobe,
+                                      m=M, n_codes=NCODES,
+                                      rerank=rerank).collect()}
+        return {"recall_at_10": round(len(got & exact) / len(exact), 3),
+                "self_hits": sum((q, q) in got for q in (0, 1, 2))}
+
+    # the recall ladder separates ROUTING loss (nprobe) from ADC-ORDER
+    # loss (rerank): if recall saturates as nprobe grows, the residual
+    # quantizer's candidate ordering is the binding constraint, and
+    # rerank depth is the knob
+    out["recall_nprobe16_rerank200"] = recall(NPROBE, RERANK)
+    out["recall_nprobe64_rerank200"] = recall(64, RERANK)
+    out["recall_nprobe64_rerank1000"] = recall(64, 1000)
 
     print(json.dumps(out))
     with open("/tmp/scale_evidence_r10c.json", "w") as f:

@@ -220,6 +220,77 @@ def test_ivf_pq_encode_layout(spark, sf_small):
         assert all(0 <= c < 16 for c in r["pq_code"])
 
 
+def test_ivf_pq_store_partition_pruned_probe(spark, sf_small):
+    """The persisted inverted-list layout: probing the store returns
+    EXACTLY the direct ivf_pq_topk results, and the store scan carries
+    a centroid_id partition filter — the probe reads only the probed
+    list directories, never the whole index."""
+    from comix_etl_spark.operators.similarity import (
+        ivf_pq_topk,
+        ivf_pq_topk_from_store,
+        persist_ivf_pq_store,
+        train_ivf_centroids,
+        train_residual_codebooks,
+    )
+    from comix_etl_spark.session import load_tables
+
+    emb = load_tables(spark, sf_small, ("embeddings",))["embeddings"]
+    centers = train_ivf_centroids(emb, n_centroids=8)
+    books = train_residual_codebooks(emb, centers, m=8, k=16)
+    qdf = (emb.filter(F.col("vec_id").isin(0, 1, 2))
+           .select(F.col("vec_id").alias("query_id"), "embedding"))
+    try:
+        persist_ivf_pq_store(emb, centers, books, "ivfpq_store_t")
+        direct = ivf_pq_topk(emb, qdf, centers=centers, codebooks=books,
+                             k=10, nprobe=3, rerank=100)
+        stored = ivf_pq_topk_from_store(emb, qdf, "ivfpq_store_t",
+                                        centers=centers, codebooks=books,
+                                        k=10, nprobe=3, rerank=100)
+        d = sorted(map(tuple, direct.collect()))
+        s = sorted(map(tuple, stored.collect()))
+        assert d == s and len(s) == 30
+        plan = stored._jdf.queryExecution().executedPlan().toString()
+        i = plan.index("PartitionFilters: [")
+        assert "centroid_id" in plan[i:i + 200], plan[i:i + 200]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivfpq_store_t")
+
+
+def test_ivf_pq_store_incremental_append(spark, sf_small):
+    """Incremental index growth: encoding batch A then APPENDING batch B
+    must answer probes identically to a one-shot build over A∪B — the
+    no-rebuild ingest contract the store docstring promises."""
+    from comix_etl_spark.operators.similarity import (
+        ivf_pq_topk,
+        ivf_pq_topk_from_store,
+        persist_ivf_pq_store,
+        train_ivf_centroids,
+        train_residual_codebooks,
+    )
+    from comix_etl_spark.session import load_tables
+
+    emb = load_tables(spark, sf_small, ("embeddings",))["embeddings"]
+    centers = train_ivf_centroids(emb, n_centroids=8, normalize=True)
+    books = train_residual_codebooks(emb, centers, m=8, k=16)
+    qdf = (emb.filter(F.col("vec_id").isin(0, 1))
+           .select(F.col("vec_id").alias("query_id"), "embedding"))
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    try:
+        persist_ivf_pq_store(a, centers, books, "ivfpq_incr_t")
+        persist_ivf_pq_store(b, centers, books, "ivfpq_incr_t",
+                             mode="append")
+        stored = sorted(map(tuple, ivf_pq_topk_from_store(
+            emb, qdf, "ivfpq_incr_t", centers=centers, codebooks=books,
+            k=10, nprobe=3, rerank=100).collect()))
+        direct = sorted(map(tuple, ivf_pq_topk(
+            emb, qdf, centers=centers, codebooks=books,
+            k=10, nprobe=3, rerank=100).collect()))
+        assert stored == direct and len(stored) == 20
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivfpq_incr_t")
+
+
 def test_pq_encode_shape_and_range(spark, sf_small):
     from comix_etl_spark.operators.similarity import pq_encode, train_pq_codebooks
     from comix_etl_spark.session import load_tables
