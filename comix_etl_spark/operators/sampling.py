@@ -146,6 +146,51 @@ def temperature_downsample(df: DataFrame, key_col: str, group_col: str, *,
             .drop("_rate_e6"))
 
 
+def mixture_allocation(df: DataFrame, domain_col: str, token_col: Column | str,
+                       *, budget_frac: float = 0.5,
+                       weights: dict[str, float] | None = None) -> DataFrame:
+    """Training-mixture allocation PLAN (the artifact a sampler
+    consumes): per domain, natural doc/token mass, the domain's token
+    allocation from a ``budget_frac`` share of total corpus tokens
+    under ``weights`` (uniform over observed domains when None), and
+    the two sampler inputs — ``sample_rate_e6`` (capped at 1e6; you
+    cannot downsample past keeping everything) and ``epochs_e6``
+    (UNCAPPED allocation/available: >1e6 means the domain repeats to
+    meet its target — the up-sampling signal mixture recipes track).
+
+    Plan shape: token counting is whatever Column expression the caller
+    passes (scan-local), one narrow per-domain aggregate, and the
+    corpus totals ride a 1-row broadcast cross join — one Exchange of
+    |domains| rows at any corpus size. Floor'd integer ppm on DOUBLE
+    inputs both engines compute identically. Explicit ``weights`` must
+    cover every observed domain (uncovered domains get weight 0 — an
+    explicit allocation decision, surfaced as rate 0, not an error).
+    NULL domains are excluded, matching the sampling family."""
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    per = (df.filter(F.col(domain_col).isNotNull())
+           .select(F.col(domain_col).alias("_dom"), tok.alias("_tok"))
+           .groupBy("_dom")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("_tok").cast("long").alias("n_tokens")))
+    totals = per.agg(F.sum("n_tokens").cast("double").alias("_total"),
+                     F.count(F.lit(1)).cast("double").alias("_n_dom"))
+    if weights is None:
+        w = F.lit(1.0) / F.col("_n_dom")
+    else:
+        pairs = [x for kv in weights.items() for x in (F.lit(kv[0]), F.lit(float(kv[1])))]
+        w = F.coalesce(F.element_at(F.create_map(*pairs), F.col("_dom")),
+                       F.lit(0.0))
+    alloc = F.floor(F.col("_total") * budget_frac * w).cast("long")
+    ratio = alloc.cast("double") / F.col("n_tokens").cast("double")
+    return (per.crossJoin(F.broadcast(totals))
+            .select(F.col("_dom").alias(domain_col), "n_docs", "n_tokens",
+                    alloc.alias("target_tokens"),
+                    F.floor(F.least(F.lit(1.0), ratio) * 1_000_000)
+                     .cast("long").alias("sample_rate_e6"),
+                    F.floor(ratio * 1_000_000)
+                     .cast("long").alias("epochs_e6")))
+
+
 def weighted_sample(df: DataFrame, key_col: str, weight_col: str, k: int,
                     *, salt: str = "", out_col: str = "es_key") -> DataFrame:
     """Deterministic weighted sampling WITHOUT replacement, k rows

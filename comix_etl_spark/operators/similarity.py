@@ -731,6 +731,22 @@ def persist_ivf_pq_store(corpus: DataFrame, centers, codebooks,
     alongside the table in production."""
     from comix_etl_spark.sinks.writers import save_as_table
 
+    spark = corpus.sparkSession
+    if not spark.catalog.tableExists(table):
+        # an orphaned managed-table DIRECTORY from a previous session
+        # (local warehouse dirs outlive the catalog that created them)
+        # fails CREATE with LOCATION_ALREADY_EXISTS even under
+        # mode=overwrite — clear the orphan for local/file warehouses;
+        # a production catalog (Hive/Glue/UC) owns this lifecycle
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        local = wh[len("file:"):] if wh.startswith("file:") else wh
+        if local and "://" not in local:
+            import os
+            import shutil
+
+            orphan = os.path.join(local, table.lower())
+            if os.path.isdir(orphan):
+                shutil.rmtree(orphan, ignore_errors=True)
     enc = ivf_pq_encode(spread_small_scan(corpus.select(id_col, vec_col)),
                         centers, codebooks, id_col=id_col, vec_col=vec_col)
     save_as_table(enc, table, partition_by=["centroid_id"], mode=mode)

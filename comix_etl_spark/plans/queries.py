@@ -5164,6 +5164,61 @@ ORDER BY r.lang
 """
 
 
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture PLAN: the artifact a run consumes before any
+    sampling happens. Per language (domain): natural doc/token mass,
+    the UNIFORM target weight over observed domains, the domain's token
+    allocation from a budget of half the corpus tokens, and the two
+    numbers a sampler needs — ``sample_rate_e6`` (capped at 1e6: you
+    cannot downsample past keeping everything) and ``epochs_e6`` (the
+    UNCAPPED allocation/available ratio: >1e6 means the domain must
+    repeat to meet its target, the up-sampling signal mixture papers
+    track). Sibling of temperature_mixture (which executes a sqrt-rule
+    downsample); this one does token-weighted allocation planning
+    (operators/sampling.py::mixture_allocation — the up-sampling and
+    explicit-weights regimes are pytest-covered on synthetic domains).
+
+    Scale shape: token counting is scan-local (no explode), one narrow
+    per-lang aggregate, and the corpus-total fence rides a 1-row
+    broadcast cross join — one Exchange of |langs| rows at any corpus
+    size. All derived numbers are floor'd integer ppm on DOUBLE inputs
+    that both engines compute identically."""
+    from comix_etl_spark.functions.text import token_count
+    from comix_etl_spark.operators.sampling import mixture_allocation
+
+    t = _t(spark, sf_dir, "documents")
+    return (mixture_allocation(t["documents"], "lang",
+                               token_count(F.col("text")),
+                               budget_frac=0.5)
+            .orderBy("lang"))
+
+
+ORACLE_MIXTURE_PLAN = """
+WITH toks AS (
+  SELECT lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok
+  FROM documents WHERE lang IS NOT NULL
+), per_lang AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(tok) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY 1
+), totals AS (
+  SELECT CAST(sum(n_tokens) AS DOUBLE) AS total_tokens,
+         CAST(count(*) AS DOUBLE) AS n_langs
+  FROM per_lang
+)
+SELECT lang, n_docs, n_tokens,
+       CAST(floor(total_tokens * 0.5 / n_langs) AS BIGINT) AS target_tokens,
+       CAST(floor(least(1.0, floor(total_tokens * 0.5 / n_langs) / CAST(n_tokens AS DOUBLE))
+                  * 1000000) AS BIGINT) AS sample_rate_e6,
+       CAST(floor(floor(total_tokens * 0.5 / n_langs) / CAST(n_tokens AS DOUBLE)
+                  * 1000000) AS BIGINT) AS epochs_e6
+FROM per_lang CROSS JOIN totals
+ORDER BY lang
+"""
+
+
 def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-table referential-integrity audit in one report: orphan
     counts and coverage ppm for every FK edge of the star schema
@@ -12004,6 +12059,10 @@ QUERIES: dict[str, Query] = {
                            "Johnson–Lindenstrauss 64→16 projection with "
                            "md5 Rademacher planes (hash-checked)",
                            ("embeddings",)),
+    "mixture_plan": Query(q_mixture_plan, ORACLE_MIXTURE_PLAN,
+                          "token-weighted per-domain sampling plan: "
+                          "allocation, capped rate, uncapped epochs",
+                          ("documents",)),
     "hybrid_search_rrf": Query(q_hybrid_search_rrf, ORACLE_HYBRID_SEARCH_RRF,
                                "BM25 + dense-cosine reciprocal rank fusion "
                                "(bounded top-50 arms, fused top-20)",
@@ -12338,7 +12397,7 @@ QUERIES: dict[str, Query] = {
 # + the r10-new queries that miss this window (first: ann_ivf_pq —
 # rows-only, its hash-checked ann_ivf_pq_det sibling IS in the r10
 # window — then hybrid_search_rrf, ivf_pq_recall_eval,
-# ann_ivf_pq_store and stream_ann_probe).
+# ann_ivf_pq_store, stream_ann_probe and mixture_plan).
 _CHECK_FIRST = [
     # NEW in r10 — perceptual video dedup (frame dHash -> majority
     # fingerprint -> Hamming election) and its cross-set

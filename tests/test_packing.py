@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from comix_etl_spark.operators.packing import pack_sequences, packing_report
-from comix_etl_spark.operators.sampling import balance_downsample
+from comix_etl_spark.operators.sampling import balance_downsample, mixture_allocation
 
 
 def _docs(spark, n=200):
@@ -50,6 +50,34 @@ def test_packing_report_conserves_tokens(spark):
     want = d.agg(F.sum("n_tokens")).collect()[0][0]
     assert total == want
     assert rep.agg(F.sum("n_docs")).collect()[0][0] == d.count()
+
+
+def test_mixture_allocation_upsampling_and_weights(spark):
+    """The plan's two regimes: a small domain under a big target must
+    report epochs > 1e6 (repeat to meet target) with the rate capped at
+    1e6, while a big domain downsamples (rate = epochs < 1e6). Explicit
+    weights route allocation; an uncovered domain gets weight 0 — rate
+    and epochs 0, not an error. NULL domains drop."""
+    d = spark.createDataFrame(
+        [("big", 900)] * 10 + [("small", 10)] * 10 + [(None, 50)],
+        "dom string, n_tok int")
+    # uniform weights, budget = half of 9100 = 4550; per-domain 2275:
+    # big has 9000 (downsample), small has 100 (22.75 epochs)
+    out = {r["dom"]: r for r in mixture_allocation(
+        d, "dom", F.col("n_tok")).collect()}
+    assert set(out) == {"big", "small"}
+    assert out["big"]["n_tokens"] == 9000 and out["small"]["n_tokens"] == 100
+    assert out["big"]["target_tokens"] == 2275
+    assert out["big"]["sample_rate_e6"] == out["big"]["epochs_e6"] == 252777
+    assert out["small"]["sample_rate_e6"] == 1_000_000          # capped
+    assert out["small"]["epochs_e6"] == 22_750_000              # 22.75 epochs
+    # explicit weights: all budget to big; small uncovered -> zeroed
+    out2 = {r["dom"]: r for r in mixture_allocation(
+        d, "dom", F.col("n_tok"), weights={"big": 1.0}).collect()}
+    assert out2["big"]["target_tokens"] == 4550
+    assert out2["small"]["target_tokens"] == 0
+    assert out2["small"]["sample_rate_e6"] == 0
+    assert out2["small"]["epochs_e6"] == 0
 
 
 def test_balance_downsample_keeps_min_group_and_subsets(spark):
