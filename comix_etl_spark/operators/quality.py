@@ -138,3 +138,65 @@ def constraint_report(df: DataFrame, *,
     return wide.select(
         F.expr(f"stack({len(names)}, {stack_args}) AS (constraint, n_violations)"),
         "n_rows")
+
+
+def logreg_train(df: DataFrame, label, features: list,
+                 *, lr: float = 1.0, iters: int = 3) -> list[dict]:
+    """Train a logistic-style classifier IN-ENGINE by batch gradient
+    descent — the distributed "quality classifier" step of a web-corpus
+    pipeline (fastText-shaped: surface features → linear model), with
+    every iteration ONE scan-local aggregate over the corpus.
+
+    Engine-reproducibility contract (what makes the trajectory
+    hash-checkable): the sigmoid is the PIECEWISE-RATIONAL surrogate
+    ``s(z) = 0.5 + z / (2·(1 + |z|))`` — same monotone S-shape and the
+    identical z≥0 decision boundary, but built only from +,·,/,|x|,
+    which IEEE 754 rounds correctly, so s is bit-identical on every
+    engine (libm ``exp`` is NOT cross-engine stable in the last ulp,
+    and iterated weights compound that drift). Per-row gradient
+    contributions round to 9dp and accumulate as DECIMAL(38,12) —
+    decimal addition is associative, so the gradient is independent of
+    partitioning and task order. Weight updates are plain IEEE doubles
+    of identical inputs.
+
+    Per iteration: gradient = Σ (s(w·x) − y)·x over the corpus (one
+    aggregate, map-side partials), then w ← w − lr·g/n driver-side —
+    the classic ``k drivers-rounds`` GD shape (k-center precedent); at
+    100 TB each round stays one scan + a |features|-value reduce.
+
+    Returns [{iter, w (list, incl. intercept), acc} ...] — acc is the
+    training accuracy of THAT iteration's weights via the exact z≥0
+    rule (no sigmoid in the decision, so accuracy is integer-exact).
+    """
+    n_feat = len(features)
+    y = label.cast("double")
+    base = df.select(y.alias("_y"),
+                     *[feat.cast("double").alias(f"_x{j}")
+                       for j, feat in enumerate(features)])
+    n = base.count()
+    w = [0.0] * (n_feat + 1)  # intercept first
+    out: list[dict] = []
+    for it in range(1, iters + 1):
+        z = F.lit(w[0])
+        for j in range(n_feat):
+            z = z + F.lit(w[j + 1]) * F.col(f"_x{j}")
+        s = F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+        err = s - F.col("_y")
+        aggs = [F.sum(F.round(err, 9).cast("decimal(38,12)"))
+                .cast("double").alias("_g0")]
+        for j in range(n_feat):
+            aggs.append(F.sum(F.round(err * F.col(f"_x{j}"), 9)
+                              .cast("decimal(38,12)"))
+                        .cast("double").alias(f"_g{j + 1}"))
+        g = base.agg(*aggs).collect()[0]
+        w = [w[j] - lr * g[f"_g{j}"] / n for j in range(n_feat + 1)]
+        # accuracy OF THE UPDATED weights: one more exact integer agg
+        z2 = F.lit(w[0])
+        for j in range(n_feat):
+            z2 = z2 + F.lit(w[j + 1]) * F.col(f"_x{j}")
+        hits = base.agg(
+            F.sum(F.when((z2 >= 0).cast("int") == F.col("_y").cast("int"),
+                         1).otherwise(0)).alias("_h")).collect()[0]["_h"]
+        out.append({"iter": it, "w": list(w), "hits": int(hits), "n": n,
+                    "acc": int(hits) / n})
+    return out

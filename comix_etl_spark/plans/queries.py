@@ -5219,6 +5219,117 @@ ORDER BY lang
 """
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the corpus quality classifier IN-ENGINE (operators/
+    quality.py::logreg_train): 3 batch-GD iterations of a logistic
+    model predicting lang='en' from two surface features (token count
+    /100, distinct-token ratio) — the fastText-shaped "train a filter
+    on labels you have" step of a web pipeline, one scan-local
+    aggregate per iteration.
+
+    The WHOLE TRAJECTORY is the output (per-iteration weights to 9dp +
+    integer-exact training accuracy via the z≥0 rule), and the DuckDB
+    oracle recomputes all three iterations as unrolled CTEs. Two
+    determinism choices make that possible: the piecewise-rational
+    sigmoid surrogate (no libm exp — bit-identical across engines) and
+    DECIMAL(38,12) gradient accumulation (partitioning-independent
+    sums). acc_e6 is integer floor-division — exact on both sides.
+
+    On THIS corpus the languages share one synthetic vocabulary, so
+    surface features carry no lang signal and the verified optimum is
+    the base rate (all-negative, acc = non-en share = 564000 ppm at
+    sf0.01) — the trajectory converging THERE is the correct answer,
+    not a defect. That the optimizer learns when signal exists is
+    pytest-proven on a separable synthetic set
+    (tests/test_relational.py::test_logreg_train_learns_separable)."""
+    from comix_etl_spark.operators.quality import logreg_train
+
+    t = _t(spark, sf_dir, "documents")
+    d = t["documents"]
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    x1 = F.size(toks).cast("double") / F.lit(100.0)
+    x2 = (F.size(F.array_distinct(toks)).cast("double")
+          / F.size(toks).cast("double"))
+    trail = logreg_train(d, F.col("lang") == "en", [x1, x2],
+                         lr=1.0, iters=3)
+    rows = [(r["iter"], round(r["w"][0], 9), round(r["w"][1], 9),
+             round(r["w"][2], 9), r["hits"] * 1_000_000 // r["n"])
+            for r in trail]
+    return spark.createDataFrame(
+        rows, "iter int, w0 double, w1 double, w2 double, acc_e6 long")
+
+
+ORACLE_QUALITY_CLASSIFIER = """
+WITH f AS (
+  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) / 100.0 AS x1,
+         CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE)
+           / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS x2
+  FROM documents
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) AS DOUBLE) AS nd FROM f
+), g1 AS (
+  SELECT CAST(sum(CAST(round(s - y, 9) AS DECIMAL(38,12))) AS DOUBLE) AS g0,
+         CAST(sum(CAST(round((s - y) * x1, 9) AS DECIMAL(38,12))) AS DOUBLE) AS ga,
+         CAST(sum(CAST(round((s - y) * x2, 9) AS DECIMAL(38,12))) AS DOUBLE) AS gb
+  FROM (SELECT y, x1, x2, 0.5 + z / (2.0 * (1.0 + abs(z))) AS s
+        FROM (SELECT y, x1, x2, 0.0 + 0.0 * x1 + 0.0 * x2 AS z FROM f))
+), w1 AS (
+  SELECT 0.0 - (1.0 * g0) / nd AS w0, 0.0 - (1.0 * ga) / nd AS wa,
+         0.0 - (1.0 * gb) / nd AS wb
+  FROM g1, nn
+), a1 AS (
+  SELECT CAST(sum(CASE WHEN (CASE WHEN w.w0 + w.wa * x1 + w.wb * x2 >= 0
+                             THEN 1 ELSE 0 END) = CAST(y AS INT)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM f, w1 w
+), g2 AS (
+  SELECT CAST(sum(CAST(round(s - y, 9) AS DECIMAL(38,12))) AS DOUBLE) AS g0,
+         CAST(sum(CAST(round((s - y) * x1, 9) AS DECIMAL(38,12))) AS DOUBLE) AS ga,
+         CAST(sum(CAST(round((s - y) * x2, 9) AS DECIMAL(38,12))) AS DOUBLE) AS gb
+  FROM (SELECT y, x1, x2, 0.5 + z / (2.0 * (1.0 + abs(z))) AS s
+        FROM (SELECT f.y, f.x1, f.x2, w.w0 + w.wa * f.x1 + w.wb * f.x2 AS z
+              FROM f, w1 w))
+), w2 AS (
+  SELECT w.w0 - (1.0 * g0) / nd AS w0, w.wa - (1.0 * ga) / nd AS wa,
+         w.wb - (1.0 * gb) / nd AS wb
+  FROM g2, w1 w, nn
+), a2 AS (
+  SELECT CAST(sum(CASE WHEN (CASE WHEN w.w0 + w.wa * x1 + w.wb * x2 >= 0
+                             THEN 1 ELSE 0 END) = CAST(y AS INT)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM f, w2 w
+), g3 AS (
+  SELECT CAST(sum(CAST(round(s - y, 9) AS DECIMAL(38,12))) AS DOUBLE) AS g0,
+         CAST(sum(CAST(round((s - y) * x1, 9) AS DECIMAL(38,12))) AS DOUBLE) AS ga,
+         CAST(sum(CAST(round((s - y) * x2, 9) AS DECIMAL(38,12))) AS DOUBLE) AS gb
+  FROM (SELECT y, x1, x2, 0.5 + z / (2.0 * (1.0 + abs(z))) AS s
+        FROM (SELECT f.y, f.x1, f.x2, w.w0 + w.wa * f.x1 + w.wb * f.x2 AS z
+              FROM f, w2 w))
+), w3 AS (
+  SELECT w.w0 - (1.0 * g0) / nd AS w0, w.wa - (1.0 * ga) / nd AS wa,
+         w.wb - (1.0 * gb) / nd AS wb
+  FROM g3, w2 w, nn
+), a3 AS (
+  SELECT CAST(sum(CASE WHEN (CASE WHEN w.w0 + w.wa * x1 + w.wb * x2 >= 0
+                             THEN 1 ELSE 0 END) = CAST(y AS INT)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM f, w3 w
+)
+SELECT 1 AS iter, round(w.w0, 9) AS w0, round(w.wa, 9) AS w1,
+       round(w.wb, 9) AS w2, CAST(a.hits * 1000000 // nn.n AS BIGINT) AS acc_e6
+FROM w1 w, a1 a, nn
+UNION ALL
+SELECT 2, round(w.w0, 9), round(w.wa, 9), round(w.wb, 9),
+       CAST(a.hits * 1000000 // nn.n AS BIGINT)
+FROM w2 w, a2 a, nn
+UNION ALL
+SELECT 3, round(w.w0, 9), round(w.wa, 9), round(w.wb, 9),
+       CAST(a.hits * 1000000 // nn.n AS BIGINT)
+FROM w3 w, a3 a, nn
+"""
+
+
 def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-table referential-integrity audit in one report: orphan
     counts and coverage ppm for every FK edge of the star schema
@@ -12059,6 +12170,11 @@ QUERIES: dict[str, Query] = {
                            "Johnson–Lindenstrauss 64→16 projection with "
                            "md5 Rademacher planes (hash-checked)",
                            ("embeddings",)),
+    "quality_classifier": Query(q_quality_classifier, ORACLE_QUALITY_CLASSIFIER,
+                                "in-engine batch-GD logistic training: "
+                                "3-iteration weight trajectory + exact "
+                                "accuracy, unrolled-CTE oracle",
+                                ("documents",)),
     "mixture_plan": Query(q_mixture_plan, ORACLE_MIXTURE_PLAN,
                           "token-weighted per-domain sampling plan: "
                           "allocation, capped rate, uncapped epochs",
@@ -12397,7 +12513,8 @@ QUERIES: dict[str, Query] = {
 # + the r10-new queries that miss this window (first: ann_ivf_pq —
 # rows-only, its hash-checked ann_ivf_pq_det sibling IS in the r10
 # window — then hybrid_search_rrf, ivf_pq_recall_eval,
-# ann_ivf_pq_store, stream_ann_probe and mixture_plan).
+# ann_ivf_pq_store, stream_ann_probe, mixture_plan and
+# quality_classifier).
 _CHECK_FIRST = [
     # NEW in r10 — perceptual video dedup (frame dHash -> majority
     # fingerprint -> Hamming election) and its cross-set
