@@ -171,7 +171,12 @@ def mixture_allocation(df: DataFrame, domain_col: str, token_col: Column | str,
            .select(F.col(domain_col).alias("_dom"), tok.alias("_tok"))
            .groupBy("_dom")
            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
-                F.sum("_tok").cast("long").alias("n_tokens")))
+                F.sum("_tok").cast("long").alias("n_tokens"))
+           # TWO consumers (totals + the report) — pin the tiny
+           # |domains|-row frame or each one re-scans the corpus
+           # (the r9 multi-consumed-frame lesson; plan-audited: 2
+           # corpus scans before, 1 after)
+           .localCheckpoint(eager=True))
     totals = per.agg(F.sum("n_tokens").cast("double").alias("_total"),
                      F.count(F.lit(1)).cast("double").alias("_n_dom"))
     if weights is None:
