@@ -5219,6 +5219,157 @@ ORDER BY lang
 """
 
 
+def q_minhash_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured PRECISION/RECALL of the MinHash-LSH banding against
+    exact-Jaccard ground truth — the dedup family's counterpart of
+    ann_recall_eval/ivf_recall_eval: banding theory says
+    P(candidate) = 1−(1−s^r)^b; this query measures where the
+    16-hash/4-band md5 configuration actually lands on this corpus at
+    the Jaccard≥0.3 operating point. Ground truth is the co-shingled
+    exact-Jaccard pair set with the threshold applied as the INTEGER
+    rule 10·|∩| ≥ 3·|∪| (no float boundary); candidates are the raw
+    band collisions BEFORE verification. All five outputs are integer
+    counts / floor-divisions — exact on both engines. At production
+    scale this eval runs on a sample (ground truth is O(co-shingled
+    pairs) by design); the operating point transfers because banding
+    probability depends on s, not corpus size."""
+    from functools import reduce
+
+    from comix_etl_spark.functions.text import shingles
+
+    t = _t(spark, sf_dir, "documents")
+    d = t["documents"]
+
+    def cand_for(n_bands: int) -> DataFrame:
+        br = D.minhash_band_rows(d, "doc_id", "text", num_hashes=16,
+                                 bands=n_bands, n=3, hash_fn="md5")
+        a, b = br.alias("a"), br.alias("b")
+        return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                       & (F.col("a.bucket") == F.col("b.bucket"))
+                       & (F.col("a._id") < F.col("b._id")))
+                .select(F.lit(n_bands).alias("bands"),
+                        F.col("a._id").alias("id_a"),
+                        F.col("b._id").alias("id_b"))
+                .distinct())
+
+    cand = (reduce(DataFrame.unionByName, [cand_for(nb) for nb in (4, 8, 16)])
+            .localCheckpoint(eager=True))   # consumed by stats AND tp
+    sh = d.select(F.col("doc_id").alias("_id"),
+                  shingles(F.col("text"), 3).alias("_sh"))
+    sizes = sh.filter(F.size("_sh") > 0).select("_id", F.size("_sh").alias("n_sh"))
+    posts = sh.select("_id", F.explode("_sh").alias("shingle"))
+    common = (posts.alias("pa")
+              .join(posts.alias("pb"),
+                    (F.col("pa.shingle") == F.col("pb.shingle"))
+                    & (F.col("pa._id") < F.col("pb._id")))
+              .groupBy(F.col("pa._id").alias("id_a"),
+                       F.col("pb._id").alias("id_b"))
+              .agg(F.count(F.lit(1)).cast("long").alias("nc")))
+    truth = (common
+             .join(sizes.select(F.col("_id").alias("id_a"),
+                                F.col("n_sh").alias("na")), "id_a")
+             .join(sizes.select(F.col("_id").alias("id_b"),
+                                F.col("n_sh").alias("nb")), "id_b")
+             .filter(F.lit(10) * F.col("nc")
+                     >= F.lit(3) * (F.col("na") + F.col("nb") - F.col("nc")))
+             .select("id_a", "id_b")
+             .localCheckpoint(eager=True))  # consumed by stats AND tp
+    n_cand = (cand.groupBy("bands")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_cand")))
+    n_tp = (cand.join(truth, ["id_a", "id_b"]).groupBy("bands")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tp")))
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    stats = (n_cand.join(n_tp, "bands", "left").crossJoin(F.broadcast(n_truth))
+             .select("bands",
+                     (F.lit(16) / F.col("bands")).cast("int")
+                     .alias("rows_per_band"),
+                     "n_cand", "n_truth",
+                     F.coalesce("n_tp", F.lit(0)).cast("long").alias("n_tp")))
+    # integer `div`, not `/`: double division of longs can round up
+    # across an integer boundary before the cast truncates, disagreeing
+    # with DuckDB's exact BIGINT floor-division
+    return stats.select(
+        "bands", "rows_per_band", "n_cand", "n_truth", "n_tp",
+        F.when(F.col("n_cand") == 0, F.lit(0).cast("long")).otherwise(
+            F.expr("n_tp * 1000000L div n_cand"))
+        .alias("precision_e6"),
+        F.when(F.col("n_truth") == 0, F.lit(0).cast("long")).otherwise(
+            F.expr("n_tp * 1000000L div n_truth"))
+        .alias("recall_e6")).orderBy("bands")
+
+
+ORACLE_MINHASH_PR_EVAL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         )) AS shingle
+  FROM toks WHERE len(t) >= 3
+), sz AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+), mins AS (
+  SELECT doc_id, h.i, min(md5(h.i || '_' || shingle)) AS mh
+  FROM sh, range(16) h(i) GROUP BY doc_id, h.i
+), sigs AS (
+  SELECT doc_id, list(mh ORDER BY i) AS sig FROM mins GROUP BY doc_id
+), bands4 AS (
+  SELECT doc_id, b.b,
+         md5(sig[b.b * 4 + 1] || '|' || sig[b.b * 4 + 2] || '|'
+             || sig[b.b * 4 + 3] || '|' || sig[b.b * 4 + 4]) AS bucket
+  FROM sigs, range(4) b(b)
+), bands8 AS (
+  SELECT doc_id, b.b,
+         md5(sig[b.b * 2 + 1] || '|' || sig[b.b * 2 + 2]) AS bucket
+  FROM sigs, range(8) b(b)
+), bands16 AS (
+  SELECT doc_id, b.b, md5(sig[b.b + 1]) AS bucket
+  FROM sigs, range(16) b(b)
+), cand AS (
+  SELECT 4 AS bands, a.doc_id AS id_a, c.doc_id AS id_b
+  FROM bands4 a JOIN bands4 c
+    ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+  GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT 8, a.doc_id, c.doc_id
+  FROM bands8 a JOIN bands8 c
+    ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+  GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT 16, a.doc_id, c.doc_id
+  FROM bands16 a JOIN bands16 c
+    ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+  GROUP BY 1, 2, 3
+), common AS (
+  SELECT a.doc_id AS id_a, c.doc_id AS id_b, CAST(count(*) AS BIGINT) AS nc
+  FROM sh a JOIN sh c ON a.shingle = c.shingle AND a.doc_id < c.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT cm.id_a, cm.id_b
+  FROM common cm
+  JOIN sz sa ON sa.doc_id = cm.id_a
+  JOIN sz sb ON sb.doc_id = cm.id_b
+  WHERE 10 * cm.nc >= 3 * (sa.n_sh + sb.n_sh - cm.nc)
+), ntp AS (
+  SELECT bands, CAST(count(*) AS BIGINT) AS n_tp
+  FROM cand JOIN truth USING (id_a, id_b) GROUP BY 1
+), ncand AS (
+  SELECT bands, CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY 1
+), ntruth AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+SELECT nc.bands, CAST(16 / nc.bands AS INT) AS rows_per_band,
+       nc.n_cand, nt.n_truth,
+       CAST(coalesce(tp.n_tp, 0) AS BIGINT) AS n_tp,
+       CAST(CASE WHEN nc.n_cand = 0 THEN 0
+                 ELSE coalesce(tp.n_tp, 0) * 1000000 // nc.n_cand END AS BIGINT) AS precision_e6,
+       CAST(CASE WHEN nt.n_truth = 0 THEN 0
+                 ELSE coalesce(tp.n_tp, 0) * 1000000 // nt.n_truth END AS BIGINT) AS recall_e6
+FROM ncand nc LEFT JOIN ntp tp USING (bands) CROSS JOIN ntruth nt
+ORDER BY nc.bands
+"""
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the corpus quality classifier IN-ENGINE (operators/
     quality.py::logreg_train): 3 batch-GD iterations of a logistic
@@ -12170,6 +12321,10 @@ QUERIES: dict[str, Query] = {
                            "Johnson–Lindenstrauss 64→16 projection with "
                            "md5 Rademacher planes (hash-checked)",
                            ("embeddings",)),
+    "minhash_pr_eval": Query(q_minhash_pr_eval, ORACLE_MINHASH_PR_EVAL,
+                             "measured precision/recall of MinHash-LSH "
+                             "banding vs exact-Jaccard ground truth",
+                             ("documents",)),
     "quality_classifier": Query(q_quality_classifier, ORACLE_QUALITY_CLASSIFIER,
                                 "in-engine batch-GD logistic training: "
                                 "3-iteration weight trajectory + exact "
@@ -12513,8 +12668,8 @@ QUERIES: dict[str, Query] = {
 # + the r10-new queries that miss this window (first: ann_ivf_pq —
 # rows-only, its hash-checked ann_ivf_pq_det sibling IS in the r10
 # window — then hybrid_search_rrf, ivf_pq_recall_eval,
-# ann_ivf_pq_store, stream_ann_probe, mixture_plan and
-# quality_classifier).
+# ann_ivf_pq_store, stream_ann_probe, mixture_plan,
+# quality_classifier and minhash_pr_eval).
 _CHECK_FIRST = [
     # NEW in r10 — perceptual video dedup (frame dHash -> majority
     # fingerprint -> Hamming election) and its cross-set
