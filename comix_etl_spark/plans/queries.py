@@ -5239,10 +5239,22 @@ def q_minhash_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _t(spark, sf_dir, "documents")
     d = t["documents"]
+    # ONE signature computation feeds all three bandings (the
+    # signature agg is the expensive stage — 16 md5 min-aggregates
+    # over the shingle postings; recomputing it per config tripled
+    # the query's cost in the sf0.1 smoke)
+    sigs = (D.minhash_signatures(d, "doc_id", "text", 16, 3, "md5")
+            .localCheckpoint(eager=True))
 
     def cand_for(n_bands: int) -> DataFrame:
-        br = D.minhash_band_rows(d, "doc_id", "text", num_hashes=16,
-                                 bands=n_bands, n=3, hash_fn="md5")
+        rpb = 16 // n_bands
+        br = sigs.select("_id", F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"),
+                     F.md5(F.concat_ws("|", *[
+                         F.col("signature")[bi * rpb + j]
+                         for j in range(rpb)])).alias("bucket"))
+            for bi in range(n_bands)])).alias("bb")) \
+            .select("_id", "bb.band", "bb.bucket")
         a, b = br.alias("a"), br.alias("b")
         return (a.join(b, (F.col("a.band") == F.col("b.band"))
                        & (F.col("a.bucket") == F.col("b.bucket"))
@@ -5258,12 +5270,17 @@ def q_minhash_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                   shingles(F.col("text"), 3).alias("_sh"))
     sizes = sh.filter(F.size("_sh") > 0).select("_id", F.size("_sh").alias("n_sh"))
     posts = sh.select("_id", F.explode("_sh").alias("shingle"))
-    common = (posts.alias("pa")
-              .join(posts.alias("pb"),
-                    (F.col("pa.shingle") == F.col("pb.shingle"))
-                    & (F.col("pa._id") < F.col("pb._id")))
-              .groupBy(F.col("pa._id").alias("id_a"),
-                       F.col("pb._id").alias("id_b"))
+    # group-and-expand (the ngram_jaccard_pairs plan): ONE shuffle on
+    # shingle, pairs expanded inline in codegen — not a postings
+    # self-join (two shuffled sides)
+    lists = (posts.groupBy("shingle")
+             .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+             .filter(F.size("ids") >= 2))
+    pair_expr = F.explode(F.flatten(F.expr(
+        "transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS id_a, y AS id_b)))")))
+    common = (lists.select(pair_expr.alias("p")).select("p.id_a", "p.id_b")
+              .groupBy("id_a", "id_b")
               .agg(F.count(F.lit(1)).cast("long").alias("nc")))
     truth = (common
              .join(sizes.select(F.col("_id").alias("id_a"),
