@@ -174,6 +174,10 @@ def logreg_train(df: DataFrame, label, features: list,
                      *[feat.cast("double").alias(f"_x{j}")
                        for j, feat in enumerate(features)])
     n = base.count()
+    if n == 0:
+        # fail loud: a silent [] return would read as "trained, no
+        # trajectory" and the ZeroDivisionError below is cryptic
+        raise ValueError("logreg_train: empty input — nothing to fit")
     w = [0.0] * (n_feat + 1)  # intercept first
     out: list[dict] = []
     for it in range(1, iters + 1):

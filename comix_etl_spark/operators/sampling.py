@@ -186,7 +186,12 @@ def mixture_allocation(df: DataFrame, domain_col: str, token_col: Column | str,
         w = F.coalesce(F.element_at(F.create_map(*pairs), F.col("_dom")),
                        F.lit(0.0))
     alloc = F.floor(F.col("_total") * budget_frac * w).cast("long")
-    ratio = alloc.cast("double") / F.col("n_tokens").cast("double")
+    # a zero-token domain (all-empty or all-NULL texts) has nothing to
+    # sample: rate and epochs are 0 BY DEFINITION — the bare division
+    # would produce engine-divergent ±inf/NaN floors
+    ratio = F.when(F.col("n_tokens") > 0,
+                   alloc.cast("double") / F.col("n_tokens").cast("double")) \
+             .otherwise(F.lit(0.0))
     return (per.crossJoin(F.broadcast(totals))
             .select(F.col("_dom").alias(domain_col), "n_docs", "n_tokens",
                     alloc.alias("target_tokens"),

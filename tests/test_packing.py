@@ -80,6 +80,21 @@ def test_mixture_allocation_upsampling_and_weights(spark):
     assert out2["small"]["epochs_e6"] == 0
 
 
+def test_mixture_allocation_zero_token_domain(spark):
+    """A domain whose texts carry zero tokens has nothing to sample:
+    rate and epochs must be 0, not an inf/NaN floor from the bare
+    division."""
+    d = spark.createDataFrame(
+        [("live", 100), ("live", 50), ("empty", 0), ("empty", 0)],
+        "dom string, n_tok int")
+    out = {r["dom"]: r for r in mixture_allocation(
+        d, "dom", F.col("n_tok")).collect()}
+    assert out["empty"]["n_tokens"] == 0
+    assert out["empty"]["sample_rate_e6"] == 0
+    assert out["empty"]["epochs_e6"] == 0
+    assert out["live"]["epochs_e6"] > 0
+
+
 def test_balance_downsample_keeps_min_group_and_subsets(spark):
     d = _docs(spark)
     kept = balance_downsample(d, "doc_id", "grp")

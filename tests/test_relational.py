@@ -432,3 +432,15 @@ def test_logreg_train_deterministic_under_repartition(spark):
     t2 = logreg_train(d.repartition(17), F.col("y"), [F.col("x")], iters=3)
     assert [t["w"] for t in t1] == [t["w"] for t in t2]
     assert [t["hits"] for t in t1] == [t["hits"] for t in t2]
+
+
+def test_logreg_train_empty_input_raises(spark):
+    from pyspark.sql import functions as F
+
+    import pytest
+
+    from comix_etl_spark.operators.quality import logreg_train
+
+    empty = spark.range(0).select(F.col("id").cast("double").alias("x"))
+    with pytest.raises(ValueError, match="empty input"):
+        logreg_train(empty, F.col("x") > 0, [F.col("x")])
