@@ -316,6 +316,68 @@ def image_dhash_xwide(df: DataFrame, *, id_col: str = "media_id",
                                     "dhash_v long, dhash_d long"))
 
 
+def image_dhash_qwide(df: DataFrame, *, id_col: str = "media_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """252-bit FOUR-limb perceptual fingerprint ``(dhash_h, dhash_v,
+    dhash_d, dhash_a)`` — the final rung of the width ladder: four
+    63-bit limbs at max_hamming=6 give 7 × 36-bit bands, which by the
+    crossover rule (2^band_bits ≫ corpus/n_bands) carries banded
+    dedup into the 10⁹ LAION regime the PLANS.md ladder note names.
+    As with every rung, the pairing/probe/election machinery is the
+    SAME N-limb code (``hamming_band_pairs`` / ``hamming_band_probe``
+    / ``hamming_fp_dedup``) — this function is the only new code.
+
+    Limbs over the shared 9×8 area-mean grid: h, v, d exactly as
+    ``image_dhash_xwide``; the a-limb packs 56 ANTI-diagonal gradient
+    signs (bit r*8+c = cell (r+1, c) > cell (r, c+1), r∈0..6, c∈0..7)
+    plus 7 skip-one horizontal signs from the top row (bit 56+c =
+    cell (0, c+2) > cell (0, c), c∈0..6) — 63 used bits, no sign bit,
+    all invariant under monotone brightness shifts. Same quarantine
+    contract: undecodable / sub-9×8 payloads → all limbs NULL; NULL
+    ids dropped."""
+    import numpy as np
+
+    def dh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(63, dtype=np.uint64)
+        d_shifts = np.arange(56, dtype=np.uint64)
+        x_shifts = np.arange(56, 63, dtype=np.uint64)
+        for pdf in batches:
+            ids, hs, vs, ds, qs = [], [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = _decode_gray(bytes(payload)) if payload is not None else None
+                if img is None or img.shape[0] < DHASH_H or img.shape[1] < DHASH_W:
+                    ids.append(int(mid))
+                    hs.append(None); vs.append(None)
+                    ds.append(None); qs.append(None)
+                    continue
+                g = _area_resize(img, DHASH_H, DHASH_W)
+                hbits = (g[:, 1:] > g[:, :-1]).flatten()[:63]
+                vbits = (g[1:, :] > g[:-1, :]).flatten()[:63]
+                dbits = (g[1:, 1:] > g[:-1, :-1]).flatten()[:56]
+                abits = (g[1, :7] > g[0, 1:8])
+                qmain = (g[1:, :-1] > g[:-1, 1:]).flatten()[:56]
+                qextra = (g[0, 2:9] > g[0, 0:7])
+                hs.append(int((hbits.astype(np.uint64) << shifts).sum()))
+                vs.append(int((vbits.astype(np.uint64) << shifts).sum()))
+                ds.append(int((dbits.astype(np.uint64) << d_shifts).sum()
+                              + (abits.astype(np.uint64) << x_shifts).sum()))
+                qs.append(int((qmain.astype(np.uint64) << d_shifts).sum()
+                              + (qextra.astype(np.uint64) << x_shifts).sum()))
+                ids.append(int(mid))
+            yield pd.DataFrame({"media_id": ids,
+                                "dhash_h": pd.array(hs, dtype="Int64"),
+                                "dhash_v": pd.array(vs, dtype="Int64"),
+                                "dhash_d": pd.array(ds, dtype="Int64"),
+                                "dhash_a": pd.array(qs, dtype="Int64")})
+
+    return (df.filter(F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias(id_col),
+                    F.col(payload_col).alias(payload_col))
+            .mapInPandas(dh, schema="media_id long, dhash_h long, "
+                                    "dhash_v long, dhash_d long, "
+                                    "dhash_a long"))
+
+
 def frame_sample_plan(df: DataFrame, *, every_ms: int = 1000,
                       duration_col: str = "meta.duration_ms",
                       id_col: str = "media_id") -> DataFrame:

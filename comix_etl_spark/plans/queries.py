@@ -11036,6 +11036,77 @@ _IMG_HASH_XWIDE_CTES = _IMG_HASH_WIDE_CTES + """, dbits AS (
 )"""
 
 
+def q_image_dedup_qwide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup over the 252-bit FOUR-limb fingerprint
+    (multimodal/media.py::image_dhash_qwide — h + v + diag + ANTI-diag
+    limbs, one shared grid) at Hamming ≤ 6 through the UNCHANGED
+    N-limb banding machinery (7 × 36-bit bands over the concatenated
+    space). The ladder's final rung: by the band-sizing rule
+    (2^36 ≫ corpus/7) this width carries banded perceptual dedup into
+    the 10⁹ LAION regime PLANS.md names — and as with every rung it
+    costs ONE fingerprint function and zero new pairing code. All four
+    limbs stay BIGINTs, so DuckDB recomputes the whole
+    decode+banding+election pipeline analytically."""
+    from comix_etl_spark.multimodal.media import image_dhash_qwide
+    from comix_etl_spark.operators.dedup import hamming_fp_dedup
+
+    t = _t(spark, sf_dir, "documents")
+    fps = image_dhash_qwide(_synthetic_images(t["documents"]))
+    out = hamming_fp_dedup(fps, fp_col=["dhash_h", "dhash_v",
+                                        "dhash_d", "dhash_a"],
+                           max_hamming=6)
+    return out.orderBy("media_id")
+
+
+# a-limb layout: 56 anti-diagonal bits (r*8+c, cell (r+1,c) vs
+# (r,c+1)) + 7 skip-one horizontal bits from row 0 (56+c, cell
+# (0,c+2) vs (0,c))
+_IMG_HASH_QWIDE_CTES = _IMG_HASH_XWIDE_CTES + """, qbits AS (
+  SELECT a.doc_id,
+         CASE WHEN n.val > a.val
+              THEN 1::BIGINT << CAST(a.r * 8 + (a.c - 1) AS INT)
+              ELSE 0::BIGINT END AS bitval
+  FROM px a JOIN px n
+    ON n.doc_id = a.doc_id AND n.r = a.r + 1 AND n.c = a.c - 1
+  WHERE a.r < 7 AND a.c BETWEEN 1 AND 8
+  UNION ALL
+  SELECT a.doc_id,
+         CASE WHEN n.val > a.val
+              THEN 1::BIGINT << CAST(56 + a.c AS INT)
+              ELSE 0::BIGINT END AS bitval
+  FROM px a JOIN px n
+    ON n.doc_id = a.doc_id AND n.r = 0 AND a.r = 0 AND n.c = a.c + 2
+  WHERE a.c < 7
+), hashes_qwide AS (
+  SELECT x.doc_id, x.dhash_h, x.dhash_v, x.dhash_d, q.dhash_a
+  FROM hashes_xwide x JOIN (SELECT doc_id, CAST(sum(bitval) AS BIGINT)
+                            AS dhash_a FROM qbits GROUP BY 1) q
+       USING (doc_id)
+)"""
+
+
+ORACLE_IMAGE_DEDUP_QWIDE = f"""
+WITH {_IMG_HASH_QWIDE_CTES}, pairs AS (
+  SELECT a.doc_id AS ia, b2.doc_id AS ib
+  FROM hashes_qwide a JOIN hashes_qwide b2 ON a.doc_id < b2.doc_id
+  WHERE CAST(bit_count(xor(a.dhash_h, b2.dhash_h)) AS INT)
+        + CAST(bit_count(xor(a.dhash_v, b2.dhash_v)) AS INT)
+        + CAST(bit_count(xor(a.dhash_d, b2.dhash_d)) AS INT)
+        + CAST(bit_count(xor(a.dhash_a, b2.dhash_a)) AS INT) <= 6
+), deg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near
+  FROM (SELECT ia AS doc_id FROM pairs
+        UNION ALL SELECT ib AS doc_id FROM pairs) u
+  GROUP BY 1
+)
+SELECT h.doc_id AS media_id, h.dhash_h, h.dhash_v, h.dhash_d, h.dhash_a,
+       coalesce(d.n_near, 0::BIGINT) AS n_near
+FROM hashes_qwide h LEFT JOIN deg d USING (doc_id)
+WHERE h.doc_id NOT IN (SELECT ib FROM pairs)
+ORDER BY media_id
+"""
+
+
 ORACLE_IMAGE_DEDUP_XWIDE = f"""
 WITH {_IMG_HASH_XWIDE_CTES}, pairs AS (
   SELECT a.doc_id AS ia, b2.doc_id AS ib
@@ -12575,6 +12646,11 @@ QUERIES: dict[str, Query] = {
         "189-bit three-limb perceptual dedup (h+v+diag dHash) at "
         "Hamming 6 through the unchanged N-limb banding - the next "
         "width-ladder rung", ("documents",)),
+    "image_dedup_qwide": Query(
+        q_image_dedup_qwide, ORACLE_IMAGE_DEDUP_QWIDE,
+        "252-bit four-limb perceptual dedup (h+v+diag+anti-diag) at "
+        "Hamming 6 - the ladder's LAION-regime rung, zero new pairing "
+        "code", ("documents",)),
     "image_decontaminate_wide": Query(
         q_image_decontaminate_wide, ORACLE_IMAGE_DECONTAMINATE_WIDE,
         "wide-fingerprint eval-set decontamination: two-limb cross-set "
@@ -12686,7 +12762,7 @@ QUERIES: dict[str, Query] = {
 # rows-only, its hash-checked ann_ivf_pq_det sibling IS in the r10
 # window — then hybrid_search_rrf, ivf_pq_recall_eval,
 # ann_ivf_pq_store, stream_ann_probe, mixture_plan,
-# quality_classifier and minhash_pr_eval).
+# quality_classifier, minhash_pr_eval and image_dedup_qwide).
 _CHECK_FIRST = [
     # NEW in r10 — perceptual video dedup (frame dHash -> majority
     # fingerprint -> Hamming election) and its cross-set

@@ -548,6 +548,41 @@ def test_image_dhash_xwide_three_limbs(spark):
     assert 2 in kept and kept[2] == 0
 
 
+def test_image_dhash_qwide_four_limbs(spark):
+    """252-bit rung: h/v/d limbs equal the xwide form bit-for-bit, the
+    a-limb is brightness-invariant like the others, quarantine covers
+    all four, and the FOUR-limb dedup runs through the same
+    hamming_fp_dedup with zero new pairing code (7 × 36-bit bands)."""
+    import random
+
+    from comix_etl_spark.multimodal.media import (
+        image_dhash_qwide, image_dhash_xwide)
+    from comix_etl_spark.operators.dedup import hamming_fp_dedup
+
+    rng = random.Random(47)
+    base = [[rng.randrange(0, 200) for _ in range(9)] for _ in range(8)]
+    bright = [[v + 19 for v in row] for row in base]
+    other = [[rng.randrange(0, 200) for _ in range(9)] for _ in range(8)]
+    rows = [(0, _raw8(base)), (1, _raw8(bright)), (2, _raw8(other)),
+            (3, b"junk")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    q = {r.media_id: (r.dhash_h, r.dhash_v, r.dhash_d, r.dhash_a)
+         for r in image_dhash_qwide(df).collect()}
+    x = {r.media_id: (r.dhash_h, r.dhash_v, r.dhash_d)
+         for r in image_dhash_xwide(df).collect()}
+    assert q[0][:3] == x[0], "h/v/d limbs must equal the xwide form"
+    assert q[0][3] is not None and q[0][3] >= 0
+    assert q[1] == q[0], "brightness shift must not change any limb"
+    assert q[3] == (None, None, None, None)
+    fps = image_dhash_qwide(df)
+    kept = {r.media_id: r.n_near
+            for r in hamming_fp_dedup(
+                fps, fp_col=["dhash_h", "dhash_v", "dhash_d", "dhash_a"],
+                max_hamming=6).collect()}
+    assert 0 in kept and 1 not in kept and kept[0] == 1
+    assert 2 in kept and kept[2] == 0
+
+
 def test_hamming_band_probe_two_limb_cross_set(spark):
     """126-bit cross-set probe: near pairs found across the limb
     boundary, far and partial-NULL rows drop, no corpus self-pairs,
