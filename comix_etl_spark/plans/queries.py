@@ -11388,6 +11388,60 @@ FROM hits GROUP BY 1 ORDER BY media_id
 """
 
 
+def q_image_decontaminate_qwide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-side eval-set decontamination at the ladder's TOP rung:
+    the 252-bit four-limb fingerprint probed cross-set at the
+    equal-rate threshold (Hamming ≤ 8 over 252 bits ≡ 2/63 per limb)
+    through the SAME N-limb machinery (operators/dedup.py::
+    hamming_band_probe — 9 × 28-bit bands over the concatenated
+    space, probe side broadcast, corpus never self-joins). With
+    image_dedup_qwide this completes the modality×width matrix: both
+    dedup AND decontamination run at the 10⁹-regime width, and the
+    rung again costs zero new pairing/probe code."""
+    from comix_etl_spark.multimodal.media import image_dhash_qwide
+    from comix_etl_spark.operators.dedup import hamming_band_probe
+
+    t = _t(spark, sf_dir, "documents")
+    d = t["documents"]
+    corpus = image_dhash_qwide(_synthetic_images(d))
+    probe = image_dhash_qwide(
+        _synthetic_images(d.filter(F.col("doc_id") % 50 == 0)))
+    pairs = hamming_band_probe(corpus, probe,
+                               fp_cols=["dhash_h", "dhash_v",
+                                        "dhash_d", "dhash_a"],
+                               max_hamming=8)
+    return (pairs.groupBy("corpus_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
+                 F.min("hamming").cast("long").alias("min_hamming"))
+            .select(F.col("corpus_id").alias("media_id"),
+                    "n_bench_hits", "min_hamming")
+            .orderBy("media_id"))
+
+
+# all-pairs summed-limb Hamming <= 8 == banded cross-set probe over
+# the concatenated 252-bit space (pigeonhole: <= 8 flips touch <= 8 of
+# 9 bands); limb CTE chain shared with ORACLE_IMAGE_DEDUP_QWIDE.
+# bit_count returns TINYINT — four 63-bit limbs can sum past 127, so
+# every term widens before the addition
+ORACLE_IMAGE_DECONTAMINATE_QWIDE = f"""
+WITH {_IMG_HASH_QWIDE_CTES}, hits AS (
+  SELECT c.doc_id AS cid, p.doc_id AS pid,
+         CAST(bit_count(xor(c.dhash_h, p.dhash_h)) AS INT)
+         + CAST(bit_count(xor(c.dhash_v, p.dhash_v)) AS INT)
+         + CAST(bit_count(xor(c.dhash_d, p.dhash_d)) AS INT)
+         + CAST(bit_count(xor(c.dhash_a, p.dhash_a)) AS INT) AS h
+  FROM hashes_qwide c JOIN hashes_qwide p ON p.doc_id % 50 = 0
+  WHERE CAST(bit_count(xor(c.dhash_h, p.dhash_h)) AS INT)
+        + CAST(bit_count(xor(c.dhash_v, p.dhash_v)) AS INT)
+        + CAST(bit_count(xor(c.dhash_d, p.dhash_d)) AS INT)
+        + CAST(bit_count(xor(c.dhash_a, p.dhash_a)) AS INT) <= 8
+)
+SELECT cid AS media_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+       CAST(min(h) AS BIGINT) AS min_hamming
+FROM hits GROUP BY 1 ORDER BY media_id
+"""
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher/MassiveWeb document-quality rule set (Rae et al.
     2021, Table A1) evaluated per document as scan-local codegen —
@@ -12651,6 +12705,10 @@ QUERIES: dict[str, Query] = {
         "252-bit four-limb perceptual dedup (h+v+diag+anti-diag) at "
         "Hamming 6 - the ladder's LAION-regime rung, zero new pairing "
         "code", ("documents",)),
+    "image_decontaminate_qwide": Query(
+        q_image_decontaminate_qwide, ORACLE_IMAGE_DECONTAMINATE_QWIDE,
+        "four-limb eval-set decontamination: 9x28-bit cross-set probe "
+        "at the ladder's top rung", ("documents",)),
     "image_decontaminate_wide": Query(
         q_image_decontaminate_wide, ORACLE_IMAGE_DECONTAMINATE_WIDE,
         "wide-fingerprint eval-set decontamination: two-limb cross-set "
@@ -12762,7 +12820,8 @@ QUERIES: dict[str, Query] = {
 # rows-only, its hash-checked ann_ivf_pq_det sibling IS in the r10
 # window — then hybrid_search_rrf, ivf_pq_recall_eval,
 # ann_ivf_pq_store, stream_ann_probe, mixture_plan,
-# quality_classifier, minhash_pr_eval and image_dedup_qwide).
+# quality_classifier, minhash_pr_eval, image_dedup_qwide and
+# image_decontaminate_qwide).
 _CHECK_FIRST = [
     # NEW in r10 — perceptual video dedup (frame dHash -> majority
     # fingerprint -> Hamming election) and its cross-set
