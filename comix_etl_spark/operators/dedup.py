@@ -1064,7 +1064,8 @@ def persist_fingerprint_store(fps: DataFrame, table: str, *,
                               id_col: str = "media_id",
                               fp_cols: list[str], max_hamming: int = 2,
                               n_bands: int | None = None,
-                              n_buckets: int = 64) -> None:
+                              n_buckets: int = 64,
+                              mode: str = "overwrite") -> None:
     """Persist a corpus's banded fingerprint rows as a table BUCKETED
     by (band, bv) — the production serving pattern the probe/pairing
     docstrings name: fingerprint the corpus ONCE, pay the band shuffle
@@ -1077,18 +1078,39 @@ def persist_fingerprint_store(fps: DataFrame, table: str, *,
     At 100 TB this converts perceptual dedup from a per-run
     decode+shuffle job into a one-time build + cheap incremental
     reads; incremental ingest appends its batch's band rows with the
-    same bucketing. CONTRACT: the store bakes in its band layout —
-    read-side ``max_hamming`` must stay < the ``n_bands`` used here or
-    the pigeonhole recall guarantee is void (the reader validates
-    against the stored band count it observes)."""
-    from comix_etl_spark.sinks.writers import save_bucketed_table
+    same bucketing (``mode="append"`` — pytest-locked to pair
+    identically to a one-shot rebuild over old∪new, still with zero
+    Exchange in the pairing join). An append validates its band
+    layout against the store's actual max(band) first: appending
+    rows banded differently would silently break the pigeonhole
+    recall guarantee for every later read. CONTRACT: the store bakes
+    in its band layout — read-side ``max_hamming`` must stay < the
+    ``n_bands`` used here or the pigeonhole recall guarantee is void
+    (the reader validates against the stored band count it
+    observes)."""
+    from comix_etl_spark.sinks.writers import (clear_orphan_table_dir,
+                                               save_bucketed_table)
 
     if n_bands is None:
         n_bands = max_hamming + 1
+    spark = fps.sparkSession
+    # overwrite clears a stale prior-session directory; append onto a
+    # catalog-less directory refuses (writers.clear_orphan_table_dir)
+    clear_orphan_table_dir(spark, table, mode)
+    if mode == "append":
+        if spark.catalog.tableExists(table):
+            stored_max = spark.table(table).agg(F.max("band")).first()[0]
+            if stored_max is not None and stored_max + 1 != n_bands:
+                raise ValueError(
+                    f"persist_fingerprint_store: append with "
+                    f"n_bands={n_bands} onto a store banded "
+                    f"{stored_max + 1} ways — mixed band layouts void "
+                    f"the recall guarantee; rebuild or match the "
+                    f"stored layout")
     rows = fingerprint_band_rows(fps, id_col=id_col, fp_cols=fp_cols,
                                  n_bands=n_bands)
     save_bucketed_table(rows, table, ["band", "bv"], n_buckets,
-                        sort_cols=["band", "bv"])
+                        sort_cols=["band", "bv"], mode=mode)
 
 
 def near_dup_pairs_from_store(spark, table: str, *,

@@ -144,8 +144,12 @@ def logreg_train(df: DataFrame, label, features: list,
                  *, lr: float = 1.0, iters: int = 3) -> list[dict]:
     """Train a logistic-style classifier IN-ENGINE by batch gradient
     descent — the distributed "quality classifier" step of a web-corpus
-    pipeline (fastText-shaped: surface features → linear model), with
-    every iteration ONE scan-local aggregate over the corpus.
+    pipeline (fastText-shaped: surface features → linear model). Each
+    iteration runs TWO scan-local aggregates over the cached feature
+    projection — gradient, then the updated weights' exact accuracy —
+    plus one count up front; the projection itself is computed once
+    (localCheckpoint) so the 2·iters+1 passes reread a narrow
+    materialized (y, x0..xk) frame, not the raw corpus.
 
     Engine-reproducibility contract (what makes the trajectory
     hash-checkable): the sigmoid is the PIECEWISE-RATIONAL surrogate
@@ -173,6 +177,10 @@ def logreg_train(df: DataFrame, label, features: list,
     base = df.select(y.alias("_y"),
                      *[feat.cast("double").alias(f"_x{j}")
                        for j, feat in enumerate(features)])
+    # 2·iters+1 downstream scans (gradient + accuracy per iteration,
+    # plus this count) — materialize the narrow projection ONCE so the
+    # feature expressions don't re-run over the raw corpus every pass
+    base = base.localCheckpoint(eager=True)
     n = base.count()
     if n == 0:
         # fail loud: a silent [] return would read as "trained, no

@@ -180,12 +180,18 @@ def mixture_allocation(df: DataFrame, domain_col: str, token_col: Column | str,
     totals = per.agg(F.sum("n_tokens").cast("double").alias("_total"),
                      F.count(F.lit(1)).cast("double").alias("_n_dom"))
     if weights is None:
-        w = F.lit(1.0) / F.col("_n_dom")
+        # direct division, NOT `* (1.0 / n)`: x*(1/n) != x/n in IEEE
+        # doubles at exact-integer boundaries (total=4900, n=49 gives
+        # 49 vs 50 under the reciprocal form), and the DuckDB oracle
+        # divides — the floor() makes the one-ulp gap a full-integer
+        # cross-engine mismatch
+        alloc = F.floor(F.col("_total") * budget_frac
+                        / F.col("_n_dom")).cast("long")
     else:
         pairs = [x for kv in weights.items() for x in (F.lit(kv[0]), F.lit(float(kv[1])))]
         w = F.coalesce(F.element_at(F.create_map(*pairs), F.col("_dom")),
                        F.lit(0.0))
-    alloc = F.floor(F.col("_total") * budget_frac * w).cast("long")
+        alloc = F.floor(F.col("_total") * budget_frac * w).cast("long")
     # a zero-token domain (all-empty or all-NULL texts) has nothing to
     # sample: rate and epochs are 0 BY DEFINITION — the bare division
     # would produce engine-divergent ±inf/NaN floors

@@ -513,8 +513,23 @@ def train_residual_codebooks(corpus: DataFrame, centers, *,
 
     Same bounded driver-sample contract as train_ivf_centroids /
     train_pq_codebooks: ``sample_rows`` vectors (a few MB at any corpus
-    size), seconds of numpy, deterministic under the seed."""
+    size), seconds of numpy, deterministic under the seed.
+
+    Refuses centers whose scale is grossly off the unit sphere the
+    assignment side normalizes onto (median ‖c‖ > 4): that is the
+    raw-train/normalized-assign mismatch the r10c 1M run measured
+    (99.4% of rows collapsing into 24/256 lists) — pass
+    ``train_ivf_centroids(..., normalize=True)`` centers instead.
+    One-sided on purpose: means of unit vectors legitimately have
+    norm ≤ 1, so small norms are not evidence of a mismatch."""
     ct = np.asarray(centers, dtype=np.float64)
+    med = float(np.median(np.linalg.norm(ct, axis=1)))
+    if med > 4.0:
+        raise ValueError(
+            f"train_residual_codebooks: median center norm {med:.2f} is "
+            f"far off the unit sphere this trainer assigns on — centers "
+            f"look raw-scale; train with "
+            f"train_ivf_centroids(normalize=True)")
     rows = (corpus.select(vec_col).limit(sample_rows)).collect()
     x = np.array([r[0] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(x, axis=1)
@@ -729,24 +744,14 @@ def persist_ivf_pq_store(corpus: DataFrame, centers, codebooks,
     CONTRACT: the store bakes in its (centers, codebooks) — probes must
     pass the SAME ones or ADC scores are garbage; persist them
     alongside the table in production."""
-    from comix_etl_spark.sinks.writers import save_as_table
+    from comix_etl_spark.sinks.writers import (clear_orphan_table_dir,
+                                               save_as_table)
 
     spark = corpus.sparkSession
-    if not spark.catalog.tableExists(table):
-        # an orphaned managed-table DIRECTORY from a previous session
-        # (local warehouse dirs outlive the catalog that created them)
-        # fails CREATE with LOCATION_ALREADY_EXISTS even under
-        # mode=overwrite — clear the orphan for local/file warehouses;
-        # a production catalog (Hive/Glue/UC) owns this lifecycle
-        wh = spark.conf.get("spark.sql.warehouse.dir", "")
-        local = wh[len("file:"):] if wh.startswith("file:") else wh
-        if local and "://" not in local:
-            import os
-            import shutil
-
-            orphan = os.path.join(local, table.lower())
-            if os.path.isdir(orphan):
-                shutil.rmtree(orphan, ignore_errors=True)
+    # overwrite clears a stale prior-session directory; append onto a
+    # catalog-less directory REFUSES instead of silently replacing the
+    # index with one batch (writers.clear_orphan_table_dir)
+    clear_orphan_table_dir(spark, table, mode)
     enc = ivf_pq_encode(spread_small_scan(corpus.select(id_col, vec_col)),
                         centers, codebooks, id_col=id_col, vec_col=vec_col)
     save_as_table(enc, table, partition_by=["centroid_id"], mode=mode)
@@ -995,6 +1000,35 @@ def kcenter_sample(df: DataFrame, *, id_col: str = "vec_id",
                      / (F.col("_n") * F.lit(cn)))
         return F.round((F.lit(1.0) - F.round(cos, 6)) * 1e6).cast("long")
 
+    def _mindist_update(vecs: list[list]):
+        # the batch-path _md update as ONE aggregate() fold over an
+        # array-of-structs literal of this round's accepted centers
+        # (vector + driver-side norm): codegen compiles a single loop
+        # body regardless of how many centers the batch accepted. The
+        # per-center least(_md, _dist(v), …) chain it replaces
+        # compiled O(accepted·dim) expression nodes per round and
+        # regressed wall time beyond batch=16 (PLANS.md r10 — the
+        # measured codegen-literal ceiling this form removes). Math is
+        # bit-identical to _dist: same dot() fold, same 6dp rounding,
+        # and int64 least() is associative, NULL-skipping included
+        # (zero-norm rows/centers yield NULL, skipped — pytest-locked
+        # output equality at k=64 with a zero-norm vector).
+        cents = F.array(*[
+            F.struct(
+                F.array(*[F.lit(float(x)) for x in v]).alias("cv"),
+                F.lit(math.sqrt(sum((x * x for x in v), 0.0))).alias("cn"))
+            for v in vecs])
+
+        def _step(acc, c):
+            cos = F.when((F.col("_n") > 0) & (c["cn"] > 0),
+                         dot(F.col("_v"), c["cv"])
+                         / (F.col("_n") * c["cn"]))
+            return F.least(acc,
+                           F.round((F.lit(1.0) - F.round(cos, 6)) * 1e6)
+                           .cast("long"))
+
+        return F.aggregate(cents, F.col("_md"), _step)
+
     if batch < 1:
         raise ValueError("batch must be >= 1")
     if batch > 1:
@@ -1051,9 +1085,7 @@ def kcenter_sample(df: DataFrame, *, id_col: str = "vec_id",
                     vals = [v for v in (upd[i], mat.get((i, best)))
                             if v is not None]
                     upd[i] = min(vals) if vals else None
-            cur = cur.withColumn(
-                "_md", F.least(F.col("_md"),
-                               *[_dist(v) for v in accepted_vecs]))
+            cur = cur.withColumn("_md", _mindist_update(accepted_vecs))
     elif cached:
         cur = src.withColumn("_md", _dist(list(seed[0]._v)))
         for _ in range(1, k):

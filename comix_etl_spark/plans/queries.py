@@ -10707,6 +10707,47 @@ ORDER BY media_id
 """
 
 
+def q_dedup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental fingerprint-store ingest END-TO-END: fingerprint an
+    OLD corpus (variants 0–2 of each image group) and build the
+    (band, bv)-bucketed store (operators/dedup.py::
+    persist_fingerprint_store — the band shuffle paid once at write),
+    then APPEND a NEW batch (variants 3–4) with the same bucketing,
+    and pair from the store (near_dup_pairs_from_store): the bucketed
+    sort-merge self-join sees old↔old, old↔new AND new↔new pairs with
+    zero Exchange, exactly as if the store had been built one-shot
+    over the union — the no-rebuild production ingest shape
+    (pytest-locked plan + equality in tests/test_dedup.py::
+    test_fingerprint_store_incremental_append). The oracle recomputes
+    the dHashes analytically and pairs ALL-PAIRS at Hamming ≤ 2, which
+    the banded store matches exactly by pigeonhole recall."""
+    from comix_etl_spark.multimodal.media import image_dhash
+    from comix_etl_spark.operators.dedup import (
+        near_dup_pairs_from_store, persist_fingerprint_store)
+
+    t = _t(spark, sf_dir, "documents")
+    fps = image_dhash(_synthetic_images(t["documents"]))
+    persist_fingerprint_store(fps.filter(F.col("media_id") % 5 < 3),
+                              "comix_fp_inc_store", fp_cols=["dhash"],
+                              max_hamming=2)
+    persist_fingerprint_store(fps.filter(F.col("media_id") % 5 >= 3),
+                              "comix_fp_inc_store", fp_cols=["dhash"],
+                              max_hamming=2, mode="append")
+    return (near_dup_pairs_from_store(spark, "comix_fp_inc_store",
+                                      fp_cols=["dhash"], max_hamming=2)
+            .orderBy("id_a", "id_b"))
+
+
+ORACLE_DEDUP_INCREMENTAL_STORE = f"""
+WITH {_IMG_HASH_CTES}
+SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b2.dhash)) AS BIGINT) AS hamming
+FROM hashes a JOIN hashes b2 ON a.doc_id < b2.doc_id
+WHERE bit_count(xor(a.dhash, b2.dhash)) <= 2
+ORDER BY id_a, id_b
+"""
+
+
 def q_image_dedup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup over the WIDE 126-bit two-limb
     fingerprint (multimodal/media.py::image_dhash_wide — horizontal +
@@ -12690,6 +12731,11 @@ QUERIES: dict[str, Query] = {
         q_video_decontaminate, ORACLE_VIDEO_DECONTAMINATE,
         "video-side eval-set decontamination: majority fingerprints "
         "through the broadcast cross-set band probe", ("documents",)),
+    "dedup_incremental_store": Query(
+        q_dedup_incremental_store, ORACLE_DEDUP_INCREMENTAL_STORE,
+        "incremental fingerprint-store ingest: build on the old "
+        "corpus, append the new batch, pair old+new from the bucketed "
+        "store with zero Exchange", ("documents",)),
     "image_dedup_wide": Query(
         q_image_dedup_wide, ORACLE_IMAGE_DEDUP_WIDE,
         "Wide 126-bit two-limb perceptual image dedup (h+v dHash, "
@@ -12823,35 +12869,43 @@ QUERIES: dict[str, Query] = {
 # quality_classifier, minhash_pr_eval, image_dedup_qwide and
 # image_decontaminate_qwide).
 _CHECK_FIRST = [
-    # NEW in r10 — perceptual video dedup (frame dHash -> majority
-    # fingerprint -> Hamming election) and its cross-set
-    # decontamination probe, the wide 126-bit two-limb image dedup +
-    # decontamination (the LAION-scale path past the 63-bit ceiling),
-    # the batched k-center acceptance path (identical contract), and
-    # CCNet head/middle/tail bucketing over the routed global fences
-    "video_dedup", "video_decontaminate", "image_dedup_wide",
-    "image_decontaminate_wide", "kcenter_batched", "ccnet_buckets",
-    "filter_funnel", "stream_image_dedup", "audio_decontaminate",
-    "image_dedup_xwide",
-    # the r5-era §2 serving core, 5 rounds stale — cheap scan/merge/
-    # agg shapes
-    "keyed_scan", "search_substring", "relevance_search", "semi_join",
-    "orphan_count", "quality_metrics", "insert_if_absent",
-    "upsert_selective", "money_cents", "prefix_crawl", "variant_flag",
-    "token_overlap", "lexicographic_sort", "monthly_buckets",
-    "order_sequence", "segment_totals", "top_customer_per_nation",
-    "duplicate_keys", "event_pivot", "guardrail_check",
-    "moving_average", "price_outliers", "pricing_summary",
-    "sales_rollup", "range_join",
-    # r5-era text/dedup/ANN families — heavier pair/probe shapes
-    "doc_quality", "lang_id", "token_counts", "corpus_prep",
-    "ngram_jaccard", "dedup_clusters", "dedup_embedding",
-    "ann_cosine_topk", "ann_ivf_det", "ann_lsh_det",
-    # r5-era rows-only checks (hash-green _det siblings are r6-green)
-    "minhash_lsh", "simhash_pairs", "ann_lsh", "ann_ivf",
-    # newest first-timer: the composed IVF-PQ pipeline under a full
-    # analytic oracle (routing + residual encode + IVFADC + re-rank)
-    "ann_ivf_pq_det",
+    # r11 ROTATION (VERDICT r10 "Next round" #1/#3): FIRST-TIMERS
+    # lead — the 10 r10-session-2 queries that landed after the r10
+    # window ran (the IVF-PQ-store / hybrid-retrieval / classifier /
+    # mixture / qwide family — the r10 headline work, local-parity
+    # only until now; ann_ivf_pq is rows-only, its hash-checked
+    # ann_ivf_pq_det sibling is r10-green) plus the r11-new
+    # incremental fingerprint-store ingest. mixture_plan leads: its
+    # uniform allocation was fixed this round (x·0.5/n, not
+    # x·0.5·(1/n) — IEEE boundary mismatch vs the oracle).
+    "mixture_plan", "ann_ivf_pq_store", "stream_ann_probe",
+    "ivf_pq_recall_eval", "hybrid_search_rrf", "minhash_pr_eval",
+    "quality_classifier", "image_dedup_qwide",
+    "image_decontaminate_qwide", "ann_ivf_pq",
+    "dedup_incremental_store",
+    # the round's one flagged perf regression — also r6-stale
+    "minhash_lsh_det",
+    # r6-era verdicts, 4 rounds stale: the TPC-H silhouette batch ...
+    "big_orders", "promo_share", "returned_items", "top_supplier",
+    "discount_revenue", "local_supplier_volume", "priority_mix",
+    # ... the sketch/eval family ...
+    "hll_rollup", "weighted_median", "chi_square", "analyze_stats",
+    "approx_cardinality_check", "approx_percentiles_check",
+    "benford_deviation", "drift_psi", "cusum_changepoint",
+    # ... streaming / search / clustering movers ...
+    "stream_outer_join", "bm25_search", "kmeans_assign_det",
+    "centroid_cohesion", "ann_pq_det", "dedup_clusters_lsh_det",
+    "simhash_det",
+    # ... and the rest of the r6 backlog that fits this window
+    "attribution", "bpe_pair_counts", "cdc_chunking",
+    "hierarchy_rollup", "interval_overlap", "pagerank",
+    "pareto_frontier", "range_frame_window", "schema_evolution",
+    "sequence_gaps", "set_operations", "supplier_triangles",
+    "vocab_coverage", "weighted_sample", "zorder_layout",
+    # r12 BACKLOG (r6-era, deferred — queue these first next round):
+    # hash_split, idle_customers, bracket_revenue, important_parts,
+    # min_cost_supplier, order_priority_check, profit_by_nation,
+    # promo_suppliers, supplier_variety, trade_volume
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 QUERIES = {

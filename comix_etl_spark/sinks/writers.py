@@ -208,6 +208,42 @@ def save_bucketed_table(df: DataFrame, name: str, bucket_cols: list[str],
     writer.saveAsTable(name)
 
 
+def clear_orphan_table_dir(spark: SparkSession, table: str,
+                           mode: str = "overwrite") -> None:
+    """Handle an orphaned managed-table DIRECTORY from a previous
+    session (local warehouse dirs outlive the in-memory catalog that
+    created them): a fresh session's CREATE fails with
+    LOCATION_ALREADY_EXISTS even under ``mode="overwrite"``. Under
+    overwrite the orphan is dead weight — clear it (local/file
+    warehouses only; a production catalog owns this lifecycle). Under
+    append the directory holds the very data the caller means to GROW —
+    deleting it would silently replace the store with one batch, so
+    REFUSE and make the caller choose (rebuild, or re-register the
+    table in this session's catalog first). No-op when the table is
+    registered or the warehouse is remote."""
+    if spark.catalog.tableExists(table):
+        return
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    local = wh[len("file:"):] if wh.startswith("file:") else wh
+    if not local or "://" in local:
+        return
+    import os
+    import shutil
+
+    orphan = os.path.join(local, table.lower())
+    if not os.path.isdir(orphan):
+        return
+    if mode != "overwrite":
+        raise ValueError(
+            f"mode={mode!r} but table {table!r} is not in the catalog "
+            f"while its data directory {orphan!r} exists (stale "
+            f"warehouse from a prior session). Appending would require "
+            f"deleting the existing store — refusing. Either "
+            f"re-register the table in this session's catalog or "
+            f"rebuild with mode='overwrite'.")
+    shutil.rmtree(orphan, ignore_errors=True)
+
+
 def bootstrap_tables(spark: SparkSession, ddl: dict[str, T.StructType]) -> None:
     """S13 — ``CREATE TABLE IF NOT EXISTS`` for every declared schema
     (the reference bootstraps its star schema before each run; rerunning

@@ -513,6 +513,55 @@ def test_fingerprint_store_no_exchange_pairing(spark):
         spark.sql("DROP TABLE IF EXISTS fp_store_t")
 
 
+def test_fingerprint_store_incremental_append(spark):
+    """Incremental index growth: build the store on corpus A, APPEND
+    batch B's band rows, and the pairing must equal a one-shot build
+    over A∪B — including the cross A↔B pairs only the append can see —
+    while the corpus-scale join still runs with ZERO Exchange (old and
+    appended files share the bucketed layout). Appending a mismatched
+    band layout refuses before writing anything."""
+    import pytest as _pt
+
+    from comix_etl_spark.operators.dedup import (
+        hamming_band_pairs, near_dup_pairs_from_store,
+        persist_fingerprint_store)
+
+    base = (1 << 55) | (1 << 21) | 9
+    rows_a = [(i, base ^ (1 << (i * 3))) for i in range(8)]
+    rows_b = ([(i, base ^ (1 << (i * 3))) for i in range(8, 12)]
+              + [(50, (1 << 61) - 77), (51, None)])
+    fa = spark.createDataFrame(rows_a, "media_id long, dhash long")
+    fb = spark.createDataFrame(rows_b, "media_id long, dhash long")
+    persist_fingerprint_store(fa, "fp_inc_t", fp_cols=["dhash"],
+                              max_hamming=2)
+    try:
+        with _pt.raises(ValueError, match="band layout"):
+            persist_fingerprint_store(fb, "fp_inc_t", fp_cols=["dhash"],
+                                      max_hamming=2, n_bands=5,
+                                      mode="append")
+        persist_fingerprint_store(fb, "fp_inc_t", fp_cols=["dhash"],
+                                  max_hamming=2, mode="append")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = near_dup_pairs_from_store(spark, "fp_inc_t",
+                                        fp_cols=["dhash"], max_hamming=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        join_sub = plan[plan.index("SortMergeJoin"):]
+        assert "Exchange" not in join_sub, join_sub
+        both = spark.createDataFrame(rows_a + rows_b,
+                                     "media_id long, dhash long")
+        direct = sorted(map(tuple,
+                            hamming_band_pairs(both, fp_cols=["dhash"],
+                                               max_hamming=2).collect()))
+        stored = sorted(map(tuple, out.collect()))
+        assert direct == stored and len(stored) > 0
+        # the cross old↔new pairs are present — the whole point of append
+        assert any(a < 8 <= b for a, b, _ in stored)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS fp_inc_t")
+
+
 def test_image_dhash_xwide_three_limbs(spark):
     """189-bit rung: h/v limbs equal the wide form bit-for-bit, the
     d-limb is brightness-invariant like the others, quarantine covers

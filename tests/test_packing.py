@@ -80,6 +80,20 @@ def test_mixture_allocation_upsampling_and_weights(spark):
     assert out2["small"]["epochs_e6"] == 0
 
 
+def test_mixture_allocation_exact_integer_boundary(spark):
+    """floor(total * frac / n) at an exact-integer boundary: 49 domains
+    of 100 tokens each, budget_frac 0.5 → total·0.5/n = 50.0 exactly.
+    The reciprocal form floor(total·0.5·(1/n)) lands one BELOW (IEEE:
+    4900·0.5·(1/49) = 49.999…), which is a full-integer cross-engine
+    mismatch after the floor — the allocation must divide directly,
+    matching the DuckDB oracle's operation order."""
+    d = spark.createDataFrame(
+        [(f"d{i:02d}", 100) for i in range(49)], "dom string, n_tok int")
+    out = mixture_allocation(d, "dom", F.col("n_tok")).collect()
+    assert all(r["target_tokens"] == 50 for r in out), \
+        sorted({r["target_tokens"] for r in out})
+
+
 def test_mixture_allocation_zero_token_domain(spark):
     """A domain whose texts carry zero tokens has nothing to sample:
     rate and epochs must be 0, not an inf/NaN floor from the bare

@@ -209,7 +209,7 @@ def test_ivf_pq_encode_layout(spark, sf_small):
     from comix_etl_spark.session import load_tables
 
     emb = load_tables(spark, sf_small, ("embeddings",))["embeddings"]
-    centers = train_ivf_centroids(emb, n_centroids=4)
+    centers = train_ivf_centroids(emb, n_centroids=4, normalize=True)
     books = train_residual_codebooks(emb, centers, m=8, k=16)
     assert books.shape == (8, 16, 8)
     rows = ivf_pq_encode(emb.limit(25), centers, books).collect()
@@ -235,7 +235,7 @@ def test_ivf_pq_store_partition_pruned_probe(spark, sf_small):
     from comix_etl_spark.session import load_tables
 
     emb = load_tables(spark, sf_small, ("embeddings",))["embeddings"]
-    centers = train_ivf_centroids(emb, n_centroids=8)
+    centers = train_ivf_centroids(emb, n_centroids=8, normalize=True)
     books = train_residual_codebooks(emb, centers, m=8, k=16)
     qdf = (emb.filter(F.col("vec_id").isin(0, 1, 2))
            .select(F.col("vec_id").alias("query_id"), "embedding"))
@@ -463,6 +463,11 @@ def test_kcenter_batched_matches_cached_form(spark, sf_small):
     cached = kcenter_sample(src, k=64, cached=True).collect()
     batched = kcenter_sample(src, k=64, batch=8).collect()
     assert [tuple(r) for r in cached] == [tuple(r) for r in batched]
+    # batch=64: one fetch round at most — the broadcast-array
+    # aggregate() _md update (r11) folds all 63 post-seed acceptances
+    # in single-loop codegen; output must stay bit-identical
+    wide = kcenter_sample(src, k=64, batch=64).collect()
+    assert [tuple(r) for r in cached] == [tuple(r) for r in wide]
     # k > corpus: both return every point, same order
     tiny = src.limit(5)
     a = kcenter_sample(tiny, k=64, cached=True).collect()

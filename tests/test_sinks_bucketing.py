@@ -42,6 +42,33 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS bt_dims")
 
 
+def test_clear_orphan_table_dir_refuses_append(spark, tmp_path, monkeypatch):
+    """A managed-table directory left by a PRIOR session (catalog has no
+    entry): overwrite clears it, but append must REFUSE — rmtree'ing it
+    would silently replace the store the caller meant to grow with just
+    the new batch (the r10 advisory on persist_ivf_pq_store)."""
+    import os
+
+    import pytest as _pt
+
+    from comix_etl_spark.sinks.writers import clear_orphan_table_dir
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    local = wh[len("file:"):] if wh.startswith("file:") else wh
+    orphan = os.path.join(local, "orphan_store_t")
+    os.makedirs(orphan, exist_ok=True)
+    try:
+        with _pt.raises(ValueError, match="refusing"):
+            clear_orphan_table_dir(spark, "orphan_store_t", "append")
+        assert os.path.isdir(orphan)  # refused WITHOUT deleting
+        clear_orphan_table_dir(spark, "orphan_store_t", "overwrite")
+        assert not os.path.isdir(orphan)
+    finally:
+        import shutil
+
+        shutil.rmtree(orphan, ignore_errors=True)
+
+
 def test_schema_evolution_merge_read(spark):
     """Parquet schema evolution: a landing zone whose later batches add
     a column must read as ONE table with mergeSchema, old rows
