@@ -1051,19 +1051,42 @@ def kcenter_sample(df: DataFrame, *, id_col: str = "vec_id",
             # in hand and no outside point can outrank anything here
             exhausted = len(cand) < batch
             bound = None if exhausted else cand[-1]._md
-            # pairwise quantized distances among candidates via the
-            # SAME _dist expression (bit-identical acceptance math)
+            # pairwise quantized distances among candidates — same
+            # dot/round math as _dist, but as ONE transform() over an
+            # array-of-structs literal (→ array<long> per row) instead
+            # of one column per candidate: the per-column form compiled
+            # O(batch·dim) expression nodes and was the residual
+            # compile cost after the _md update moved to aggregate()
+            # (measured r11: batch=64 at k=512 was still 1.05× over
+            # batch=16 with only the _md fold converted)
             mat: dict[tuple[int, int], int | None] = {}
             if len(cand) > 1:
                 cdf = spark.createDataFrame(
                     [(c._id, list(c._v), float(c._n)) for c in cand],
                     "_id long, _v array<double>, _n double")
+                import math as _math
+
+                cents = F.array(*[
+                    F.struct(
+                        F.array(*[F.lit(float(x)) for x in c._v])
+                        .alias("cv"),
+                        F.lit(_math.sqrt(sum((float(x) * float(x)
+                                              for x in c._v), 0.0)))
+                        .alias("cn"))
+                    for c in cand])
+
+                def _dvec(c):
+                    cos = F.when((F.col("_n") > 0) & (c["cn"] > 0),
+                                 dot(F.col("_v"), c["cv"])
+                                 / (F.col("_n") * c["cn"]))
+                    return (F.round((F.lit(1.0) - F.round(cos, 6)) * 1e6)
+                            .cast("long"))
+
                 drow = cdf.select(
-                    "_id", *[_dist(list(c._v)).alias(f"_d{j}")
-                             for j, c in enumerate(cand)]).collect()
+                    "_id", F.transform(cents, _dvec).alias("_ds")).collect()
                 for r in drow:
                     for j, c in enumerate(cand):
-                        mat[(r._id, c._id)] = r[f"_d{j}"]
+                        mat[(r._id, c._id)] = r["_ds"][j]
             upd = {c._id: c._md for c in cand}
             vecs = {c._id: list(c._v) for c in cand}
             pending = [c._id for c in cand]
