@@ -278,6 +278,19 @@ def dedup_against_corpus(batch: DataFrame, corpus: DataFrame, id_col: str,
                   .select(F.col("a._id").alias("id_new"),
                           F.col("b._id").alias("id_old"))
                   .distinct())
+    return _best_match_verify(candidates, batch, corpus, id_col, text_col,
+                              n=n, threshold=threshold)
+
+
+def _best_match_verify(candidates: DataFrame, batch: DataFrame,
+                       corpus: DataFrame, id_col: str, text_col: str, *,
+                       n: int, threshold: float) -> DataFrame:
+    """Shared exact-Jaccard verification + best-match election tail of
+    the incremental screens (``dedup_against_corpus`` and the
+    store-backed probe): join each (id_new, id_old) candidate's shingle
+    SETS, keep Jaccard ≥ threshold, report each batch doc's best corpus
+    match (max Jaccard, ties to the smallest corpus id). Work is
+    O(candidates) — the LSH contract."""
     sh_new = batch.select(F.col(id_col).alias("id_new"),
                           shingles(text_col, n).alias("sh_n"))
     sh_old = corpus.select(F.col(id_col).alias("id_old"),
@@ -1111,6 +1124,85 @@ def persist_fingerprint_store(fps: DataFrame, table: str, *,
                                  n_bands=n_bands)
     save_bucketed_table(rows, table, ["band", "bv"], n_buckets,
                         sort_cols=["band", "bv"], mode=mode)
+
+
+def persist_minhash_store(corpus: DataFrame, table: str, *, id_col: str,
+                          text_col: str, num_hashes: int = 32,
+                          bands: int = 8, n: int = 3,
+                          hash_fn: str = "xxhash64", n_buckets: int = 64,
+                          mode: str = "overwrite") -> None:
+    """Persist a corpus's MinHash band rows (``minhash_band_rows``) as
+    a table BUCKETED by (band, bucket) — the TEXT-side sibling of
+    ``persist_fingerprint_store`` and exactly the production shape the
+    ``dedup_against_corpus`` docstring names: shingle + sign the corpus
+    ONCE, pay the band shuffle ONCE at write, and every later
+    daily-batch probe (``dedup_against_store``) joins the landed layout
+    without re-signing or reshuffling the corpus.
+
+    Incremental ingest appends a new batch's band rows with the same
+    bucketing (``mode="append"`` — pytest-locked to probe identically
+    to a one-shot build over old∪new). An append validates its band
+    layout against the store's actual max(band): rows banded
+    differently would silently change the collision probability
+    1−(1−s^r)^b every later probe relies on. CONTRACT: the store bakes
+    in (num_hashes, bands, n, hash_fn) — probes must pass the SAME
+    ones or buckets simply never collide; persist them alongside the
+    table in production."""
+    from comix_etl_spark.sinks.writers import (clear_orphan_table_dir,
+                                               save_bucketed_table)
+
+    spark = corpus.sparkSession
+    clear_orphan_table_dir(spark, table, mode)
+    if mode == "append" and spark.catalog.tableExists(table):
+        stored_max = spark.table(table).agg(F.max("band")).first()[0]
+        if stored_max is not None and stored_max + 1 != bands:
+            raise ValueError(
+                f"persist_minhash_store: append with bands={bands} onto "
+                f"a store banded {stored_max + 1} ways — mixed band "
+                f"layouts change the collision probability under every "
+                f"later probe; rebuild or match the stored layout")
+    rows = minhash_band_rows(corpus, id_col, text_col,
+                             num_hashes=num_hashes, bands=bands, n=n,
+                             hash_fn=hash_fn)
+    save_bucketed_table(rows, table, ["band", "bucket"], n_buckets,
+                        sort_cols=["band", "bucket"], mode=mode)
+
+
+def dedup_against_store(batch: DataFrame, corpus: DataFrame, table: str, *,
+                        id_col: str, text_col: str, num_hashes: int = 32,
+                        bands: int = 8, n: int = 3, threshold: float = 0.5,
+                        hash_fn: str = "xxhash64") -> DataFrame:
+    """INCREMENTAL near-dup screen against a PERSISTED MinHash store
+    (``persist_minhash_store``) — output-identical to
+    ``dedup_against_corpus`` on the same corpus (pytest-locked), but
+    the corpus is never re-shingled, re-signed or re-banded: only the
+    BATCH computes signatures, and its band rows BROADCAST onto the
+    landed (band, bucket) layout (batch ≪ corpus by the incremental
+    contract), so the 100 TB side contributes one bucketed scan and
+    zero shuffle to candidate generation. ``corpus`` supplies document
+    text ONLY for the exact-Jaccard verification of the bounded
+    candidate set (the candidate ids broadcast back, so that join is
+    scan-local too). Validates ``bands`` against the store's actual
+    band count instead of trusting the caller."""
+    spark = batch.sparkSession
+    ob = spark.table(table)
+    stored_max = ob.agg(F.max("band")).first()[0]
+    if stored_max is not None and stored_max + 1 != bands:
+        raise ValueError(
+            f"dedup_against_store: probe with bands={bands} against a "
+            f"store banded {stored_max + 1} ways — buckets would never "
+            f"collide; match the stored layout")
+    nb = minhash_band_rows(batch, id_col, text_col, num_hashes=num_hashes,
+                           bands=bands, n=n, hash_fn=hash_fn)
+    candidates = (F.broadcast(nb).alias("a")
+                  .join(ob.alias("b"),
+                        (F.col("a.band") == F.col("b.band"))
+                        & (F.col("a.bucket") == F.col("b.bucket")))
+                  .select(F.col("a._id").alias("id_new"),
+                          F.col("b._id").alias("id_old"))
+                  .distinct())
+    return _best_match_verify(candidates, batch, corpus, id_col, text_col,
+                              n=n, threshold=threshold)
 
 
 def near_dup_pairs_from_store(spark, table: str, *,

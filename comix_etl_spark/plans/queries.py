@@ -10048,6 +10048,37 @@ SELECT id_new AS doc_id, id_old AS match_id, jaccard FROM (
 """
 
 
+def q_dedup_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-STORE daily-crawl dedup END-TO-END
+    (operators/dedup.py::persist_minhash_store +
+    dedup_against_store): the landed corpus's MinHash band rows are
+    built into the (band, bucket)-bucketed store in TWO writes — an
+    initial build (doc_id % 10 in 1..5) plus an incremental APPEND
+    (6..9), the no-rebuild ingest shape — then the batch
+    (doc_id % 10 = 0) probes it: only the batch signs, its band rows
+    broadcast onto the landed layout, and the corpus contributes one
+    bucketed scan and zero shuffle to candidate generation. Output is
+    identical to dedup_incremental BY CONSTRUCTION (same md5 det
+    family, same verify), so the same oracle hash-checks the whole
+    store round-trip (build → append → broadcast probe → verify)."""
+    from comix_etl_spark.operators import dedup as D
+
+    t = _t(spark, sf_dir, "documents")
+    docs = t["documents"]
+    common = dict(id_col="doc_id", text_col="text", num_hashes=16,
+                  bands=4, n=3, hash_fn="md5")
+    D.persist_minhash_store(
+        docs.filter((F.col("doc_id") % 10 >= 1) & (F.col("doc_id") % 10 <= 5)),
+        "comix_minhash_store", **common)
+    D.persist_minhash_store(docs.filter(F.col("doc_id") % 10 >= 6),
+                            "comix_minhash_store", mode="append", **common)
+    return (D.dedup_against_store(docs.filter(F.col("doc_id") % 10 == 0),
+                                  docs.filter(F.col("doc_id") % 10 != 0),
+                                  "comix_minhash_store", threshold=0.3,
+                                  **common)
+            .orderBy("doc_id"))
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END semantic dedup — the full production composition in
     one plan: exact embedding-cosine near-dup pairs (threshold 0.4,
@@ -10726,13 +10757,19 @@ def q_dedup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_dup_pairs_from_store, persist_fingerprint_store)
 
     t = _t(spark, sf_dir, "documents")
-    fps = image_dhash(_synthetic_images(t["documents"]))
-    persist_fingerprint_store(fps.filter(F.col("media_id") % 5 < 3),
-                              "comix_fp_inc_store", fp_cols=["dhash"],
-                              max_hamming=2)
-    persist_fingerprint_store(fps.filter(F.col("media_id") % 5 >= 3),
-                              "comix_fp_inc_store", fp_cols=["dhash"],
-                              max_hamming=2, mode="append")
+    imgs = _synthetic_images(t["documents"])
+    # split BEFORE the Arrow decode: the media_id filter can't push
+    # through mapInPandas, so filtering the fingerprints would decode
+    # the full corpus once per write — and production's old corpus /
+    # new batch are distinct inputs anyway, so each build decodes
+    # only its own payload bytes
+    persist_fingerprint_store(
+        image_dhash(imgs.filter(F.col("media_id") % 5 < 3)),
+        "comix_fp_inc_store", fp_cols=["dhash"], max_hamming=2)
+    persist_fingerprint_store(
+        image_dhash(imgs.filter(F.col("media_id") % 5 >= 3)),
+        "comix_fp_inc_store", fp_cols=["dhash"], max_hamming=2,
+        mode="append")
     return (near_dup_pairs_from_store(spark, "comix_fp_inc_store",
                                       fp_cols=["dhash"], max_hamming=2)
             .orderBy("id_a", "id_b"))
@@ -12706,6 +12743,11 @@ QUERIES: dict[str, Query] = {
         q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL,
         "batch-vs-corpus incremental near-dup screen (cross-side LSH, "
         "best match)", ("documents",)),
+    "dedup_store_probe": Query(
+        q_dedup_store_probe, ORACLE_DEDUP_INCREMENTAL,
+        "persisted MinHash store: build + incremental append, then the "
+        "daily batch broadcast-probes the landed (band,bucket) layout — "
+        "corpus never re-signs", ("documents",)),
     "bpe_tokenize": Query(
         q_bpe_tokenize, ORACLE_BPE_TOKENIZE,
         "apply learned BPE back to the corpus: per-doc word vs token "
@@ -12882,7 +12924,7 @@ _CHECK_FIRST = [
     "ivf_pq_recall_eval", "hybrid_search_rrf", "minhash_pr_eval",
     "quality_classifier", "image_dedup_qwide",
     "image_decontaminate_qwide", "ann_ivf_pq",
-    "dedup_incremental_store",
+    "dedup_incremental_store", "dedup_store_probe",
     # the round's one flagged perf regression — also r6-stale
     "minhash_lsh_det",
     # r6-era verdicts, 4 rounds stale: the TPC-H silhouette batch ...
@@ -12901,11 +12943,11 @@ _CHECK_FIRST = [
     "hierarchy_rollup", "interval_overlap", "pagerank",
     "pareto_frontier", "range_frame_window", "schema_evolution",
     "sequence_gaps", "set_operations", "supplier_triangles",
-    "vocab_coverage", "weighted_sample", "zorder_layout",
+    "vocab_coverage", "weighted_sample",
     # r12 BACKLOG (r6-era, deferred — queue these first next round):
-    # hash_split, idle_customers, bracket_revenue, important_parts,
-    # min_cost_supplier, order_priority_check, profit_by_nation,
-    # promo_suppliers, supplier_variety, trade_volume
+    # zorder_layout, hash_split, idle_customers, bracket_revenue,
+    # important_parts, min_cost_supplier, order_priority_check,
+    # profit_by_nation, promo_suppliers, supplier_variety, trade_volume
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 QUERIES = {

@@ -562,6 +562,49 @@ def test_fingerprint_store_incremental_append(spark):
         spark.sql("DROP TABLE IF EXISTS fp_inc_t")
 
 
+def test_minhash_store_probe_matches_direct(spark, sf_small):
+    """The persisted MinHash store: built in TWO writes (initial +
+    append), the batch probe must return EXACTLY dedup_against_corpus's
+    output on the same corpus — the store round-trip changes the
+    physical shape (landed bucketed layout + broadcast probe), never
+    the answer. Probing or appending with a mismatched band layout
+    refuses."""
+    import pytest as _pt
+
+    from comix_etl_spark.operators.dedup import (
+        dedup_against_corpus, dedup_against_store, persist_minhash_store)
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    common = dict(id_col="doc_id", text_col="text", num_hashes=16,
+                  bands=4, n=3, hash_fn="md5")
+    persist_minhash_store(
+        docs.filter((F.col("doc_id") % 10 >= 1) & (F.col("doc_id") % 10 <= 5)),
+        "mh_store_t", **common)
+    try:
+        with _pt.raises(ValueError, match="band layouts"):
+            persist_minhash_store(docs.filter(F.col("doc_id") % 10 >= 6),
+                                  "mh_store_t", mode="append",
+                                  **{**common, "bands": 8, "num_hashes": 16})
+        persist_minhash_store(docs.filter(F.col("doc_id") % 10 >= 6),
+                              "mh_store_t", mode="append", **common)
+        direct = dedup_against_corpus(batch, corpus, "doc_id", "text",
+                                      num_hashes=16, bands=4, n=3,
+                                      threshold=0.3, hash_fn="md5")
+        stored = dedup_against_store(batch, corpus, "mh_store_t",
+                                     threshold=0.3, **common)
+        d = sorted(map(tuple, direct.collect()))
+        s = sorted(map(tuple, stored.collect()))
+        assert d == s and len(s) > 0
+        with _pt.raises(ValueError, match="never"):
+            dedup_against_store(batch, corpus, "mh_store_t",
+                                threshold=0.3,
+                                **{**common, "bands": 8, "num_hashes": 16})
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_store_t")
+
+
 def test_image_dhash_xwide_three_limbs(spark):
     """189-bit rung: h/v limbs equal the wide form bit-for-bit, the
     d-limb is brightness-invariant like the others, quarantine covers
