@@ -1200,9 +1200,28 @@ def dedup_against_store(batch: DataFrame, corpus: DataFrame, table: str, *,
                         & (F.col("a.bucket") == F.col("b.bucket")))
                   .select(F.col("a._id").alias("id_new"),
                           F.col("b._id").alias("id_old"))
-                  .distinct())
-    return _best_match_verify(candidates, batch, corpus, id_col, text_col,
-                              n=n, threshold=threshold)
+                  .distinct()
+                  # candidates are bounded (batch-sized × collision
+                  # factor) BY THE LSH CONTRACT — pin them so the probe
+                  # join runs exactly once, then push the candidate ids
+                  # INTO the corpus scan below
+                  .localCheckpoint(eager=True))
+    # the whole point of the store is that the corpus is never
+    # re-processed — so the verify stage must not re-shingle it either.
+    # A bare candidates⋈corpus join would compute shingles for EVERY
+    # corpus row before the hash probe drops them (a full-corpus text
+    # pass at 100 TB); a broadcast SEMI-join on the bounded candidate
+    # ids restricts the shingle projection to candidate rows, and
+    # Spark's runtime bloom-filter injection can push it into the scan.
+    # (NOT a driver-side isin(): a 45k-literal In expression measured
+    # ~50 s of pure plan-construction overhead — scale_evidence_r11b's
+    # first pass. dedup_against_corpus can't skip the corpus pass at
+    # all — it has to shingle the corpus to sign it; here signing was
+    # paid once at build.)
+    old = candidates.select(F.col("id_old").alias(id_col)).distinct()
+    corpus_cand = corpus.join(F.broadcast(old), id_col, "semi")
+    return _best_match_verify(candidates, batch, corpus_cand, id_col,
+                              text_col, n=n, threshold=threshold)
 
 
 def near_dup_pairs_from_store(spark, table: str, *,
