@@ -1264,6 +1264,62 @@ def near_dup_pairs_from_store(spark, table: str, *,
             .select("id_a", "id_b", "hamming"))
 
 
+def hamming_probe_from_store(spark, table: str, probe_fp: DataFrame, *,
+                             id_col: str = "media_id",
+                             fp_cols: list[str],
+                             max_hamming: int = 2) -> DataFrame:
+    """Eval-set decontamination against a PERSISTED fingerprint store
+    (``persist_fingerprint_store``) — output-identical to
+    ``hamming_band_probe`` on the same fingerprints (pytest-locked),
+    with ZERO corpus-side work per benchmark: the store already holds
+    both the band rows AND the limbs, so a new eval set costs only its
+    own (tiny) banding, broadcast onto the landed bucketed layout. The
+    completion of the store family: self-pairing
+    (``near_dup_pairs_from_store``), text probe
+    (``dedup_against_store``), and this cross-set perceptual probe all
+    read one one-time build. The probe side bands to the layout the
+    store actually has (max(band) read, not caller-trusted)."""
+    bands_df = spark.table(table)
+    max_band = bands_df.agg(F.max("band")).first()[0]
+    if max_band is None:  # empty store: no corpus, no collisions
+        return spark.createDataFrame(
+            [], "corpus_id long, probe_id long, hamming long")
+    n_bands = max_band + 1
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= stored n_bands={n_bands} voids "
+            "the pigeonhole recall guarantee; rebuild the store with more "
+            "bands or lower max_hamming")
+    n_limbs = len(fp_cols)
+    edges = _band_edges(63 * n_limbs, n_bands)
+    notnull = F.col(fp_cols[0]).isNotNull()
+    for cc in fp_cols[1:]:
+        notnull = notnull & F.col(cc).isNotNull()
+    pf = probe_fp.filter(notnull).select(
+        F.col(id_col).alias("probe_id"),
+        *[F.col(cc).alias(f"_fp{k}") for k, cc in enumerate(fp_cols)])
+    plimbs = [f"_fp{k}" for k in range(n_limbs)]
+    p = pf.select(
+        "probe_id", *plimbs,
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"),
+                     _limb_band_val(plimbs, lo, hi).alias("bv"))
+            for bi, (lo, hi) in enumerate(edges)])).alias("bb")
+    ).select("probe_id", *plimbs, "bb.band", "bb.bv")
+    c = bands_df.select(F.col(id_col).alias("corpus_id"),
+                        *[F.col(cc).alias(f"_fc{k}")
+                          for k, cc in enumerate(fp_cols)],
+                        "band", "bv")
+    cand = (c.join(F.broadcast(p), ["band", "bv"])
+            .dropDuplicates(["corpus_id", "probe_id"]))
+    ham = F.bit_count(F.col("_fc0").bitwiseXOR(F.col("_fp0")))
+    for k in range(1, n_limbs):
+        ham = ham + F.bit_count(F.col(f"_fc{k}").bitwiseXOR(F.col(f"_fp{k}")))
+    return (cand.withColumn("hamming", ham.cast("long"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("corpus_id", "probe_id", "hamming"))
+
+
 def majority_fingerprint(fps: DataFrame, *, id_col: str = "media_id",
                          fp_col: str = "dhash", n_bits: int = 63,
                          out_col: str = "vfp") -> DataFrame:

@@ -562,6 +562,46 @@ def test_fingerprint_store_incremental_append(spark):
         spark.sql("DROP TABLE IF EXISTS fp_inc_t")
 
 
+def test_hamming_probe_from_store_matches_direct(spark):
+    """The fingerprint store's cross-set probe: decontaminating an eval
+    set against the PERSISTED store must return exactly
+    hamming_band_probe's output on the same fingerprints (no corpus
+    work per benchmark — band rows AND limbs come from the store), and
+    a max_hamming that voids the stored layout refuses."""
+    import pytest as _pt
+
+    from comix_etl_spark.operators.dedup import (
+        hamming_band_probe, hamming_probe_from_store,
+        persist_fingerprint_store)
+
+    base = (1 << 55) | (1 << 21) | 9
+    corpus = spark.createDataFrame(
+        [(i, base ^ (1 << (i * 3))) for i in range(12)]
+        + [(50, (1 << 61) - 77), (51, None)],
+        "media_id long, dhash long")
+    probe = spark.createDataFrame(
+        [(100, base), (101, (1 << 61) - 77 ^ 1), (102, 12345), (103, None)],
+        "media_id long, dhash long")
+    persist_fingerprint_store(corpus, "fp_probe_t", fp_cols=["dhash"],
+                              max_hamming=2)
+    try:
+        direct = sorted(map(tuple,
+                            hamming_band_probe(corpus, probe,
+                                               fp_cols=["dhash"],
+                                               max_hamming=2).collect()))
+        stored = sorted(map(tuple,
+                            hamming_probe_from_store(
+                                spark, "fp_probe_t", probe,
+                                fp_cols=["dhash"],
+                                max_hamming=2).collect()))
+        assert direct == stored and len(stored) > 0
+        with _pt.raises(ValueError, match="pigeonhole"):
+            hamming_probe_from_store(spark, "fp_probe_t", probe,
+                                     fp_cols=["dhash"], max_hamming=5)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS fp_probe_t")
+
+
 def test_minhash_store_probe_matches_direct(spark, sf_small):
     """The persisted MinHash store: built in TWO writes (initial +
     append), the batch probe must return EXACTLY dedup_against_corpus's
