@@ -1194,6 +1194,19 @@ def dedup_against_store(batch: DataFrame, corpus: DataFrame, table: str, *,
             f"collide; match the stored layout")
     nb = minhash_band_rows(batch, id_col, text_col, num_hashes=num_hashes,
                            bands=bands, n=n, hash_fn=hash_fn)
+    return _probe_landed_bands(nb, ob, batch, corpus, id_col, text_col,
+                               n=n, threshold=threshold)
+
+
+def _probe_landed_bands(nb: DataFrame, ob: DataFrame, batch: DataFrame,
+                        corpus: DataFrame, id_col: str, text_col: str, *,
+                        n: int, threshold: float) -> DataFrame:
+    """Shared probe core of ``dedup_against_store`` and the streaming
+    ingest loop (``streaming.windowed.foreach_batch_dedup_ingest``):
+    broadcast the batch's band rows (``nb``) onto LANDED band rows
+    (``ob`` — a bucketed store table or a batch_id-partitioned
+    directory), then verify the bounded candidate set against corpus
+    text."""
     candidates = (F.broadcast(nb).alias("a")
                   .join(ob.alias("b"),
                         (F.col("a.band") == F.col("b.band"))

@@ -116,6 +116,75 @@ def run_stream_foreach_batch(spark: SparkSession, source_dir: str, schema,
     q.awaitTermination()
 
 
+def foreach_batch_dedup_ingest(root: str, *, id_col: str, text_col: str,
+                               num_hashes: int = 32, bands: int = 8,
+                               n: int = 3, threshold: float = 0.5,
+                               hash_fn: str = "xxhash64"):
+    """foreachBatch sink implementing the CONTINUOUS-INGEST dedup loop —
+    the production composition the batch store operators
+    (persist_minhash_store / dedup_against_store) serve one step of:
+    every micro-batch (1) PROBES everything ingested before it through
+    the landed band rows, (2) records its near-dup matches, (3) LANDS
+    its own docs and band rows so the next batch probes against it.
+    The index grows with the stream; no batch ever re-signs the corpus.
+
+    Replay-idempotent WITHOUT a transactional table format: the layout
+    is ``{root}/{docs,bands,matches}/batch_id=N``, each written with
+    per-batch overwrite, and the probe reads ONLY ``batch_id <
+    current`` — so a replayed batch N overwrites its own outputs and
+    cannot see the half-landed rows of its failed attempt
+    (pytest-locked: a double-applied batch leaves results identical).
+    Matches exclude within-batch duplicates by construction (the
+    cross-side contract of dedup_against_corpus); screen the batch
+    against itself with minhash_lsh_pairs first if intra-batch dedup
+    is also wanted.
+
+    Scale shape per batch: sign ONLY the batch (scan-local), broadcast
+    its band rows onto the landed partitioned band directory, verify
+    the bounded candidate set via the broadcast-semi-join text fetch
+    (the r11b-measured probe shape — flat in corpus size), write
+    O(batch) rows. The landed-bands read does prune: batch_id is a
+    partition column, so ``< N`` is partition pruning, not a filter
+    scan."""
+    from comix_etl_spark.operators.dedup import (_probe_landed_bands,
+                                                 minhash_band_rows)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        batch = batch_df.localCheckpoint(eager=True)
+        nb = minhash_band_rows(batch, id_col, text_col,
+                               num_hashes=num_hashes, bands=bands, n=n,
+                               hash_fn=hash_fn)
+        # pin: nb feeds both the probe and the landed write — without
+        # this the batch would sign twice
+        nb = nb.localCheckpoint(eager=True)
+        have_history = os.path.isdir(os.path.join(root, "bands")) and any(
+            e.startswith("batch_id=") and int(e.split("=", 1)[1]) < batch_id
+            for e in os.listdir(os.path.join(root, "bands")))
+        if have_history:
+            ob = (spark.read.parquet(os.path.join(root, "bands"))
+                  .filter(F.col("batch_id") < batch_id))
+            corpus = (spark.read.parquet(os.path.join(root, "docs"))
+                      .filter(F.col("batch_id") < batch_id))
+            matches = _probe_landed_bands(nb, ob, batch, corpus, id_col,
+                                          text_col, n=n,
+                                          threshold=threshold)
+        else:  # nothing landed yet — nothing to match against
+            id_type = dict(batch.dtypes)[id_col]
+            matches = spark.createDataFrame(
+                [], f"{id_col} {id_type}, match_id {id_type}, jaccard double")
+        (matches.write.mode("overwrite")
+         .parquet(os.path.join(root, "matches", f"batch_id={batch_id}")))
+        (batch.write.mode("overwrite")
+         .parquet(os.path.join(root, "docs", f"batch_id={batch_id}")))
+        (nb.write.mode("overwrite")
+         .parquet(os.path.join(root, "bands", f"batch_id={batch_id}")))
+
+    return apply
+
+
 def foreach_batch_upsert(target_path: str, key: list[str], update_cols: list[str],
                          *, partition_col: str | None = None):
     """foreachBatch sink: merge each micro-batch into a parquet table via

@@ -274,6 +274,78 @@ def test_stream_checkpoint_resume_exactly_once(spark, tmpdir):
     assert sum(seen) == 130
 
 
+def test_stream_dedup_ingest_loop(spark, tmpdir):
+    """The continuous-ingest dedup loop: a REAL file-source stream
+    (maxFilesPerTrigger=1 → one micro-batch per file) probes each
+    batch against everything landed before it, then lands the batch's
+    docs + band rows for the next one. Matches must equal a sequential
+    replay with the batch operator (dedup_against_corpus over the
+    accumulated corpus), and re-applying a batch (crash-replay) must
+    leave results identical — the batch_id< probe + per-batch
+    overwrite idempotency contract."""
+    import glob as _glob
+
+    from comix_etl_spark.operators.dedup import dedup_against_corpus
+    from comix_etl_spark.streaming.windowed import foreach_batch_dedup_ingest
+
+    src = os.path.join(tmpdir, "ingest_src")
+    root = os.path.join(tmpdir, "ingest_root")
+    os.makedirs(src)
+
+    def doc(i, words):
+        return (i, " ".join(words))
+
+    # batch files: b2 repeats a b1 doc's text (cross-batch dup), b3
+    # repeats one from b1 and one from b2; unique docs share no shingles
+    w = [f"w{k}" for k in range(40)]
+    batches = [
+        [doc(1, w[0:8]), doc(2, w[8:16])],
+        [doc(10, w[0:8]), doc(11, w[16:24])],
+        [doc(20, w[8:16]), doc(21, w[16:24]), doc(22, w[24:32])],
+    ]
+
+    def write_file(name, rows):
+        tmp = tempfile.mkdtemp(prefix="ing_")
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/d")
+        part = _glob.glob(f"{tmp}/d/part-*.parquet")[0]
+        shutil.move(part, os.path.join(src, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    for bi, rows in enumerate(batches):
+        write_file(f"b{bi}.parquet", rows)
+    common = dict(id_col="doc_id", text_col="text", num_hashes=16,
+                  bands=4, n=3, threshold=0.5, hash_fn="md5")
+    apply_fn = foreach_batch_dedup_ingest(root, **common)
+    q = (spark.readStream.schema("doc_id long, text string")
+         .option("maxFilesPerTrigger", 1).parquet(src)
+         .writeStream.foreachBatch(apply_fn)
+         .option("checkpointLocation", os.path.join(tmpdir, "ingest_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.read.parquet(
+        os.path.join(root, "matches")).drop("batch_id").collect()))
+    # sequential replay with the batch operator (file order == batch
+    # order under maxFilesPerTrigger=1 + lexicographic file listing)
+    expected = []
+    for bi in range(1, len(batches)):
+        b = spark.createDataFrame(batches[bi], "doc_id long, text string")
+        corpus = spark.createDataFrame(
+            [r for rows in batches[:bi] for r in rows],
+            "doc_id long, text string")
+        expected += [tuple(r) for r in dedup_against_corpus(
+            b, corpus, "doc_id", "text", num_hashes=16, bands=4, n=3,
+            threshold=0.5, hash_fn="md5").collect()]
+    assert got == sorted(expected) and len(got) == 3
+    # crash-replay: re-apply the LAST batch by hand — per-batch
+    # overwrite + batch_id< probe must leave everything identical
+    last = spark.createDataFrame(batches[-1], "doc_id long, text string")
+    apply_fn(last, len(batches) - 1)
+    again = sorted(map(tuple, spark.read.parquet(
+        os.path.join(root, "matches")).drop("batch_id").collect()))
+    assert again == got
+
+
 def test_foreach_batch_drift_flags_shifted_batch(spark, tmpdir):
     """Per-micro-batch PSI monitoring: a batch drawn from the reference
     distribution scores near zero; a shifted batch scores high. Also
