@@ -268,3 +268,83 @@ def test_ks_two_sample_bounds_and_symmetry(spark, a, b):
     same_dist = all(Counter(a)[k] * nb == Counter(b)[k] * na
                     for k in set(a) | set(b))
     assert (d1 == 0) == same_dist
+
+
+@PROP
+@given(data=st.data())
+def test_hamming_band_pairs_pigeonhole_exactness(spark, data):
+    """The recall guarantee the whole perceptual-dedup family leans on,
+    on randomized fingerprints: banded pairing over the concatenated
+    bit space finds EXACTLY the all-pairs Hamming ≤ max_hamming set —
+    every planted near-pair (≤ cap bit flips, pigeonhole recall) AND
+    no over-cap pair survives verification, under random limb counts,
+    caps, flip positions, and accidental collisions from a small base
+    pool."""
+    from comix_etl_spark.operators.dedup import hamming_band_pairs
+
+    n_limbs = data.draw(st.integers(1, 3))
+    # bands = max_h + 1 must keep every band ≤ 63 bits over the
+    # 63·n_limbs-bit space → max_h ≥ n_limbs − 1 (the operator raises
+    # otherwise, by design)
+    max_h = data.draw(st.integers(max(1, n_limbs - 1), 4))
+    mask = (1 << 63) - 1
+    # small base pool → accidental near/far pairs are common
+    bases = data.draw(st.lists(
+        st.tuples(*[st.integers(0, mask) for _ in range(n_limbs)]),
+        min_size=1, max_size=4))
+    rows = []
+    rid = 0
+    for b in bases:
+        for _ in range(data.draw(st.integers(1, 3))):
+            flips = data.draw(st.lists(
+                st.integers(0, 63 * n_limbs - 1), max_size=max_h + 2))
+            limbs = list(b)
+            for pos in flips:
+                limbs[pos // 63] ^= 1 << (pos % 63)
+            rows.append((rid, *[v & mask for v in limbs]))
+            rid += 1
+    cols = [f"fp{k}" for k in range(n_limbs)]
+    schema = "media_id long, " + ", ".join(f"{c} long" for c in cols)
+    df = spark.createDataFrame(rows, schema)
+    got = sorted((r.id_a, r.id_b, r.hamming) for r in hamming_band_pairs(
+        df, fp_cols=cols, max_hamming=max_h).collect())
+    want = []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            h = sum(bin(rows[i][1 + k] ^ rows[j][1 + k]).count("1")
+                    for k in range(n_limbs))
+            if h <= max_h:
+                want.append((rows[i][0], rows[j][0], h))
+    assert got == sorted(want)
+
+
+@PROP
+@given(data=st.data())
+def test_majority_fingerprint_matches_reference(spark, data):
+    """Per-bit strict-majority vote (ties → 0, NULL frames don't vote,
+    all-NULL items drop) against a pure-Python recount, on random
+    multi-item frame sets — the video/audio vote the trim-invariance
+    case tests only along one axis."""
+    from comix_etl_spark.operators.dedup import majority_fingerprint
+
+    mask = (1 << 63) - 1
+    items = data.draw(st.integers(1, 4))
+    rows = []
+    for vid in range(items):
+        for _ in range(data.draw(st.integers(1, 5))):
+            fp = data.draw(st.one_of(st.none(), st.integers(0, mask)))
+            rows.append((vid, fp))
+    df = spark.createDataFrame(rows, "media_id long, dhash long")
+    got = {r.media_id: (r.vfp, r.n_parts)
+           for r in majority_fingerprint(df, fp_col="dhash").collect()}
+    want = {}
+    for vid in range(items):
+        fps = [fp for v, fp in rows if v == vid and fp is not None]
+        if not fps:
+            continue
+        out = 0
+        for b in range(63):
+            if sum((fp >> b) & 1 for fp in fps) * 2 > len(fps):
+                out |= 1 << b
+        want[vid] = (out, len(fps))
+    assert got == want
