@@ -185,6 +185,74 @@ def foreach_batch_dedup_ingest(root: str, *, id_col: str, text_col: str,
     return apply
 
 
+def foreach_batch_ann_ingest(root: str, centers, codebooks, *,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             sim_threshold: float = 0.98,
+                             nprobe: int = 4, rerank: int = 50):
+    """foreachBatch sink: the VECTOR-side continuous-ingest dedup loop —
+    the embedding sibling of ``foreach_batch_dedup_ingest``. Every
+    micro-batch of vectors (1) probes the landed IVF-PQ codes for its
+    nearest already-ingested neighbor (ADC + exact re-rank, k=1) and
+    flags near-dups at ``sim_threshold``, (2) lands its raw vectors
+    and its pre-encoded codes so the next batch probes against them.
+    The encode scan runs once per batch; the landed corpus is never
+    re-encoded — the streaming form of the persist_ivf_pq_store
+    economics.
+
+    Same replay-idempotency contract as the text loop: layout is
+    ``{root}/{vecs,codes,matches}/batch_id=N`` with per-batch
+    overwrite, probes read only ``batch_id < current`` (partition
+    pruning), so a replayed batch overwrites itself and never matches
+    its own half-landed rows. The (centers, codebooks) are BAKED INTO
+    the stream — changing them mid-stream makes landed codes garbage
+    (same contract as persist_ivf_pq_store). Micro-batches are
+    driver-bounded by contract (ivf_pq_topk collects the query side).
+
+    Output matches: (``id_col``, match_id, cosine_sim) — each flagged
+    batch vector's best landed neighbor at ≥ ``sim_threshold``."""
+    from comix_etl_spark.operators.similarity import ivf_pq_encode, ivf_pq_topk
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        batch = batch_df.localCheckpoint(eager=True)
+        enc = ivf_pq_encode(batch, centers, codebooks, id_col=id_col,
+                            vec_col=vec_col).localCheckpoint(eager=True)
+        have_history = os.path.isdir(os.path.join(root, "codes")) and any(
+            e.startswith("batch_id=") and int(e.split("=", 1)[1]) < batch_id
+            for e in os.listdir(os.path.join(root, "codes")))
+        if have_history:
+            codes = (spark.read.parquet(os.path.join(root, "codes"))
+                     .filter(F.col("batch_id") < batch_id)
+                     .select(id_col, "centroid_id", "pq_code"))
+            vecs = (spark.read.parquet(os.path.join(root, "vecs"))
+                    .filter(F.col("batch_id") < batch_id)
+                    .select(id_col, vec_col))
+            top = ivf_pq_topk(vecs, batch.select(id_col, vec_col),
+                              centers=centers, codebooks=codebooks,
+                              id_col=id_col, vec_col=vec_col, k=1,
+                              nprobe=nprobe, rerank=rerank, encoded=codes)
+            matches = (top.filter(F.col("cosine_sim") >= sim_threshold)
+                       .select(F.col("query_id").alias(id_col),
+                               F.col(id_col).alias("match_id"),
+                               "cosine_sim"))
+        else:
+            id_type = dict(batch.dtypes)[id_col]
+            matches = spark.createDataFrame(
+                [], f"{id_col} {id_type}, match_id {id_type}, "
+                    f"cosine_sim double")
+        (matches.write.mode("overwrite")
+         .parquet(os.path.join(root, "matches", f"batch_id={batch_id}")))
+        (batch.select(id_col, vec_col).write.mode("overwrite")
+         .parquet(os.path.join(root, "vecs", f"batch_id={batch_id}")))
+        (enc.write.mode("overwrite")
+         .parquet(os.path.join(root, "codes", f"batch_id={batch_id}")))
+
+    return apply
+
+
 def foreach_batch_upsert(target_path: str, key: list[str], update_cols: list[str],
                          *, partition_col: str | None = None):
     """foreachBatch sink: merge each micro-batch into a parquet table via

@@ -346,6 +346,78 @@ def test_stream_dedup_ingest_loop(spark, tmpdir):
     assert again == got
 
 
+def test_stream_ann_ingest_loop(spark, tmpdir):
+    """The vector-side continuous-ingest loop: planted exact copies of
+    earlier-batch vectors must be flagged (cosine 1.0, right match_id),
+    novel near-orthogonal vectors must not, batch 0 matches nothing,
+    and a crash-replay of the last batch leaves results identical."""
+    import glob as _glob
+
+    import numpy as np
+
+    from comix_etl_spark.operators.similarity import (
+        train_ivf_centroids, train_residual_codebooks)
+    from comix_etl_spark.streaming.windowed import foreach_batch_ann_ingest
+
+    rng = np.random.default_rng(7)
+    dim = 8
+
+    def vec(seed):
+        v = rng.normal(size=dim) if seed is None else \
+            np.random.default_rng(seed).normal(size=dim)
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    base = {i: vec(i) for i in range(6)}
+    batches = [
+        [(0, base[0]), (1, base[1])],
+        [(10, base[0]), (11, base[2])],            # 10 copies batch-0's 0
+        [(20, base[1]), (21, base[2]), (22, base[3])],  # copies of 1 and 11
+    ]
+    all_rows = [r for rows in batches for r in rows]
+    train = spark.createDataFrame(all_rows, "vec_id long, embedding array<double>")
+    centers = train_ivf_centroids(train, n_centroids=2, normalize=True)
+    books = train_residual_codebooks(train, centers, m=2, k=4)
+
+    src = os.path.join(tmpdir, "ann_src")
+    root = os.path.join(tmpdir, "ann_root")
+    os.makedirs(src)
+
+    def write_file(name, rows):
+        tmp = tempfile.mkdtemp(prefix="anni_")
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/d")
+        part = _glob.glob(f"{tmp}/d/part-*.parquet")[0]
+        shutil.move(part, os.path.join(src, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    for bi, rows in enumerate(batches):
+        write_file(f"b{bi}.parquet", rows)
+    apply_fn = foreach_batch_ann_ingest(root, centers, books,
+                                        sim_threshold=0.98, nprobe=2,
+                                        rerank=10)
+    q = (spark.readStream.schema("vec_id long, embedding array<double>")
+         .option("maxFilesPerTrigger", 1).parquet(src)
+         .writeStream.foreachBatch(apply_fn)
+         .option("checkpointLocation", os.path.join(tmpdir, "ann_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r.vec_id: (r.match_id, r.cosine_sim)
+           for r in spark.read.parquet(os.path.join(root, "matches")).collect()}
+    # 10 copies 0 (batch 0); 20 copies 1 (batch 0), 21 copies 11
+    # (batch 1) — ties to earlier ids are impossible (exact copies
+    # score 1.0, novel vectors are random-normal and far from 0.98)
+    assert set(got) == {10, 20, 21}
+    assert got[10][0] == 0 and got[10][1] == 1.0
+    assert got[20][0] == 1 and got[20][1] == 1.0
+    assert got[21][0] == 11 and got[21][1] == 1.0
+    # crash-replay of the last batch: identical results, no self-match
+    last = spark.createDataFrame(batches[-1], "vec_id long, embedding array<double>")
+    apply_fn(last, len(batches) - 1)
+    again = {r.vec_id: (r.match_id, r.cosine_sim)
+             for r in spark.read.parquet(os.path.join(root, "matches")).collect()}
+    assert again == got
+
+
 def test_foreach_batch_drift_flags_shifted_batch(spark, tmpdir):
     """Per-micro-batch PSI monitoring: a batch drawn from the reference
     distribution scores near zero; a shifted batch scores high. Also
