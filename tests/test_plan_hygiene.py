@@ -229,3 +229,23 @@ def test_url_dedup_single_scan_no_joins(spark, sf_small):
     assert s.n_scans == 1, s
     assert s.n_sort_merge_joins == 0 and s.n_broadcast_hash_joins == 0, s
     assert s.n_exchanges <= 3, s
+
+
+def test_dedup_store_probe_verify_stage_shape(spark, sf_small):
+    # The store probe materializes its candidates at build time (the
+    # bucketed store scan + broadcast band join run ONCE, eagerly), so
+    # the returned plan is the VERIFY stage only: the pinned candidate
+    # frame as Scan ExistingRDD, exactly two documents text scans
+    # (batch shingles + semi-join-bounded corpus fetch) with the %10
+    # split pushed down, zero sort-merge joins, and no re-signing (no
+    # md5 minhash aggregate anywhere in the verify plan).
+    from comix_etl_spark.plans.introspect import plan_summary
+
+    df = QUERIES["dedup_store_probe"].builder(spark, sf_small)
+    plan = _plan(df)
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("documents.parquet") == 2, plan
+    assert "min(" not in plan, plan  # signatures never recompute here
+    s = plan_summary(df)
+    assert s.n_sort_merge_joins == 0, s
+    assert s.n_broadcast_hash_joins >= 2, s
