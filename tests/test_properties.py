@@ -348,3 +348,33 @@ def test_majority_fingerprint_matches_reference(spark, data):
                 out |= 1 << b
         want[vid] = (out, len(fps))
     assert got == want
+
+
+@PROP
+@given(data=st.data())
+def test_minhash_lsh_exact_duplicate_recall(spark, data):
+    """The one DETERMINISTIC recall guarantee of banded MinHash:
+    exact-duplicate texts have identical signatures, so they collide
+    in EVERY band and must appear as pairs with Jaccard 1.0 — for any
+    banding, corpus shape, or duplicate multiplicity. (Near-dup recall
+    is probabilistic by design; exact-dup recall is not.)"""
+    from comix_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    n_texts = data.draw(st.integers(1, 4))
+    texts = [" ".join(f"t{data.draw(st.integers(0, 9))}"
+                      for _ in range(data.draw(st.integers(3, 8))))
+             for _ in range(n_texts)]
+    rows, rid = [], 0
+    for t in texts:
+        for _ in range(data.draw(st.integers(1, 3))):
+            rows.append((rid, t))
+            rid += 1
+    bands = data.draw(st.sampled_from([2, 4, 8]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(
+        df, "doc_id", "text", num_hashes=16, bands=bands, n=3,
+        threshold=0.99).collect()}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            if rows[i][1] == rows[j][1]:
+                assert (rows[i][0], rows[j][0]) in got, (rows[i], rows[j])
