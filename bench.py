@@ -18,6 +18,11 @@ runs disagreed up to 3× on individual queries (tfidf_top_terms 0.98 vs
 2.99 s with identical code), so single-query diffs were untrustworthy.
 The full artifact records {median, min, runs} per query; the stdout
 JSON keeps the flat name→sec map (median) the driver expects.
+
+r12 onward the warm-up set is DERIVED: curated execution-path
+representatives plus every first-timer vs the last committed
+bench_local_r*.json artifact (see the in-line comment) — new query
+families can no longer land their one-time cost on a timed query.
 """
 
 from __future__ import annotations
@@ -74,11 +79,41 @@ def main() -> None:
     # first-timer store/recall queries sat at the registry head and
     # absorbed the family's one-time cost (ann_ivf_pq_store 2.70 s vs
     # ~2.1 s steady) — same first-touch pattern as ann_ivf_det (r5)
-    for warm in ("stats_topk", "order_sequence", "token_counts",
-                 "doc_quality", "ann_cosine_topk", "simhash_det",
-                 "ann_ivf_det", "ann_ivf_pq_det", "bpe_train",
-                 "rest_datasource", "quantize_calibrated",
-                 "cusum_changepoint"):
+    # r12: the warm-up set is no longer purely hand-maintained — every
+    # FIRST-TIMER (a registry query with no entry in the last COMMITTED
+    # per-round artifact, bench_local_r*.json) gets one untimed run
+    # appended to the curated execution-path representatives, so a
+    # brand-new family's one-time cost (codegen, worker-pool spin-up,
+    # store cold paths) lands in warm-up instead of on whichever new
+    # query the registry orders first. The r11 round had to patch the
+    # hand list mid-round for exactly this (IVF-PQ first-timers,
+    # commit 08fae91). The comparison base is the last committed round
+    # artifact, NOT bench_local_latest.json: first-touch cost is
+    # per-session, and latest would mark this round's new queries
+    # "known" after one bench run while every later run still pays
+    # their cold start.
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    committed = sorted(
+        glob.glob(os.path.join(here, "bench_local_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+    prev_names: set[str] = set()
+    if committed:
+        try:
+            with open(committed[-1]) as fh:
+                prev_names = set(json.load(fh)["queries"])
+        except (OSError, KeyError, ValueError):
+            pass
+    first_timers = tuple(n for n in QUERIES
+                         if prev_names and n not in prev_names)
+    curated = ("stats_topk", "order_sequence", "token_counts",
+               "doc_quality", "ann_cosine_topk", "simhash_det",
+               "ann_ivf_det", "ann_ivf_pq_det", "bpe_train",
+               "rest_datasource", "quantize_calibrated",
+               "cusum_changepoint")
+    for warm in curated + first_timers:
         if warm in QUERIES:
             (QUERIES[warm].builder(spark, sf_dir)
              .write.format("noop").mode("overwrite").save())

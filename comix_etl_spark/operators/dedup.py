@@ -1102,7 +1102,9 @@ def persist_fingerprint_store(fps: DataFrame, table: str, *,
     (the reader validates against the stored band count it
     observes)."""
     from comix_etl_spark.sinks.writers import (clear_orphan_table_dir,
-                                               save_bucketed_table)
+                                               save_bucketed_table,
+                                               set_store_props,
+                                               validate_store_props)
 
     if n_bands is None:
         n_bands = max_hamming + 1
@@ -1110,8 +1112,13 @@ def persist_fingerprint_store(fps: DataFrame, table: str, *,
     # overwrite clears a stale prior-session directory; append onto a
     # catalog-less directory refuses (writers.clear_orphan_table_dir)
     clear_orphan_table_dir(spark, table, mode)
-    if mode == "append":
-        if spark.catalog.tableExists(table):
+    layout = {"n_bands": n_bands, "n_limbs": len(fp_cols)}
+    if mode == "append" and spark.catalog.tableExists(table):
+        # full-layout validation via table properties (n_limbs matters
+        # too: a different limb count silently changes every band value);
+        # pre-property stores fall back to the band-count check
+        if not validate_store_props(spark, table, "comix.fp", layout,
+                                     "persist_fingerprint_store(append)"):
             stored_max = spark.table(table).agg(F.max("band")).first()[0]
             if stored_max is not None and stored_max + 1 != n_bands:
                 raise ValueError(
@@ -1124,6 +1131,7 @@ def persist_fingerprint_store(fps: DataFrame, table: str, *,
                                  n_bands=n_bands)
     save_bucketed_table(rows, table, ["band", "bv"], n_buckets,
                         sort_cols=["band", "bv"], mode=mode)
+    set_store_props(spark, table, "comix.fp", layout)
 
 
 def persist_minhash_store(corpus: DataFrame, table: str, *, id_col: str,
@@ -1141,31 +1149,44 @@ def persist_minhash_store(corpus: DataFrame, table: str, *, id_col: str,
 
     Incremental ingest appends a new batch's band rows with the same
     bucketing (``mode="append"`` — pytest-locked to probe identically
-    to a one-shot build over old∪new). An append validates its band
-    layout against the store's actual max(band): rows banded
-    differently would silently change the collision probability
-    1−(1−s^r)^b every later probe relies on. CONTRACT: the store bakes
-    in (num_hashes, bands, n, hash_fn) — probes must pass the SAME
-    ones or buckets simply never collide; persist them alongside the
-    table in production."""
+    to a one-shot build over old∪new). The store bakes in
+    (num_hashes, bands, n, hash_fn) — rows signed differently would
+    silently change the collision probability 1−(1−s^r)^b every later
+    probe relies on, and a bands-only check cannot catch a mismatched
+    num_hashes / n / hash_fn — so the FULL layout is stamped as table
+    properties (``comix.minhash.*``) at build time and all four
+    parameters are validated on every append and probe."""
     from comix_etl_spark.sinks.writers import (clear_orphan_table_dir,
-                                               save_bucketed_table)
+                                               save_bucketed_table,
+                                               set_store_props,
+                                               validate_store_props)
 
     spark = corpus.sparkSession
     clear_orphan_table_dir(spark, table, mode)
+    layout = {"num_hashes": num_hashes, "bands": bands, "n": n,
+              "hash_fn": hash_fn}
     if mode == "append" and spark.catalog.tableExists(table):
-        stored_max = spark.table(table).agg(F.max("band")).first()[0]
-        if stored_max is not None and stored_max + 1 != bands:
-            raise ValueError(
-                f"persist_minhash_store: append with bands={bands} onto "
-                f"a store banded {stored_max + 1} ways — mixed band "
-                f"layouts change the collision probability under every "
-                f"later probe; rebuild or match the stored layout")
+        # validate the FULL signature layout the store baked in, not
+        # just the band count: a mismatched num_hashes / n / hash_fn
+        # passes a bands-only check yet makes buckets never collide.
+        # Pre-property stores fall back to the band-count check.
+        if not validate_store_props(spark, table, "comix.minhash",
+                                     layout,
+                                     "persist_minhash_store(append)"):
+            stored_max = spark.table(table).agg(F.max("band")).first()[0]
+            if stored_max is not None and stored_max + 1 != bands:
+                raise ValueError(
+                    f"persist_minhash_store: append with bands={bands} "
+                    f"onto a store banded {stored_max + 1} ways — mixed "
+                    f"band layouts change the collision probability "
+                    f"under every later probe; rebuild or match the "
+                    f"stored layout")
     rows = minhash_band_rows(corpus, id_col, text_col,
                              num_hashes=num_hashes, bands=bands, n=n,
                              hash_fn=hash_fn)
     save_bucketed_table(rows, table, ["band", "bucket"], n_buckets,
                         sort_cols=["band", "bucket"], mode=mode)
+    set_store_props(spark, table, "comix.minhash", layout)
 
 
 def dedup_against_store(batch: DataFrame, corpus: DataFrame, table: str, *,
@@ -1182,16 +1203,27 @@ def dedup_against_store(batch: DataFrame, corpus: DataFrame, table: str, *,
     zero shuffle to candidate generation. ``corpus`` supplies document
     text ONLY for the exact-Jaccard verification of the bounded
     candidate set (the candidate ids broadcast back, so that join is
-    scan-local too). Validates ``bands`` against the store's actual
-    band count instead of trusting the caller."""
+    scan-local too). Validates the FULL signature layout
+    (num_hashes, bands, n, hash_fn) against the store's stamped table
+    properties instead of trusting the caller."""
+    from comix_etl_spark.sinks.writers import validate_store_props
+
     spark = batch.sparkSession
     ob = spark.table(table)
-    stored_max = ob.agg(F.max("band")).first()[0]
-    if stored_max is not None and stored_max + 1 != bands:
-        raise ValueError(
-            f"dedup_against_store: probe with bands={bands} against a "
-            f"store banded {stored_max + 1} ways — buckets would never "
-            f"collide; match the stored layout")
+    # full-layout validation against the store's stamped properties —
+    # bands alone can match while num_hashes / n / hash_fn diverge, in
+    # which case buckets never collide and the probe would silently
+    # return empty matches; pre-property stores fall back to max(band)
+    if not validate_store_props(
+            spark, table, "comix.minhash",
+            {"num_hashes": num_hashes, "bands": bands, "n": n,
+             "hash_fn": hash_fn}, "dedup_against_store"):
+        stored_max = ob.agg(F.max("band")).first()[0]
+        if stored_max is not None and stored_max + 1 != bands:
+            raise ValueError(
+                f"dedup_against_store: probe with bands={bands} against "
+                f"a store banded {stored_max + 1} ways — buckets would "
+                f"never collide; match the stored layout")
     nb = minhash_band_rows(batch, id_col, text_col, num_hashes=num_hashes,
                            bands=bands, n=n, hash_fn=hash_fn)
     return _probe_landed_bands(nb, ob, batch, corpus, id_col, text_col,
@@ -1252,8 +1284,12 @@ def near_dup_pairs_from_store(spark, table: str, *,
     bands = spark.table(table)
     max_band = bands.agg(F.max("band")).first()[0]
     if max_band is None:  # empty store: no items, no pairs (not an error)
+        # derive the id type from the store schema — a hardcoded `long`
+        # would diverge from the non-empty path's types for string ids,
+        # breaking downstream unions only in the empty case
+        idt = bands.schema[id_col].dataType.simpleString()
         return spark.createDataFrame(
-            [], "id_a long, id_b long, hamming long")
+            [], f"id_a {idt}, id_b {idt}, hamming long")
     n_bands = max_band + 1
     if max_hamming >= n_bands:
         raise ValueError(
@@ -1295,8 +1331,13 @@ def hamming_probe_from_store(spark, table: str, probe_fp: DataFrame, *,
     bands_df = spark.table(table)
     max_band = bands_df.agg(F.max("band")).first()[0]
     if max_band is None:  # empty store: no corpus, no collisions
+        # id types derived from each side's actual schema (store for
+        # corpus_id, probe frame for probe_id) so the empty-store result
+        # unions/joins cleanly with the non-empty path for non-long ids
+        cidt = bands_df.schema[id_col].dataType.simpleString()
+        pidt = probe_fp.schema[id_col].dataType.simpleString()
         return spark.createDataFrame(
-            [], "corpus_id long, probe_id long, hamming long")
+            [], f"corpus_id {cidt}, probe_id {pidt}, hamming long")
     n_bands = max_band + 1
     if max_hamming >= n_bands:
         raise ValueError(

@@ -147,10 +147,33 @@ def assign_ivf_centroid(df: DataFrame, centers, *, vec_col: str = "embedding",
     return df.withColumn(out_col, _assign(F.col(vec_col)))
 
 
+def _collect_query_rows(q: DataFrame, query_id_col: str, vec_col: str,
+                        max_query_rows: int):
+    """Bounded pull of a top-k probe's query side. Every *_topk operator
+    routes / LUT-builds queries driver-side ("tiny by contract"), and the
+    streaming ANN ingest loop inherits that per micro-batch — so an
+    unexpectedly fat query frame used to become a silent driver OOM.
+    Same guard shape as ``dedup.embedding_dup_pairs``: collect at most
+    ``max_query_rows + 1`` rows of (id, vector) and raise a clear error
+    instead of letting the driver heap absorb the overflow. The default
+    (10k queries) bounds the broadcast state at a few MB of LUTs."""
+    rows = q.select(query_id_col, vec_col).limit(max_query_rows + 1).collect()
+    if len(rows) > max_query_rows:
+        raise ValueError(
+            f"query side exceeds max_query_rows={max_query_rows}: top-k "
+            f"probes collect the query frame driver-side to route lists "
+            f"and build ADC LUTs, so a fat query frame becomes a driver "
+            f"OOM rather than a distributed job. Chunk the query frame "
+            f"(or the streaming micro-batch) or raise max_query_rows "
+            f"deliberately.")
+    return rows
+
+
 def ivf_topk(corpus: DataFrame, query: DataFrame, *, centers=None,
              id_col: str = "vec_id", vec_col: str = "embedding", k: int = 10,
              nprobe: int = 4, n_centroids: int = 16, seed: int = 42,
-             query_id_col: str = "query_id") -> DataFrame:
+             query_id_col: str = "query_id",
+             max_query_rows: int = 10_000) -> DataFrame:
     """IVF approximate cosine top-k: the other standard ANN scale path.
 
     Corpus vectors are bucketed by nearest coarse centroid (inverted
@@ -170,7 +193,7 @@ def ivf_topk(corpus: DataFrame, query: DataFrame, *, centers=None,
 
     q = (query.withColumnRenamed(id_col, query_id_col)
          if query_id_col not in query.columns else query)
-    qrows = q.select(query_id_col, vec_col).collect()  # queries are tiny by contract
+    qrows = _collect_query_rows(q, query_id_col, vec_col, max_query_rows)
     ct = np.asarray(centers, dtype=np.float64)
     probes = []
     for r in qrows:
@@ -407,7 +430,8 @@ def pq_encode(df: DataFrame, codebooks, *, vec_col: str = "embedding",
 def pq_topk(corpus: DataFrame, query: DataFrame, *, codebooks=None,
             id_col: str = "vec_id", vec_col: str = "embedding", k: int = 10,
             m: int = 8, n_codes: int = 16, rerank: int = 50, seed: int = 42,
-            query_id_col: str = "query_id") -> DataFrame:
+            query_id_col: str = "query_id",
+            max_query_rows: int = 10_000) -> DataFrame:
     """PQ approximate cosine top-k with asymmetric distance (ADC) and
     exact re-rank — the memory-bandwidth ANN scale path: the scan reads
     m-byte codes instead of D floats, scores are m table lookups.
@@ -432,7 +456,7 @@ def pq_topk(corpus: DataFrame, query: DataFrame, *, codebooks=None,
 
     q = (query.withColumnRenamed(id_col, query_id_col)
          if query_id_col not in query.columns else query)
-    qrows = q.select(query_id_col, vec_col).collect()  # tiny by contract
+    qrows = _collect_query_rows(q, query_id_col, vec_col, max_query_rows)
     # plain Python list, not np.int64: string doc ids must survive the
     # broadcast round-trip (they only ever index a dict/zip below)
     qids = [r[0] for r in qrows]
@@ -618,7 +642,8 @@ def ivf_pq_topk(corpus: DataFrame, query: DataFrame, *, centers=None,
                 n_centroids: int = 16, m: int = 8, n_codes: int = 16,
                 rerank: int = 50, seed: int = 42,
                 query_id_col: str = "query_id",
-                encoded: DataFrame | None = None) -> DataFrame:
+                encoded: DataFrame | None = None,
+                max_query_rows: int = 10_000) -> DataFrame:
     """IVF-PQ approximate cosine top-k — the composed billion-scale ANN
     architecture (FAISS ``IVFx,PQm``-shaped, from the public Jégou et
     al. 2011 paper): coarse centroids route each query to ``nprobe``
@@ -660,7 +685,7 @@ def ivf_pq_topk(corpus: DataFrame, query: DataFrame, *, centers=None,
 
     q = (query.withColumnRenamed(id_col, query_id_col)
          if query_id_col not in query.columns else query)
-    qrows = q.select(query_id_col, vec_col).collect()  # tiny by contract
+    qrows = _collect_query_rows(q, query_id_col, vec_col, max_query_rows)
     qids = [r[0] for r in qrows]
     qx, probe_sets = _probe_lists(qrows, ct, nprobe)
     # shared residual LUT + per-list constant term
@@ -762,7 +787,8 @@ def ivf_pq_topk_from_store(corpus: DataFrame, query: DataFrame,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding", k: int = 10,
                            nprobe: int = 4, rerank: int = 50,
-                           query_id_col: str = "query_id") -> DataFrame:
+                           query_id_col: str = "query_id",
+                           max_query_rows: int = 10_000) -> DataFrame:
     """IVF-PQ search over a persisted store: routes the queries
     driver-side, scans ONLY the probed ``centroid_id=`` partitions
     (partition pruning, plan-asserted in tests/test_similarity.py),
@@ -773,7 +799,7 @@ def ivf_pq_topk_from_store(corpus: DataFrame, query: DataFrame,
     ct = np.asarray(centers, dtype=np.float64)
     q = (query.withColumnRenamed(id_col, query_id_col)
          if query_id_col not in query.columns else query)
-    qrows = q.select(query_id_col, vec_col).collect()  # tiny by contract
+    qrows = _collect_query_rows(q, query_id_col, vec_col, max_query_rows)
     _, probe_sets = _probe_lists(qrows, ct, nprobe)
     probed = sorted({int(c) for s in probe_sets for c in s})
     encoded = (spark.table(table)
@@ -786,7 +812,7 @@ def ivf_pq_topk_from_store(corpus: DataFrame, query: DataFrame,
     return ivf_pq_topk(corpus, query, centers=ct, codebooks=codebooks,
                        id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe,
                        rerank=rerank, query_id_col=query_id_col,
-                       encoded=encoded)
+                       encoded=encoded, max_query_rows=max_query_rows)
 
 
 def group_centroid_cosine(df: DataFrame, group_col: str, id_col: str,
@@ -907,7 +933,8 @@ def knn_join_lsh(corpus: DataFrame, *, dim: int, id_col: str = "vec_id",
 
 def kcenter_sample(df: DataFrame, *, id_col: str = "vec_id",
                    vec_col: str = "embedding", k: int = 8,
-                   cached: bool = False, batch: int = 1) -> DataFrame:
+                   cached: bool = False, batch: int = 1,
+                   adapt_batch: bool = False) -> DataFrame:
     """Greedy k-center / farthest-point diversity sampling (Gonzalez
     1985) over an embedding column — the coverage-maximizing SELECTION
     step of data curation (pick k maximally-diverse exemplars; the
@@ -957,6 +984,15 @@ def kcenter_sample(df: DataFrame, *, id_col: str = "vec_id",
     changes: k/⟨accepted per batch⟩ checkpoints + 2 jobs per round
     instead of k of each. Worst case (adversarial ties) accepts 1 per
     round — never worse than unbatched.
+
+    ``adapt_batch=True`` (r12) re-sizes each round's fetch to ~2× the
+    previous round's acceptance count (clamped to [8, max(2·batch,
+    128)]; ``batch`` is the initial width): early rounds, where
+    centers are far apart and whole batches are accepted, grow toward
+    the clamp; late rounds, where the strict bound flushes quickly,
+    shrink so fetch + m×m re-verify waste tracks the actual acceptance
+    rate. The schedule changes ONLY the grouping of fetches — the
+    accepted sequence is the unbatched greedy one for any schedule.
 
     Returns (sel_order, id, mindist_e6): selection order (0 = seed),
     point id, and its min cosine distance ×1e6 to the previously
@@ -1038,18 +1074,36 @@ def kcenter_sample(df: DataFrame, *, id_col: str = "vec_id",
             # TakeOrdered order: _md DESC NULLS LAST, _id ASC
             return (md is None, -(md if md is not None else 0), cid)
 
+        # r12 over-selection remedy (VERDICT r11 #4): the optimal batch
+        # is data-dependent — when the strict bound flushes a round
+        # early, most of the fetch and the m×m re-verify matrix is
+        # wasted (PLANS.md r11: k=1024 b128 130.6 s vs b64 112.5 s).
+        # With adapt_batch the NEXT round's fetch is sized to ~2× what
+        # this round actually accepted (clamped to [8, max(2·batch,
+        # 128)]), so the knob tracks the acceptance rate through the
+        # run instead of being fixed at a single compromise width.
+        # Output is IDENTICAL for ANY batch schedule — the acceptance
+        # bound admits exactly the unbatched greedy sequence regardless
+        # of how candidates are grouped into fetches (pytest-locked).
+        m = batch
+        m_hi = max(2 * batch, 128)
         cur = src.withColumn("_md", _dist(list(seed[0]._v)))
         while len(chosen) < k:
             cur = cur.localCheckpoint(eager=True)
-            cand = (cur.filter(~F.col("_id").isin([c[0] for c in chosen]))
+            # exclusion by broadcast ANTI-join, not isin: at curation
+            # k (1024+) the per-round isin rebuilt a k-literal In
+            # expression — the r11b plan-construction anti-pattern
+            chosen_ids = spark.createDataFrame(
+                [(c[0],) for c in chosen], "_id long")
+            cand = (cur.join(F.broadcast(chosen_ids), "_id", "anti")
                     .orderBy(F.col("_md").desc(), F.col("_id").asc())
-                    .limit(batch)
+                    .limit(m)
                     .select("_id", "_v", "_n", "_md").collect())
             if not cand:  # k exceeds the corpus — return what exists
                 break
-            # fewer than `batch` rows ⇒ the whole remaining corpus is
+            # fewer than `m` rows ⇒ the whole remaining corpus is
             # in hand and no outside point can outrank anything here
-            exhausted = len(cand) < batch
+            exhausted = len(cand) < m
             bound = None if exhausted else cand[-1]._md
             # pairwise quantized distances among candidates — same
             # dot/round math as _dist, but as ONE transform() over an
@@ -1109,6 +1163,8 @@ def kcenter_sample(df: DataFrame, *, id_col: str = "vec_id",
                             if v is not None]
                     upd[i] = min(vals) if vals else None
             cur = cur.withColumn("_md", _mindist_update(accepted_vecs))
+            if adapt_batch:
+                m = max(8, min(m_hi, 2 * len(accepted_vecs)))
     elif cached:
         cur = src.withColumn("_md", _dist(list(seed[0]._v)))
         for _ in range(1, k):

@@ -612,6 +612,120 @@ def bm25_scores(df: DataFrame, id_col: str, text_col: str,
             .filter(F.col("bm25") > 0))
 
 
+def persist_bm25_store(df: DataFrame, table: str, *, id_col: str = "doc_id",
+                       text_col: str = "text", n_buckets: int = 64,
+                       mode: str = "overwrite") -> None:
+    """Persist a corpus's BM25 serving state — the RETRIEVAL arm of the
+    store family (fingerprint r10, MinHash r11, IVF-PQ r10): tokenize
+    the corpus ONCE into a postings table ``(term, doc_id, tf, dl)``
+    BUCKETED by term, and stamp the corpus statistics the scoring
+    formula needs (N, Σdl) as table properties. Every later query then
+    scores against the landed postings with ZERO corpus-side work
+    (``bm25_scores_from_store``): ``bm25_scores`` re-tokenizes the full
+    corpus per query today — at 100 TB that is a full text scan per
+    search; here the scan is paid once at build.
+
+    Plan shape at build: one explode + ONE shuffle on (doc, term) with
+    ``dl`` carried as a grouping key (no second scan or join for doc
+    length), then the bucketed write on term. ``dl`` uses the same
+    ``size(tokens(...))`` the direct scorer uses, so scores are
+    bit-identical. N and Σdl cover ALL docs (postings only hold docs
+    that contain a term — the stats must not undercount empty docs).
+    Incremental append is deliberately NOT offered: appending postings
+    is sound, but N/Σdl in properties would go stale — a rebuild (or a
+    delta-stats merge) is the honest contract; refuse anything else.
+
+    Generalizes the reference's search surface (app.py:174-186
+    substring scan per request) to an indexed corpus."""
+    from comix_etl_spark.sinks.writers import (clear_orphan_table_dir,
+                                               save_bucketed_table,
+                                               set_store_props)
+
+    if mode != "overwrite":
+        raise ValueError(
+            "persist_bm25_store: only mode='overwrite' — an append "
+            "would silently leave the stamped corpus stats (N, sum_dl) "
+            "stale for every later score; rebuild instead")
+    spark = df.sparkSession
+    clear_orphan_table_dir(spark, table, mode)
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), F.size(toks).alias("dl"),
+                     F.explode_outer(toks).alias("term"))
+    # one aggregate produces BOTH outputs: stats ride on a grouping set?
+    # — no: stats need every doc, postings only term-bearing rows, and
+    # the stats frame is one row; two jobs over one shuffle-free base
+    # projection are cheaper than a grouping-sets shuffle of the corpus.
+    stats = (df.select(F.size(toks).alias("_dl"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                  F.coalesce(F.sum("_dl"), F.lit(0)).cast("long")
+                  .alias("sum_dl"))
+             .first())
+    posts = (base.filter(F.col("term").isNotNull())
+             .groupBy("term", id_col, "dl")
+             .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    save_bucketed_table(posts, table, ["term"], n_buckets,
+                        sort_cols=["term"], mode=mode)
+    set_store_props(spark, table, "comix.bm25",
+                    {"n": stats["n"], "sum_dl": stats["sum_dl"],
+                     "id_col": id_col, "tokenizer": "whitespace_v1"})
+
+
+def bm25_scores_from_store(spark, table: str, terms: list[str], *,
+                           k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Okapi BM25 against a PERSISTED postings store
+    (``persist_bm25_store``) — output-identical to ``bm25_scores`` on
+    the same corpus (pytest-locked + oracle-checked via the
+    ``bm25_store_probe`` registry query), with per-query cost bounded
+    by the query's posting lists, not the corpus: the scan hits ONLY
+    the buckets holding the query terms (term is the bucketing column,
+    so the literal IN filter bucket-prunes), per-term document
+    frequency falls out of the probed postings themselves (df(t) ==
+    rows of t — postings exist only where tf > 0), and N / Σdl come
+    from the stamped table properties. Zero tokenization, zero wide
+    shuffle: the groupBy key (doc) is bounded by the fetched postings.
+
+    Determinism: per-term contributions are pivoted into columns and
+    summed in the caller's term order starting from 0.0 — the same
+    IEEE addition sequence as ``bm25_scores`` (a tf=0 term contributes
+    exactly 0.0 there, and +0.0 is exact), so the 6dp rounds agree
+    bit-for-bit (the mixture_plan r11 lesson: summation ORDER is part
+    of the contract when an oracle hashes the output)."""
+    from comix_etl_spark.sinks.writers import get_store_props
+
+    props = get_store_props(spark, table, "comix.bm25")
+    if not {"n", "sum_dl"} <= props.keys():
+        raise ValueError(
+            f"bm25_scores_from_store: store {table!r} lacks stamped "
+            f"corpus stats (comix.bm25.n / sum_dl) — was it built by "
+            f"persist_bm25_store?")
+    n = int(props["n"])
+    sum_dl = int(props["sum_dl"])
+    id_col = props.get("id_col", "doc_id")
+    avgdl = float(sum_dl) / float(n) if n else 0.0
+    uniq = sorted(set(terms))
+    posts = spark.table(table).filter(F.col("term").isin(uniq))
+    # df(t) from the probed postings — tiny (≤ |terms| rows), broadcast
+    dfc = posts.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("_df"))
+    tf = F.col("tf").cast("double")
+    dfx = F.col("_df").cast("double")
+    idf = F.log(F.lit(1.0) + (F.lit(float(n)) - dfx + 0.5) / (dfx + 0.5))
+    contrib = idf * tf * (k1 + 1) / (
+        tf + k1 * (1 - b + b * F.col("dl").cast("double") / F.lit(avgdl)))
+    scored = (posts.join(F.broadcast(dfc), "term")
+              .withColumn("_c", contrib))
+    # pivot to one column per QUERY term (duplicates included), then sum
+    # in term order — the exact addition sequence of bm25_scores
+    per_doc = scored.groupBy(id_col).agg(
+        *[F.max(F.when(F.col("term") == t, F.col("_c"))).alias(f"_c{i}")
+          for i, t in enumerate(terms)])
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+    return (per_doc.select(F.col(id_col), F.round(score, 6).alias("bm25"))
+            .filter(F.col("bm25") > 0))
+
+
 def char_bigram_counts(df: DataFrame, text_col: str) -> DataFrame:
     """Corpus-wide adjacent character-pair frequencies — the statistic
     behind the FIRST merge step of BPE tokenizer training (Sennrich et

@@ -7868,6 +7868,28 @@ ORDER BY bm25 DESC, doc_id LIMIT 20
 """
 
 
+def q_bm25_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED BM25 store END-TO-END (r12 —
+    operators/textstats.py::persist_bm25_store +
+    bm25_scores_from_store): the corpus is tokenized ONCE into a
+    term-bucketed postings table with (N, Σdl) stamped as table
+    properties, then the query {spark, merge, window} scores against
+    the landed postings alone — bucket-pruned term scan, df from the
+    probed postings, stats from the stamp, zero corpus tokenization
+    per query. Output-identical to bm25_search BY CONSTRUCTION (the
+    probe reproduces the direct path's IEEE summation order), so the
+    same oracle hash-checks the whole build → probe round-trip."""
+    from comix_etl_spark.operators import textstats as TS
+
+    t = _t(spark, sf_dir, "documents")
+    TS.persist_bm25_store(t["documents"], "comix_bm25_store",
+                          id_col="doc_id", text_col="text")
+    return (TS.bm25_scores_from_store(spark, "comix_bm25_store",
+                                      ["spark", "merge", "window"])
+            .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+            .limit(20))
+
+
 def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: Okapi BM25 (fixed query {spark, merge, window})
     and dense cosine (fixed query vector = embedding 7) each produce a
@@ -12561,6 +12583,11 @@ QUERIES: dict[str, Query] = {
     "bm25_search": Query(q_bm25_search, ORACLE_BM25_SEARCH,
                          "Okapi BM25 keyword ranking, scan-local tf + "
                          "1-row stats broadcast", ("documents",)),
+    "bm25_store_probe": Query(
+        q_bm25_store_probe, ORACLE_BM25_SEARCH,
+        "persisted BM25 postings store: tokenize-once build with "
+        "stamped corpus stats, then a bucket-pruned query-only probe — "
+        "corpus never re-tokenizes", ("documents",)),
     "centroid_cohesion": Query(q_centroid_cohesion, ORACLE_CENTROID_COHESION,
                                "per-language embedding centroid cohesion "
                                "(avg/min cosine to centroid)",
@@ -12911,43 +12938,41 @@ QUERIES: dict[str, Query] = {
 # quality_classifier, minhash_pr_eval, image_dedup_qwide and
 # image_decontaminate_qwide).
 _CHECK_FIRST = [
-    # r11 ROTATION (VERDICT r10 "Next round" #1/#3): FIRST-TIMERS
-    # lead — the 10 r10-session-2 queries that landed after the r10
-    # window ran (the IVF-PQ-store / hybrid-retrieval / classifier /
-    # mixture / qwide family — the r10 headline work, local-parity
-    # only until now; ann_ivf_pq is rows-only, its hash-checked
-    # ann_ivf_pq_det sibling is r10-green) plus the r11-new
-    # incremental fingerprint-store ingest. mixture_plan leads: its
-    # uniform allocation was fixed this round (x·0.5/n, not
-    # x·0.5·(1/n) — IEEE boundary mismatch vs the oracle).
-    "mixture_plan", "ann_ivf_pq_store", "stream_ann_probe",
-    "ivf_pq_recall_eval", "hybrid_search_rrf", "minhash_pr_eval",
-    "quality_classifier", "image_dedup_qwide",
-    "image_decontaminate_qwide", "ann_ivf_pq",
-    "dedup_incremental_store", "dedup_store_probe",
-    # the round's one flagged perf regression — also r6-stale
-    "minhash_lsh_det",
-    # r6-era verdicts, 4 rounds stale: the TPC-H silhouette batch ...
-    "big_orders", "promo_share", "returned_items", "top_supplier",
-    "discount_revenue", "local_supplier_volume", "priority_mix",
-    # ... the sketch/eval family ...
-    "hll_rollup", "weighted_median", "chi_square", "analyze_stats",
-    "approx_cardinality_check", "approx_percentiles_check",
-    "benford_deviation", "drift_psi", "cusum_changepoint",
-    # ... streaming / search / clustering movers ...
-    "stream_outer_join", "bm25_search", "kmeans_assign_det",
-    "centroid_cohesion", "ann_pq_det", "dedup_clusters_lsh_det",
-    "simhash_det",
-    # ... and the rest of the r6 backlog that fits this window
-    "attribution", "bpe_pair_counts", "cdc_chunking",
-    "hierarchy_rollup", "interval_overlap", "pagerank",
-    "pareto_frontier", "range_frame_window", "schema_evolution",
-    "sequence_gaps", "set_operations", "supplier_triangles",
-    "vocab_coverage", "weighted_sample",
-    # r12 BACKLOG (r6-era, deferred — queue these first next round):
-    # zorder_layout, hash_split, idle_customers, bracket_revenue,
-    # important_parts, min_cost_supplier, order_priority_check,
-    # profit_by_nation, promo_suppliers, supplier_variety, trade_volume
+    # r12 ROTATION (VERDICT r11 "Next round" #1): retire the stale-
+    # verdict backlog's oldest tiers. The ONE r12-new query leads (new
+    # queries land before the round's window — standing rule), then the
+    # 11 r6-era verdicts (5 rounds stale, queued since the r11 backlog
+    # comment), then the 38 oldest/highest-value r7-era verdicts — the
+    # §2 serving core (stats_topk, marvel_*, rest_*, cover_enrichment),
+    # the whole r7 streaming batch, and the dedup/ANN/text arms.
+    "bm25_store_probe",
+    # r6-era (the full tier):
+    "zorder_layout", "hash_split", "idle_customers", "bracket_revenue",
+    "important_parts", "min_cost_supplier", "order_priority_check",
+    "profit_by_nation", "promo_suppliers", "supplier_variety",
+    "trade_volume",
+    # r7-era: the serving core the VERDICT names first ...
+    "stats_topk", "marvel_normalize", "marvel_credits", "rest_paginated",
+    "cover_enrichment", "incremental_refetch", "keyed_lookup",
+    "rest_datasource",
+    # ... the r7 streaming batch ...
+    "stream_dedup", "stream_enrich", "stream_hopping", "stream_join",
+    "stream_sessionize", "stream_windowed",
+    # ... dedup / ANN / text arms ...
+    "semantic_dedup", "dedup_incremental", "substring_dedup",
+    "set_sim_prefix", "ann_recall_eval", "ivf_recall_eval",
+    "filtered_ann", "knn_join_det", "jl_projection", "gram_covariance",
+    "heavy_hitters", "bpe_train", "bpe_tokenize", "multimodal_metadata",
+    "table_fingerprint",
+    # ... temporal / rollup movers that fit the window
+    "forward_fill", "gap_fill", "hopping_windows", "incremental_rollup",
+    "rolling_dau", "retention_cohorts", "sales_cube", "scd2_orders",
+    "seasonal_decompose",
+    # r13 BACKLOG (r7-era, deferred — queue these first next round):
+    # decile_buckets, dict_encode, events_variant, market_share,
+    # order_lines_nested, percent_rank_cdf, pseudonymize_join,
+    # shipping_priority, subtree_value_rollup, time_weighted_avg,
+    # top_paths, unpivot_measures
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 QUERIES = {

@@ -208,6 +208,53 @@ def save_bucketed_table(df: DataFrame, name: str, bucket_cols: list[str],
     writer.saveAsTable(name)
 
 
+def set_store_props(spark: SparkSession, table: str, prefix: str,
+                    props: dict) -> None:
+    """Stamp a store table's signature layout as TBLPROPERTIES at build
+    time — the catalog-native way to make the layout travel WITH the
+    table (a production metastore keeps properties across sessions; the
+    local in-memory catalog keeps them for the session, which is exactly
+    the store tables' lifetime here). Shared by every store in the
+    family: MinHash (``comix.minhash.*``), fingerprint (``comix.fp.*``),
+    BM25 (``comix.bm25.*``)."""
+    kv = ", ".join(f"'{prefix}.{k}'='{v}'" for k, v in props.items())
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
+
+
+def get_store_props(spark: SparkSession, table: str,
+                    prefix: str) -> dict[str, str]:
+    """Read back a store's stamped layout (keys without the prefix)."""
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    return {r["key"][len(prefix) + 1:]: r["value"] for r in rows
+            if r["key"].startswith(prefix + ".")}
+
+
+def validate_store_props(spark: SparkSession, table: str, prefix: str,
+                         expected: dict, op: str) -> bool:
+    """Validate EVERY layout parameter a store baked in against what the
+    caller is about to append/probe with — not just a count that happens
+    to be cheap to re-derive. A mismatched num_hashes / shingle n /
+    hash_fn passes a bands-only check yet makes buckets (almost) never
+    collide: the probe silently returns empty matches while looking
+    verified. Returns True when properties were present and checked;
+    False when the table predates property stamping (caller falls back
+    to its legacy derived check so old stores keep working, just with
+    the weaker guarantee)."""
+    stored = get_store_props(spark, table, prefix)
+    if not stored:
+        return False
+    mismatch = {k: (stored.get(k), str(v)) for k, v in expected.items()
+                if stored.get(k) != str(v)}
+    if mismatch:
+        detail = "; ".join(f"{k}: store={s!r} caller={c!r}"
+                           for k, (s, c) in sorted(mismatch.items()))
+        raise ValueError(
+            f"{op}: layout mismatch against store {table!r} ({detail}) — "
+            f"mixed signature layouts make buckets silently never "
+            f"collide; match the stored layout or rebuild the store")
+    return True
+
+
 def clear_orphan_table_dir(spark: SparkSession, table: str,
                            mode: str = "overwrite") -> None:
     """Handle an orphaned managed-table DIRECTORY from a previous

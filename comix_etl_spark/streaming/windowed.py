@@ -40,6 +40,33 @@ def stream_shuffle_partitions(spark: SparkSession, n: int):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def _prior_batches_exist(spark: SparkSession, path: str,
+                         batch_id: int) -> bool:
+    """True iff ``path`` holds a ``batch_id=N`` child with N < the
+    current batch — the ingest loops' "is there landed history to probe"
+    check. Resolved through the Hadoop FileSystem API, NOT ``os.*``:
+    the loops advertise object-store roots (hdfs://, s3a://), where a
+    driver-local ``os.path.isdir`` is always False and every micro-batch
+    would silently probe nothing and emit zero matches — the worst
+    failure mode for a dedup gate. The Hadoop FS call honors whatever
+    scheme ``path`` carries (file:/local paths included), so the same
+    code path is exercised by the local pytests."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return False
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.startswith("batch_id="):
+            try:
+                if int(name.split("=", 1)[1]) < batch_id:
+                    return True
+            except ValueError:
+                continue
+    return False
+
+
 def stream_windowed_counts(events: DataFrame, *, ts_col: str = "ts",
                            key_col: str = "event_type", window: str = "1 hour",
                            watermark: str = "2 hours",
@@ -160,9 +187,8 @@ def foreach_batch_dedup_ingest(root: str, *, id_col: str, text_col: str,
         # pin: nb feeds both the probe and the landed write — without
         # this the batch would sign twice
         nb = nb.localCheckpoint(eager=True)
-        have_history = os.path.isdir(os.path.join(root, "bands")) and any(
-            e.startswith("batch_id=") and int(e.split("=", 1)[1]) < batch_id
-            for e in os.listdir(os.path.join(root, "bands")))
+        have_history = _prior_batches_exist(
+            spark, os.path.join(root, "bands"), batch_id)
         if have_history:
             ob = (spark.read.parquet(os.path.join(root, "bands"))
                   .filter(F.col("batch_id") < batch_id))
@@ -189,7 +215,8 @@ def foreach_batch_ann_ingest(root: str, centers, codebooks, *,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              sim_threshold: float = 0.98,
-                             nprobe: int = 4, rerank: int = 50):
+                             nprobe: int = 4, rerank: int = 50,
+                             max_query_rows: int = 10_000):
     """foreachBatch sink: the VECTOR-side continuous-ingest dedup loop —
     the embedding sibling of ``foreach_batch_dedup_ingest``. Every
     micro-batch of vectors (1) probes the landed IVF-PQ codes for its
@@ -206,8 +233,11 @@ def foreach_batch_ann_ingest(root: str, centers, codebooks, *,
     pruning), so a replayed batch overwrites itself and never matches
     its own half-landed rows. The (centers, codebooks) are BAKED INTO
     the stream — changing them mid-stream makes landed codes garbage
-    (same contract as persist_ivf_pq_store). Micro-batches are
-    driver-bounded by contract (ivf_pq_topk collects the query side).
+    (same contract as persist_ivf_pq_store). Micro-batches must be
+    driver-bounded (ivf_pq_topk collects the query side) — ENFORCED:
+    ``max_query_rows`` threads into the probe, so a fat micro-batch
+    raises a clear ValueError instead of a driver OOM; size the
+    stream's ``maxFilesPerTrigger``/rate under it.
 
     Output matches: (``id_col``, match_id, cosine_sim) — each flagged
     batch vector's best landed neighbor at ≥ ``sim_threshold``."""
@@ -220,9 +250,8 @@ def foreach_batch_ann_ingest(root: str, centers, codebooks, *,
         batch = batch_df.localCheckpoint(eager=True)
         enc = ivf_pq_encode(batch, centers, codebooks, id_col=id_col,
                             vec_col=vec_col).localCheckpoint(eager=True)
-        have_history = os.path.isdir(os.path.join(root, "codes")) and any(
-            e.startswith("batch_id=") and int(e.split("=", 1)[1]) < batch_id
-            for e in os.listdir(os.path.join(root, "codes")))
+        have_history = _prior_batches_exist(
+            spark, os.path.join(root, "codes"), batch_id)
         if have_history:
             codes = (spark.read.parquet(os.path.join(root, "codes"))
                      .filter(F.col("batch_id") < batch_id)
@@ -233,7 +262,8 @@ def foreach_batch_ann_ingest(root: str, centers, codebooks, *,
             top = ivf_pq_topk(vecs, batch.select(id_col, vec_col),
                               centers=centers, codebooks=codebooks,
                               id_col=id_col, vec_col=vec_col, k=1,
-                              nprobe=nprobe, rerank=rerank, encoded=codes)
+                              nprobe=nprobe, rerank=rerank, encoded=codes,
+                              max_query_rows=max_query_rows)
             matches = (top.filter(F.col("cosine_sim") >= sim_threshold)
                        .select(F.col("query_id").alias(id_col),
                                F.col(id_col).alias("match_id"),

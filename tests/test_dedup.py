@@ -535,7 +535,7 @@ def test_fingerprint_store_incremental_append(spark):
     persist_fingerprint_store(fa, "fp_inc_t", fp_cols=["dhash"],
                               max_hamming=2)
     try:
-        with _pt.raises(ValueError, match="band layout"):
+        with _pt.raises(ValueError, match="layout mismatch"):
             persist_fingerprint_store(fb, "fp_inc_t", fp_cols=["dhash"],
                                       max_hamming=2, n_bands=5,
                                       mode="append")
@@ -623,10 +623,19 @@ def test_minhash_store_probe_matches_direct(spark, sf_small):
         docs.filter((F.col("doc_id") % 10 >= 1) & (F.col("doc_id") % 10 <= 5)),
         "mh_store_t", **common)
     try:
-        with _pt.raises(ValueError, match="band layouts"):
+        with _pt.raises(ValueError, match="layout mismatch"):
             persist_minhash_store(docs.filter(F.col("doc_id") % 10 >= 6),
                                   "mh_store_t", mode="append",
                                   **{**common, "bands": 8, "num_hashes": 16})
+        # the case a bands-only check could NOT catch: same band count,
+        # different num_hashes / shingle n / hash_fn — each must refuse
+        # via the stamped table properties instead of silently landing
+        # rows whose buckets never collide
+        for bad in ({"num_hashes": 32}, {"n": 5}, {"hash_fn": "xxhash64"}):
+            with _pt.raises(ValueError, match="layout mismatch"):
+                persist_minhash_store(docs.filter(F.col("doc_id") % 10 >= 6),
+                                      "mh_store_t", mode="append",
+                                      **{**common, **bad})
         persist_minhash_store(docs.filter(F.col("doc_id") % 10 >= 6),
                               "mh_store_t", mode="append", **common)
         direct = dedup_against_corpus(batch, corpus, "doc_id", "text",
@@ -641,6 +650,12 @@ def test_minhash_store_probe_matches_direct(spark, sf_small):
             dedup_against_store(batch, corpus, "mh_store_t",
                                 threshold=0.3,
                                 **{**common, "bands": 8, "num_hashes": 16})
+        # probe-side full-layout validation: same bands, different
+        # num_hashes — silently-empty-matches territory before r12
+        with _pt.raises(ValueError, match="layout mismatch"):
+            dedup_against_store(batch, corpus, "mh_store_t",
+                                threshold=0.3,
+                                **{**common, "num_hashes": 32})
     finally:
         spark.sql("DROP TABLE IF EXISTS mh_store_t")
 
@@ -926,3 +941,33 @@ def test_audio_fingerprint_gain_invariant(spark):
     assert got[0] is not None and got[0] >= 0
     assert got[1] == got[0] and got[2] == got[0]
     assert got[3] is None and got[4] is None
+
+
+def test_empty_fp_store_preserves_id_types(spark):
+    """ADVICE r11: the empty-store early returns used to hardcode
+    ``long`` ids; with string ids the empty path's schema diverged from
+    the non-empty path, breaking unions only in the empty case. Both
+    store readers must now derive id types from the actual schemas."""
+    from comix_etl_spark.operators.dedup import (
+        hamming_probe_from_store, near_dup_pairs_from_store,
+        persist_fingerprint_store)
+
+    empty = spark.createDataFrame([], "media_id string, dhash long")
+    persist_fingerprint_store(empty, "fp_empty_t", fp_cols=["dhash"],
+                              max_hamming=2)
+    try:
+        probe = spark.createDataFrame([("p1", 12345)],
+                                      "media_id string, dhash long")
+        out = hamming_probe_from_store(spark, "fp_empty_t", probe,
+                                       fp_cols=["dhash"], max_hamming=2)
+        assert out.count() == 0
+        assert dict(out.dtypes) == {"corpus_id": "string",
+                                    "probe_id": "string",
+                                    "hamming": "bigint"}
+        pairs = near_dup_pairs_from_store(spark, "fp_empty_t",
+                                          fp_cols=["dhash"], max_hamming=2)
+        assert pairs.count() == 0
+        assert dict(pairs.dtypes) == {"id_a": "string", "id_b": "string",
+                                      "hamming": "bigint"}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS fp_empty_t")

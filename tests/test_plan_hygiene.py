@@ -249,3 +249,21 @@ def test_dedup_store_probe_verify_stage_shape(spark, sf_small):
     s = plan_summary(df)
     assert s.n_sort_merge_joins == 0, s
     assert s.n_broadcast_hash_joins >= 2, s
+
+
+def test_bm25_store_probe_bucket_pruned_scan(spark, sf_small):
+    # The BM25 store probe's whole value is never touching the corpus at
+    # query time: its plan must read the bucketed postings TABLE (not
+    # documents.parquet — the build runs eagerly before the returned
+    # plan), bucket-prune the term scan (SelectedBucketsCount from the
+    # IN filter on the bucketing column), broadcast the tiny per-term
+    # df aggregate, and never re-tokenize (no split/explode of text).
+    from comix_etl_spark.plans.introspect import plan_summary
+
+    df = QUERIES["bm25_store_probe"].builder(spark, sf_small)
+    plan = _plan(df)
+    assert "documents.parquet" not in plan, plan
+    assert "SelectedBucketsCount" in plan, plan
+    s = plan_summary(df)
+    assert s.n_sort_merge_joins == 0, s
+    assert s.n_broadcast_hash_joins == 1, s

@@ -491,3 +491,53 @@ def test_kcenter_batched_pathological_ties(spark):
     cached = kcenter_sample(df, k=10, cached=True).collect()
     batched = kcenter_sample(df, k=10, batch=5).collect()
     assert [tuple(r) for r in cached] == [tuple(r) for r in batched]
+
+
+def test_topk_query_side_guard(spark):
+    """r12 guard (VERDICT r11 #3): every *_topk that collects its query
+    side driver-side must raise a clear ValueError when the query frame
+    exceeds ``max_query_rows`` — before the guard a fat query frame (or
+    streaming micro-batch) became a silent driver OOM. At the boundary
+    (rows == max) the probe still runs."""
+    import numpy as np
+    import pytest as _pt
+
+    from comix_etl_spark.operators.similarity import (
+        ivf_pq_topk, ivf_topk, pq_topk, train_ivf_centroids,
+        train_residual_codebooks)
+
+    rng = np.random.default_rng(5)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=6)]) for i in range(20)],
+        "vec_id long, embedding array<double>")
+    query = spark.createDataFrame(
+        [(100 + i, [float(x) for x in rng.normal(size=6)]) for i in range(5)],
+        "query_id long, embedding array<double>")
+    centers = train_ivf_centroids(corpus, n_centroids=2, normalize=True)
+    books = train_residual_codebooks(corpus, centers, m=2, k=4)
+    for call in (
+        lambda mx: ivf_topk(corpus, query, k=2, n_centroids=2,
+                            max_query_rows=mx),
+        lambda mx: pq_topk(corpus, query, k=2, m=2, n_codes=4,
+                           max_query_rows=mx),
+        lambda mx: ivf_pq_topk(corpus, query, centers=centers,
+                               codebooks=books, k=2, nprobe=2,
+                               max_query_rows=mx),
+    ):
+        with _pt.raises(ValueError, match="max_query_rows"):
+            call(4)
+        assert call(5).count() > 0  # boundary: 5 rows at max 5 passes
+
+
+def test_kcenter_adaptive_batch_matches_cached(spark, sf_small):
+    """adapt_batch (r12): the adaptive fetch schedule must emit the
+    IDENTICAL selection to the cached form — the acceptance bound
+    admits exactly the unbatched greedy sequence regardless of how
+    candidates are grouped into fetches."""
+    from comix_etl_spark.operators.similarity import kcenter_sample
+
+    vecs = spark.read.parquet(f"{sf_small}/embeddings.parquet").limit(400)
+    cached = kcenter_sample(vecs, k=48, cached=True).collect()
+    adaptive = kcenter_sample(vecs, k=48, batch=8,
+                              adapt_batch=True).collect()
+    assert [tuple(r) for r in cached] == [tuple(r) for r in adaptive]

@@ -418,6 +418,46 @@ def test_stream_ann_ingest_loop(spark, tmpdir):
     assert again == got
 
 
+def test_stream_ann_ingest_fat_batch_guard(spark, tmpdir):
+    """Two r12 hardening contracts of the vector ingest loop: (1) a
+    micro-batch wider than ``max_query_rows`` raises a clear ValueError
+    (the probe collects the query side driver-side — before the guard a
+    fat batch was a silent driver OOM); (2) landed-history detection
+    resolves ``root`` through the Hadoop FileSystem API, so a
+    scheme-qualified URI (``file:`` here, standing in for the
+    ``hdfs://``/``s3a://`` roots the loop advertises) still sees prior
+    batches instead of silently probing nothing (ADVICE r11)."""
+    import numpy as np
+
+    from comix_etl_spark.operators.similarity import (
+        train_ivf_centroids, train_residual_codebooks)
+    from comix_etl_spark.streaming.windowed import (
+        _prior_batches_exist, foreach_batch_ann_ingest)
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(6)]
+    train = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centers = train_ivf_centroids(train, n_centroids=2, normalize=True)
+    books = train_residual_codebooks(train, centers, m=2, k=4)
+    root = "file:" + os.path.join(tmpdir, "ann_root")  # scheme'd URI
+    apply_fn = foreach_batch_ann_ingest(root, centers, books,
+                                        max_query_rows=4)
+    apply_fn(train.limit(3), 0)  # batch 0: lands, nothing to probe
+    # the os.path.isdir formulation saw False for ANY scheme'd URI —
+    # every batch would probe nothing and emit zero matches
+    assert _prior_batches_exist(spark, os.path.join(root, "codes"), 1)
+    assert not _prior_batches_exist(spark, os.path.join(root, "codes"), 0)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        apply_fn(train, 1)  # 6 query rows > max_query_rows=4
+    # a planted copy of a landed vector IS matched through the
+    # scheme-qualified root — history genuinely probed, not skipped
+    copy = spark.createDataFrame([(100, rows[0][1])],
+                                 "vec_id long, embedding array<double>")
+    apply_fn(copy, 1)
+    got = spark.read.parquet(os.path.join(root, "matches")).collect()
+    assert {(r.vec_id, r.match_id) for r in got} == {(100, 0)}
+
+
 def test_foreach_batch_drift_flags_shifted_batch(spark, tmpdir):
     """Per-micro-batch PSI monitoring: a batch drawn from the reference
     distribution scores near zero; a shifted batch scores high. Also

@@ -461,3 +461,35 @@ def test_substring_dedup_agg_join_mode_matches_window(spark):
     import pytest
     with pytest.raises(ValueError, match="ownership"):
         exact_substring_dedup(df, "doc_id", "text", ownership="nope")
+
+
+def test_bm25_store_probe_matches_direct(spark, sf_small):
+    """The persisted BM25 store (r12): probing the landed postings must
+    return EXACTLY bm25_scores' output on the same corpus — same docs,
+    bit-identical 6dp scores (the probe reproduces the direct path's
+    IEEE summation order). Empty-term docs count toward N/avgdl via the
+    stamped stats; a store without stamped stats refuses; append
+    refuses (stats would go stale)."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    terms = ["spark", "merge", "window"]
+    direct = {r.doc_id: r.bm25
+              for r in TS.bm25_scores(docs, "doc_id", "text", terms).collect()}
+    TS.persist_bm25_store(docs, "bm25_store_t", id_col="doc_id",
+                          text_col="text")
+    try:
+        probe = {r.doc_id: r.bm25
+                 for r in TS.bm25_scores_from_store(
+                     spark, "bm25_store_t", terms).collect()}
+        assert probe == direct and len(direct) > 0
+        with _pt.raises(ValueError, match="overwrite"):
+            TS.persist_bm25_store(docs, "bm25_store_t", mode="append")
+        # un-stamped table → loud refusal, not silently-wrong stats
+        spark.range(1).select(F.lit("x").alias("term"))             .write.saveAsTable("bm25_unstamped_t")
+        with _pt.raises(ValueError, match="stamped"):
+            TS.bm25_scores_from_store(spark, "bm25_unstamped_t", terms)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bm25_store_t")
+        spark.sql("DROP TABLE IF EXISTS bm25_unstamped_t")
