@@ -707,12 +707,37 @@ def ivf_pq_topk(corpus: DataFrame, query: DataFrame, *, centers=None,
             codes = np.vstack(pdf["pq_code"].to_numpy()).astype(np.int64)
             cids = pdf["centroid_id"].to_numpy().astype(np.int64)
             rowids = pdf["_cid"].to_numpy()
+            # MANY queries: sort the Arrow batch by centroid ONCE, then
+            # each query gathers its probed lists' rows via binary
+            # search — the per-query np.isin mask scanned EVERY batch
+            # row per query (O(nq·corpus) regardless of pruning):
+            # measured r12 at nq=5000/95k landed vectors as the reason
+            # the streaming ingest probe grew 7 → 30 s/batch instead of
+            # staying near the ~6% probed fraction. FEW queries: the
+            # mask is cheaper than the sort — keep it. Gather order
+            # differs between paths but the emitted (row, score) SET is
+            # identical — the ≥kth tie-keep is order-free and the
+            # global (score desc, id) window does the ranking.
+            if len(ids_b) > 8:
+                order = np.argsort(cids, kind="stable")
+                sorted_cids = cids[order]
+
+                def _sel(qi):
+                    lo = np.searchsorted(sorted_cids, probes_b[qi],
+                                         side="left")
+                    hi = np.searchsorted(sorted_cids, probes_b[qi],
+                                         side="right")
+                    parts = [order[a:b] for a, b in zip(lo, hi) if b > a]
+                    return (np.concatenate(parts) if parts
+                            else np.empty(0, dtype=np.int64))
+            else:
+                def _sel(qi):
+                    return np.nonzero(np.isin(cids, probes_b[qi]))[0]
             out = []
             for qi in range(len(ids_b)):
-                mask = np.isin(cids, probes_b[qi])
-                if not mask.any():
+                sel = _sel(qi)
+                if not sel.size:
                     continue
-                sel = np.nonzero(mask)[0]
                 scores = consts_b[qi][cids[sel]] + np.take_along_axis(
                     luts_b[qi], codes[sel].T, axis=1).sum(axis=0)
                 top = min(rerank, len(sel))
@@ -934,7 +959,8 @@ def knn_join_lsh(corpus: DataFrame, *, dim: int, id_col: str = "vec_id",
 def kcenter_sample(df: DataFrame, *, id_col: str = "vec_id",
                    vec_col: str = "embedding", k: int = 8,
                    cached: bool = False, batch: int = 1,
-                   adapt_batch: bool = False) -> DataFrame:
+                   adapt_batch: bool = False,
+                   _round_stats: list | None = None) -> DataFrame:
     """Greedy k-center / farthest-point diversity sampling (Gonzalez
     1985) over an embedding column — the coverage-maximizing SELECTION
     step of data curation (pick k maximally-diverse exemplars; the
@@ -1036,34 +1062,43 @@ def kcenter_sample(df: DataFrame, *, id_col: str = "vec_id",
                      / (F.col("_n") * F.lit(cn)))
         return F.round((F.lit(1.0) - F.round(cos, 6)) * 1e6).cast("long")
 
-    def _mindist_update(vecs: list[list]):
-        # the batch-path _md update as ONE aggregate() fold over an
-        # array-of-structs literal of this round's accepted centers
-        # (vector + driver-side norm): codegen compiles a single loop
-        # body regardless of how many centers the batch accepted. The
-        # per-center least(_md, _dist(v), …) chain it replaces
-        # compiled O(accepted·dim) expression nodes per round and
-        # regressed wall time beyond batch=16 (PLANS.md r10 — the
-        # measured codegen-literal ceiling this form removes). Math is
-        # bit-identical to _dist: same dot() fold, same 6dp rounding,
-        # and int64 least() is associative, NULL-skipping included
-        # (zero-norm rows/centers yield NULL, skipped — pytest-locked
-        # output equality at k=64 with a zero-norm vector).
-        cents = F.array(*[
+    def _center_step(acc, c):
+        # one fold step of the running-min update against a center
+        # struct (cv = vector, cn = its driver-computed norm): same
+        # dot() fold, same 6dp rounding as _dist, so the update is
+        # bit-identical to the scans form; int64 least() is
+        # associative+commutative with NULL-skip (zero-norm rows or
+        # centers yield NULL and are skipped — pytest-locked output
+        # equality with a zero-norm vector in the corpus), so neither
+        # the fold order nor collect_list's array order matters.
+        cos = F.when((F.col("_n") > 0) & (c["cn"] > 0),
+                     dot(F.col("_v"), c["cv"])
+                     / (F.col("_n") * c["cn"]))
+        return F.least(acc,
+                       F.round((F.lit(1.0) - F.round(cos, 6)) * 1e6)
+                       .cast("long"))
+
+    def _center_lits(vecs: list[list]):
+        # centers as a literal array-of-structs (vector + the same
+        # driver-side left-to-right sqrt-sum norm) — folded with the
+        # identical _center_step, so the two forms are bit-identical
+        return F.array(*[
             F.struct(
                 F.array(*[F.lit(float(x)) for x in v]).alias("cv"),
                 F.lit(math.sqrt(sum((x * x for x in v), 0.0))).alias("cn"))
             for v in vecs])
 
-        def _step(acc, c):
-            cos = F.when((F.col("_n") > 0) & (c["cn"] > 0),
-                         dot(F.col("_v"), c["cv"])
-                         / (F.col("_n") * c["cn"]))
-            return F.least(acc,
-                           F.round((F.lit(1.0) - F.round(cos, 6)) * 1e6)
-                           .cast("long"))
-
-        return F.aggregate(cents, F.col("_md"), _step)
+    # FORM SELECTION (r12): at curation k the per-round expressions ride
+    # the centers as broadcast DATA bundles, so generated code is
+    # round-invariant and janino compiles once (profiled k=1024/b64:
+    # ~5.6 s/round of fresh-compile cost with literals → 2.1 s/round
+    # with bundles; 112.5 → 54.6 s end-to-end). But each bundle costs a
+    # couple of extra tiny jobs per round, which DOMINATES at serving k
+    # (the k=8 registry queries measured 1.8–3× slower under
+    # always-bundle in the r12 run-A bench) — so small k keeps the
+    # literal forms, whose total compile cost is bounded by the few
+    # rounds, and large k switches to bundles.
+    use_bundles = k > 32
 
     if batch < 1:
         raise ValueError("batch must be >= 1")
@@ -1090,12 +1125,17 @@ def kcenter_sample(df: DataFrame, *, id_col: str = "vec_id",
         cur = src.withColumn("_md", _dist(list(seed[0]._v)))
         while len(chosen) < k:
             cur = cur.localCheckpoint(eager=True)
-            # exclusion by broadcast ANTI-join, not isin: at curation
-            # k (1024+) the per-round isin rebuilt a k-literal In
-            # expression — the r11b plan-construction anti-pattern
-            chosen_ids = spark.createDataFrame(
-                [(c[0],) for c in chosen], "_id long")
-            cand = (cur.join(F.broadcast(chosen_ids), "_id", "anti")
+            if use_bundles:
+                # exclusion by broadcast ANTI-join, not isin: at
+                # curation k (1024+) the per-round isin rebuilt a
+                # k-literal In expression — the r11b anti-pattern
+                chosen_ids = spark.createDataFrame(
+                    [(c[0],) for c in chosen], "_id long")
+                base_cand = cur.join(F.broadcast(chosen_ids), "_id", "anti")
+            else:
+                base_cand = cur.filter(
+                    ~F.col("_id").isin([c[0] for c in chosen]))
+            cand = (base_cand
                     .orderBy(F.col("_md").desc(), F.col("_id").asc())
                     .limit(m)
                     .select("_id", "_v", "_n", "_md").collect())
@@ -1106,41 +1146,55 @@ def kcenter_sample(df: DataFrame, *, id_col: str = "vec_id",
             exhausted = len(cand) < m
             bound = None if exhausted else cand[-1]._md
             # pairwise quantized distances among candidates — same
-            # dot/round math as _dist, but as ONE transform() over an
-            # array-of-structs literal (→ array<long> per row) instead
-            # of one column per candidate: the per-column form compiled
-            # O(batch·dim) expression nodes and was the residual
-            # compile cost after the _md update moved to aggregate()
-            # (measured r11: batch=64 at k=512 was still 1.05× over
-            # batch=16 with only the _md fold converted)
+            # dot/round math as _dist, but with the candidate set as
+            # DATA (a broadcast collect_list bundle), not literals: the
+            # r11 transform-over-literal-array form generated DIFFERENT
+            # code every round (the literals change), so janino compiled
+            # fresh per round — profiled r12 at k=1024/b64 as ~5.6 s of
+            # fixed per-round cost on a 2000-row corpus. With the
+            # centers riding in a crossJoin'd broadcast row, the
+            # generated code is round-invariant and the codegen cache
+            # hits from round 2 on. The norms are the driver-collected
+            # _n of the same rows (norm() fold — the exact value the
+            # literal form recomputed via math.sqrt of the same
+            # left-to-right sum), so quantized distances are unchanged.
             mat: dict[tuple[int, int], int | None] = {}
             if len(cand) > 1:
                 cdf = spark.createDataFrame(
                     [(c._id, list(c._v), float(c._n)) for c in cand],
                     "_id long, _v array<double>, _n double")
-                import math as _math
 
-                cents = F.array(*[
-                    F.struct(
-                        F.array(*[F.lit(float(x)) for x in c._v])
-                        .alias("cv"),
-                        F.lit(_math.sqrt(sum((float(x) * float(x)
-                                              for x in c._v), 0.0)))
-                        .alias("cn"))
-                    for c in cand])
-
-                def _dvec(c):
+                def _dstruct(c):
                     cos = F.when((F.col("_n") > 0) & (c["cn"] > 0),
                                  dot(F.col("_v"), c["cv"])
                                  / (F.col("_n") * c["cn"]))
-                    return (F.round((F.lit(1.0) - F.round(cos, 6)) * 1e6)
-                            .cast("long"))
+                    return F.struct(
+                        c["ci"].alias("ci"),
+                        F.round((F.lit(1.0) - F.round(cos, 6)) * 1e6)
+                        .cast("long").alias("d"))
 
-                drow = cdf.select(
-                    "_id", F.transform(cents, _dvec).alias("_ds")).collect()
-                for r in drow:
-                    for j, c in enumerate(cand):
-                        mat[(r._id, c._id)] = r["_ds"][j]
+                if use_bundles:
+                    cents = cdf.agg(F.collect_list(F.struct(
+                        F.col("_id").alias("ci"), F.col("_v").alias("cv"),
+                        F.col("_n").alias("cn"))).alias("_cs"))
+                    scored_rows = (cdf.crossJoin(F.broadcast(cents))
+                                   .select("_id",
+                                           F.transform(F.col("_cs"),
+                                                       _dstruct)
+                                           .alias("_ds")))
+                else:
+                    lits = F.array(*[
+                        F.struct(
+                            F.lit(c._id).alias("ci"),
+                            F.array(*[F.lit(float(x)) for x in c._v])
+                            .alias("cv"),
+                            F.lit(float(c._n)).alias("cn"))
+                        for c in cand])
+                    scored_rows = cdf.select(
+                        "_id", F.transform(lits, _dstruct).alias("_ds"))
+                for r in scored_rows.collect():
+                    for e in r["_ds"]:
+                        mat[(r._id, e["ci"])] = e["d"]
             upd = {c._id: c._md for c in cand}
             vecs = {c._id: list(c._v) for c in cand}
             pending = [c._id for c in cand]
@@ -1162,21 +1216,69 @@ def kcenter_sample(df: DataFrame, *, id_col: str = "vec_id",
                     vals = [v for v in (upd[i], mat.get((i, best)))
                             if v is not None]
                     upd[i] = min(vals) if vals else None
-            cur = cur.withColumn("_md", _mindist_update(accepted_vecs))
+            # the running-min update: accepted centers as a broadcast
+            # data bundle (round-invariant codegen) at curation k,
+            # literals at serving k — identical _center_step fold in
+            # both forms
+            if use_bundles:
+                nc_df = spark.createDataFrame(
+                    [(v, math.sqrt(sum((x * x for x in v), 0.0)))
+                     for v in accepted_vecs], "cv array<double>, cn double")
+                nbundle = nc_df.agg(
+                    F.collect_list(F.struct("cv", "cn")).alias("_cs"))
+                cur = (cur.crossJoin(F.broadcast(nbundle))
+                       .withColumn("_md", F.aggregate(F.col("_cs"),
+                                                      F.col("_md"),
+                                                      _center_step))
+                       .drop("_cs"))
+            else:
+                cur = cur.withColumn(
+                    "_md", F.aggregate(_center_lits(accepted_vecs),
+                                       F.col("_md"), _center_step))
+            if _round_stats is not None:  # diagnostics (scripts only)
+                _round_stats.append((m, len(accepted_vecs)))
             if adapt_batch:
                 m = max(8, min(m_hi, 2 * len(accepted_vecs)))
     elif cached:
+        # same r12 form selection as the batch path: at curation k the
+        # newest center updates _md as a broadcast 1-struct bundle
+        # (identical _center_step math — least(_md, dist) IS the fold's
+        # single step) and exclusion is a broadcast anti-join; at
+        # serving k the literal forms stay (their total compile cost is
+        # bounded by the few rounds, and the bundle's extra per-round
+        # jobs would dominate)
+        spark = df.sparkSession
         cur = src.withColumn("_md", _dist(list(seed[0]._v)))
         for _ in range(1, k):
             cur = cur.localCheckpoint(eager=True)
-            picked = (cur.filter(~F.col("_id").isin([c[0] for c in chosen]))
+            if use_bundles:
+                chosen_ids = spark.createDataFrame(
+                    [(c[0],) for c in chosen], "_id long")
+                base_pick = cur.join(F.broadcast(chosen_ids), "_id", "anti")
+            else:
+                base_pick = cur.filter(
+                    ~F.col("_id").isin([c[0] for c in chosen]))
+            picked = (base_pick
                       .orderBy(F.col("_md").desc(), F.col("_id").asc())
                       .limit(1).collect())
             if not picked:  # k exceeds the corpus — return what exists
                 break
             chosen.append((picked[0]._id, list(picked[0]._v), picked[0]._md))
-            cur = cur.withColumn(
-                "_md", F.least(F.col("_md"), _dist(list(picked[0]._v))))
+            v = list(picked[0]._v)
+            if use_bundles:
+                nbundle = (spark.createDataFrame(
+                    [(v, math.sqrt(sum((x * x for x in v), 0.0)))],
+                    "cv array<double>, cn double")
+                    .agg(F.collect_list(F.struct("cv", "cn")).alias("_cs")))
+                cur = (cur.crossJoin(F.broadcast(nbundle))
+                       .withColumn("_md", F.aggregate(F.col("_cs"),
+                                                      F.col("_md"),
+                                                      _center_step))
+                       .drop("_cs"))
+            else:
+                cur = cur.withColumn(
+                    "_md", F.aggregate(_center_lits([v]),
+                                       F.col("_md"), _center_step))
     else:
         for _ in range(1, k):
             dists = [_dist(vec) for (_cid, vec, _md) in chosen]

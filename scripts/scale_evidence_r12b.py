@@ -31,18 +31,27 @@ def main() -> None:
     from comix_etl_spark.operators.similarity import kcenter_sample
     from comix_etl_spark.session import get_spark
 
-    spark = get_spark("scale_r12_kcenter")
-    spark.sparkContext.setLogLevel("ERROR")
-    emb = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-           .select("vec_id", "embedding"))
-    out = {"k": 1024, "corpus": emb.count(), "sf_dir": SF_DIR}
+    out = {"k": 1024, "sf_dir": SF_DIR}
     rows = {}
+    # ONE SPARK SESSION PER MODE: the first r12 attempt ran all three
+    # modes in one session and the later modes read up to 16% high
+    # (checkpoint-block accumulation + session aging) — mode order, not
+    # mode, dominated the comparison.
     for mode, kw in (("fixed_b64", {"batch": 64}),
                      ("adapt_b64", {"batch": 64, "adapt_batch": True}),
                      ("adapt_b128", {"batch": 128, "adapt_batch": True})):
+        spark = get_spark(f"scale_r12_kcenter_{mode}")
+        spark.sparkContext.setLogLevel("ERROR")
+        emb = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+               .select("vec_id", "embedding"))
+        out["corpus"] = emb.count()
+        stats: list = []
         t0 = time.perf_counter()
-        rows[mode] = kcenter_sample(emb, k=1024, **kw).collect()
+        rows[mode] = kcenter_sample(emb, k=1024, _round_stats=stats,
+                                    **kw).collect()
         out[f"{mode}_wall_sec"] = round(time.perf_counter() - t0, 2)
+        out[f"{mode}_rounds"] = len(stats)
+        spark.stop()
     base = [tuple(r) for r in rows["fixed_b64"]]
     out["n_selected"] = len(base)
     out["identical_output"] = all(
