@@ -493,3 +493,27 @@ def test_bm25_store_probe_matches_direct(spark, sf_small):
     finally:
         spark.sql("DROP TABLE IF EXISTS bm25_store_t")
         spark.sql("DROP TABLE IF EXISTS bm25_unstamped_t")
+
+
+def test_bm25_store_probe_absent_and_duplicate_terms(spark):
+    """Edge parity: a query term with ZERO postings contributes exactly
+    0.0 in both paths (direct: tf=0 everywhere; probe: no rows → NULL
+    pivot → coalesce 0.0), and a term duplicated in the query list is
+    double-counted identically by both."""
+    docs = spark.createDataFrame(
+        [(1, "spark merge spark window"), (2, "merge window"),
+         (3, "unrelated words only"), (4, "")],
+        "doc_id long, text string")
+    TS.persist_bm25_store(docs, "bm25_edge_t", id_col="doc_id",
+                          text_col="text")
+    try:
+        for terms in (["spark", "zzz_absent"], ["spark", "spark"],
+                      ["zzz_absent"]):
+            direct = {r.doc_id: r.bm25 for r in
+                      TS.bm25_scores(docs, "doc_id", "text", terms).collect()}
+            probe = {r.doc_id: r.bm25 for r in
+                     TS.bm25_scores_from_store(spark, "bm25_edge_t",
+                                               terms).collect()}
+            assert probe == direct, (terms, direct, probe)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bm25_edge_t")
