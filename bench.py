@@ -38,6 +38,43 @@ from comix_etl_spark.plans.queries import QUERIES  # noqa: E402
 from comix_etl_spark.session import get_spark, load_tables  # noqa: E402
 
 
+CURATED_WARMUP = ("stats_topk", "order_sequence", "token_counts",
+                  "doc_quality", "ann_cosine_topk", "simhash_det",
+                  "ann_ivf_det", "ann_ivf_pq_det", "bpe_train",
+                  "rest_datasource", "quantize_calibrated",
+                  "cusum_changepoint")
+
+
+def derive_warmup(registry: dict, repo_dir: str | None = None) -> list[str]:
+    """Warm-up set = curated execution-path representatives plus every
+    FIRST-TIMER (a registry query with no entry in the last COMMITTED
+    per-round artifact, bench_local_r*.json), deduplicated in order.
+    The comparison base is the last committed round artifact, NOT
+    bench_local_latest.json: first-touch cost is per-session, and
+    latest would mark this round's new queries "known" after one bench
+    run of this session while every later run still pays their cold
+    start. No committed artifact (fresh clone) ⇒ curated-only."""
+    import glob
+    import re
+
+    here = repo_dir or os.path.dirname(os.path.abspath(__file__))
+    committed = sorted(
+        glob.glob(os.path.join(here, "bench_local_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+    prev_names: set[str] = set()
+    if committed:
+        try:
+            with open(committed[-1]) as fh:
+                prev_names = set(json.load(fh)["queries"])
+        except (OSError, KeyError, ValueError):
+            pass
+    first_timers = tuple(n for n in registry
+                         if prev_names and n not in prev_names)
+    seen: set[str] = set()
+    return [n for n in CURATED_WARMUP + first_timers
+            if n in registry and not (n in seen or seen.add(n))]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -92,31 +129,9 @@ def main() -> None:
     # per-session, and latest would mark this round's new queries
     # "known" after one bench run while every later run still pays
     # their cold start.
-    import glob
-    import re
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    committed = sorted(
-        glob.glob(os.path.join(here, "bench_local_r*.json")),
-        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
-    prev_names: set[str] = set()
-    if committed:
-        try:
-            with open(committed[-1]) as fh:
-                prev_names = set(json.load(fh)["queries"])
-        except (OSError, KeyError, ValueError):
-            pass
-    first_timers = tuple(n for n in QUERIES
-                         if prev_names and n not in prev_names)
-    curated = ("stats_topk", "order_sequence", "token_counts",
-               "doc_quality", "ann_cosine_topk", "simhash_det",
-               "ann_ivf_det", "ann_ivf_pq_det", "bpe_train",
-               "rest_datasource", "quantize_calibrated",
-               "cusum_changepoint")
-    for warm in curated + first_timers:
-        if warm in QUERIES:
-            (QUERIES[warm].builder(spark, sf_dir)
-             .write.format("noop").mode("overwrite").save())
+    for warm in derive_warmup(QUERIES):
+        (QUERIES[warm].builder(spark, sf_dir)
+         .write.format("noop").mode("overwrite").save())
 
     import gc
     import statistics
