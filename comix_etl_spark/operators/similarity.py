@@ -1276,9 +1276,11 @@ def kcenter_sample(df: DataFrame, *, id_col: str = "vec_id",
                                                       _center_step))
                        .drop("_cs"))
             else:
+                # the exact r9 form: a plain least() beats a 1-element
+                # aggregate() fold at serving k (HOF lambdas codegen
+                # worse than the flat expression)
                 cur = cur.withColumn(
-                    "_md", F.aggregate(_center_lits([v]),
-                                       F.col("_md"), _center_step))
+                    "_md", F.least(F.col("_md"), _dist(v)))
     else:
         for _ in range(1, k):
             dists = [_dist(vec) for (_cid, vec, _md) in chosen]
