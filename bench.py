@@ -23,6 +23,13 @@ r12 onward the warm-up set is DERIVED: curated execution-path
 representatives plus every first-timer vs the last committed
 bench_local_r*.json artifact (see the in-line comment) — new query
 families can no longer land their one-time cost on a timed query.
+
+r13 onward every run carries a HOST-DRIFT CANARY (a fixed cheap query
+re-timed every ~25 registry queries; the artifact records the sample
+series and its max/min dispersion) and the committed per-round artifact
+is picked by the PRE-REGISTERED ``select_artifact`` rule — median total
+of >=3 clean runs (canary dispersion < 1.15) — instead of post-hoc
+judgment over a ladder of same-day runs (the r10–r12 adjudication tax).
 """
 
 from __future__ import annotations
@@ -44,6 +51,55 @@ CURATED_WARMUP = ("stats_topk", "order_sequence", "token_counts",
                   "rest_datasource", "quantize_calibrated",
                   "cusum_changepoint")
 
+# --- host-drift canary (r13) -------------------------------------------
+# Three rounds in a row the headline number needed manual host-drift
+# adjudication (r10–r12 PLANS.md), and the committed local artifact was
+# picked post-hoc from a ladder of same-day runs. The canary makes drift
+# MEASURABLE inside one run: a fixed cheap query re-runs every
+# CANARY_EVERY timed queries, and the artifact records the sample series
+# plus its dispersion (max/min). A quiet host holds dispersion near 1.0;
+# the r12 "run D" window (a k=1024 job reading 4× its steady state)
+# would have shown >1.5 and disqualified itself.
+CANARY_QUERY = "stats_topk"
+CANARY_EVERY = 25
+
+
+def canary_dispersion(samples: list[float]) -> float:
+    """max/min over the canary series — the run's host-noise score.
+    <2 samples can't measure drift (treated as clean, 1.0); a
+    non-positive sample means a broken measurement (inf, never clean)."""
+    if len(samples) < 2:
+        return 1.0
+    if min(samples) <= 0:
+        return float("inf")
+    return max(samples) / min(samples)
+
+
+def select_artifact(runs: list[dict], *, max_dispersion: float = 1.15,
+                    min_clean: int = 3, max_attempts: int = 6):
+    """THE PRE-REGISTERED artifact-selection rule (written before the
+    r13 bench runs — see PLANS.md "r13 bench protocol"): the committed
+    per-round artifact is the MEDIAN-total run among >= ``min_clean``
+    same-window runs whose canary dispersion < ``max_dispersion``;
+    noisy runs are discarded and rerun. If ``max_attempts`` runs still
+    yield fewer clean ones, commit the lowest-dispersion run and flag
+    it. No post-hoc judgment: the rule sees only (total, dispersion).
+
+    ``runs``: chronological [{"total": sec, "dispersion": x}, ...].
+    Returns (index_into_runs, status) with status one of
+    "median-of-clean" | "need-more-runs" | "fallback-min-dispersion";
+    index is None only for "need-more-runs". Median of an even clean
+    count is the LOWER median — always an actual run, deterministic."""
+    clean = [(r["total"], i) for i, r in enumerate(runs)
+             if r["dispersion"] < max_dispersion]
+    if len(clean) >= min_clean:
+        clean.sort()  # by total, then chronological index for exact ties
+        return clean[(len(clean) - 1) // 2][1], "median-of-clean"
+    if len(runs) < max_attempts:
+        return None, "need-more-runs"
+    best = min(range(len(runs)), key=lambda i: (runs[i]["dispersion"], i))
+    return best, "fallback-min-dispersion"
+
 
 def derive_warmup(registry: dict, repo_dir: str | None = None) -> list[str]:
     """Warm-up set = curated execution-path representatives plus every
@@ -58,9 +114,17 @@ def derive_warmup(registry: dict, repo_dir: str | None = None) -> list[str]:
     import re
 
     here = repo_dir or os.path.dirname(os.path.abspath(__file__))
-    committed = sorted(
-        glob.glob(os.path.join(here, "bench_local_r*.json")),
-        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+
+    def _round_key(p: str) -> int:
+        # match the BASENAME only: a checkout directory containing
+        # "_r<digits>" (e.g. /tmp/repo_r2/) would otherwise give every
+        # artifact the same key and "last committed round" silently
+        # degrades to glob order
+        m = re.search(r"^bench_local_r(\d+)\.json$", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    committed = sorted(glob.glob(os.path.join(here, "bench_local_r*.json")),
+                       key=_round_key)
     prev_names: set[str] = set()
     if committed:
         try:
@@ -139,7 +203,31 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     per_query: dict[str, float] = {}
     detail: dict[str, dict] = {}
-    for name, q in QUERIES.items():
+
+    canary_samples: list[float] = []
+
+    def run_canary() -> None:
+        # one canary SAMPLE = median of 3 back-to-back noop-sink runs
+        # (the same hygiene the timed queries use): a single ~0.3 s run
+        # swings ~1.5x on a QUIET host (GC pauses — measured while
+        # building this), which would drown the ~1.3x sustained window
+        # drift the canary exists to catch. Samples are recorded in the
+        # series but NEVER in the total/queries map — they measure the
+        # host window, not the registry.
+        import statistics as _st
+
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            (QUERIES[CANARY_QUERY].builder(spark, sf_dir)
+             .write.format("noop").mode("overwrite").save())
+            runs.append(time.perf_counter() - t0)
+        canary_samples.append(round(_st.median(runs), 4))
+
+    run_canary()
+    for qi, (name, q) in enumerate(QUERIES.items(), start=1):
+        if qi % CANARY_EVERY == 0:
+            run_canary()
         times: list[float] = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
@@ -157,6 +245,7 @@ def main() -> None:
         per_query[name] = round(statistics.median(times), 4)
         detail[name] = {"median": per_query[name],
                         "min": min(times), "runs": times}
+    run_canary()
 
     total = round(sum(per_query.values()), 4)
     payload = {
@@ -170,6 +259,12 @@ def main() -> None:
         "n_queries": len(per_query),
         "sec_per_query": round(total / max(len(per_query), 1), 4),
         "runs_per_query": n_runs,
+        # host-drift canary: samples of CANARY_QUERY interleaved every
+        # CANARY_EVERY timed queries; dispersion feeds select_artifact's
+        # pre-registered rule (clean run = dispersion < 1.15)
+        "canary": {"query": CANARY_QUERY, "every": CANARY_EVERY,
+                   "samples": canary_samples,
+                   "dispersion": round(canary_dispersion(canary_samples), 4)},
     }
     print(json.dumps(payload))
     # the driver keeps only the last 2 KB of stdout, which truncates the

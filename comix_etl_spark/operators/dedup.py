@@ -1101,7 +1101,8 @@ def persist_fingerprint_store(fps: DataFrame, table: str, *,
     ``n_bands`` used here or the pigeonhole recall guarantee is void
     (the reader validates against the stored band count it
     observes)."""
-    from comix_etl_spark.sinks.writers import (clear_orphan_table_dir,
+    from comix_etl_spark.sinks.writers import (LAYOUT_UNVERIFIED,
+                                               clear_orphan_table_dir,
                                                save_bucketed_table,
                                                set_store_props,
                                                validate_store_props)
@@ -1113,12 +1114,14 @@ def persist_fingerprint_store(fps: DataFrame, table: str, *,
     # catalog-less directory refuses (writers.clear_orphan_table_dir)
     clear_orphan_table_dir(spark, table, mode)
     layout = {"n_bands": n_bands, "n_limbs": len(fp_cols)}
+    legacy_append = False
     if mode == "append" and spark.catalog.tableExists(table):
         # full-layout validation via table properties (n_limbs matters
         # too: a different limb count silently changes every band value);
         # pre-property stores fall back to the band-count check
         if not validate_store_props(spark, table, "comix.fp", layout,
                                      "persist_fingerprint_store(append)"):
+            legacy_append = True
             stored_max = spark.table(table).agg(F.max("band")).first()[0]
             if stored_max is not None and stored_max + 1 != n_bands:
                 raise ValueError(
@@ -1131,7 +1134,15 @@ def persist_fingerprint_store(fps: DataFrame, table: str, *,
                                  n_bands=n_bands)
     save_bucketed_table(rows, table, ["band", "bv"], n_buckets,
                         sort_cols=["band", "bv"], mode=mode)
-    set_store_props(spark, table, "comix.fp", layout)
+    if legacy_append:
+        # the pre-existing rows were never layout-verified (only the
+        # weak band-count check ran) — stamping the CALLER's layout now
+        # would make a possibly mixed-limb store validate as clean
+        # forever; mark it unverified so probes keep the legacy check
+        set_store_props(spark, table, "comix.fp",
+                        {"layout": LAYOUT_UNVERIFIED})
+    else:
+        set_store_props(spark, table, "comix.fp", layout)
 
 
 def persist_minhash_store(corpus: DataFrame, table: str, *, id_col: str,
@@ -1156,7 +1167,8 @@ def persist_minhash_store(corpus: DataFrame, table: str, *, id_col: str,
     num_hashes / n / hash_fn — so the FULL layout is stamped as table
     properties (``comix.minhash.*``) at build time and all four
     parameters are validated on every append and probe."""
-    from comix_etl_spark.sinks.writers import (clear_orphan_table_dir,
+    from comix_etl_spark.sinks.writers import (LAYOUT_UNVERIFIED,
+                                               clear_orphan_table_dir,
                                                save_bucketed_table,
                                                set_store_props,
                                                validate_store_props)
@@ -1165,6 +1177,7 @@ def persist_minhash_store(corpus: DataFrame, table: str, *, id_col: str,
     clear_orphan_table_dir(spark, table, mode)
     layout = {"num_hashes": num_hashes, "bands": bands, "n": n,
               "hash_fn": hash_fn}
+    legacy_append = False
     if mode == "append" and spark.catalog.tableExists(table):
         # validate the FULL signature layout the store baked in, not
         # just the band count: a mismatched num_hashes / n / hash_fn
@@ -1173,6 +1186,7 @@ def persist_minhash_store(corpus: DataFrame, table: str, *, id_col: str,
         if not validate_store_props(spark, table, "comix.minhash",
                                      layout,
                                      "persist_minhash_store(append)"):
+            legacy_append = True
             stored_max = spark.table(table).agg(F.max("band")).first()[0]
             if stored_max is not None and stored_max + 1 != bands:
                 raise ValueError(
@@ -1186,7 +1200,17 @@ def persist_minhash_store(corpus: DataFrame, table: str, *, id_col: str,
                              hash_fn=hash_fn)
     save_bucketed_table(rows, table, ["band", "bucket"], n_buckets,
                         sort_cols=["band", "bucket"], mode=mode)
-    set_store_props(spark, table, "comix.minhash", layout)
+    if legacy_append:
+        # the pre-existing rows passed only the weak band-count check —
+        # their num_hashes / n / hash_fn were never verified. Stamping
+        # the CALLER's full layout here would make a mixed-signature
+        # store validate as clean on every future probe (the exact
+        # silent-never-collide failure the stamp exists to stop); mark
+        # the store unverified so probes keep using the legacy check.
+        set_store_props(spark, table, "comix.minhash",
+                        {"layout": LAYOUT_UNVERIFIED})
+    else:
+        set_store_props(spark, table, "comix.minhash", layout)
 
 
 def dedup_against_store(batch: DataFrame, corpus: DataFrame, table: str, *,

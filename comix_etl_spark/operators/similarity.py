@@ -643,7 +643,8 @@ def ivf_pq_topk(corpus: DataFrame, query: DataFrame, *, centers=None,
                 rerank: int = 50, seed: int = 42,
                 query_id_col: str = "query_id",
                 encoded: DataFrame | None = None,
-                max_query_rows: int = 10_000) -> DataFrame:
+                max_query_rows: int = 10_000,
+                chunk_queries: bool = False) -> DataFrame:
     """IVF-PQ approximate cosine top-k — the composed billion-scale ANN
     architecture (FAISS ``IVFx,PQm``-shaped, from the public Jégou et
     al. 2011 paper): coarse centroids route each query to ``nprobe``
@@ -667,9 +668,18 @@ def ivf_pq_topk(corpus: DataFrame, query: DataFrame, *, centers=None,
     ``encoded`` injects a pre-built (id, centroid_id, pq_code) frame —
     the persisted-store path (ivf_pq_topk_from_store): the encode scan
     is skipped and scoring runs over whatever the caller pruned to.
-    """
-    from pyspark.sql import Window
 
+    ``chunk_queries=True`` (r13): a query frame FATTER than
+    ``max_query_rows`` no longer raises — it is pulled driver-side in
+    ``max_query_rows`` slices (``toLocalIterator``, one partition
+    resident at a time), each slice runs the full route→ADC→re-rank
+    pipeline, and the per-slice top-k frames union. Queries are
+    independent across slices (every window partitions by query_id),
+    so the union is EXACTLY the unchunked answer (pytest-locked);
+    driver memory stays bounded by one slice of LUTs. The encoded
+    frame is localCheckpoint'd once so the encode scan isn't re-paid
+    per slice.
+    """
     if centers is None:
         # normalized training to match the normalized assignment —
         # see train_ivf_centroids(normalize=) for the measured failure
@@ -681,11 +691,58 @@ def ivf_pq_topk(corpus: DataFrame, query: DataFrame, *, centers=None,
         codebooks = train_residual_codebooks(corpus, ct, vec_col=vec_col,
                                              m=m, k=n_codes, seed=seed)
     books = np.asarray(codebooks, dtype=np.float64)
-    mm, _, sub = books.shape
 
     q = (query.withColumnRenamed(id_col, query_id_col)
          if query_id_col not in query.columns else query)
-    qrows = _collect_query_rows(q, query_id_col, vec_col, max_query_rows)
+    if encoded is None:
+        encoded = ivf_pq_encode(
+            spread_small_scan(corpus.select(id_col, vec_col)),
+            ct, books, id_col=id_col, vec_col=vec_col)
+    common = dict(id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe,
+                  rerank=rerank, query_id_col=query_id_col,
+                  qid_type=q.schema[query_id_col].dataType.simpleString())
+    if not chunk_queries:
+        qrows = _collect_query_rows(q, query_id_col, vec_col,
+                                    max_query_rows)
+        return _ivf_pq_topk_rows(corpus, encoded, qrows, ct, books,
+                                 **common)
+    import itertools
+
+    it = iter(q.select(query_id_col, vec_col)
+              .toLocalIterator(prefetchPartitions=False))
+    first = list(itertools.islice(it, max_query_rows + 1))
+    if len(first) <= max_query_rows:
+        # fits in one slice — identical to the unchunked path, no
+        # checkpoint cost
+        return _ivf_pq_topk_rows(corpus, encoded, first, ct, books,
+                                 **common)
+    # materialize the encoded frame once so each slice's job reads the
+    # checkpointed codes instead of re-running the encode scan
+    encoded = encoded.localCheckpoint(eager=True)
+    outs = []
+    buf = first
+    while buf:
+        outs.append(_ivf_pq_topk_rows(corpus, encoded,
+                                      buf[:max_query_rows], ct, books,
+                                      **common))
+        rest = buf[max_query_rows:]
+        buf = rest + list(itertools.islice(it,
+                                           max_query_rows - len(rest)))
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, outs)
+
+
+def _ivf_pq_topk_rows(corpus: DataFrame, encoded: DataFrame, qrows,
+                      ct, books, *, id_col: str, vec_col: str, k: int,
+                      nprobe: int, rerank: int, query_id_col: str,
+                      qid_type: str) -> DataFrame:
+    """The route→ADC→re-rank core of ``ivf_pq_topk`` for ONE
+    driver-resident slice of query rows (see the chunk_queries
+    contract there)."""
+    from pyspark.sql import Window
+
+    mm, _, sub = books.shape
     qids = [r[0] for r in qrows]
     qx, probe_sets = _probe_lists(qrows, ct, nprobe)
     # shared residual LUT + per-list constant term
@@ -693,11 +750,6 @@ def ivf_pq_topk(corpus: DataFrame, query: DataFrame, *, centers=None,
     consts = qx @ ct.T                                       # nq × C: ⟨q, center⟩
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast((qids, probe_sets, luts, consts))
-
-    if encoded is None:
-        encoded = ivf_pq_encode(
-            spread_small_scan(corpus.select(id_col, vec_col)),
-            ct, books, id_col=id_col, vec_col=vec_col)
 
     def score_batches(batches):
         ids_b, probes_b, luts_b, consts_b = bc.value
@@ -754,7 +806,6 @@ def ivf_pq_topk(corpus: DataFrame, query: DataFrame, *, centers=None,
             if out:
                 yield pd.concat(out, ignore_index=True)
 
-    qid_type = q.schema[query_id_col].dataType.simpleString()
     cid_type = corpus.schema[id_col].dataType.simpleString()
     batch_top = (encoded.select(F.col(id_col).alias("_cid"),
                                 "centroid_id", "pq_code")

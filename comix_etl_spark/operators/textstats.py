@@ -631,23 +631,59 @@ def persist_bm25_store(df: DataFrame, table: str, *, id_col: str = "doc_id",
     ``size(tokens(...))`` the direct scorer uses, so scores are
     bit-identical. N and Σdl cover ALL docs (postings only hold docs
     that contain a term — the stats must not undercount empty docs).
-    Incremental append is deliberately NOT offered: appending postings
-    is sound, but N/Σdl in properties would go stale — a rebuild (or a
-    delta-stats merge) is the honest contract; refuse anything else.
+
+    ``mode="append"`` (r13 — the delta-stats merge the r12 docstring
+    named): the delta batch's postings land with the same bucketing and
+    the stamped scalar stats are read-modify-written (N += Δn,
+    Σdl += ΔΣdl — exact integer adds, so a probe after append is
+    bit-identical to a one-shot build over old∪new; oracle-checked by
+    the ``bm25_store_append`` registry query and pytest-locked). The
+    append validates the store's stamped id_col/tokenizer/n_buckets
+    first and REFUSES a store without stamped stats (nothing sound to
+    merge into). CONTRACT (same as persist_minhash_store): the delta
+    must be NEW docs — re-appending a landed doc double-counts its
+    postings and its dl. A crash between the postings append and the
+    stats re-stamp leaves stats stale-low for the delta only; rebuild
+    or re-append after cleaning the partial write (a production
+    metastore transaction closes this window).
 
     Generalizes the reference's search surface (app.py:174-186
     substring scan per request) to an indexed corpus."""
     from comix_etl_spark.sinks.writers import (clear_orphan_table_dir,
                                                save_bucketed_table,
-                                               set_store_props)
+                                               set_store_props,
+                                               validate_store_props)
 
-    if mode != "overwrite":
+    if mode not in ("overwrite", "append"):
         raise ValueError(
-            "persist_bm25_store: only mode='overwrite' — an append "
-            "would silently leave the stamped corpus stats (N, sum_dl) "
-            "stale for every later score; rebuild instead")
+            f"persist_bm25_store: mode must be 'overwrite' or 'append', "
+            f"got {mode!r}")
     spark = df.sparkSession
     clear_orphan_table_dir(spark, table, mode)
+    appending = mode == "append" and spark.catalog.tableExists(table)
+    prior_n = prior_sum_dl = 0
+    if appending:
+        from comix_etl_spark.sinks.writers import get_store_props
+
+        validate_store_props(spark, table, "comix.bm25",
+                             {"id_col": id_col,
+                              # key deliberately NOT named "tokenizer":
+                              # SHOW TBLPROPERTIES redacts keys matching
+                              # spark.sql.redaction.string.regex (which
+                              # includes "token"), so that value would
+                              # read back as *(redacted) and never
+                              # validate
+                              "analyzer": "whitespace_v1",
+                              "n_buckets": n_buckets},
+                             "persist_bm25_store(append)")
+        props = get_store_props(spark, table, "comix.bm25")
+        if not {"n", "sum_dl"} <= props.keys():
+            raise ValueError(
+                f"persist_bm25_store: append onto {table!r} without "
+                f"stamped corpus stats (comix.bm25.n / sum_dl) — there "
+                f"is nothing sound to merge the delta stats into; "
+                f"rebuild with mode='overwrite'")
+        prior_n, prior_sum_dl = int(props["n"]), int(props["sum_dl"])
     toks = tokens(text_col)
     base = df.select(F.col(id_col), F.size(toks).alias("dl"),
                      F.explode_outer(toks).alias("term"))
@@ -666,8 +702,10 @@ def persist_bm25_store(df: DataFrame, table: str, *, id_col: str = "doc_id",
     save_bucketed_table(posts, table, ["term"], n_buckets,
                         sort_cols=["term"], mode=mode)
     set_store_props(spark, table, "comix.bm25",
-                    {"n": stats["n"], "sum_dl": stats["sum_dl"],
-                     "id_col": id_col, "tokenizer": "whitespace_v1"})
+                    {"n": prior_n + stats["n"],
+                     "sum_dl": prior_sum_dl + stats["sum_dl"],
+                     "id_col": id_col, "analyzer": "whitespace_v1",
+                     "n_buckets": n_buckets})
 
 
 def bm25_scores_from_store(spark, table: str, terms: list[str], *,
@@ -701,6 +739,16 @@ def bm25_scores_from_store(spark, table: str, terms: list[str], *,
     n = int(props["n"])
     sum_dl = int(props["sum_dl"])
     id_col = props.get("id_col", "doc_id")
+    if not terms:
+        # mirror bm25_scores' edge behavior (empty frame, not a
+        # groupBy().agg() error) — the two paths are output-identical
+        # by contract, including on a degenerate query
+        from pyspark.sql import types as T
+
+        id_type = spark.table(table).schema[id_col].dataType
+        return spark.createDataFrame([], T.StructType([
+            T.StructField(id_col, id_type),
+            T.StructField("bm25", T.DoubleType())]))
     avgdl = float(sum_dl) / float(n) if n else 0.0
     uniq = sorted(set(terms))
     posts = spark.table(table).filter(F.col("term").isin(uniq))

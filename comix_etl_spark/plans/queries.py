@@ -7890,6 +7890,36 @@ def q_bm25_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+def q_bm25_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 store's INCREMENTAL path END-TO-END (r13 —
+    operators/textstats.py::persist_bm25_store(mode='append'), the
+    delta-stats merge the r12 docstring named): build the postings
+    store on HALF the corpus (even doc_ids), APPEND the other half
+    (postings land with the same term bucketing; the stamped N/Σdl
+    scalars are read-modify-written with exact integer adds), then
+    probe with {spark, merge, window}. The result is bit-identical to
+    a one-shot build — and therefore to the direct bm25_scores on the
+    full corpus — so the same direct-scorer oracle hash-checks the
+    whole build → append → probe lifecycle. At 100 TB this is the
+    difference between a full index rebuild per corpus delta and a
+    bounded append (the economics the MinHash/fingerprint stores
+    already have)."""
+    from comix_etl_spark.operators import textstats as TS
+
+    t = _t(spark, sf_dir, "documents")
+    docs = t["documents"]
+    TS.persist_bm25_store(docs.filter(F.col("doc_id") % 2 == 0),
+                          "comix_bm25_append_store",
+                          id_col="doc_id", text_col="text")
+    TS.persist_bm25_store(docs.filter(F.col("doc_id") % 2 == 1),
+                          "comix_bm25_append_store",
+                          id_col="doc_id", text_col="text", mode="append")
+    return (TS.bm25_scores_from_store(spark, "comix_bm25_append_store",
+                                      ["spark", "merge", "window"])
+            .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+            .limit(20))
+
+
 def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: Okapi BM25 (fixed query {spark, merge, window})
     and dense cosine (fixed query vector = embedding 7) each produce a
@@ -7921,6 +7951,67 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rrf = F.round(
         F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0))
         + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("dense_rank")), F.lit(0.0)),
+        6)
+    return (fused.select("doc_id", "lex_rank", "dense_rank",
+                         rrf.alias("rrf_score"))
+            .orderBy(F.col("rrf_score").desc(), "doc_id").limit(20))
+
+
+def q_hybrid_store_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORE-BACKED hybrid retrieval (r13) — the serving composition
+    the persisted stores were built for: the lexical arm probes the
+    BM25 postings store (persist_bm25_store → bm25_scores_from_store:
+    bucket-pruned scan of the query terms' posting lists, stats from
+    the stamp, ZERO corpus tokenization per query) and the dense arm
+    probes the IVF-PQ store (persist_ivf_pq_store →
+    ivf_pq_topk_from_store: partition-pruned probed lists, routed ADC,
+    exact re-rank — no corpus shuffle); Reciprocal Rank Fusion
+    (Cormack et al. 2009: Σ 1/(60 + rank)) merges the two bounded
+    top-50 lists into one top-20. Det centers/codebooks (the
+    ann_ivf_pq_det fixtures) + the direct-scorer-identical BM25 probe
+    ⇒ the DuckDB oracle independently recomputes BOTH arms and the
+    fusion, hash-checking the whole build → probe → fuse lifecycle.
+    At 100 TB each query costs a bounded postings read plus ~nprobe/C
+    of the PQ index — neither corpus is scanned."""
+    import numpy as np
+
+    from comix_etl_spark.operators import textstats as TS
+
+    t = _t(spark, sf_dir, "documents", "embeddings")
+    TS.persist_bm25_store(t["documents"], "comix_hybrid_bm25_store",
+                          id_col="doc_id", text_col="text")
+    lex_top = (TS.bm25_scores_from_store(
+        spark, "comix_hybrid_bm25_store", ["spark", "merge", "window"])
+        .orderBy(F.col("bm25").desc(), "doc_id").limit(50))
+    wl = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    lex = lex_top.select("doc_id", F.row_number().over(wl).alias("lex_rank"))
+
+    emb = t["embeddings"]
+    crow = (emb.filter(F.col("vec_id").isin(*_IVFPQ_DET_CENTER_IDS))
+            .orderBy("vec_id").select("embedding").collect())
+    c = np.array([r[0] for r in crow], dtype=np.float64)
+    c = c / np.linalg.norm(c, axis=1)[:, None]
+    brow = (emb.filter(F.col("vec_id").isin(*_IVF_DET_CENTROID_IDS))
+            .orderBy("vec_id").select("embedding").collect())
+    b = np.array([r[0] for r in brow], dtype=np.float64)
+    b = b / np.linalg.norm(b, axis=1)[:, None]
+    books = b.reshape(16, 8, 8).transpose(1, 0, 2)
+    queries = (emb.filter(F.col("vec_id") == 7)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    S.persist_ivf_pq_store(emb, c, books, "comix_hybrid_ivfpq_store",
+                           id_col="vec_id", vec_col="embedding")
+    dense_top = S.ivf_pq_topk_from_store(
+        emb, queries, "comix_hybrid_ivfpq_store", centers=c,
+        codebooks=books, id_col="vec_id", vec_col="embedding",
+        k=50, nprobe=2, rerank=100)
+    wd = Window.orderBy(F.col("cosine_sim").desc(), "vec_id")
+    dense = dense_top.select(F.col("vec_id").alias("doc_id"),
+                             F.row_number().over(wd).alias("dense_rank"))
+    fused = lex.join(dense, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("dense_rank")),
+                     F.lit(0.0)),
         6)
     return (fused.select("doc_id", "lex_rank", "dense_rank",
                          rrf.alias("rrf_score"))
@@ -7978,6 +8069,134 @@ WITH base AS (
   SELECT doc_id, r_dense FROM (
     SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id) AS r_dense
     FROM dsc
+  ) WHERE r_dense <= 50
+), fused AS (
+  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         l.r_lex AS lex_rank, d.r_dense AS dense_rank,
+         round(COALESCE(1.0 / (60 + l.r_lex), 0)
+               + COALESCE(1.0 / (60 + d.r_dense), 0), 6) AS rrf_score
+  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, lex_rank, dense_rank, rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20
+"""
+
+
+# hybrid_store_rrf: the lexical arm is the SAME BM25 math as
+# ORACLE_BM25_SEARCH (the store probe is bit-identical to the direct
+# scorer by construction), and the dense arm recomputes the ENTIRE det
+# IVF-PQ pipeline of ORACLE_ANN_IVF_PQ_DET for query vec_id 7 (assign →
+# residual encode → probe routing → ADC → top-100 candidates → exact
+# cosine top-50); RRF fuses the two rank lists.
+ORACLE_HYBRID_STORE_RRF = """
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '')) AS dl,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x = 'spark'))  AS tf0,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x = 'merge'))  AS tf1,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x = 'window')) AS tf2
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n, sum(dl) AS sum_dl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM base
+), bm AS (
+  SELECT doc_id, round(
+      ln(1.0 + (CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+        * CAST(tf0 AS DOUBLE) * (1.2 + 1)
+        / (CAST(tf0 AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+             / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE))))
+    + ln(1.0 + (CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+        * CAST(tf1 AS DOUBLE) * (1.2 + 1)
+        / (CAST(tf1 AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+             / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE))))
+    + ln(1.0 + (CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+        * CAST(tf2 AS DOUBLE) * (1.2 + 1)
+        / (CAST(tf2 AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+             / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE)))), 6) AS bm25
+  FROM base, stats
+), lex AS (
+  SELECT doc_id, r_lex FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+    FROM bm WHERE bm25 > 0
+  ) WHERE r_lex <= 50
+), vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), nv AS (
+  SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nvv
+  FROM vecs
+), cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, nvv AS cv
+  FROM nv WHERE vec_id IN (90, 190, 290, 390)
+), bvecs AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS bc, nvv
+  FROM nv WHERE vec_id IN (5,10,15,20,25,30,35,40,45,50,55,60,65,70,75,80)
+), books AS (
+  SELECT j.j, bc AS c, list_slice(nvv, j.j * 8 + 1, j.j * 8 + 8) AS bv
+  FROM bvecs, range(8) j(j)
+), assigned AS (
+  SELECT vec_id, c AS cid, cv FROM (
+    SELECT n.vec_id, ct.c, ct.cv,
+           row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             list_dot_product(n.nvv, ct.cv)
+             - list_dot_product(ct.cv, ct.cv) / 2.0 DESC, ct.c) AS rn
+    FROM nv n, cents ct
+  ) WHERE rn = 1
+), resid AS (
+  SELECT a.vec_id, a.cid,
+         list_transform(range(1, len(n.nvv) + 1), i -> n.nvv[i] - a.cv[i]) AS rv
+  FROM assigned a JOIN nv n USING (vec_id)
+), codes AS (
+  SELECT vec_id, j, c FROM (
+    SELECT r.vec_id, b.j, b.c,
+           row_number() OVER (PARTITION BY r.vec_id, b.j ORDER BY
+             list_dot_product(list_slice(r.rv, b.j * 8 + 1, b.j * 8 + 8), b.bv)
+             - list_dot_product(b.bv, b.bv) / 2.0 DESC, b.c) AS rn
+    FROM resid r, books b
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, nvv AS qv FROM nv WHERE vec_id = 7
+), probes AS (
+  SELECT query_id, cid, cterm FROM (
+    SELECT q.query_id, ct.c AS cid,
+           list_dot_product(q.qv, ct.cv) AS cterm,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_dot_product(q.qv, ct.cv)
+             - list_dot_product(ct.cv, ct.cv) / 2.0 DESC, ct.c) AS rn
+    FROM q, cents ct
+  ) WHERE rn <= 2
+), luts AS (
+  SELECT q.query_id, b.j, b.c,
+         list_dot_product(list_slice(q.qv, b.j * 8 + 1, b.j * 8 + 8), b.bv) AS lut
+  FROM q, books b
+), adc AS (
+  SELECT p.query_id, a.vec_id, p.cterm + sum(l.lut) AS adc_score
+  FROM assigned a
+  JOIN probes p ON p.cid = a.cid
+  JOIN codes cd ON cd.vec_id = a.vec_id
+  JOIN luts l ON l.query_id = p.query_id AND l.j = cd.j AND l.c = cd.c
+  GROUP BY p.query_id, a.vec_id, p.cterm
+), cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY adc_score DESC, vec_id) AS rn
+    FROM adc
+  ) WHERE rn <= 100
+), rescored AS (
+  SELECT c.query_id, c.vec_id,
+         round(list_dot_product(e.v, qr.v)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qr.v, qr.v))), 6) AS cs
+  FROM cand c JOIN vecs e ON e.vec_id = c.vec_id JOIN vecs qr ON qr.vec_id = c.query_id
+), dense AS (
+  SELECT vec_id AS doc_id, r_dense FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY cs DESC, vec_id) AS r_dense
+    FROM rescored
   ) WHERE r_dense <= 50
 ), fused AS (
   SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
@@ -12580,6 +12799,12 @@ QUERIES: dict[str, Query] = {
                                "BM25 + dense-cosine reciprocal rank fusion "
                                "(bounded top-50 arms, fused top-20)",
                                ("documents", "embeddings")),
+    "hybrid_store_rrf": Query(
+        q_hybrid_store_rrf, ORACLE_HYBRID_STORE_RRF,
+        "store-backed hybrid retrieval: BM25 postings-store probe + "
+        "IVF-PQ store probe (partition-pruned, routed ADC), RRF-fused "
+        "top-20 — neither corpus is scanned per query",
+        ("documents", "embeddings")),
     "bm25_search": Query(q_bm25_search, ORACLE_BM25_SEARCH,
                          "Okapi BM25 keyword ranking, scan-local tf + "
                          "1-row stats broadcast", ("documents",)),
@@ -12588,6 +12813,11 @@ QUERIES: dict[str, Query] = {
         "persisted BM25 postings store: tokenize-once build with "
         "stamped corpus stats, then a bucket-pruned query-only probe — "
         "corpus never re-tokenizes", ("documents",)),
+    "bm25_store_append": Query(
+        q_bm25_store_append, ORACLE_BM25_SEARCH,
+        "BM25 store delta-append: build on half the corpus, append the "
+        "other half (postings append + exact integer stats merge), "
+        "probe bit-identical to a one-shot build", ("documents",)),
     "centroid_cohesion": Query(q_centroid_cohesion, ORACLE_CENTROID_COHESION,
                                "per-language embedding centroid cohesion "
                                "(avg/min cosine to centroid)",
@@ -12938,41 +13168,36 @@ QUERIES: dict[str, Query] = {
 # quality_classifier, minhash_pr_eval, image_dedup_qwide and
 # image_decontaminate_qwide).
 _CHECK_FIRST = [
-    # r12 ROTATION (VERDICT r11 "Next round" #1): retire the stale-
-    # verdict backlog's oldest tiers. The ONE r12-new query leads (new
-    # queries land before the round's window — standing rule), then the
-    # 11 r6-era verdicts (5 rounds stale, queued since the r11 backlog
-    # comment), then the 38 oldest/highest-value r7-era verdicts — the
-    # §2 serving core (stats_topk, marvel_*, rest_*, cover_enrichment),
-    # the whole r7 streaming batch, and the dedup/ANN/text arms.
-    "bm25_store_probe",
-    # r6-era (the full tier):
-    "zorder_layout", "hash_split", "idle_customers", "bracket_revenue",
-    "important_parts", "min_cost_supplier", "order_priority_check",
-    "profit_by_nation", "promo_suppliers", "supplier_variety",
-    "trade_volume",
-    # r7-era: the serving core the VERDICT names first ...
-    "stats_topk", "marvel_normalize", "marvel_credits", "rest_paginated",
-    "cover_enrichment", "incremental_refetch", "keyed_lookup",
-    "rest_datasource",
-    # ... the r7 streaming batch ...
-    "stream_dedup", "stream_enrich", "stream_hopping", "stream_join",
-    "stream_sessionize", "stream_windowed",
-    # ... dedup / ANN / text arms ...
-    "semantic_dedup", "dedup_incremental", "substring_dedup",
-    "set_sim_prefix", "ann_recall_eval", "ivf_recall_eval",
-    "filtered_ann", "knn_join_det", "jl_projection", "gram_covariance",
-    "heavy_hitters", "bpe_train", "bpe_tokenize", "multimodal_metadata",
-    "table_fingerprint",
-    # ... temporal / rollup movers that fit the window
-    "forward_fill", "gap_fill", "hopping_windows", "incremental_rollup",
-    "rolling_dau", "retention_cohorts", "sales_cube", "scd2_orders",
-    "seasonal_decompose",
-    # r13 BACKLOG (r7-era, deferred — queue these first next round):
-    # decile_buckets, dict_encode, events_variant, market_share,
-    # order_lines_nested, percent_rank_cdf, pseudonymize_join,
-    # shipping_priority, subtree_value_rollup, time_weighted_avg,
-    # top_paths, unpivot_measures
+    # r13 ROTATION (VERDICT r12 "Next round" #2): the TWO r13-new
+    # queries lead (new queries land before the round's window —
+    # standing rule), then the final 12 r7-era verdicts (the named
+    # backlog — after this window the oldest tier is r8), then 36 of
+    # the 50 r8-era queries, LLM-pipeline / sketch / ANN arms first.
+    "bm25_store_append", "hybrid_store_rrf",
+    # r7-era (the full remaining tier — retires r7 entirely):
+    "decile_buckets", "dict_encode", "events_variant", "market_share",
+    "order_lines_nested", "percent_rank_cdf", "pseudonymize_join",
+    "shipping_priority", "subtree_value_rollup", "time_weighted_avg",
+    "top_paths", "unpivot_measures",
+    # r8-era: dedup / text / corpus-prep arms ...
+    "balance_corpus", "chunk_documents", "corpus_top_terms",
+    "decontaminate", "dedup_spans", "dsir_weights",
+    "embedding_decontaminate", "embedding_dim_stats", "lang_balance",
+    "lm_score", "markup_strip", "pack_sequences", "pii_scrub",
+    "repetition_stats", "tfidf_top_terms", "token_histogram",
+    "url_dedup", "vocab_growth", "web_corpus_prep",
+    # ... ANN / quantization / sketches / graph ...
+    "ann_quantized", "kcenter_sample", "quantize_embeddings",
+    "fuzzy_match", "ams_f2", "bloom_join", "cms_freq", "cms_join_size",
+    "ks_drift", "pagerank_personalized",
+    # ... serving/relational movers that fit the window
+    "cdc_apply", "events_json", "issue_sort_numeric", "multimodal_decode",
+    "multimodal_frames", "salted_agg", "topk_ties",
+    # r14 BACKLOG (r8-era, deferred — queue these first next round):
+    # corr_matrix, customer_churn, event_transitions, funnel,
+    # group_sample, grouping_sets, key_skew, percentile_profile,
+    # price_histogram, session_stats, sessionize, snapshot_diff,
+    # spend_zscore, winsorize
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 QUERIES = {

@@ -208,6 +208,20 @@ def save_bucketed_table(df: DataFrame, name: str, bucket_cols: list[str],
     writer.saveAsTable(name)
 
 
+# Marker value for <prefix>.layout on stores that were appended onto
+# while un-stamped: their pre-existing rows were never layout-verified,
+# so probes must keep using the legacy derived check, not trust a stamp.
+LAYOUT_UNVERIFIED = "migrated-unverified"
+
+
+def _sql_quoted_ident(table: str) -> str:
+    """Backtick-quote a (possibly dotted) table identifier for the SQL
+    statements below — an unquoted name breaks on reserved words, and
+    interpolating it raw would let a crafted name escape the statement."""
+    return ".".join("`" + part.replace("`", "``") + "`"
+                    for part in table.split("."))
+
+
 def set_store_props(spark: SparkSession, table: str, prefix: str,
                     props: dict) -> None:
     """Stamp a store table's signature layout as TBLPROPERTIES at build
@@ -216,15 +230,21 @@ def set_store_props(spark: SparkSession, table: str, prefix: str,
     local in-memory catalog keeps them for the session, which is exactly
     the store tables' lifetime here). Shared by every store in the
     family: MinHash (``comix.minhash.*``), fingerprint (``comix.fp.*``),
-    BM25 (``comix.bm25.*``)."""
-    kv = ", ".join(f"'{prefix}.{k}'='{v}'" for k, v in props.items())
-    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
+    BM25 (``comix.bm25.*``). Keys/values are single-quote-escaped and
+    the table identifier backtick-quoted — a hash_fn or id_col value
+    carrying a quote must round-trip, not produce broken SQL."""
+    esc = lambda s: str(s).replace("'", "''")  # noqa: E731
+    kv = ", ".join(f"'{esc(prefix + '.' + str(k))}'='{esc(v)}'"
+                   for k, v in props.items())
+    spark.sql(f"ALTER TABLE {_sql_quoted_ident(table)} "
+              f"SET TBLPROPERTIES ({kv})")
 
 
 def get_store_props(spark: SparkSession, table: str,
                     prefix: str) -> dict[str, str]:
     """Read back a store's stamped layout (keys without the prefix)."""
-    rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    rows = spark.sql(
+        f"SHOW TBLPROPERTIES {_sql_quoted_ident(table)}").collect()
     return {r["key"][len(prefix) + 1:]: r["value"] for r in rows
             if r["key"].startswith(prefix + ".")}
 
@@ -241,7 +261,16 @@ def validate_store_props(spark: SparkSession, table: str, prefix: str,
     to its legacy derived check so old stores keep working, just with
     the weaker guarantee)."""
     stored = get_store_props(spark, table, prefix)
-    if not stored:
+    if not stored or stored.get("layout") == LAYOUT_UNVERIFIED:
+        # no properties (pre-stamping store), or a store that was
+        # APPENDED onto in its un-stamped state: its existing rows were
+        # never checked against any layout, so the append path marks it
+        # LAYOUT_UNVERIFIED rather than stamping the appending caller's
+        # layout as if it were authoritative (a legacy store signed with
+        # a different num_hashes/n/hash_fn would otherwise validate as
+        # clean forever — the silent-never-collide failure this guard
+        # exists to stop). Both cases fall back to the caller's weaker
+        # legacy check.
         return False
     mismatch = {k: (stored.get(k), str(v)) for k, v in expected.items()
                 if stored.get(k) != str(v)}

@@ -216,7 +216,8 @@ def foreach_batch_ann_ingest(root: str, centers, codebooks, *,
                              vec_col: str = "embedding",
                              sim_threshold: float = 0.98,
                              nprobe: int = 4, rerank: int = 50,
-                             max_query_rows: int = 10_000):
+                             max_query_rows: int = 10_000,
+                             chunk_queries: bool = False):
     """foreachBatch sink: the VECTOR-side continuous-ingest dedup loop —
     the embedding sibling of ``foreach_batch_dedup_ingest``. Every
     micro-batch of vectors (1) probes the landed IVF-PQ codes for its
@@ -237,7 +238,10 @@ def foreach_batch_ann_ingest(root: str, centers, codebooks, *,
     driver-bounded (ivf_pq_topk collects the query side) — ENFORCED:
     ``max_query_rows`` threads into the probe, so a fat micro-batch
     raises a clear ValueError instead of a driver OOM; size the
-    stream's ``maxFilesPerTrigger``/rate under it.
+    stream's ``maxFilesPerTrigger``/rate under it. r13:
+    ``chunk_queries=True`` threads through to the probe's chunked mode
+    — an oversized micro-batch is sliced in ``max_query_rows`` windows
+    (output identical, driver memory still bounded) instead of raised.
 
     Output matches: (``id_col``, match_id, cosine_sim) — each flagged
     batch vector's best landed neighbor at ≥ ``sim_threshold``."""
@@ -263,7 +267,8 @@ def foreach_batch_ann_ingest(root: str, centers, codebooks, *,
                               centers=centers, codebooks=codebooks,
                               id_col=id_col, vec_col=vec_col, k=1,
                               nprobe=nprobe, rerank=rerank, encoded=codes,
-                              max_query_rows=max_query_rows)
+                              max_query_rows=max_query_rows,
+                              chunk_queries=chunk_queries)
             matches = (top.filter(F.col("cosine_sim") >= sim_threshold)
                        .select(F.col("query_id").alias(id_col),
                                F.col(id_col).alias("match_id"),

@@ -1,5 +1,7 @@
 """r12 k-center over-selection remedy measurement (VERDICT r11 #4):
-k=1024 on the sf0.1 embeddings (60k vectors), fresh session,
+k=1024 on the sf0.1 embeddings table (2000 vectors — k selects 51% of
+the corpus; the recorded results JSON stamps the measured count), fresh
+session,
 collect-materialized — the exact r11 protocol whose fixed-batch numbers
 were b16 144.9 s / b64 112.5 s / b128 130.6 s (PLANS.md r11).
 

@@ -11,7 +11,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import CURATED_WARMUP, derive_warmup  # noqa: E402
+from bench import (CURATED_WARMUP, canary_dispersion,  # noqa: E402
+                   derive_warmup, select_artifact)
 
 
 def _write(d, name, queries):
@@ -47,6 +48,68 @@ def test_unreadable_artifact_degrades_to_curated(tmp_path):
         fh.write("{not json")
     warm = derive_warmup(registry, repo_dir=str(tmp_path))
     assert warm == ["stats_topk"]
+
+
+def test_derive_warmup_ignores_round_digits_in_directory_name(tmp_path):
+    """The round key must come from the artifact BASENAME: a checkout
+    directory containing '_r<digits>' used to give every artifact the
+    same key, silently degrading 'last committed round' to glob order."""
+    d = tmp_path / "repo_r2"
+    d.mkdir()
+    registry = {n: None for n in ("stats_topk", "old_q", "new_q")}
+    _write(d, "bench_local_r9.json", ["stats_topk"])
+    _write(d, "bench_local_r11.json", ["stats_topk", "old_q"])
+    warm = derive_warmup(registry, repo_dir=str(d))
+    # r11 (not glob-order r9) is the base: old_q is NOT a first-timer
+    assert warm == ["stats_topk", "new_q"]
+
+
+def test_canary_dispersion():
+    assert canary_dispersion([]) == 1.0
+    assert canary_dispersion([0.3]) == 1.0
+    assert abs(canary_dispersion([0.2, 0.3, 0.25]) - 1.5) < 1e-9
+    assert canary_dispersion([0.3, 0.0]) == float("inf")
+
+
+def test_select_artifact_median_of_clean():
+    runs = [{"total": 400.0, "dispersion": 1.30},   # noisy, excluded
+            {"total": 330.0, "dispersion": 1.05},
+            {"total": 310.0, "dispersion": 1.08},
+            {"total": 350.0, "dispersion": 1.02}]
+    idx, status = select_artifact(runs)
+    assert status == "median-of-clean"
+    assert idx == 1  # median total (330) among the three clean runs
+
+
+def test_select_artifact_lower_median_on_even_clean_count():
+    runs = [{"total": 300.0, "dispersion": 1.0},
+            {"total": 320.0, "dispersion": 1.0},
+            {"total": 340.0, "dispersion": 1.0},
+            {"total": 360.0, "dispersion": 1.0}]
+    idx, status = select_artifact(runs)
+    # lower median: always an ACTUAL run, deterministic
+    assert (idx, status) == (1, "median-of-clean")
+
+
+def test_select_artifact_demands_more_runs_then_falls_back():
+    noisy = [{"total": 400.0 + i, "dispersion": 1.3 + i / 100}
+             for i in range(5)]
+    idx, status = select_artifact(noisy)
+    assert (idx, status) == (None, "need-more-runs")
+    noisy.append({"total": 500.0, "dispersion": 1.2})
+    idx, status = select_artifact(noisy)
+    # six attempts exhausted: lowest-dispersion run wins, flagged
+    assert (idx, status) == (5, "fallback-min-dispersion")
+
+
+def test_select_artifact_dispersion_boundary_is_exclusive():
+    runs = [{"total": 300.0, "dispersion": 1.15},
+            {"total": 310.0, "dispersion": 1.149},
+            {"total": 320.0, "dispersion": 1.149},
+            {"total": 330.0, "dispersion": 1.149}]
+    idx, status = select_artifact(runs)
+    # 1.15 exactly is NOT clean; median of the three 1.149 runs
+    assert (idx, status) == (2, "median-of-clean")
 
 
 def test_real_repo_derivation_matches_registry():

@@ -660,6 +660,74 @@ def test_minhash_store_probe_matches_direct(spark, sf_small):
         spark.sql("DROP TABLE IF EXISTS mh_store_t")
 
 
+def test_legacy_append_marks_store_unverified_not_authoritative(spark, sf_small):
+    """Appending onto a PRE-STAMPING (legacy) store must NOT stamp the
+    appending caller's layout as authoritative: the legacy rows only
+    ever passed the weak band-count check, so their num_hashes/n/hash_fn
+    may differ from the caller's — a full-layout stamp would make that
+    mixed-signature store validate as clean on every future probe (the
+    silent-never-collide failure). The append instead marks the store
+    ``migrated-unverified`` and validation keeps falling back to the
+    legacy check."""
+    from comix_etl_spark.operators.dedup import persist_minhash_store
+    from comix_etl_spark.sinks.writers import (LAYOUT_UNVERIFIED,
+                                               get_store_props,
+                                               validate_store_props)
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    common = dict(id_col="doc_id", text_col="text", num_hashes=16,
+                  bands=4, n=3, hash_fn="md5")
+    persist_minhash_store(docs.filter(F.col("doc_id") % 10 <= 4),
+                          "mh_legacy_t", **common)
+    try:
+        # simulate a pre-r12 store: strip the stamped layout
+        spark.sql("ALTER TABLE mh_legacy_t UNSET TBLPROPERTIES "
+                  "('comix.minhash.num_hashes', 'comix.minhash.bands', "
+                  "'comix.minhash.n', 'comix.minhash.hash_fn')")
+        assert get_store_props(spark, "mh_legacy_t", "comix.minhash") == {}
+        # legacy append with a DIFFERENT num_hashes but matching bands:
+        # the band-count fallback cannot catch it (documented weakness)
+        persist_minhash_store(docs.filter(F.col("doc_id") % 10 >= 5),
+                              "mh_legacy_t", mode="append",
+                              **{**common, "num_hashes": 32})
+        props = get_store_props(spark, "mh_legacy_t", "comix.minhash")
+        assert props == {"layout": LAYOUT_UNVERIFIED}
+        # the marker must read as NOT-verified — probes keep the legacy
+        # check instead of trusting a stamp over unverified rows
+        assert validate_store_props(
+            spark, "mh_legacy_t", "comix.minhash",
+            {"num_hashes": 32, "bands": 4, "n": 3, "hash_fn": "md5"},
+            "probe") is False
+        # a LATER append onto the marked store stays on the legacy path
+        # too (must not raise a layout mismatch against the marker)
+        persist_minhash_store(docs.filter(F.col("doc_id") % 10 == 0),
+                              "mh_legacy_t", mode="append", **common)
+        assert get_store_props(spark, "mh_legacy_t", "comix.minhash") \
+            == {"layout": LAYOUT_UNVERIFIED}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_legacy_t")
+
+
+def test_store_props_quote_roundtrip(spark, sf_small):
+    """set_store_props must escape quotes and quote the identifier — a
+    value carrying a single quote round-trips instead of breaking the
+    ALTER TABLE statement."""
+    from comix_etl_spark.operators.dedup import persist_minhash_store
+    from comix_etl_spark.sinks.writers import (get_store_props,
+                                               set_store_props)
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    persist_minhash_store(docs.limit(20), "mh_quote_t", id_col="doc_id",
+                          text_col="text", num_hashes=16, bands=4)
+    try:
+        set_store_props(spark, "mh_quote_t", "comix.test",
+                        {"note": "it's quoted", "id_col": "o'brien"})
+        got = get_store_props(spark, "mh_quote_t", "comix.test")
+        assert got == {"note": "it's quoted", "id_col": "o'brien"}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_quote_t")
+
+
 def test_image_dhash_xwide_three_limbs(spark):
     """189-bit rung: h/v limbs equal the wide form bit-for-bit, the
     d-limb is brightness-invariant like the others, quarantine covers

@@ -529,6 +529,80 @@ def test_topk_query_side_guard(spark):
         assert call(5).count() > 0  # boundary: 5 rows at max 5 passes
 
 
+def test_ivf_pq_topk_chunked_queries_match_unchunked(spark):
+    """r13 (VERDICT r12 #6): ``chunk_queries=True`` completes a query
+    frame FATTER than ``max_query_rows`` by slicing it driver-side and
+    unioning per-slice top-k — output must be EXACTLY the unchunked
+    answer (queries are independent across slices), across slice
+    boundaries that don't divide nq evenly."""
+    import numpy as np
+
+    from comix_etl_spark.operators.similarity import (
+        ivf_pq_topk, train_ivf_centroids, train_residual_codebooks)
+
+    rng = np.random.default_rng(7)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(60)],
+        "vec_id long, embedding array<double>")
+    query = spark.createDataFrame(
+        [(100 + i, [float(x) for x in rng.normal(size=8)])
+         for i in range(23)],
+        "query_id long, embedding array<double>")
+    centers = train_ivf_centroids(corpus, n_centroids=4, normalize=True)
+    books = train_residual_codebooks(corpus, centers, m=2, k=4)
+    common = dict(centers=centers, codebooks=books, k=3, nprobe=2,
+                  rerank=10)
+    full = sorted(map(tuple, ivf_pq_topk(
+        corpus, query, max_query_rows=100, **common).collect()))
+    assert len(full) > 0
+    for mx in (5, 10, 23):  # 5 slices (odd tail), 3 slices, exactly 1
+        chunked = sorted(map(tuple, ivf_pq_topk(
+            corpus, query, max_query_rows=mx, chunk_queries=True,
+            **common).collect()))
+        assert chunked == full, mx
+
+
+def test_ann_ingest_chunked_micro_batch_matches_unchunked(spark, tmp_path):
+    """The streaming ANN ingest loop with ``chunk_queries=True`` must
+    emit the same matches as the raise-guarded loop when micro-batches
+    exceed ``max_query_rows`` — the fat-batch path completes instead of
+    raising, with identical output."""
+    import numpy as np
+    import pytest as _pt
+
+    from comix_etl_spark.operators.similarity import (
+        train_ivf_centroids, train_residual_codebooks)
+    from comix_etl_spark.streaming.windowed import foreach_batch_ann_ingest
+
+    rng = np.random.default_rng(11)
+    base = [[float(x) for x in rng.normal(size=8)] for _ in range(30)]
+    b0 = spark.createDataFrame([(i, base[i]) for i in range(30)],
+                               "vec_id long, embedding array<double>")
+    # batch 1: 12 vectors, 3 of them exact copies of landed ones
+    b1_rows = ([(100 + i, [float(x) for x in rng.normal(size=8)])
+                for i in range(9)]
+               + [(200 + i, base[i]) for i in range(3)])
+    b1 = spark.createDataFrame(b1_rows,
+                               "vec_id long, embedding array<double>")
+    centers = train_ivf_centroids(b0, n_centroids=4, normalize=True)
+    books = train_residual_codebooks(b0, centers, m=2, k=4)
+
+    def run(root, **kw):
+        apply = foreach_batch_ann_ingest(str(root), centers, books,
+                                         nprobe=4, rerank=20, **kw)
+        apply(b0, 0)
+        apply(b1, 1)
+        return sorted(map(tuple, spark.read.parquet(
+            str(root) + "/matches").select(
+            "vec_id", "match_id", "cosine_sim").collect()))
+
+    want = run(tmp_path / "wide")                 # nq=12 under default cap
+    got = run(tmp_path / "chunked", max_query_rows=5, chunk_queries=True)
+    assert got == want and len(want) >= 3
+    with _pt.raises(Exception, match="max_query_rows"):
+        run(tmp_path / "guarded", max_query_rows=5)
+
+
 def test_kcenter_adaptive_batch_matches_cached(spark, sf_small):
     """adapt_batch (r12): the adaptive fetch schedule must emit the
     IDENTICAL selection to the cached form — the acceptance bound

@@ -458,6 +458,27 @@ def test_stream_ann_ingest_fat_batch_guard(spark, tmpdir):
     assert {(r.vec_id, r.match_id) for r in got} == {(100, 0)}
 
 
+def test_prior_batches_exist_scheme_uri_forms(spark, tmpdir):
+    """Direct lock on the r12 remote-FS fix (VERDICT r12 #7):
+    ``_prior_batches_exist`` must resolve BOTH ``file:/p`` and
+    ``file:///p`` URI forms through the Hadoop FileSystem API — a
+    regression to ``os.path``-based probing returns False for any
+    scheme'd URI and every micro-batch would silently probe nothing
+    (the worst failure mode for a dedup gate)."""
+    from comix_etl_spark.streaming.windowed import _prior_batches_exist
+
+    root = os.path.join(tmpdir, "hist_root")
+    os.makedirs(os.path.join(root, "batch_id=0"))
+    os.makedirs(os.path.join(root, "batch_id=3"))
+    os.makedirs(os.path.join(root, "not_a_batch"))
+    for uri in (root, "file:" + root, "file://" + root):
+        assert _prior_batches_exist(spark, uri, 1), uri
+        assert _prior_batches_exist(spark, uri, 4), uri
+        assert not _prior_batches_exist(spark, uri, 0), uri
+    assert not _prior_batches_exist(
+        spark, "file://" + os.path.join(tmpdir, "absent"), 5)
+
+
 def test_foreach_batch_drift_flags_shifted_batch(spark, tmpdir):
     """Per-micro-batch PSI monitoring: a batch drawn from the reference
     distribution scores near zero; a shifted batch scores high. Also

@@ -484,8 +484,8 @@ def test_bm25_store_probe_matches_direct(spark, sf_small):
                  for r in TS.bm25_scores_from_store(
                      spark, "bm25_store_t", terms).collect()}
         assert probe == direct and len(direct) > 0
-        with _pt.raises(ValueError, match="overwrite"):
-            TS.persist_bm25_store(docs, "bm25_store_t", mode="append")
+        with _pt.raises(ValueError, match="mode must be"):
+            TS.persist_bm25_store(docs, "bm25_store_t", mode="ignore")
         # un-stamped table → loud refusal, not silently-wrong stats
         spark.range(1).select(F.lit("x").alias("term"))             .write.saveAsTable("bm25_unstamped_t")
         with _pt.raises(ValueError, match="stamped"):
@@ -493,6 +493,72 @@ def test_bm25_store_probe_matches_direct(spark, sf_small):
     finally:
         spark.sql("DROP TABLE IF EXISTS bm25_store_t")
         spark.sql("DROP TABLE IF EXISTS bm25_unstamped_t")
+
+
+def test_bm25_store_delta_append_matches_one_shot_build(spark, sf_small):
+    """The r13 delta-stats merge: build on half the corpus, APPEND the
+    other half, and the probe must be bit-identical to (a) a one-shot
+    build over the union and (b) the direct bm25_scores on the union —
+    N/Σdl are exact integer adds, df falls out of the unioned postings.
+    Append validates layout and refuses a stats-less store."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    terms = ["spark", "merge", "window"]
+    try:
+        TS.persist_bm25_store(base, "bm25_app_t", id_col="doc_id",
+                              text_col="text")
+        TS.persist_bm25_store(delta, "bm25_app_t", id_col="doc_id",
+                              text_col="text", mode="append")
+        appended = {r.doc_id: r.bm25 for r in TS.bm25_scores_from_store(
+            spark, "bm25_app_t", terms).collect()}
+        direct = {r.doc_id: r.bm25 for r in TS.bm25_scores(
+            docs, "doc_id", "text", terms).collect()}
+        assert appended == direct and len(direct) > 0
+        TS.persist_bm25_store(docs, "bm25_oneshot_t", id_col="doc_id",
+                              text_col="text")
+        oneshot = {r.doc_id: r.bm25 for r in TS.bm25_scores_from_store(
+            spark, "bm25_oneshot_t", terms).collect()}
+        assert appended == oneshot
+        # layout validation: a different id_col / bucket count refuses
+        with _pt.raises(ValueError, match="layout mismatch"):
+            TS.persist_bm25_store(delta.withColumnRenamed("doc_id", "d2"),
+                                  "bm25_app_t", id_col="d2",
+                                  text_col="text", mode="append")
+        with _pt.raises(ValueError, match="layout mismatch"):
+            TS.persist_bm25_store(delta, "bm25_app_t", id_col="doc_id",
+                                  text_col="text", n_buckets=8,
+                                  mode="append")
+        # stats-less store (props stripped) → loud refusal: nothing
+        # sound to merge the delta stats into
+        spark.sql("ALTER TABLE bm25_app_t UNSET TBLPROPERTIES "
+                  "('comix.bm25.n', 'comix.bm25.sum_dl')")
+        with _pt.raises(ValueError, match="nothing sound"):
+            TS.persist_bm25_store(delta, "bm25_app_t", id_col="doc_id",
+                                  text_col="text", mode="append")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bm25_app_t")
+        spark.sql("DROP TABLE IF EXISTS bm25_oneshot_t")
+
+
+def test_bm25_store_probe_empty_terms_matches_direct(spark):
+    """ADVICE r12: an empty terms list must return an empty
+    (id_col, bm25) frame from BOTH paths — the store probe used to
+    raise from groupBy().agg(*[])."""
+    docs = spark.createDataFrame(
+        [(1, "spark merge"), (2, "window")], "doc_id long, text string")
+    TS.persist_bm25_store(docs, "bm25_empty_t", id_col="doc_id",
+                          text_col="text")
+    try:
+        probe = TS.bm25_scores_from_store(spark, "bm25_empty_t", [])
+        assert probe.columns == ["doc_id", "bm25"]
+        assert probe.count() == 0
+        assert TS.bm25_scores(docs, "doc_id", "text", []).count() == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bm25_empty_t")
 
 
 def test_bm25_store_probe_absent_and_duplicate_terms(spark):
