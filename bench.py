@@ -28,7 +28,7 @@ r13 onward every run carries a HOST-DRIFT CANARY (a fixed cheap query
 re-timed every ~25 registry queries; the artifact records the sample
 series and its max/min dispersion) and the committed per-round artifact
 is picked by the PRE-REGISTERED ``select_artifact`` rule — median total
-of >=3 clean runs (canary dispersion < 1.15) — instead of post-hoc
+of >=3 clean runs (trimmed canary dispersion < 1.55) — instead of post-hoc
 judgment over a ladder of same-day runs (the r10–r12 adjudication tax).
 """
 
@@ -65,17 +65,27 @@ CANARY_EVERY = 25
 
 
 def canary_dispersion(samples: list[float]) -> float:
-    """max/min over the canary series — the run's host-noise score.
-    <2 samples can't measure drift (treated as clean, 1.0); a
-    non-positive sample means a broken measurement (inf, never clean)."""
+    """TRIMMED max/min over the canary series — the run's host-noise
+    score. Exactly one max and one min sample are dropped first
+    (given >=4 samples): calibration on two QUIET windows (sf0.1 and
+    sf0.001, r13) measured plain max/min at 1.48–1.61 — a single
+    isolated GC/scheduler spike dominates it — while the trimmed form
+    read a consistent 1.35–1.37 quiet vs >=1.75 for an r12-style
+    sustained 1.3x degraded stretch (which leaves multiple high
+    samples, surviving the single-sample trim). <2 samples can't
+    measure drift (treated as clean, 1.0); a non-positive sample means
+    a broken measurement (inf, never clean)."""
     if len(samples) < 2:
         return 1.0
     if min(samples) <= 0:
         return float("inf")
-    return max(samples) / min(samples)
+    s = sorted(samples)
+    if len(s) >= 4:
+        s = s[1:-1]
+    return s[-1] / s[0]
 
 
-def select_artifact(runs: list[dict], *, max_dispersion: float = 1.15,
+def select_artifact(runs: list[dict], *, max_dispersion: float = 1.55,
                     min_clean: int = 3, max_attempts: int = 6):
     """THE PRE-REGISTERED artifact-selection rule (written before the
     r13 bench runs — see PLANS.md "r13 bench protocol"): the committed
@@ -261,7 +271,7 @@ def main() -> None:
         "runs_per_query": n_runs,
         # host-drift canary: samples of CANARY_QUERY interleaved every
         # CANARY_EVERY timed queries; dispersion feeds select_artifact's
-        # pre-registered rule (clean run = dispersion < 1.15)
+        # pre-registered rule (clean run = trimmed dispersion < 1.55)
         "canary": {"query": CANARY_QUERY, "every": CANARY_EVERY,
                    "samples": canary_samples,
                    "dispersion": round(canary_dispersion(canary_samples), 4)},

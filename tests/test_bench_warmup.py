@@ -67,15 +67,24 @@ def test_derive_warmup_ignores_round_digits_in_directory_name(tmp_path):
 def test_canary_dispersion():
     assert canary_dispersion([]) == 1.0
     assert canary_dispersion([0.3]) == 1.0
+    # <4 samples: plain max/min (nothing to trim)
     assert abs(canary_dispersion([0.2, 0.3, 0.25]) - 1.5) < 1e-9
     assert canary_dispersion([0.3, 0.0]) == float("inf")
+    # >=4 samples: one max and one min are trimmed — a single isolated
+    # spike (the quiet-window failure mode measured in r13 calibration)
+    # does not flag the run ...
+    assert abs(canary_dispersion([0.30, 0.31, 0.32, 0.30, 0.45]) -
+               0.32 / 0.30) < 1e-9
+    # ... but a SUSTAINED degraded stretch (multiple high samples)
+    # survives the trim and is caught
+    assert canary_dispersion([0.30, 0.31, 0.60, 0.62, 0.61]) > 1.9
 
 
 def test_select_artifact_median_of_clean():
-    runs = [{"total": 400.0, "dispersion": 1.30},   # noisy, excluded
-            {"total": 330.0, "dispersion": 1.05},
-            {"total": 310.0, "dispersion": 1.08},
-            {"total": 350.0, "dispersion": 1.02}]
+    runs = [{"total": 400.0, "dispersion": 1.80},   # noisy, excluded
+            {"total": 330.0, "dispersion": 1.35},
+            {"total": 310.0, "dispersion": 1.38},
+            {"total": 350.0, "dispersion": 1.32}]
     idx, status = select_artifact(runs)
     assert status == "median-of-clean"
     assert idx == 1  # median total (330) among the three clean runs
@@ -92,23 +101,23 @@ def test_select_artifact_lower_median_on_even_clean_count():
 
 
 def test_select_artifact_demands_more_runs_then_falls_back():
-    noisy = [{"total": 400.0 + i, "dispersion": 1.3 + i / 100}
+    noisy = [{"total": 400.0 + i, "dispersion": 1.7 + i / 100}
              for i in range(5)]
     idx, status = select_artifact(noisy)
     assert (idx, status) == (None, "need-more-runs")
-    noisy.append({"total": 500.0, "dispersion": 1.2})
+    noisy.append({"total": 500.0, "dispersion": 1.6})
     idx, status = select_artifact(noisy)
     # six attempts exhausted: lowest-dispersion run wins, flagged
     assert (idx, status) == (5, "fallback-min-dispersion")
 
 
 def test_select_artifact_dispersion_boundary_is_exclusive():
-    runs = [{"total": 300.0, "dispersion": 1.15},
-            {"total": 310.0, "dispersion": 1.149},
-            {"total": 320.0, "dispersion": 1.149},
-            {"total": 330.0, "dispersion": 1.149}]
+    runs = [{"total": 300.0, "dispersion": 1.55},
+            {"total": 310.0, "dispersion": 1.549},
+            {"total": 320.0, "dispersion": 1.549},
+            {"total": 330.0, "dispersion": 1.549}]
     idx, status = select_artifact(runs)
-    # 1.15 exactly is NOT clean; median of the three 1.149 runs
+    # 1.55 exactly is NOT clean; median of the three 1.549 runs
     assert (idx, status) == (2, "median-of-clean")
 
 
