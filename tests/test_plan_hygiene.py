@@ -251,6 +251,23 @@ def test_dedup_store_probe_verify_stage_shape(spark, sf_small):
     assert s.n_broadcast_hash_joins >= 2, s
 
 
+def test_hybrid_store_rrf_probe_side_plan(spark, sf_small):
+    # The store-backed hybrid's serving contract (r13): after the two
+    # eager store builds, the RETURNED plan must (a) bucket-prune the
+    # BM25 postings scan (SelectedBucketsCount from the term IN filter),
+    # (b) partition-prune the IVF-PQ store scan to the probed lists
+    # (centroid_id PartitionFilters), and (c) never touch the text
+    # corpus — documents.parquet must not appear (embeddings.parquet
+    # legitimately does: the dense arm's bounded exact re-rank reads
+    # raw vectors).
+    df = QUERIES["hybrid_store_rrf"].builder(spark, sf_small)
+    plan = _plan(df)
+    assert "documents.parquet" not in plan, plan
+    assert "SelectedBucketsCount" in plan, plan
+    i = plan.index("PartitionFilters: [")
+    assert "centroid_id" in plan[i:i + 200], plan[i:i + 200]
+
+
 def test_bm25_store_probe_bucket_pruned_scan(spark, sf_small):
     # The BM25 store probe's whole value is never touching the corpus at
     # query time: its plan must read the bucketed postings TABLE (not
