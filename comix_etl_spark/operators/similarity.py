@@ -827,6 +827,31 @@ def _ivf_pq_topk_rows(corpus: DataFrame, encoded: DataFrame, qrows,
             .filter(F.col("_rn") <= k).drop("_rn"))
 
 
+def ivf_pq_store_stats(spark, table: str) -> DataFrame:
+    """Index-health introspection for a persisted IVF-PQ store
+    (``persist_ivf_pq_store``): one row per inverted list with its code
+    count and its share of the index (integer millionths — engine-
+    reproducible, no float division).
+
+    Why it matters at 100 TB: the probe-cost model (`nprobe/C` of the
+    index per query) assumes BALANCED lists — a skewed coarse
+    quantizer silently concentrates the corpus into a few lists, and
+    every query routed there pays a near-full scan while the plan
+    still *looks* pruned. This report is the cheap periodic check that
+    catches it: one aggregate over the store's partition column
+    (partition-count metadata scale, no payload read beyond the id
+    column), no shuffle of codes. Empty lists simply don't appear
+    (their directories don't exist) — the list-count deficit vs C is
+    itself the signal that centroids collapsed at train time."""
+    enc = spark.table(table)
+    per_list = enc.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_codes"))
+    total = per_list.agg(F.sum("n_codes").alias("_t"))
+    return (per_list.crossJoin(F.broadcast(total))
+            .select("centroid_id", "n_codes",
+                    F.expr("n_codes * 1000000L div _t").alias("share_e6")))
+
+
 def persist_ivf_pq_store(corpus: DataFrame, centers, codebooks,
                          table: str, *, id_col: str = "vec_id",
                          vec_col: str = "embedding",

@@ -774,6 +774,33 @@ def bm25_scores_from_store(spark, table: str, terms: list[str], *,
             .filter(F.col("bm25") > 0))
 
 
+def bm25_store_stats(spark, table: str, *, top_n: int = 20) -> DataFrame:
+    """Index-health introspection for a persisted BM25 postings store
+    (``persist_bm25_store``): the ``top_n`` heaviest terms by document
+    frequency, with their total term occurrences — the Zipf head that
+    owns the store's hottest buckets.
+
+    Why it matters at 100 TB: term buckets are hash-partitioned but
+    term POSTINGS are Zipfian — a handful of stopword-like terms own
+    posting lists the size of the corpus, and any query touching one
+    pays a near-corpus scan while the plan still bucket-prunes
+    "correctly". This report is the periodic check that finds them
+    (feed the head into a stopword/term-cap policy before it finds
+    you). Cost: one aggregate over the landed postings keyed on term
+    (map-side partials collapse the Zipf head), zero tokenization —
+    df(t) is the row count of t, total_tf the sum of its tf column."""
+    posts = spark.table(table)
+    per_term = posts.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"))
+    # TakeOrdered bounds the head BEFORE the rank window, so the
+    # single-partition window sees top_n rows, never the vocabulary
+    top = per_term.orderBy(F.col("df").desc(), F.col("term")).limit(top_n)
+    w = Window.orderBy(F.col("df").desc(), F.col("term"))
+    return (top.withColumn("rank", F.row_number().over(w).cast("long"))
+            .select("rank", "term", "df", "total_tf"))
+
+
 def char_bigram_counts(df: DataFrame, text_col: str) -> DataFrame:
     """Corpus-wide adjacent character-pair frequencies — the statistic
     behind the FIRST merge step of BPE tokenizer training (Sennrich et

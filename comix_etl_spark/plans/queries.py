@@ -6840,6 +6840,102 @@ def q_ann_ivf_pq_store(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     k=10, nprobe=2, rerank=100)
 
 
+def q_ivfpq_store_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-health introspection for the persisted IVF-PQ store (r13 —
+    similarity.py::ivf_pq_store_stats): per-list code counts and
+    integer-millionth index shares over the det-centers store. The
+    100 TB rationale: the probe-cost model (nprobe/C per query) assumes
+    balanced lists — a skewed coarse quantizer concentrates the corpus
+    into a few lists and routed queries there pay near-full scans while
+    plans still look pruned; this one-aggregate report is the periodic
+    check that catches it. Det centers ⇒ the oracle independently
+    recomputes every vector's nearest-centroid assignment and the
+    per-list tallies."""
+    import numpy as np
+
+    t = _t(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    crow = (emb.filter(F.col("vec_id").isin(*_IVFPQ_DET_CENTER_IDS))
+            .orderBy("vec_id").select("embedding").collect())
+    c = np.array([r[0] for r in crow], dtype=np.float64)
+    c = c / np.linalg.norm(c, axis=1)[:, None]
+    brow = (emb.filter(F.col("vec_id").isin(*_IVF_DET_CENTROID_IDS))
+            .orderBy("vec_id").select("embedding").collect())
+    b = np.array([r[0] for r in brow], dtype=np.float64)
+    b = b / np.linalg.norm(b, axis=1)[:, None]
+    books = b.reshape(16, 8, 8).transpose(1, 0, 2)
+    S.persist_ivf_pq_store(emb, c, books, "comix_ivfpq_stats_store",
+                           id_col="vec_id", vec_col="embedding")
+    return (S.ivf_pq_store_stats(spark, "comix_ivfpq_stats_store")
+            .orderBy("centroid_id"))
+
+
+ORACLE_IVFPQ_STORE_STATS = """
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), nv AS (
+  SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nvv
+  FROM vecs
+), cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, nvv AS cv
+  FROM nv WHERE vec_id IN (90, 190, 290, 390)
+), assigned AS (
+  SELECT vec_id, c AS cid FROM (
+    SELECT n.vec_id, ct.c,
+           row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             list_dot_product(n.nvv, ct.cv)
+             - list_dot_product(ct.cv, ct.cv) / 2.0 DESC, ct.c) AS rn
+    FROM nv n, cents ct
+  ) WHERE rn = 1
+), per_list AS (
+  SELECT cid AS centroid_id, CAST(count(*) AS BIGINT) AS n_codes
+  FROM assigned GROUP BY cid
+)
+SELECT centroid_id, n_codes,
+       CAST(n_codes * 1000000 // sum(n_codes) OVER () AS BIGINT) AS share_e6
+FROM per_list ORDER BY centroid_id
+"""
+
+
+def q_bm25_store_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-head introspection for the persisted BM25 postings store
+    (r13 — textstats.py::bm25_store_stats): the 20 heaviest terms by
+    document frequency with their total occurrences. The 100 TB
+    rationale: term postings are Zipfian — a handful of stopword-like
+    terms own near-corpus posting lists, and any query touching one
+    pays a near-corpus scan while its plan still bucket-prunes
+    "correctly"; this report feeds the head into a stopword/term-cap
+    policy before that happens. The oracle recomputes df/total_tf from
+    raw tokenization — so the check also re-proves the store's
+    postings are exactly the corpus's (doc, term) statistics."""
+    from comix_etl_spark.operators import textstats as TS
+
+    t = _t(spark, sf_dir, "documents")
+    TS.persist_bm25_store(t["documents"], "comix_bm25_health_store",
+                          id_col="doc_id", text_col="text")
+    return TS.bm25_store_stats(spark, "comix_bm25_health_store", top_n=20)
+
+
+ORACLE_BM25_STORE_HEALTH = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(lower(trim(text)), '\\s+'),
+           x -> x <> '')) AS term
+  FROM documents
+), per_doc_term AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+), per_term AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS total_tf
+  FROM per_doc_term GROUP BY term
+)
+SELECT CAST(row_number() OVER (ORDER BY df DESC, term) AS BIGINT) AS rank,
+       term, df, total_tf
+FROM per_term ORDER BY df DESC, term LIMIT 20
+"""
+
+
 def q_stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONLINE retrieval against the persisted IVF-PQ index: a REAL
     file-source stream of query vectors (availableNow) probes the
@@ -12818,6 +12914,16 @@ QUERIES: dict[str, Query] = {
         "BM25 store delta-append: build on half the corpus, append the "
         "other half (postings append + exact integer stats merge), "
         "probe bit-identical to a one-shot build", ("documents",)),
+    "bm25_store_health": Query(
+        q_bm25_store_health, ORACLE_BM25_STORE_HEALTH,
+        "BM25 store Zipf-head report: top-20 terms by df with total "
+        "occurrences from the landed postings — the hot-bucket check",
+        ("documents",)),
+    "ivfpq_store_stats": Query(
+        q_ivfpq_store_stats, ORACLE_IVFPQ_STORE_STATS,
+        "IVF-PQ index-health report: per-list code counts + integer "
+        "millionth shares — catches skewed coarse quantizers",
+        ("embeddings",)),
     "centroid_cohesion": Query(q_centroid_cohesion, ORACLE_CENTROID_COHESION,
                                "per-language embedding centroid cohesion "
                                "(avg/min cosine to centroid)",
@@ -13168,12 +13274,13 @@ QUERIES: dict[str, Query] = {
 # quality_classifier, minhash_pr_eval, image_dedup_qwide and
 # image_decontaminate_qwide).
 _CHECK_FIRST = [
-    # r13 ROTATION (VERDICT r12 "Next round" #2): the TWO r13-new
+    # r13 ROTATION (VERDICT r12 "Next round" #2): the FOUR r13-new
     # queries lead (new queries land before the round's window —
     # standing rule), then the final 12 r7-era verdicts (the named
-    # backlog — after this window the oldest tier is r8), then 36 of
+    # backlog — after this window the oldest tier is r8), then 34 of
     # the 50 r8-era queries, LLM-pipeline / sketch / ANN arms first.
-    "bm25_store_append", "hybrid_store_rrf",
+    "bm25_store_append", "hybrid_store_rrf", "bm25_store_health",
+    "ivfpq_store_stats",
     # r7-era (the full remaining tier — retires r7 entirely):
     "decile_buckets", "dict_encode", "events_variant", "market_share",
     "order_lines_nested", "percent_rank_cdf", "pseudonymize_join",
@@ -13192,12 +13299,12 @@ _CHECK_FIRST = [
     "ks_drift", "pagerank_personalized",
     # ... serving/relational movers that fit the window
     "cdc_apply", "events_json", "issue_sort_numeric", "multimodal_decode",
-    "multimodal_frames", "salted_agg", "topk_ties",
+    "multimodal_frames",
     # r14 BACKLOG (r8-era, deferred — queue these first next round):
     # corr_matrix, customer_churn, event_transitions, funnel,
     # group_sample, grouping_sets, key_skew, percentile_profile,
-    # price_histogram, session_stats, sessionize, snapshot_diff,
-    # spend_zscore, winsorize
+    # price_histogram, salted_agg, session_stats, sessionize,
+    # snapshot_diff, spend_zscore, topk_ties, winsorize
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 QUERIES = {

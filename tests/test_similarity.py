@@ -256,6 +256,35 @@ def test_ivf_pq_store_partition_pruned_probe(spark, sf_small):
         spark.sql("DROP TABLE IF EXISTS ivfpq_store_t")
 
 
+def test_ivf_pq_store_stats_counts_and_shares(spark):
+    """Index-health report (r13): per-list counts must equal the actual
+    assignment tallies, shares are integer millionths of the total, and
+    an APPEND moves the report — the skew check sees index growth."""
+    from comix_etl_spark.operators.similarity import (
+        ivf_pq_store_stats, persist_ivf_pq_store, train_residual_codebooks)
+
+    # two well-separated directions: e1-ish and e2-ish vectors
+    rows = ([(i, [1.0, 0.01 * i, 0.0, 0.0]) for i in range(6)]
+            + [(10 + i, [0.0, 1.0, 0.01 * i, 0.0]) for i in range(3)])
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centers = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    books = train_residual_codebooks(corpus, centers, m=2, k=4)
+    try:
+        persist_ivf_pq_store(corpus, centers, books, "ivfpq_stats_t")
+        got = {r.centroid_id: (r.n_codes, r.share_e6) for r in
+               ivf_pq_store_stats(spark, "ivfpq_stats_t").collect()}
+        assert got == {0: (6, 666666), 1: (3, 333333)}
+        extra = spark.createDataFrame([(100, [0.0, 1.0, 0.0, 0.0])],
+                                      "vec_id long, embedding array<double>")
+        persist_ivf_pq_store(extra, centers, books, "ivfpq_stats_t",
+                             mode="append")
+        got = {r.centroid_id: r.n_codes for r in
+               ivf_pq_store_stats(spark, "ivfpq_stats_t").collect()}
+        assert got == {0: 6, 1: 4}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivfpq_stats_t")
+
+
 def test_ivf_pq_store_incremental_append(spark, sf_small):
     """Incremental index growth: encoding batch A then APPENDING batch B
     must answer probes identically to a one-shot build over A∪B — the

@@ -544,6 +544,27 @@ def test_bm25_store_delta_append_matches_one_shot_build(spark, sf_small):
         spark.sql("DROP TABLE IF EXISTS bm25_oneshot_t")
 
 
+def test_bm25_store_stats_zipf_head(spark):
+    """Store health report (r13): df counts DOCUMENTS (not occurrences),
+    total_tf counts occurrences, ties rank term-ascending, and the head
+    is capped at top_n."""
+    docs = spark.createDataFrame(
+        [(1, "the the the cat"), (2, "the dog"), (3, "the cat"),
+         (4, "bird")],
+        "doc_id long, text string")
+    TS.persist_bm25_store(docs, "bm25_stats_t", id_col="doc_id",
+                          text_col="text")
+    try:
+        rows = [tuple(r) for r in
+                TS.bm25_store_stats(spark, "bm25_stats_t", top_n=3).collect()]
+        # 'the': df 3 (docs 1,2,3), tf 5; 'cat': df 2, tf 2; then the
+        # df-1 tie {bird, dog} breaks term-ascending → bird
+        assert rows == [(1, "the", 3, 5), (2, "cat", 2, 2),
+                        (3, "bird", 1, 1)]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bm25_stats_t")
+
+
 def test_bm25_store_probe_empty_terms_matches_direct(spark):
     """ADVICE r12: an empty terms list must return an empty
     (id_col, bm25) frame from BOTH paths — the store probe used to
