@@ -1213,6 +1213,40 @@ def persist_minhash_store(corpus: DataFrame, table: str, *, id_col: str,
         set_store_props(spark, table, "comix.minhash", layout)
 
 
+def minhash_store_stats(spark, table: str, *, top_n: int = 20) -> DataFrame:
+    """Hot-bucket report for a persisted MinHash band store
+    (``persist_minhash_store``): the ``top_n`` heaviest (band, bucket)
+    collision groups by member count, each with the
+    ``n·(n−1)/2`` candidate pairs it implies — the quadratic term
+    every LSH self-pairing and probe pays per bucket.
+
+    Why it matters at 100 TB: banded LSH's cost model assumes buckets
+    stay small (collision probability 1−(1−s^r)^b applied to a
+    *diverse* corpus). Boilerplate-heavy corpora break that silently —
+    a template shared by a million documents puts all of them in ONE
+    bucket per band, and the next pairing job materializes ~10¹²
+    candidate pairs from that bucket alone while every plan still
+    looks like a well-bucketed sort-merge join. This report is the
+    periodic check that finds those buckets first (feed the head into
+    a boilerplate filter or a bucket-size cap). Cost: one aggregate
+    over the landed band rows keyed on the store's own bucketing
+    columns (map-side partials collapse; zero re-signing, zero text)."""
+    rows = spark.table(table)
+    per_bucket = rows.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"))
+    # TakeOrdered bounds the head BEFORE the rank window — the window
+    # sees top_n rows, never the bucket population
+    top = per_bucket.orderBy(F.col("n_members").desc(), "band",
+                             "bucket").limit(top_n)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_members").desc(), "band", "bucket")
+    return (top.withColumn("rank", F.row_number().over(w).cast("long"))
+            .select("rank", "band", "bucket", "n_members",
+                    F.expr("n_members * (n_members - 1) div 2")
+                    .cast("long").alias("n_pairs")))
+
+
 def dedup_against_store(batch: DataFrame, corpus: DataFrame, table: str, *,
                         id_col: str, text_col: str, num_hashes: int = 32,
                         bands: int = 8, n: int = 3, threshold: float = 0.5,

@@ -1519,6 +1519,60 @@ ORDER BY id_a, id_b
 """
 
 
+def q_minhash_store_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket report over a persisted MinHash band store (r13 —
+    dedup.py::minhash_store_stats): build the md5-family det store
+    (16 hashes × 4 bands, 3-shingles) and report the 20 heaviest
+    (band, bucket) collision groups with the n·(n−1)/2 candidate
+    pairs each implies. The 100 TB rationale: banded LSH's cost model
+    dies silently on boilerplate-heavy corpora — one shared template
+    puts millions of docs in a single bucket per band and the next
+    pairing job materializes ~10¹² candidates from it while the plan
+    still looks well-bucketed; this is the periodic check that finds
+    those buckets first. md5 family ⇒ the oracle independently
+    recomputes every signature slot, every band bucket, and the
+    tallies."""
+    from comix_etl_spark.operators.dedup import (minhash_store_stats,
+                                                 persist_minhash_store)
+
+    t = _t(spark, sf_dir, "documents")
+    persist_minhash_store(t["documents"], "comix_mh_health_store",
+                          id_col="doc_id", text_col="text",
+                          num_hashes=16, bands=4, n=3, hash_fn="md5")
+    return minhash_store_stats(spark, "comix_mh_health_store", top_n=20)
+
+
+ORACLE_MINHASH_STORE_HEALTH = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         )) AS shingle
+  FROM toks WHERE len(t) >= 3
+), mins AS (
+  SELECT doc_id, h.i, min(md5(h.i || '_' || shingle)) AS mh
+  FROM sh, range(16) h(i) GROUP BY doc_id, h.i
+), sigs AS (
+  SELECT doc_id, list(mh ORDER BY i) AS sig FROM mins GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, b.b AS band,
+         md5(sig[b.b * 4 + 1] || '|' || sig[b.b * 4 + 2] || '|'
+             || sig[b.b * 4 + 3] || '|' || sig[b.b * 4 + 4]) AS bucket
+  FROM sigs, range(4) b(b)
+), per_bucket AS (
+  SELECT band, bucket, CAST(count(*) AS BIGINT) AS n_members
+  FROM bands GROUP BY band, bucket
+)
+SELECT CAST(row_number() OVER (ORDER BY n_members DESC, band, bucket) AS BIGINT) AS rank,
+       CAST(band AS INTEGER) AS band, bucket, n_members,
+       CAST(n_members * (n_members - 1) // 2 AS BIGINT) AS n_pairs
+FROM per_bucket ORDER BY n_members DESC, band, bucket LIMIT 20
+"""
+
+
 def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB dedup composition end-to-end: connected components over
     MinHash+LSH candidate pairs (banded buckets, exact-Jaccard verify on
@@ -12924,6 +12978,11 @@ QUERIES: dict[str, Query] = {
         "IVF-PQ index-health report: per-list code counts + integer "
         "millionth shares — catches skewed coarse quantizers",
         ("embeddings",)),
+    "minhash_store_health": Query(
+        q_minhash_store_health, ORACLE_MINHASH_STORE_HEALTH,
+        "MinHash store hot-bucket report: top-20 (band, bucket) groups "
+        "with implied candidate-pair cost — catches the boilerplate "
+        "bucket blowup", ("documents",)),
     "centroid_cohesion": Query(q_centroid_cohesion, ORACLE_CENTROID_COHESION,
                                "per-language embedding centroid cohesion "
                                "(avg/min cosine to centroid)",
@@ -13274,13 +13333,13 @@ QUERIES: dict[str, Query] = {
 # quality_classifier, minhash_pr_eval, image_dedup_qwide and
 # image_decontaminate_qwide).
 _CHECK_FIRST = [
-    # r13 ROTATION (VERDICT r12 "Next round" #2): the FOUR r13-new
+    # r13 ROTATION (VERDICT r12 "Next round" #2): the FIVE r13-new
     # queries lead (new queries land before the round's window —
     # standing rule), then the final 12 r7-era verdicts (the named
-    # backlog — after this window the oldest tier is r8), then 34 of
+    # backlog — after this window the oldest tier is r8), then 33 of
     # the 50 r8-era queries, LLM-pipeline / sketch / ANN arms first.
     "bm25_store_append", "hybrid_store_rrf", "bm25_store_health",
-    "ivfpq_store_stats",
+    "ivfpq_store_stats", "minhash_store_health",
     # r7-era (the full remaining tier — retires r7 entirely):
     "decile_buckets", "dict_encode", "events_variant", "market_share",
     "order_lines_nested", "percent_rank_cdf", "pseudonymize_join",
@@ -13298,13 +13357,13 @@ _CHECK_FIRST = [
     "fuzzy_match", "ams_f2", "bloom_join", "cms_freq", "cms_join_size",
     "ks_drift", "pagerank_personalized",
     # ... serving/relational movers that fit the window
-    "cdc_apply", "events_json", "issue_sort_numeric", "multimodal_decode",
+    "cdc_apply", "events_json", "multimodal_decode",
     "multimodal_frames",
     # r14 BACKLOG (r8-era, deferred — queue these first next round):
     # corr_matrix, customer_churn, event_transitions, funnel,
-    # group_sample, grouping_sets, key_skew, percentile_profile,
-    # price_histogram, salted_agg, session_stats, sessionize,
-    # snapshot_diff, spend_zscore, topk_ties, winsorize
+    # group_sample, grouping_sets, issue_sort_numeric, key_skew,
+    # percentile_profile, price_histogram, salted_agg, session_stats,
+    # sessionize, snapshot_diff, spend_zscore, topk_ties, winsorize
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 QUERIES = {

@@ -660,6 +660,33 @@ def test_minhash_store_probe_matches_direct(spark, sf_small):
         spark.sql("DROP TABLE IF EXISTS mh_store_t")
 
 
+def test_minhash_store_stats_finds_planted_hot_bucket(spark):
+    """Hot-bucket report (r13): a boilerplate template shared by many
+    docs lands them all in ONE bucket per band — the report's head must
+    be those buckets with the exact member count and the implied
+    n·(n−1)/2 candidate-pair cost, ranked above the diverse docs'
+    singleton buckets."""
+    from comix_etl_spark.operators.dedup import (minhash_store_stats,
+                                                 persist_minhash_store)
+
+    template = "the quick brown fox jumps over the lazy dog again"
+    rows = [(i, template) for i in range(8)] + [
+        (100 + i, f"unique document number {i} with distinct words "
+                  f"alpha{i} beta{i} gamma{i}") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    persist_minhash_store(docs, "mh_health_t", id_col="doc_id",
+                          text_col="text", num_hashes=16, bands=4, n=3)
+    try:
+        top = minhash_store_stats(spark, "mh_health_t", top_n=4).collect()
+        # the 8 identical docs share identical signatures → all 4 bands
+        # produce an 8-member bucket; 8·7/2 = 28 pairs each
+        assert [(r.rank, r.n_members, r.n_pairs) for r in top] == \
+            [(1, 8, 28), (2, 8, 28), (3, 8, 28), (4, 8, 28)]
+        assert sorted(r.band for r in top) == [0, 1, 2, 3]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_health_t")
+
+
 def test_legacy_append_marks_store_unverified_not_authoritative(spark, sf_small):
     """Appending onto a PRE-STAMPING (legacy) store must NOT stamp the
     appending caller's layout as authoritative: the legacy rows only
