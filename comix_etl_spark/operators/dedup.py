@@ -1213,6 +1213,33 @@ def persist_minhash_store(corpus: DataFrame, table: str, *, id_col: str,
         set_store_props(spark, table, "comix.minhash", layout)
 
 
+def fingerprint_store_stats(spark, table: str, *,
+                            top_n: int = 20) -> DataFrame:
+    """Hot-bucket report for a persisted fingerprint band store
+    (``persist_fingerprint_store``) — the perceptual-media sibling of
+    ``minhash_store_stats``: the ``top_n`` heaviest (band, bv)
+    collision groups by member count with the n·(n−1)/2 candidate
+    pairs each implies. The failure mode it catches: low-entropy media
+    (solid-color frames, letterbox bars, silence) collapse whole
+    corpora onto a handful of band values, and the next zero-Exchange
+    pairing join — whose plan still looks perfectly bucketed —
+    materializes quadratic candidates from those buckets. Cost: one
+    aggregate over the landed band rows on the store's own bucketing
+    key; zero payload decode, zero re-fingerprinting."""
+    rows = spark.table(table)
+    per_bucket = rows.groupBy("band", "bv").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"))
+    top = per_bucket.orderBy(F.col("n_members").desc(), "band",
+                             "bv").limit(top_n)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_members").desc(), "band", "bv")
+    return (top.withColumn("rank", F.row_number().over(w).cast("long"))
+            .select("rank", "band", "bv", "n_members",
+                    F.expr("n_members * (n_members - 1) div 2")
+                    .cast("long").alias("n_pairs")))
+
+
 def minhash_store_stats(spark, table: str, *, top_n: int = 20) -> DataFrame:
     """Hot-bucket report for a persisted MinHash band store
     (``persist_minhash_store``): the ``top_n`` heaviest (band, bucket)

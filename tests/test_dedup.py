@@ -660,6 +660,35 @@ def test_minhash_store_probe_matches_direct(spark, sf_small):
         spark.sql("DROP TABLE IF EXISTS mh_store_t")
 
 
+def test_fingerprint_store_stats_finds_low_entropy_bucket(spark):
+    """Perceptual-store hot-bucket report (r13): low-entropy media
+    (identical fingerprints, e.g. solid-color frames) collapse into one
+    bucket per band — the report's head must be those buckets with
+    exact member counts and n·(n−1)/2 pair costs."""
+    from comix_etl_spark.operators.dedup import (fingerprint_store_stats,
+                                                 persist_fingerprint_store)
+
+    # 6 identical "solid black" fingerprints + 4 distinct FULL-ENTROPY
+    # ones (small ints would share the all-zero high-bit band with the
+    # zeros — which the report correctly flags as a collision group;
+    # exactly the low-entropy failure mode it exists to catch)
+    distinct = [0x1F2E3D4C5B6A7988, 0x2A9B8C7D6E5F4031,
+                0x3C4D5E6F70819253, 0x4B5A69788796A5B4]
+    rows = [(i, 0) for i in range(6)] + [(100 + i, v)
+                                         for i, v in enumerate(distinct)]
+    fps = spark.createDataFrame(rows, "media_id long, dhash long")
+    persist_fingerprint_store(fps, "fp_health_t", id_col="media_id",
+                              fp_cols=["dhash"], max_hamming=2)  # 3 bands
+    try:
+        top = fingerprint_store_stats(spark, "fp_health_t",
+                                      top_n=3).collect()
+        assert [(r.rank, r.n_members, r.n_pairs) for r in top] == \
+            [(1, 6, 15), (2, 6, 15), (3, 6, 15)]
+        assert sorted(r.band for r in top) == [0, 1, 2]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS fp_health_t")
+
+
 def test_minhash_store_stats_finds_planted_hot_bucket(spark):
     """Hot-bucket report (r13): a boilerplate template shared by many
     docs lands them all in ONE bucket per band — the report's head must
