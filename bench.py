@@ -28,8 +28,20 @@ r13 onward every run carries a HOST-DRIFT CANARY (a fixed cheap query
 re-timed every ~25 registry queries; the artifact records the sample
 series and its max/min dispersion) and the committed per-round artifact
 is picked by the PRE-REGISTERED ``select_artifact`` rule — median total
-of >=3 clean runs (trimmed canary dispersion < 1.55) — instead of post-hoc
-judgment over a ladder of same-day runs (the r10–r12 adjudication tax).
+of >=3 clean runs (trimmed canary dispersion below the bar) — instead
+of post-hoc judgment over a ladder of same-day runs (the r10–r12
+adjudication tax).
+
+r14 amendments (PLANS.md "r14 bench protocol amendment", committed
+before any r14 run): the clean bar tightens 1.55 → 1.45
+(MAX_DISPERSION); every artifact additionally records the canary
+LEVEL (absolute median vs the frozen r13 quiet reference
+CANARY_REF_SEC) plus ``sec_per_query_canary_norm`` — dispersion can
+only see within-run variance, the level sees a uniformly slow window;
+``python bench.py select <artifacts...>`` applies the selection rule
+mechanically; and ``query_detail`` splits each run into (build, exec)
+so store lifecycle queries separate amortized-once build cost from
+per-probe serving cost.
 """
 
 from __future__ import annotations
@@ -63,6 +75,25 @@ CURATED_WARMUP = ("stats_topk", "order_sequence", "token_counts",
 CANARY_QUERY = "stats_topk"
 CANARY_EVERY = 25
 
+# r14 amendment (PLANS.md "r14 bench protocol amendment", committed
+# before any r14 run): the clean bar tightens to 1.45 — the r13 driver
+# window passed the old 1.55 bar at 1.5096 yet produced a 1.30×
+# headline on code the clean local window measured at 0.890×. Quiet
+# trimmed dispersion on this host is 1.35–1.37 and all three r13 clean
+# candidates (1.22/1.28/1.37) remain clean at 1.45.
+MAX_DISPERSION = 1.45
+
+# Dispersion measures within-run VARIANCE — it cannot see a window
+# that is uniformly slow. The canary LEVEL can: CANARY_REF_SEC is the
+# absolute canary median of the r13 committed clean artifact
+# (bench_local_r13.json, median of its 12 samples), frozen as the
+# quiet-host reference. level = run canary median / this; the artifact
+# reports sec_per_query / level as the cross-window comparison number.
+# The COMMITTED headline stays the raw selected sec_per_query —
+# normalization never picks the artifact (a noisy canary must not
+# rescale the grade), it only rides alongside.
+CANARY_REF_SEC = 0.312
+
 
 def canary_dispersion(samples: list[float]) -> float:
     """TRIMMED max/min over the canary series — the run's host-noise
@@ -85,10 +116,25 @@ def canary_dispersion(samples: list[float]) -> float:
     return s[-1] / s[0]
 
 
-def select_artifact(runs: list[dict], *, max_dispersion: float = 1.55,
+def canary_level(samples: list[float]) -> float:
+    """Absolute host-speed score of a run: the canary series' median
+    over the frozen quiet-host reference (CANARY_REF_SEC). 1.0 = the
+    r13-calibrated quiet window; a uniformly degraded window (which
+    dispersion cannot flag) reads proportionally above 1. <=0 or empty
+    samples mean a broken measurement — level is inf, never quiet."""
+    import statistics as _st
+
+    if not samples or min(samples) <= 0:
+        return float("inf")
+    return _st.median(samples) / CANARY_REF_SEC
+
+
+def select_artifact(runs: list[dict], *, max_dispersion: float = MAX_DISPERSION,
                     min_clean: int = 3, max_attempts: int = 6):
     """THE PRE-REGISTERED artifact-selection rule (written before the
-    r13 bench runs — see PLANS.md "r13 bench protocol"): the committed
+    r13 bench runs — see PLANS.md "r13 bench protocol"; the default
+    clean bar tightened to MAX_DISPERSION=1.45 by the r14 amendment,
+    likewise committed before any r14 run): the committed
     per-round artifact is the MEDIAN-total run among >= ``min_clean``
     same-window runs whose canary dispersion < ``max_dispersion``;
     noisy runs are discarded and rerun. If ``max_attempts`` runs still
@@ -239,11 +285,25 @@ def main() -> None:
         if qi % CANARY_EVERY == 0:
             run_canary()
         times: list[float] = []
+        builds: list[float] = []
+        execs: list[float] = []
         for _ in range(n_runs):
+            # r14 amendment #4: the builder call and the noop-sink
+            # materialization are timed separately. For the store
+            # lifecycle queries the builder is where persist_* store
+            # builds/appends execute eagerly — the amortized-once
+            # cost — while exec is the probe/serving side; for
+            # ordinary queries build is millisecond plan construction.
+            # The headline still sums the TOTAL (build + exec), so
+            # lifecycle queries stay honest end-to-end.
             t0 = time.perf_counter()
             df = q.builder(spark, sf_dir)
+            t1 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            times.append(round(time.perf_counter() - t0, 4))
+            t2 = time.perf_counter()
+            builds.append(round(t1 - t0, 4))
+            execs.append(round(t2 - t1, 4))
+            times.append(round(t2 - t0, 4))
             # drop the plan reference and collect promptly: iterative
             # operators leave localCheckpoint RDD blocks behind, and the
             # JVM ContextCleaner can only unpersist them once the Python
@@ -254,7 +314,8 @@ def main() -> None:
             gc.collect()
         per_query[name] = round(statistics.median(times), 4)
         detail[name] = {"median": per_query[name],
-                        "min": min(times), "runs": times}
+                        "min": min(times), "runs": times,
+                        "build": builds, "exec": execs}
     run_canary()
 
     total = round(sum(per_query.values()), 4)
@@ -271,10 +332,26 @@ def main() -> None:
         "runs_per_query": n_runs,
         # host-drift canary: samples of CANARY_QUERY interleaved every
         # CANARY_EVERY timed queries; dispersion feeds select_artifact's
-        # pre-registered rule (clean run = trimmed dispersion < 1.55)
+        # pre-registered rule (r14 amendment: clean run = trimmed
+        # dispersion < MAX_DISPERSION, and the run stamps its own
+        # verdict so the rule is enforced in-process, not out-of-band)
         "canary": {"query": CANARY_QUERY, "every": CANARY_EVERY,
                    "samples": canary_samples,
-                   "dispersion": round(canary_dispersion(canary_samples), 4)},
+                   "dispersion": round(canary_dispersion(canary_samples), 4),
+                   "median": round(statistics.median(canary_samples), 4)
+                   if canary_samples else None,
+                   "level": round(canary_level(canary_samples), 4),
+                   "ref_sec": CANARY_REF_SEC,
+                   "verdict": ("clean" if canary_dispersion(canary_samples)
+                               < MAX_DISPERSION else "noisy")},
+        # sec_per_query divided by the canary LEVEL (absolute host
+        # speed vs the frozen r13 quiet reference) — the cross-window
+        # comparison number; the committed headline stays the raw
+        # sec_per_query (normalization never picks the artifact)
+        "sec_per_query_canary_norm": (round(
+            (total / max(len(per_query), 1))
+            / canary_level(canary_samples), 4)
+            if canary_samples and min(canary_samples) > 0 else None),
     }
     print(json.dumps(payload))
     # the driver keeps only the last 2 KB of stdout, which truncates the
@@ -295,5 +372,34 @@ def main() -> None:
     spark.stop()
 
 
+def select_cli(paths: list[str]) -> int:
+    """``python bench.py select run1.json run2.json ...`` — apply the
+    pre-registered select_artifact rule MECHANICALLY over recorded
+    artifacts (ADVICE r13: nothing previously prevented committing a
+    noisy run by mistake; the ladder table in PLANS.md now records
+    this command's output verbatim). Prints one JSON line with the
+    per-run canary verdicts and the chosen file; exit 0 on a selection
+    (including the flagged fallback), 1 when more runs are needed."""
+    runs = []
+    for p in paths:
+        with open(p) as fh:
+            d = json.load(fh)
+        runs.append({"total": d["value"],
+                     "dispersion": d["canary"]["dispersion"]})
+    idx, status = select_artifact(runs)
+    print(json.dumps({
+        "rule": f"median-of->=3-clean (trimmed dispersion < {MAX_DISPERSION})",
+        "runs": [{"path": p, "total": r["total"],
+                  "dispersion": r["dispersion"],
+                  "clean": r["dispersion"] < MAX_DISPERSION}
+                 for p, r in zip(paths, runs)],
+        "status": status,
+        "selected": paths[idx] if idx is not None else None,
+    }))
+    return 0 if idx is not None else 1
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "select":
+        raise SystemExit(select_cli(sys.argv[2:]))
     main()

@@ -644,7 +644,8 @@ def ivf_pq_topk(corpus: DataFrame, query: DataFrame, *, centers=None,
                 query_id_col: str = "query_id",
                 encoded: DataFrame | None = None,
                 max_query_rows: int = 10_000,
-                chunk_queries: bool = False) -> DataFrame:
+                chunk_queries: bool = False,
+                cleanup: list | None = None) -> DataFrame:
     """IVF-PQ approximate cosine top-k — the composed billion-scale ANN
     architecture (FAISS ``IVFx,PQm``-shaped, from the public Jégou et
     al. 2011 paper): coarse centroids route each query to ``nprobe``
@@ -677,8 +678,20 @@ def ivf_pq_topk(corpus: DataFrame, query: DataFrame, *, centers=None,
     independent across slices (every window partitions by query_id),
     so the union is EXACTLY the unchunked answer (pytest-locked);
     driver memory stays bounded by one slice of LUTs. The encoded
-    frame is localCheckpoint'd once so the encode scan isn't re-paid
-    per slice.
+    frame is persisted (MEMORY_AND_DISK) and materialized once so the
+    encode scan isn't re-paid per slice.
+
+    ``cleanup`` (r14, ADVICE r13): pass a list and every pinned
+    resource the call creates — one (probe-set, LUT, constants)
+    broadcast per slice, plus the persisted encoded frame when
+    chunking — is appended to it; after the RESULT IS MATERIALIZED the
+    caller releases them deterministically via
+    ``release_search_resources``. Without it cleanup is GC/
+    ContextCleaner-driven, which is fine for one-shot queries but lets
+    block-manager and driver-temp state accumulate in long-running
+    foreachBatch ingest loops for as long as Python references
+    survive. Never release before an action has consumed the returned
+    DataFrame — the plan reads the broadcasts at execution time.
     """
     if centers is None:
         # normalized training to match the normalized assignment —
@@ -700,7 +713,8 @@ def ivf_pq_topk(corpus: DataFrame, query: DataFrame, *, centers=None,
             ct, books, id_col=id_col, vec_col=vec_col)
     common = dict(id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe,
                   rerank=rerank, query_id_col=query_id_col,
-                  qid_type=q.schema[query_id_col].dataType.simpleString())
+                  qid_type=q.schema[query_id_col].dataType.simpleString(),
+                  cleanup=cleanup)
     if not chunk_queries:
         qrows = _collect_query_rows(q, query_id_col, vec_col,
                                     max_query_rows)
@@ -713,12 +727,22 @@ def ivf_pq_topk(corpus: DataFrame, query: DataFrame, *, centers=None,
     first = list(itertools.islice(it, max_query_rows + 1))
     if len(first) <= max_query_rows:
         # fits in one slice — identical to the unchunked path, no
-        # checkpoint cost
+        # materialization cost
         return _ivf_pq_topk_rows(corpus, encoded, first, ct, books,
                                  **common)
     # materialize the encoded frame once so each slice's job reads the
-    # checkpointed codes instead of re-running the encode scan
-    encoded = encoded.localCheckpoint(eager=True)
+    # cached codes instead of re-running the encode scan. persist (not
+    # localCheckpoint): semantically identical here — the slices only
+    # re-read the frame — but a persisted frame is RELEASABLE
+    # (unpersist targets exactly these blocks; a localCheckpoint's RDD
+    # blocks can only be freed by the ContextCleaner after GC), which
+    # the cleanup contract needs for long-running ingest loops
+    from pyspark import StorageLevel
+
+    encoded = encoded.persist(StorageLevel.MEMORY_AND_DISK)
+    encoded.count()
+    if cleanup is not None:
+        cleanup.append(encoded)
     outs = []
     buf = first
     while buf:
@@ -733,10 +757,29 @@ def ivf_pq_topk(corpus: DataFrame, query: DataFrame, *, centers=None,
     return reduce(DataFrame.unionByName, outs)
 
 
+def release_search_resources(resources: list) -> None:
+    """Deterministically release the pinned state an ``ivf_pq_topk``
+    call collected into its ``cleanup`` list: slice (probe-set, LUT,
+    constants) broadcasts are destroyed and the persisted encoded
+    frame's blocks unpersisted — both non-blocking. Call ONLY after an
+    action has fully consumed the returned DataFrame (the plan reads
+    the broadcasts at execution time). The long-running caller is
+    ``foreach_batch_ann_ingest`` (ADVICE r13): without this, cleanup
+    is GC/ContextCleaner-driven and block-manager + driver-temp state
+    accumulates across micro-batches for as long as Python references
+    survive. The list is emptied so a reused list never double-frees."""
+    while resources:
+        obj = resources.pop()
+        if hasattr(obj, "destroy"):          # Broadcast
+            obj.destroy(blocking=False)
+        elif hasattr(obj, "unpersist"):      # persisted DataFrame
+            obj.unpersist(blocking=False)
+
+
 def _ivf_pq_topk_rows(corpus: DataFrame, encoded: DataFrame, qrows,
                       ct, books, *, id_col: str, vec_col: str, k: int,
                       nprobe: int, rerank: int, query_id_col: str,
-                      qid_type: str) -> DataFrame:
+                      qid_type: str, cleanup: list | None = None) -> DataFrame:
     """The route→ADC→re-rank core of ``ivf_pq_topk`` for ONE
     driver-resident slice of query rows (see the chunk_queries
     contract there)."""
@@ -750,6 +793,8 @@ def _ivf_pq_topk_rows(corpus: DataFrame, encoded: DataFrame, qrows,
     consts = qx @ ct.T                                       # nq × C: ⟨q, center⟩
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast((qids, probe_sets, luts, consts))
+    if cleanup is not None:
+        cleanup.append(bc)
 
     def score_batches(batches):
         ids_b, probes_b, luts_b, consts_b = bc.value

@@ -665,6 +665,23 @@ def persist_bm25_store(df: DataFrame, table: str, *, id_col: str = "doc_id",
     if appending:
         from comix_etl_spark.sinks.writers import get_store_props
 
+        stored = get_store_props(spark, table, "comix.bm25")
+        if stored and "analyzer" not in stored:
+            # pre-r13 stamp: the layout key was named "tokenizer",
+            # which Spark's TBLPROPERTIES redaction regex matches — it
+            # reads back as *(redacted)*, so the actual analyzer can
+            # NEVER be verified from this stamp. Refuse with a targeted
+            # error instead of the generic layout-mismatch (which would
+            # confusingly report store=None for keys the old stamp
+            # never had) — ADVICE r13. Appending unverifiable-analyzer
+            # postings risks the silent never-collide failure the stamp
+            # exists to stop, so migration-in-place is not offered.
+            raise ValueError(
+                f"persist_bm25_store: append onto {table!r} with a "
+                f"pre-r13 property stamp (no 'comix.bm25.analyzer' "
+                f"key; the old 'tokenizer' key is redacted by Spark "
+                f"and cannot be verified) — rebuild the store with "
+                f"mode='overwrite' to re-stamp the current layout")
         validate_store_props(spark, table, "comix.bm25",
                              {"id_col": id_col,
                               # key deliberately NOT named "tokenizer":

@@ -217,7 +217,15 @@ LAYOUT_UNVERIFIED = "migrated-unverified"
 def _sql_quoted_ident(table: str) -> str:
     """Backtick-quote a (possibly dotted) table identifier for the SQL
     statements below — an unquoted name breaks on reserved words, and
-    interpolating it raw would let a crafted name escape the statement."""
+    interpolating it raw would let a crafted name escape the statement.
+
+    CONTRACT (ADVICE r13): the input is an UNQUOTED dotted name whose
+    segments contain no literal dots — every '.' is treated as a
+    namespace separator. A segment that legitimately contains a dot
+    (or a name the caller already backtick-quoted) would be mangled
+    into nested identifiers; callers with such names must quote
+    segments themselves and bypass this helper. Matches how every
+    store in this repo names tables (bare or catalog.schema.table)."""
     return ".".join("`" + part.replace("`", "``") + "`"
                     for part in table.split("."))
 

@@ -245,7 +245,8 @@ def foreach_batch_ann_ingest(root: str, centers, codebooks, *,
 
     Output matches: (``id_col``, match_id, cosine_sim) — each flagged
     batch vector's best landed neighbor at ≥ ``sim_threshold``."""
-    from comix_etl_spark.operators.similarity import ivf_pq_encode, ivf_pq_topk
+    from comix_etl_spark.operators.similarity import (
+        ivf_pq_encode, ivf_pq_topk, release_search_resources)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         import os
@@ -256,6 +257,7 @@ def foreach_batch_ann_ingest(root: str, centers, codebooks, *,
                             vec_col=vec_col).localCheckpoint(eager=True)
         have_history = _prior_batches_exist(
             spark, os.path.join(root, "codes"), batch_id)
+        resources: list = []
         if have_history:
             codes = (spark.read.parquet(os.path.join(root, "codes"))
                      .filter(F.col("batch_id") < batch_id)
@@ -268,7 +270,8 @@ def foreach_batch_ann_ingest(root: str, centers, codebooks, *,
                               id_col=id_col, vec_col=vec_col, k=1,
                               nprobe=nprobe, rerank=rerank, encoded=codes,
                               max_query_rows=max_query_rows,
-                              chunk_queries=chunk_queries)
+                              chunk_queries=chunk_queries,
+                              cleanup=resources)
             matches = (top.filter(F.col("cosine_sim") >= sim_threshold)
                        .select(F.col("query_id").alias(id_col),
                                F.col(id_col).alias("match_id"),
@@ -280,6 +283,15 @@ def foreach_batch_ann_ingest(root: str, centers, codebooks, *,
                     f"cosine_sim double")
         (matches.write.mode("overwrite")
          .parquet(os.path.join(root, "matches", f"batch_id={batch_id}")))
+        # the matches write fully consumed the probe plan — release its
+        # slice broadcasts / persisted encoded frame NOW instead of
+        # leaving them to GC + ContextCleaner: on a long-running stream
+        # that deferred cleanup accumulates block-manager and
+        # driver-temp state for as long as Python references survive
+        # (ADVICE r13). batch/enc stay checkpointed until apply()
+        # returns (the two landing writes below still read them); those
+        # handles die with this frame, one micro-batch of lag at most.
+        release_search_resources(resources)
         (batch.select(id_col, vec_col).write.mode("overwrite")
          .parquet(os.path.join(root, "vecs", f"batch_id={batch_id}")))
         (enc.write.mode("overwrite")

@@ -112,13 +112,68 @@ def test_select_artifact_demands_more_runs_then_falls_back():
 
 
 def test_select_artifact_dispersion_boundary_is_exclusive():
-    runs = [{"total": 300.0, "dispersion": 1.55},
-            {"total": 310.0, "dispersion": 1.549},
-            {"total": 320.0, "dispersion": 1.549},
-            {"total": 330.0, "dispersion": 1.549}]
+    runs = [{"total": 300.0, "dispersion": 1.45},
+            {"total": 310.0, "dispersion": 1.449},
+            {"total": 320.0, "dispersion": 1.449},
+            {"total": 330.0, "dispersion": 1.449}]
     idx, status = select_artifact(runs)
-    # 1.55 exactly is NOT clean; median of the three 1.549 runs
+    # 1.45 exactly (the r14-amended MAX_DISPERSION default) is NOT
+    # clean; median of the three 1.449 runs
     assert (idx, status) == (2, "median-of-clean")
+
+
+def test_select_artifact_r14_bar_excludes_r13_driver_window():
+    """The amendment's motivating case: the r13 driver window read
+    1.5096 — clean under the old 1.55 bar, excluded under 1.45 — while
+    the r13 clean candidates (1.22/1.28/1.3667) all stay clean."""
+    runs = [{"total": 449.0, "dispersion": 1.5096},   # r13 driver window
+            {"total": 269.0, "dispersion": 1.22},
+            {"total": 328.7, "dispersion": 1.28},
+            {"total": 299.7, "dispersion": 1.3667}]
+    idx, status = select_artifact(runs)
+    assert status == "median-of-clean"
+    assert idx == 3  # median total of the three CLEAN runs, not #0
+
+
+def test_canary_level_and_norm_fields():
+    from bench import CANARY_REF_SEC, MAX_DISPERSION, canary_level
+
+    # quiet window: samples at the frozen reference read level 1.0
+    assert abs(canary_level([CANARY_REF_SEC] * 5) - 1.0) < 1e-9
+    # uniformly slow window: dispersion is blind to it, the level sees
+    # it — 1.3x samples read level 1.3
+    slow = [CANARY_REF_SEC * 1.3] * 5
+    from bench import canary_dispersion
+
+    assert canary_dispersion(slow) == 1.0      # dispersion: "clean"
+    assert abs(canary_level(slow) - 1.3) < 1e-9
+    # broken measurement: never quiet
+    assert canary_level([]) == float("inf")
+    assert canary_level([0.3, 0.0]) == float("inf")
+    assert MAX_DISPERSION == 1.45  # the pre-registered r14 bar
+
+
+def test_select_cli_mechanical_enforcement(tmp_path, capsys):
+    """ADVICE r13: the selection rule must be mechanically applicable
+    over recorded artifacts — the CLI reads run JSONs and prints the
+    rule's verdict."""
+    import json as _json
+
+    from bench import select_cli
+
+    paths = []
+    for i, (total, disp) in enumerate([(300.0, 1.30), (310.0, 1.35),
+                                       (320.0, 1.28), (500.0, 1.60)]):
+        p = tmp_path / f"run{i}.json"
+        p.write_text(_json.dumps({
+            "value": total, "canary": {"dispersion": disp}}))
+        paths.append(str(p))
+    rc = select_cli(paths)
+    out = _json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert out["status"] == "median-of-clean"
+    assert out["selected"] == paths[1]          # median of the 3 clean
+    assert [r["clean"] for r in out["runs"]] == [True, True, True, False]
 
 
 def test_real_repo_derivation_matches_registry():

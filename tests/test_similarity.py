@@ -591,6 +591,49 @@ def test_ivf_pq_topk_chunked_queries_match_unchunked(spark):
         assert chunked == full, mx
 
 
+def test_ivf_pq_topk_cleanup_releases_broadcasts_and_cache(spark):
+    """r14 (ADVICE r13): with a ``cleanup`` list, the chunked path
+    collects one broadcast per slice plus the persisted encoded frame;
+    ``release_search_resources`` destroys/unpersists them all and
+    empties the list — the deterministic-cleanup contract the
+    long-running ingest loop relies on."""
+    import numpy as np
+    import pytest as _pt
+
+    from comix_etl_spark.operators.similarity import (
+        ivf_pq_topk, release_search_resources, train_ivf_centroids,
+        train_residual_codebooks)
+
+    rng = np.random.default_rng(3)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)],
+        "vec_id long, embedding array<double>")
+    query = spark.createDataFrame(
+        [(100 + i, [float(x) for x in rng.normal(size=8)])
+         for i in range(12)],
+        "query_id long, embedding array<double>")
+    centers = train_ivf_centroids(corpus, n_centroids=4, normalize=True)
+    books = train_residual_codebooks(corpus, centers, m=2, k=4)
+    resources: list = []
+    out = ivf_pq_topk(corpus, query, centers=centers, codebooks=books,
+                      k=3, nprobe=2, rerank=10, max_query_rows=5,
+                      chunk_queries=True, cleanup=resources)
+    rows = out.collect()            # materialize BEFORE releasing
+    assert len(rows) > 0
+    # 12 queries / 5 per slice = 3 slice broadcasts + 1 persisted frame
+    assert len(resources) == 4
+    frames = [r for r in resources if hasattr(r, "unpersist")
+              and not hasattr(r, "destroy")]
+    bcs = [r for r in resources if hasattr(r, "destroy")]
+    assert len(frames) == 1 and len(bcs) == 3
+    assert frames[0].is_cached
+    release_search_resources(resources)
+    assert resources == []          # emptied: reuse never double-frees
+    assert not frames[0].is_cached
+    with _pt.raises(Exception):     # destroyed broadcast is unusable
+        bcs[0].value
+
+
 def test_ann_ingest_chunked_micro_batch_matches_unchunked(spark, tmp_path):
     """The streaming ANN ingest loop with ``chunk_queries=True`` must
     emit the same matches as the raise-guarded loop when micro-batches

@@ -544,6 +544,33 @@ def test_bm25_store_delta_append_matches_one_shot_build(spark, sf_small):
         spark.sql("DROP TABLE IF EXISTS bm25_oneshot_t")
 
 
+def test_bm25_store_append_refuses_pre_r13_stamp(spark, sf_small):
+    """r14 (ADVICE r13): a store stamped by the pre-r13 layout (key
+    'tokenizer' — redacted by Spark, so never verifiable — and no
+    'analyzer'/'n_buckets') must refuse an append with a TARGETED
+    'pre-r13 stamp, rebuild' error, not a generic layout mismatch
+    reporting store=None for keys the old stamp never had."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    try:
+        TS.persist_bm25_store(base, "bm25_legacy_t", id_col="doc_id",
+                              text_col="text")
+        # devolve the stamp to its pre-r13 shape
+        spark.sql("ALTER TABLE bm25_legacy_t UNSET TBLPROPERTIES "
+                  "('comix.bm25.analyzer', 'comix.bm25.n_buckets')")
+        spark.sql("ALTER TABLE bm25_legacy_t SET TBLPROPERTIES "
+                  "('comix.bm25.tokenizer'='whitespace_v1')")
+        with _pt.raises(ValueError, match="pre-r13"):
+            TS.persist_bm25_store(delta, "bm25_legacy_t", id_col="doc_id",
+                                  text_col="text", mode="append")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bm25_legacy_t")
+
+
 def test_bm25_store_stats_zipf_head(spark):
     """Store health report (r13): df counts DOCUMENTS (not occurrences),
     total_tf counts occurrences, ties rank term-ascending, and the head
