@@ -1132,6 +1132,12 @@ def persist_fingerprint_store(fps: DataFrame, table: str, *,
                     f"stored layout")
     rows = fingerprint_band_rows(fps, id_col=id_col, fp_cols=fp_cols,
                                  n_bands=n_bands)
+    if mode == "append" and spark.catalog.tableExists(table):
+        # crash-window protocol (r14, symmetric with persist_bm25_store):
+        # pending before the band-row write, committed only with the
+        # final layout re-stamp — a crash between leaves an observable
+        # pending store that probes/appends refuse
+        set_store_props(spark, table, "comix.fp", {"state": "pending"})
     save_bucketed_table(rows, table, ["band", "bv"], n_buckets,
                         sort_cols=["band", "bv"], mode=mode)
     if legacy_append:
@@ -1140,9 +1146,11 @@ def persist_fingerprint_store(fps: DataFrame, table: str, *,
         # would make a possibly mixed-limb store validate as clean
         # forever; mark it unverified so probes keep the legacy check
         set_store_props(spark, table, "comix.fp",
-                        {"layout": LAYOUT_UNVERIFIED})
+                        {"layout": LAYOUT_UNVERIFIED,
+                         "state": "committed"})
     else:
-        set_store_props(spark, table, "comix.fp", layout)
+        set_store_props(spark, table, "comix.fp",
+                        {**layout, "state": "committed"})
 
 
 def persist_minhash_store(corpus: DataFrame, table: str, *, id_col: str,
@@ -1198,6 +1206,13 @@ def persist_minhash_store(corpus: DataFrame, table: str, *, id_col: str,
     rows = minhash_band_rows(corpus, id_col, text_col,
                              num_hashes=num_hashes, bands=bands, n=n,
                              hash_fn=hash_fn)
+    if mode == "append" and spark.catalog.tableExists(table):
+        # crash-window protocol (r14, symmetric with persist_bm25_store):
+        # pending before the band-row write, committed only with the
+        # final layout re-stamp — a crash between leaves an observable
+        # pending store that probes/appends refuse
+        set_store_props(spark, table, "comix.minhash",
+                        {"state": "pending"})
     save_bucketed_table(rows, table, ["band", "bucket"], n_buckets,
                         sort_cols=["band", "bucket"], mode=mode)
     if legacy_append:
@@ -1208,9 +1223,11 @@ def persist_minhash_store(corpus: DataFrame, table: str, *, id_col: str,
         # silent-never-collide failure the stamp exists to stop); mark
         # the store unverified so probes keep using the legacy check.
         set_store_props(spark, table, "comix.minhash",
-                        {"layout": LAYOUT_UNVERIFIED})
+                        {"layout": LAYOUT_UNVERIFIED,
+                         "state": "committed"})
     else:
-        set_store_props(spark, table, "comix.minhash", layout)
+        set_store_props(spark, table, "comix.minhash",
+                        {**layout, "state": "committed"})
 
 
 def fingerprint_store_stats(spark, table: str, *,
@@ -1226,6 +1243,10 @@ def fingerprint_store_stats(spark, table: str, *,
     materializes quadratic candidates from those buckets. Cost: one
     aggregate over the landed band rows on the store's own bucketing
     key; zero payload decode, zero re-fingerprinting."""
+    from comix_etl_spark.sinks.writers import require_store_committed
+
+    require_store_committed(spark, table, "comix.fp",
+                            "fingerprint_store_stats")
     rows = spark.table(table)
     per_bucket = rows.groupBy("band", "bv").agg(
         F.count(F.lit(1)).cast("long").alias("n_members"))
@@ -1258,6 +1279,10 @@ def minhash_store_stats(spark, table: str, *, top_n: int = 20) -> DataFrame:
     a boilerplate filter or a bucket-size cap). Cost: one aggregate
     over the landed band rows keyed on the store's own bucketing
     columns (map-side partials collapse; zero re-signing, zero text)."""
+    from comix_etl_spark.sinks.writers import require_store_committed
+
+    require_store_committed(spark, table, "comix.minhash",
+                            "minhash_store_stats")
     rows = spark.table(table)
     per_bucket = rows.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_members"))
@@ -1366,6 +1391,10 @@ def near_dup_pairs_from_store(spark, table: str, *,
     layout. Validates the recall contract against the band count
     actually present in the store (one cheap max(band) read) instead
     of trusting the caller."""
+    from comix_etl_spark.sinks.writers import require_store_committed
+
+    require_store_committed(spark, table, "comix.fp",
+                            "near_dup_pairs_from_store")
     bands = spark.table(table)
     max_band = bands.agg(F.max("band")).first()[0]
     if max_band is None:  # empty store: no items, no pairs (not an error)
@@ -1413,6 +1442,10 @@ def hamming_probe_from_store(spark, table: str, probe_fp: DataFrame, *,
     (``dedup_against_store``), and this cross-set perceptual probe all
     read one one-time build. The probe side bands to the layout the
     store actually has (max(band) read, not caller-trusted)."""
+    from comix_etl_spark.sinks.writers import require_store_committed
+
+    require_store_committed(spark, table, "comix.fp",
+                            "hamming_probe_from_store")
     bands_df = spark.table(table)
     max_band = bands_df.agg(F.max("band")).first()[0]
     if max_band is None:  # empty store: no corpus, no collisions

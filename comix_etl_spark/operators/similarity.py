@@ -872,6 +872,162 @@ def _ivf_pq_topk_rows(corpus: DataFrame, encoded: DataFrame, qrows,
             .filter(F.col("_rn") <= k).drop("_rn"))
 
 
+def ivf_pq_topk_distributed(corpus: DataFrame, query: DataFrame, *,
+                            centers=None, codebooks=None,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding", k: int = 10,
+                            nprobe: int = 4, n_centroids: int = 16,
+                            m: int = 8, n_codes: int = 16,
+                            rerank: int = 50, seed: int = 42,
+                            query_id_col: str = "query_id",
+                            encoded: DataFrame | None = None) -> DataFrame:
+    """IVF-PQ top-k with an EXECUTOR-SIDE query path — the bulk-scoring
+    completion of ``ivf_pq_topk`` (VERDICT r13 #2): the query frame
+    never funnels through the driver, so nq scales with the cluster
+    instead of serially through one process. Output-identical to
+    ``ivf_pq_topk`` on the same (centers, codebooks) — pytest-locked,
+    and the ``ann_ivf_pq_dist`` registry query puts it under the same
+    analytic DuckDB oracle as ``ann_ivf_pq_det``.
+
+    Stage shape (all executor-side):
+    1. ROUTE — one Arrow pass over the query frame (coarse centroids in
+       the task closure): normalize, rank lists by the x·c − ‖c‖²/2
+       identity with the same stable tie-break as ``_probe_lists``, and
+       emit ``nprobe`` rows per query carrying the per-list constant
+       ⟨q, center⟩ and the query's flattened ADC LUT (m·n_codes
+       doubles, computed ONCE per query with the exact ``einsum`` the
+       driver path uses).
+    2. GATHER + ADC — COGROUP the encoded corpus with the routed
+       queries on ``centroid_id`` (``groupBy(...).cogroup(...)
+       .applyInPandas``): each inverted list's codes meet the queries
+       probing that list EXACTLY ONCE — no join-row explosion
+       duplicating a 512-byte LUT onto every candidate row (a
+       broadcast-join gather was measured pushing ~|list|·nq·LUT bytes
+       through Arrow; the cogroup moves each side once). Per group the
+       score is one vectorized take_along_axis+sum per query (the
+       identical arithmetic order as ``_ivf_pq_topk_rows``), emitting
+       the group-local top-``rerank`` per query with boundary ties
+       kept — the same superset contract, so the global window
+       resolves identically. Scoring streams one query at a time
+       (never a Q×N score matrix), so a hot list probed by millions
+       of queries stays memory-bounded at |list| + its own top rows.
+    3. The unchanged tail: global per-query top-``rerank`` window, then
+       exact cosine re-rank to k — with the query side JOINED as a
+       DataFrame, not re-collected.
+
+    Shuffle economics vs the driver path: the driver path moves zero
+    corpus bytes but serializes every query through one process; this
+    path shuffles the CODES once (m bytes + an int per vector — the
+    compressed index, ~1–2% of raw corpus) plus nq·nprobe LUT rows,
+    and in exchange the whole query side is cluster-parallel. At
+    100 TB that is the right trade exactly when nq is large — bulk
+    offline scoring, eval-suite decontamination — which is this
+    function's contract; single queries and micro-batches should keep
+    using ``ivf_pq_topk``.
+    """
+    if centers is None:
+        centers = train_ivf_centroids(corpus, vec_col=vec_col,
+                                      n_centroids=n_centroids, seed=seed,
+                                      normalize=True)
+    ct = np.asarray(centers, dtype=np.float64)
+    if codebooks is None:
+        codebooks = train_residual_codebooks(corpus, ct, vec_col=vec_col,
+                                             m=m, k=n_codes, seed=seed)
+    books = np.asarray(codebooks, dtype=np.float64)
+    mm, kk, sub = books.shape
+    chalf = (ct * ct).sum(axis=1) / 2.0
+
+    q = (query.withColumnRenamed(id_col, query_id_col)
+         if query_id_col not in query.columns else query)
+    qid_type = q.schema[query_id_col].dataType.simpleString()
+    if encoded is None:
+        encoded = ivf_pq_encode(
+            spread_small_scan(corpus.select(id_col, vec_col)),
+            ct, books, id_col=id_col, vec_col=vec_col)
+
+    def route_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qx = np.vstack(pdf["_qv"].to_numpy()).astype(np.float64)
+            qn = np.linalg.norm(qx, axis=1)
+            qn[qn == 0] = 1.0
+            qx = qx / qn[:, None]
+            cscore = qx @ ct.T - chalf
+            # stable argsort — ties to the lowest list index, the rule
+            # _probe_lists uses and every det oracle reproduces
+            order = np.argsort(-cscore, axis=1, kind="stable")[:, :nprobe]
+            consts = qx @ ct.T
+            luts = np.einsum("qjs,jcs->qjc",
+                             qx.reshape(len(qx), mm, sub), books)
+            flat = luts.reshape(len(qx), mm * kk)
+            rep = np.repeat(np.arange(len(qx)), order.shape[1])
+            yield pd.DataFrame({
+                "_qid": pdf["_qid"].to_numpy()[rep],
+                "centroid_id": order.ravel().astype(np.int32),
+                "_cterm": np.take_along_axis(consts, order, axis=1).ravel(),
+                "_lut": list(flat[rep])})
+
+    routed = (q.select(F.col(query_id_col).alias("_qid"),
+                       F.col(vec_col).alias("_qv"))
+              .mapInPandas(route_batches,
+                           schema=f"_qid {qid_type}, centroid_id int, "
+                                  "_cterm double, _lut array<double>"))
+
+    def score_group(codes_pdf, routed_pdf):
+        if not len(codes_pdf) or not len(routed_pdf):
+            return pd.DataFrame({"query_id": [], "_cid": [],
+                                 "adc_score": []})
+        codes = np.vstack(codes_pdf["pq_code"].to_numpy()).astype(np.int64)
+        rowids = codes_pdf["_cid"].to_numpy()
+        n = len(codes)
+        top = min(rerank, n)
+        qids_out, cids_out, sc_out = [], [], []
+        for qid, cterm, lut in zip(routed_pdf["_qid"].to_numpy(),
+                                   routed_pdf["_cterm"].to_numpy(),
+                                   routed_pdf["_lut"].to_numpy()):
+            lut2 = np.asarray(lut, dtype=np.float64).reshape(mm, kk)
+            # the exact arithmetic order of _ivf_pq_topk_rows:
+            # cterm + take_along_axis(lut, codes.T, 1).sum(axis=0)
+            scores = cterm + np.take_along_axis(
+                lut2, codes.T, axis=1).sum(axis=0)
+            kth = np.partition(scores, n - top)[n - top]
+            idx = np.nonzero(scores >= kth)[0]
+            qids_out.append(np.full(len(idx), qid))
+            cids_out.append(rowids[idx])
+            sc_out.append(scores[idx])
+        return pd.DataFrame({"query_id": np.concatenate(qids_out),
+                             "_cid": np.concatenate(cids_out),
+                             "adc_score": np.concatenate(sc_out)})
+
+    cid_type = corpus.schema[id_col].dataType.simpleString()
+    enc = encoded.select(F.col(id_col).alias("_cid"), "centroid_id",
+                         "pq_code")
+    batch_top = (enc.groupBy("centroid_id")
+                 .cogroup(routed.groupBy("centroid_id"))
+                 .applyInPandas(
+                     lambda left, right: score_group(left, right),
+                     schema=f"query_id {qid_type}, _cid {cid_type}, "
+                            "adc_score double"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_score"),
+                                               F.asc("_cid"))
+    cand = (batch_top.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= rerank).drop("_rn", "adc_score"))
+    cv = corpus.select(F.col(id_col).alias("_cid"),
+                       F.col(vec_col).alias("_cv"))
+    qv = q.select(F.col(query_id_col).alias("query_id"),
+                  F.col(vec_col).cast("array<double>").alias("_qv"))
+    scored = (cand.join(cv, "_cid").join(qv, "query_id")
+              .select("query_id", F.col("_cid").alias(id_col),
+                      F.round(cosine("_cv", "_qv"), 6).alias("cosine_sim")))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"),
+                                                F.asc(id_col))
+    return (scored.withColumn("_rn", F.row_number().over(w2))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
 def ivf_pq_store_stats(spark, table: str) -> DataFrame:
     """Index-health introspection for a persisted IVF-PQ store
     (``persist_ivf_pq_store``): one row per inverted list with its code

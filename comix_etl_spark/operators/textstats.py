@@ -716,13 +716,24 @@ def persist_bm25_store(df: DataFrame, table: str, *, id_col: str = "doc_id",
     posts = (base.filter(F.col("term").isNotNull())
              .groupBy("term", id_col, "dl")
              .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    if appending:
+        # crash-window protocol (r14 — VERDICT r13 #5): the append is
+        # two non-atomic steps (postings write, stats re-stamp). Stamp
+        # PENDING first; the final stamp below flips to committed in
+        # the same statement that lands the merged stats — so a crash
+        # anywhere between leaves an observable pending store that
+        # probes/appends REFUSE (require_store_committed) instead of
+        # serving stale-low N/Σdl. This closes in-engine the window
+        # the r13 docstring deferred to a production metastore.
+        set_store_props(spark, table, "comix.bm25",
+                        {"state": "pending"})
     save_bucketed_table(posts, table, ["term"], n_buckets,
                         sort_cols=["term"], mode=mode)
     set_store_props(spark, table, "comix.bm25",
                     {"n": prior_n + stats["n"],
                      "sum_dl": prior_sum_dl + stats["sum_dl"],
                      "id_col": id_col, "analyzer": "whitespace_v1",
-                     "n_buckets": n_buckets})
+                     "n_buckets": n_buckets, "state": "committed"})
 
 
 def bm25_scores_from_store(spark, table: str, terms: list[str], *,
@@ -745,8 +756,11 @@ def bm25_scores_from_store(spark, table: str, terms: list[str], *,
     exactly 0.0 there, and +0.0 is exact), so the 6dp rounds agree
     bit-for-bit (the mixture_plan r11 lesson: summation ORDER is part
     of the contract when an oracle hashes the output)."""
-    from comix_etl_spark.sinks.writers import get_store_props
+    from comix_etl_spark.sinks.writers import (get_store_props,
+                                               require_store_committed)
 
+    require_store_committed(spark, table, "comix.bm25",
+                            "bm25_scores_from_store")
     props = get_store_props(spark, table, "comix.bm25")
     if not {"n", "sum_dl"} <= props.keys():
         raise ValueError(
@@ -806,6 +820,10 @@ def bm25_store_stats(spark, table: str, *, top_n: int = 20) -> DataFrame:
     you). Cost: one aggregate over the landed postings keyed on term
     (map-side partials collapse the Zipf head), zero tokenization —
     df(t) is the row count of t, total_tf the sum of its tf column."""
+    from comix_etl_spark.sinks.writers import require_store_committed
+
+    require_store_committed(spark, table, "comix.bm25",
+                            "bm25_store_stats")
     posts = spark.table(table)
     per_term = posts.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df"),

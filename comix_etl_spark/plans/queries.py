@@ -1573,6 +1573,57 @@ FROM per_bucket ORDER BY n_members DESC, band, bucket LIMIT 20
 """
 
 
+def q_fp_store_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket report over a persisted FINGERPRINT band store (r14 —
+    dedup.py::fingerprint_store_stats, the last of the four store
+    health reports to gain a driver-checked oracle, VERDICT r13 #4):
+    build a banded single-limb store (n_bands=3, the max_hamming=2
+    default) and report the 20 heaviest (band, bv) collision groups
+    with the n·(n−1)/2 candidate pairs each implies. The 100 TB
+    rationale: low-entropy media (solid frames, letterbox bars,
+    silence) collapse whole corpora onto a handful of band values, and
+    the zero-Exchange pairing join — whose plan still looks perfectly
+    bucketed — materializes quadratic candidates from those buckets;
+    this is the periodic check that finds them first. Det fixture: the
+    fingerprint is the low 60 md5 bits of each document's text — a
+    deterministic stand-in for a perceptual limb (the banding/bucketing
+    math is fingerprint-agnostic) that the DuckDB oracle recomputes
+    bit-for-bit, along with every band slice and tally."""
+    from comix_etl_spark.operators.dedup import (fingerprint_store_stats,
+                                                 persist_fingerprint_store)
+
+    t = _t(spark, sf_dir, "documents")
+    fps = t["documents"].select(
+        "doc_id",
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("long").alias("fp"))
+    persist_fingerprint_store(fps, "comix_fp_health_store",
+                              id_col="doc_id", fp_cols=["fp"],
+                              max_hamming=2)
+    return fingerprint_store_stats(spark, "comix_fp_health_store",
+                                   top_n=20)
+
+
+ORACLE_FP_STORE_HEALTH = """
+WITH fp AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
+  FROM documents WHERE text IS NOT NULL
+), bands AS (
+  -- _band_edges(63, 3): [0,21) [21,42) [42,63) — 21-bit slices
+  SELECT doc_id, b.b AS band, (h >> (b.b * 21)) & 2097151 AS bv
+  FROM fp, range(3) b(b)
+), per_bucket AS (
+  SELECT band, bv, CAST(count(*) AS BIGINT) AS n_members
+  FROM bands GROUP BY band, bv
+)
+SELECT CAST(row_number() OVER (ORDER BY n_members DESC, band, bv) AS BIGINT) AS rank,
+       CAST(band AS INTEGER) AS band, bv, n_members,
+       CAST(n_members * (n_members - 1) // 2 AS BIGINT) AS n_pairs
+FROM per_bucket ORDER BY n_members DESC, band, bv LIMIT 20
+"""
+
+
 def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB dedup composition end-to-end: connected components over
     MinHash+LSH candidate pairs (banded buckets, exact-Jaccard verify on
@@ -5171,6 +5222,51 @@ def q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang"))
 
 
+def q_compress_ratio_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deflate-ratio det anchor (r14 — VERDICT r13 #6: the registry's
+    last never-hashed code path gains an oracle-checked sibling): the
+    SAME Arrow zlib scorer as `compress_ratio`
+    (functions/text.py::compress_ratio_pandas) over a fixed literal
+    micro-corpus spanning the signal's range — boilerplate, prose,
+    degenerate repetition, a 1-byte doc (integer-division edge: ppm
+    9e6), and CSV-ish tabular text. zlib at level 6 is
+    bit-deterministic for a given input, so the expected ppm values are
+    PRECOMPUTED CONSTANTS and the DuckDB oracle is a VALUES literal —
+    the hash check proves the engine's whole Arrow path (utf-8 encode,
+    compress, integer ppm) reproduces them. sf-independent by design
+    (the fixture is the corpus), like every det anchor."""
+    from comix_etl_spark.functions import text as TX
+
+    rows = [
+        ("boilerplate", "subscribe now click here " * 24),
+        ("prose", "The archive crew spent the winter cataloguing pulp "
+                  "issues, annotating variant covers, and arguing about "
+                  "staple rust."),
+        ("repetitive", "ha" * 300),
+        ("short", "a"),
+        ("tabular", "id,price,qty\n" + "".join(
+            f"{i},{i * 3 % 97},{i % 7}\n" for i in range(40))),
+    ]
+    docs = spark.createDataFrame(rows, "doc string, text string")
+    return (docs.select("doc",
+                        TX.compress_ratio_pandas("text").alias("ratio_e6"))
+            .orderBy("doc"))
+
+
+# expected ppm values precomputed with CPython zlib.compress(level=6)
+# over the exact builder literals — see q_compress_ratio_det; zlib is
+# bit-deterministic per input, so these are constants, not snapshots
+ORACLE_COMPRESS_RATIO_DET = """
+SELECT doc, CAST(ratio_e6 AS BIGINT) AS ratio_e6 FROM (VALUES
+  ('boilerplate', 66666),
+  ('prose', 818965),
+  ('repetitive', 26666),
+  ('short', 9000000),
+  ('tabular', 569620)
+) AS t(doc, ratio_e6) ORDER BY doc
+"""
+
+
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled mixture (T5-style, alpha=0.5): per-language
     before/after counts + the sqrt-rule ppm rate. alpha=0.5 rides IEEE
@@ -6859,6 +6955,42 @@ def q_ann_ivf_pq_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_pq_topk(emb, queries, centers=c, codebooks=books,
                          id_col="vec_id", vec_col="embedding", k=10,
                          nprobe=2, rerank=100)
+
+
+def q_ann_ivf_pq_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN through the EXECUTOR-SIDE query path (r14 — VERDICT
+    r13 #2: similarity.py::ivf_pq_topk_distributed): queries stay a
+    DataFrame end-to-end — an Arrow routing pass emits per-query probe
+    rows carrying the flattened ADC LUT, a centroid_id COGROUP gathers
+    each inverted list's codes against exactly its probing queries
+    (no join-row LUT duplication), ADC scores per list, and the exact
+    re-rank joins the query frame
+    instead of re-collecting it. No driver funnel anywhere, so bulk
+    query sets (offline eval-suite decontamination against a 100 TB
+    index) scale with the cluster instead of serially through one
+    process. Det centers/codebooks ⇒ result IDENTICAL to
+    `ann_ivf_pq_det` by construction, hash-checked by the same
+    analytic oracle recomputing the entire route→encode→ADC→re-rank
+    pipeline."""
+    import numpy as np
+
+    t = _t(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    crow = (emb.filter(F.col("vec_id").isin(*_IVFPQ_DET_CENTER_IDS))
+            .orderBy("vec_id").select("embedding").collect())
+    c = np.array([r[0] for r in crow], dtype=np.float64)
+    c = c / np.linalg.norm(c, axis=1)[:, None]
+    brow = (emb.filter(F.col("vec_id").isin(*_IVF_DET_CENTROID_IDS))
+            .orderBy("vec_id").select("embedding").collect())
+    b = np.array([r[0] for r in brow], dtype=np.float64)
+    b = b / np.linalg.norm(b, axis=1)[:, None]
+    books = b.reshape(16, 8, 8).transpose(1, 0, 2)  # m=8, k=16, sub=8
+    queries = (emb.filter(F.col("vec_id").isin(0, 1, 2))
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return S.ivf_pq_topk_distributed(emb, queries, centers=c,
+                                     codebooks=books, id_col="vec_id",
+                                     vec_col="embedding", k=10,
+                                     nprobe=2, rerank=100)
 
 
 def q_ann_ivf_pq_store(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12772,8 +12904,14 @@ QUERIES: dict[str, Query] = {
                               "sweep-line peak concurrency via distributed prefix sum",
                               ("events",)),
     "compress_ratio": Query(q_compress_ratio, None,
-                            "gzip-compressibility quality profile (rows-only)",
+                            "gzip-compressibility quality profile (rows-only; "
+                            "hash-checked sibling: compress_ratio_det)",
                             ("documents",)),
+    "compress_ratio_det": Query(
+        q_compress_ratio_det, ORACLE_COMPRESS_RATIO_DET,
+        "deflate-ratio det anchor: literal micro-corpus vs precomputed "
+        "zlib ppm constants — hash-checks the Arrow compress path",
+        ()),
     "asof_forward": Query(q_asof_forward, ORACLE_ASOF_FORWARD,
                           "forward as-of join (next-event attribution)",
                           ("events",)),
@@ -12874,6 +13012,11 @@ QUERIES: dict[str, Query] = {
                             "IVF-PQ with fixed centers/codebooks — routing, "
                             "residual encode, IVFADC and re-rank all "
                             "recomputed by the oracle", ("embeddings",)),
+    "ann_ivf_pq_dist": Query(q_ann_ivf_pq_dist, ORACLE_ANN_IVF_PQ_DET,
+                             "executor-side IVF-PQ query path: routed + "
+                             "LUT-built + gathered + re-ranked with no "
+                             "driver funnel, same analytic oracle",
+                             ("embeddings",)),
     "ivf_pq_recall_eval": Query(q_ivf_pq_recall_eval, ORACLE_IVF_PQ_RECALL_EVAL,
                                 "recall@10 of det IVF-PQ vs brute force — "
                                 "the composed pipeline's measured objective",
@@ -12983,6 +13126,12 @@ QUERIES: dict[str, Query] = {
         "MinHash store hot-bucket report: top-20 (band, bucket) groups "
         "with implied candidate-pair cost — catches the boilerplate "
         "bucket blowup", ("documents",)),
+    "fp_store_health": Query(
+        q_fp_store_health, ORACLE_FP_STORE_HEALTH,
+        "fingerprint store hot-bucket report: top-20 (band, bv) groups "
+        "with implied candidate-pair cost — catches low-entropy media "
+        "collapse; oracle recomputes the md5 limb and every band slice",
+        ("documents",)),
     "centroid_cohesion": Query(q_centroid_cohesion, ORACLE_CENTROID_COHESION,
                                "per-language embedding centroid cohesion "
                                "(avg/min cosine to centroid)",
@@ -13333,37 +13482,38 @@ QUERIES: dict[str, Query] = {
 # quality_classifier, minhash_pr_eval, image_dedup_qwide and
 # image_decontaminate_qwide).
 _CHECK_FIRST = [
-    # r13 ROTATION (VERDICT r12 "Next round" #2): the FIVE r13-new
+    # r14 ROTATION (VERDICT r13 "Next round" #1): the THREE r14-new
     # queries lead (new queries land before the round's window —
-    # standing rule), then the final 12 r7-era verdicts (the named
-    # backlog — after this window the oldest tier is r8), then 33 of
-    # the 50 r8-era queries, LLM-pipeline / sketch / ANN arms first.
-    "bm25_store_append", "hybrid_store_rrf", "bm25_store_health",
-    "ivfpq_store_stats", "minhash_store_health",
-    # r7-era (the full remaining tier — retires r7 entirely):
-    "decile_buckets", "dict_encode", "events_variant", "market_share",
-    "order_lines_nested", "percent_rank_cdf", "pseudonymize_join",
-    "shipping_priority", "subtree_value_rollup", "time_weighted_avg",
-    "top_paths", "unpivot_measures",
-    # r8-era: dedup / text / corpus-prep arms ...
-    "balance_corpus", "chunk_documents", "corpus_top_terms",
-    "decontaminate", "dedup_spans", "dsir_weights",
-    "embedding_decontaminate", "embedding_dim_stats", "lang_balance",
-    "lm_score", "markup_strip", "pack_sequences", "pii_scrub",
-    "repetition_stats", "tfidf_top_terms", "token_histogram",
-    "url_dedup", "vocab_growth", "web_corpus_prep",
-    # ... ANN / quantization / sketches / graph ...
-    "ann_quantized", "kcenter_sample", "quantize_embeddings",
-    "fuzzy_match", "ams_f2", "bloom_join", "cms_freq", "cms_join_size",
-    "ks_drift", "pagerank_personalized",
+    # standing rule), then ALL 17 remaining r8-era verdicts (the named
+    # backlog — after this window the oldest tier is r9), then 30 of
+    # the 50 r9-era queries, LLM-pipeline / dedup / ANN arms first.
+    "ann_ivf_pq_dist", "fp_store_health", "compress_ratio_det",
+    # r8-era (the full remaining tier — retires r8 entirely):
+    "corr_matrix", "customer_churn", "event_transitions", "funnel",
+    "group_sample", "grouping_sets", "issue_sort_numeric", "key_skew",
+    "percentile_profile", "price_histogram", "salted_agg",
+    "session_stats", "sessionize", "snapshot_diff", "spend_zscore",
+    "topk_ties", "winsorize",
+    # r9-era: dedup / text / corpus-prep / multimodal arms ...
+    "ann_pq", "audio_dedup", "caption_corpus_prep", "compress_ratio",
+    "dedup_clusters_lsh", "dedup_exact", "dedup_keep_best",
+    "doc_fingerprint", "gopher_rules", "image_decontaminate",
+    "image_dedup", "inverted_index", "kcenter_cached",
+    "kmeans_clusters", "quantize_calibrated", "temperature_mixture",
+    # ... sketches / graph / streaming ...
+    "approx_cardinality", "approx_percentiles", "containment_pairs",
+    "graph_degrees", "stream_session_window",
     # ... serving/relational movers that fit the window
-    "cdc_apply", "events_json", "multimodal_decode",
-    "multimodal_frames",
-    # r14 BACKLOG (r8-era, deferred — queue these first next round):
-    # corr_matrix, customer_churn, event_transitions, funnel,
-    # group_sample, grouping_sets, issue_sort_numeric, key_skew,
-    # percentile_profile, price_histogram, salted_agg, session_stats,
-    # sessionize, snapshot_diff, spend_zscore, topk_ties, winsorize
+    "asof_join", "asof_forward", "audit_trail", "backfill_if_null",
+    "bridge_upsert", "csv_ingest", "clean_coalesce",
+    "peak_concurrency", "mad_outliers",
+    # r15 BACKLOG (r9-era, deferred — queue these first next round):
+    # above_nation_avg, basket_pairs, bridge_roles, cohort_ltv,
+    # constraint_audit, decile_mobility, fk_audit, group_mode,
+    # late_suppliers, line_corrections, mom_growth, nullsafe_join,
+    # order_count_dist, revenue_anomaly, revenue_concentration,
+    # running_distinct, small_qty_revenue, trend_slopes, value_bands,
+    # window_profile
 ]
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
 QUERIES = {

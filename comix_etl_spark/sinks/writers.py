@@ -213,6 +213,19 @@ def save_bucketed_table(df: DataFrame, name: str, bucket_cols: list[str],
 # so probes must keep using the legacy derived check, not trust a stamp.
 LAYOUT_UNVERIFIED = "migrated-unverified"
 
+# <prefix>.state values for the append crash-window protocol (r14 —
+# VERDICT r13 #5). An append is two non-atomic steps: the data write,
+# then the stats/layout re-stamp. A crash between them used to leave
+# the store silently inconsistent (BM25 stats stale-low for the delta;
+# docstrings deferred to "a production metastore transaction"). Now the
+# appender stamps state=pending BEFORE the write and state=committed
+# only WITH the final re-stamp, so the window is observable: probes and
+# appends refuse a pending store instead of serving from it. A missing
+# state key (pre-r14 store) reads as committed — the protocol gates
+# writes made under it, not history.
+STORE_PENDING = "pending"
+STORE_COMMITTED = "committed"
+
 
 def _sql_quoted_ident(table: str) -> str:
     """Backtick-quote a (possibly dotted) table identifier for the SQL
@@ -257,6 +270,25 @@ def get_store_props(spark: SparkSession, table: str,
             if r["key"].startswith(prefix + ".")}
 
 
+def require_store_committed(spark: SparkSession, table: str, prefix: str,
+                            op: str) -> None:
+    """Refuse to serve from (or append onto) a store whose last append
+    crashed mid-protocol: ``<prefix>.state=pending`` means data landed
+    but the stats/layout re-stamp never ran, so the stamped scalars are
+    stale for the delta (e.g. BM25 N/Σdl too low — scores silently
+    wrong while every plan looks healthy). Missing state (pre-r14
+    store) passes — see STORE_PENDING."""
+    state = get_store_props(spark, table, prefix).get("state")
+    if state == STORE_PENDING:
+        raise ValueError(
+            f"{op}: store {table!r} is PENDING — a previous append "
+            f"crashed between its data write and its stats/layout "
+            f"re-stamp, so the stamped store state is stale for the "
+            f"appended delta. Rebuild with mode='overwrite' (or restore "
+            f"from a snapshot); refusing to serve silently-wrong "
+            f"results")
+
+
 def validate_store_props(spark: SparkSession, table: str, prefix: str,
                          expected: dict, op: str) -> bool:
     """Validate EVERY layout parameter a store baked in against what the
@@ -269,6 +301,12 @@ def validate_store_props(spark: SparkSession, table: str, prefix: str,
     to its legacy derived check so old stores keep working, just with
     the weaker guarantee)."""
     stored = get_store_props(spark, table, prefix)
+    if stored.get("state") == STORE_PENDING:
+        # every stamped-store append/probe funnels through here — the
+        # crash-window check lives at the funnel so no caller can skip
+        # it (require_store_committed covers the stat-reading probes
+        # that don't validate a layout)
+        require_store_committed(spark, table, prefix, op)
     if not stored or stored.get("layout") == LAYOUT_UNVERIFIED:
         # no properties (pre-stamping store), or a store that was
         # APPENDED onto in its un-stamped state: its existing rows were

@@ -562,6 +562,64 @@ def test_fingerprint_store_incremental_append(spark):
         spark.sql("DROP TABLE IF EXISTS fp_inc_t")
 
 
+def test_band_store_append_crash_window_pending_refusal(spark, monkeypatch):
+    """r14 (VERDICT r13 #5, symmetric with the BM25 test): a crash
+    between a fingerprint/MinHash store's band-row append and its
+    layout re-stamp leaves state=pending; pairing, probing, the health
+    report and further appends all refuse, and an overwrite rebuild
+    recovers."""
+    import pytest as _pt
+
+    from comix_etl_spark.operators.dedup import (
+        fingerprint_store_stats, near_dup_pairs_from_store,
+        persist_fingerprint_store)
+    from comix_etl_spark.sinks import writers as W
+
+    base = (1 << 55) | (1 << 21) | 9
+    rows_a = [(i, base ^ (1 << (i * 3))) for i in range(8)]
+    rows_b = [(i, base ^ (1 << (i * 3))) for i in range(8, 12)]
+    fa = spark.createDataFrame(rows_a, "media_id long, dhash long")
+    fb = spark.createDataFrame(rows_b, "media_id long, dhash long")
+    try:
+        persist_fingerprint_store(fa, "fp_crash_t", fp_cols=["dhash"],
+                                  max_hamming=2)
+        real_save = W.save_bucketed_table
+
+        def save_then_die(*a, **kw):
+            real_save(*a, **kw)
+            raise RuntimeError("injected crash before layout re-stamp")
+
+        monkeypatch.setattr(W, "save_bucketed_table", save_then_die)
+        with _pt.raises(RuntimeError, match="injected crash"):
+            persist_fingerprint_store(fb, "fp_crash_t",
+                                      fp_cols=["dhash"], max_hamming=2,
+                                      mode="append")
+        monkeypatch.setattr(W, "save_bucketed_table", real_save)
+        assert W.get_store_props(spark, "fp_crash_t",
+                                 "comix.fp")["state"] == "pending"
+        with _pt.raises(ValueError, match="PENDING"):
+            near_dup_pairs_from_store(spark, "fp_crash_t",
+                                      fp_cols=["dhash"], max_hamming=2)
+        with _pt.raises(ValueError, match="PENDING"):
+            fingerprint_store_stats(spark, "fp_crash_t")
+        with _pt.raises(ValueError, match="PENDING"):
+            persist_fingerprint_store(fb, "fp_crash_t",
+                                      fp_cols=["dhash"], max_hamming=2,
+                                      mode="append")
+        # recovery: overwrite rebuild re-stamps committed
+        both = spark.createDataFrame(rows_a + rows_b,
+                                     "media_id long, dhash long")
+        persist_fingerprint_store(both, "fp_crash_t", fp_cols=["dhash"],
+                                  max_hamming=2)
+        assert W.get_store_props(spark, "fp_crash_t",
+                                 "comix.fp")["state"] == "committed"
+        assert near_dup_pairs_from_store(
+            spark, "fp_crash_t", fp_cols=["dhash"],
+            max_hamming=2).count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS fp_crash_t")
+
+
 def test_hamming_probe_from_store_matches_direct(spark):
     """The fingerprint store's cross-set probe: decontaminating an eval
     set against the PERSISTED store must return exactly
@@ -739,7 +797,8 @@ def test_legacy_append_marks_store_unverified_not_authoritative(spark, sf_small)
         # simulate a pre-r12 store: strip the stamped layout
         spark.sql("ALTER TABLE mh_legacy_t UNSET TBLPROPERTIES "
                   "('comix.minhash.num_hashes', 'comix.minhash.bands', "
-                  "'comix.minhash.n', 'comix.minhash.hash_fn')")
+                  "'comix.minhash.n', 'comix.minhash.hash_fn', "
+                  "'comix.minhash.state')")  # pre-stamping ⇒ no state either
         assert get_store_props(spark, "mh_legacy_t", "comix.minhash") == {}
         # legacy append with a DIFFERENT num_hashes but matching bands:
         # the band-count fallback cannot catch it (documented weakness)
@@ -747,7 +806,8 @@ def test_legacy_append_marks_store_unverified_not_authoritative(spark, sf_small)
                               "mh_legacy_t", mode="append",
                               **{**common, "num_hashes": 32})
         props = get_store_props(spark, "mh_legacy_t", "comix.minhash")
-        assert props == {"layout": LAYOUT_UNVERIFIED}
+        # r14: the append protocol also stamps state=committed
+        assert props == {"layout": LAYOUT_UNVERIFIED, "state": "committed"}
         # the marker must read as NOT-verified — probes keep the legacy
         # check instead of trusting a stamp over unverified rows
         assert validate_store_props(
@@ -759,7 +819,7 @@ def test_legacy_append_marks_store_unverified_not_authoritative(spark, sf_small)
         persist_minhash_store(docs.filter(F.col("doc_id") % 10 == 0),
                               "mh_legacy_t", mode="append", **common)
         assert get_store_props(spark, "mh_legacy_t", "comix.minhash") \
-            == {"layout": LAYOUT_UNVERIFIED}
+            == {"layout": LAYOUT_UNVERIFIED, "state": "committed"}
     finally:
         spark.sql("DROP TABLE IF EXISTS mh_legacy_t")
 

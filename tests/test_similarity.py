@@ -591,7 +591,80 @@ def test_ivf_pq_topk_chunked_queries_match_unchunked(spark):
         assert chunked == full, mx
 
 
-def test_ivf_pq_topk_cleanup_releases_broadcasts_and_cache(spark):
+def test_ivf_pq_topk_distributed_matches_driver_path(spark):
+    """r14 (VERDICT r13 #2): the executor-side query path — queries
+    routed/LUT-built in an Arrow pass, candidates gathered by a
+    centroid_id cogroup, ADC scored per inverted list — must be
+    OUTPUT-IDENTICAL to the driver-collect ``ivf_pq_topk`` on the same
+    (centers, codebooks), including on zero-norm queries and trained
+    (non-det) codebooks."""
+    import numpy as np
+
+    from comix_etl_spark.operators.similarity import (
+        ivf_pq_topk, ivf_pq_topk_distributed, train_ivf_centroids,
+        train_residual_codebooks)
+
+    rng = np.random.default_rng(17)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(80)],
+        "vec_id long, embedding array<double>")
+    qrows = [(100 + i, [float(x) for x in rng.normal(size=8)])
+             for i in range(15)] + [(200, [0.0] * 8)]
+    query = spark.createDataFrame(
+        qrows, "query_id long, embedding array<double>")
+    centers = train_ivf_centroids(corpus, n_centroids=4, normalize=True)
+    books = train_residual_codebooks(corpus, centers, m=2, k=4)
+    common = dict(centers=centers, codebooks=books, k=5, nprobe=2,
+                  rerank=15)
+    want = sorted(map(tuple, ivf_pq_topk(
+        corpus, query, max_query_rows=100, **common).collect()))
+    assert len(want) > 0
+    got = sorted(map(tuple, ivf_pq_topk_distributed(
+        corpus, query, **common).collect()))
+    assert got == want
+
+
+def test_ivf_pq_topk_distributed_plan_is_cogroup_not_collect(spark):
+    """The scale contracts of the distributed path: the candidate
+    gather is a centroid_id COGROUP (each list's codes meet its probing
+    queries exactly once — no join-row LUT duplication), the routing is
+    an Arrow MapInPandas stage, and nothing on the query side is a
+    driver collect."""
+    import numpy as np
+
+    from comix_etl_spark.operators.similarity import (
+        ivf_pq_encode, ivf_pq_topk_distributed, train_ivf_centroids,
+        train_residual_codebooks)
+
+    rng = np.random.default_rng(23)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)],
+        "vec_id long, embedding array<double>")
+    query = spark.createDataFrame(
+        [(100 + i, [float(x) for x in rng.normal(size=8)])
+         for i in range(6)],
+        "query_id long, embedding array<double>")
+    centers = train_ivf_centroids(corpus, n_centroids=4, normalize=True)
+    books = train_residual_codebooks(corpus, centers, m=2, k=4)
+    enc = ivf_pq_encode(corpus, centers, books)
+    out = ivf_pq_topk_distributed(corpus, query, centers=centers,
+                                  codebooks=books, k=3, nprobe=2,
+                                  rerank=10, encoded=enc)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # the candidate gather is a cogroup on centroid_id: codes and
+    # routed queries each shuffle ONCE and meet per-list, with no
+    # join-row explosion duplicating LUTs onto candidate rows
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "MapInPandas" in plan  # the Arrow routing stage
+    # the ADC output is bounded (rerank per query per list) before the
+    # global window — no full-corpus rows reach it
+    assert "CollectLimit" not in plan
     """r14 (ADVICE r13): with a ``cleanup`` list, the chunked path
     collects one broadcast per slice plus the persisted encoded frame;
     ``release_search_resources`` destroys/unpersists them all and

@@ -544,6 +544,59 @@ def test_bm25_store_delta_append_matches_one_shot_build(spark, sf_small):
         spark.sql("DROP TABLE IF EXISTS bm25_oneshot_t")
 
 
+def test_bm25_store_append_crash_window_leaves_pending_and_probes_refuse(
+        spark, sf_small, monkeypatch):
+    """r14 (VERDICT r13 #5): the append crash window is closed
+    IN-ENGINE — a crash between the postings write and the stats
+    re-stamp leaves the store stamped state=pending, and every probe
+    and append REFUSES it with a clear error instead of serving
+    stale-low N/Σdl; a mode='overwrite' rebuild recovers."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from comix_etl_spark.sinks import writers as W
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    terms = ["spark", "merge"]
+    try:
+        TS.persist_bm25_store(base, "bm25_crash_t", id_col="doc_id",
+                              text_col="text")
+        real_save = W.save_bucketed_table
+
+        def save_then_die(*a, **kw):
+            real_save(*a, **kw)          # the postings DO land ...
+            raise RuntimeError("injected crash before stats re-stamp")
+
+        monkeypatch.setattr(W, "save_bucketed_table", save_then_die)
+        with _pt.raises(RuntimeError, match="injected crash"):
+            TS.persist_bm25_store(delta, "bm25_crash_t", id_col="doc_id",
+                                  text_col="text", mode="append")
+        monkeypatch.setattr(W, "save_bucketed_table", real_save)
+        # ... but the store is observably pending: every reader refuses
+        assert W.get_store_props(spark, "bm25_crash_t",
+                                 "comix.bm25")["state"] == "pending"
+        with _pt.raises(ValueError, match="PENDING"):
+            TS.bm25_scores_from_store(spark, "bm25_crash_t", terms)
+        with _pt.raises(ValueError, match="PENDING"):
+            TS.bm25_store_stats(spark, "bm25_crash_t")
+        with _pt.raises(ValueError, match="PENDING"):
+            TS.persist_bm25_store(delta, "bm25_crash_t", id_col="doc_id",
+                                  text_col="text", mode="append")
+        # recovery: rebuild re-stamps committed and serving resumes,
+        # bit-identical to the direct scorer on the full corpus
+        TS.persist_bm25_store(docs, "bm25_crash_t", id_col="doc_id",
+                              text_col="text")
+        got = {r.doc_id: r.bm25 for r in TS.bm25_scores_from_store(
+            spark, "bm25_crash_t", terms).collect()}
+        want = {r.doc_id: r.bm25 for r in TS.bm25_scores(
+            docs, "doc_id", "text", terms).collect()}
+        assert got == want and len(want) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bm25_crash_t")
+
+
 def test_bm25_store_append_refuses_pre_r13_stamp(spark, sf_small):
     """r14 (ADVICE r13): a store stamped by the pre-r13 layout (key
     'tokenizer' — redacted by Spark, so never verifiable — and no
