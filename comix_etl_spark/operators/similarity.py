@@ -880,7 +880,8 @@ def ivf_pq_topk_distributed(corpus: DataFrame, query: DataFrame, *,
                             m: int = 8, n_codes: int = 16,
                             rerank: int = 50, seed: int = 42,
                             query_id_col: str = "query_id",
-                            encoded: DataFrame | None = None) -> DataFrame:
+                            encoded: DataFrame | None = None,
+                            n_salts: int = 1) -> DataFrame:
     """IVF-PQ top-k with an EXECUTOR-SIDE query path — the bulk-scoring
     completion of ``ivf_pq_topk`` (VERDICT r13 #2): the query frame
     never funnels through the driver, so nq scales with the cluster
@@ -911,6 +912,16 @@ def ivf_pq_topk_distributed(corpus: DataFrame, query: DataFrame, *,
        resolves identically. Scoring streams one query at a time
        (never a Q×N score matrix), so a hot list probed by millions
        of queries stays memory-bounded at |list| + its own top rows.
+       ``n_salts`` > 1 additionally SUB-GROUPS every list: codes salt
+       by xxhash64(id) % n_salts, routed rows replicate per salt, and
+       the cogroup key becomes (centroid_id, salt) — a hot list found
+       by ``ivf_pq_store_stats`` fans out across n_salts tasks instead
+       of serializing in one. EXACT at any salt count: the tie-keep
+       emit makes each sub-group's top-rerank a superset of its
+       contribution to the global top, so the union the window ranks
+       is unchanged (pytest-locked; the cost is n_salts× the routed
+       LUT-row shuffle — tiny — and n_salts× the per-query kth
+       partitions).
     3. The unchanged tail: global per-query top-``rerank`` window, then
        exact cosine re-rank to k — with the query side JOINED as a
        DataFrame, not re-collected.
@@ -1003,8 +1014,19 @@ def ivf_pq_topk_distributed(corpus: DataFrame, query: DataFrame, *,
     cid_type = corpus.schema[id_col].dataType.simpleString()
     enc = encoded.select(F.col(id_col).alias("_cid"), "centroid_id",
                          "pq_code")
-    batch_top = (enc.groupBy("centroid_id")
-                 .cogroup(routed.groupBy("centroid_id"))
+    if n_salts > 1:
+        # hot-list fan-out: deterministic code-side salt, replicated
+        # query-side rows — each sub-group's tie-keep top is a superset
+        # of its slice of the global top, so the union is exact
+        enc = enc.withColumn(
+            "_salt", F.pmod(F.xxhash64("_cid"), F.lit(n_salts)).cast("int"))
+        routed = routed.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+        gkeys = ["centroid_id", "_salt"]
+    else:
+        gkeys = ["centroid_id"]
+    batch_top = (enc.groupBy(*gkeys)
+                 .cogroup(routed.groupBy(*gkeys))
                  .applyInPandas(
                      lambda left, right: score_group(left, right),
                      schema=f"query_id {qid_type}, _cid {cid_type}, "

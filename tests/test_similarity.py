@@ -622,6 +622,11 @@ def test_ivf_pq_topk_distributed_matches_driver_path(spark):
     got = sorted(map(tuple, ivf_pq_topk_distributed(
         corpus, query, **common).collect()))
     assert got == want
+    # salted hot-list fan-out: sub-grouping each list is exact under
+    # the tie-keep superset contract — identical at any salt count
+    salted = sorted(map(tuple, ivf_pq_topk_distributed(
+        corpus, query, n_salts=3, **common).collect()))
+    assert salted == want
 
 
 def test_ivf_pq_topk_distributed_plan_is_cogroup_not_collect(spark):
