@@ -256,6 +256,36 @@ def test_ivf_pq_store_partition_pruned_probe(spark, sf_small):
         spark.sql("DROP TABLE IF EXISTS ivfpq_store_t")
 
 
+def test_ivf_pq_topk_distributed_over_persisted_store(spark, sf_small):
+    """The bulk-scoring serving composition (r14): the distributed
+    query path reading the PERSISTED inverted-list table as its
+    encoded side must equal the driver path on the raw corpus — build
+    the index once, bulk-score eval suites against the landed codes
+    with no re-encode and no driver funnel."""
+    from comix_etl_spark.operators.similarity import (
+        ivf_pq_topk, ivf_pq_topk_distributed, persist_ivf_pq_store,
+        train_ivf_centroids, train_residual_codebooks)
+    from comix_etl_spark.session import load_tables
+
+    emb = load_tables(spark, sf_small, ("embeddings",))["embeddings"]
+    centers = train_ivf_centroids(emb, n_centroids=8, normalize=True)
+    books = train_residual_codebooks(emb, centers, m=8, k=16)
+    qdf = (emb.filter(F.col("vec_id") < 20)
+           .select(F.col("vec_id").alias("query_id"), "embedding"))
+    try:
+        persist_ivf_pq_store(emb, centers, books, "ivfpq_dist_store_t")
+        direct = sorted(map(tuple, ivf_pq_topk(
+            emb, qdf, centers=centers, codebooks=books, k=5, nprobe=3,
+            rerank=50).collect()))
+        stored = spark.table("ivfpq_dist_store_t")
+        dist = sorted(map(tuple, ivf_pq_topk_distributed(
+            emb, qdf, centers=centers, codebooks=books, k=5, nprobe=3,
+            rerank=50, encoded=stored).collect()))
+        assert dist == direct and len(direct) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivfpq_dist_store_t")
+
+
 def test_ivf_pq_store_stats_counts_and_shares(spark):
     """Index-health report (r13): per-list counts must equal the actual
     assignment tallies, shares are integer millionths of the total, and
