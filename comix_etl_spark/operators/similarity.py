@@ -1355,9 +1355,14 @@ def kcenter_sample(df: DataFrame, *, id_col: str = "vec_id",
         # functions.vector.norm's aggregate and the oracle's
         # list_dot_product(v, v), so all three agree bit-for-bit
         cn = math.sqrt(sum((x * x for x in vec), 0.0))
+        # F.lit(list) builds ONE ArrayType literal in a single py4j
+        # round-trip; the previous F.array(*[F.lit(x) ...]) form made
+        # dim+1 JVM calls per center, and the scans form calls _dist
+        # once per chosen center per round — measured r14 as multiple
+        # seconds of pure driver time at k=8/dim=64. Same values, same
+        # zip_with/aggregate fold, bit-identical distances.
         cos = F.when((F.col("_n") > 0) & (F.lit(cn) > 0),
-                     dot(F.col("_v"),
-                         F.array(*[F.lit(float(x)) for x in vec]))
+                     dot(F.col("_v"), F.lit([float(x) for x in vec]))
                      / (F.col("_n") * F.lit(cn)))
         return F.round((F.lit(1.0) - F.round(cos, 6)) * 1e6).cast("long")
 
@@ -1381,9 +1386,11 @@ def kcenter_sample(df: DataFrame, *, id_col: str = "vec_id",
         # centers as a literal array-of-structs (vector + the same
         # driver-side left-to-right sqrt-sum norm) — folded with the
         # identical _center_step, so the two forms are bit-identical
+        # one ArrayType literal per center (single py4j call) instead
+        # of dim F.lit calls — same values, same fold, same distances
         return F.array(*[
             F.struct(
-                F.array(*[F.lit(float(x)) for x in v]).alias("cv"),
+                F.lit([float(x) for x in v]).alias("cv"),
                 F.lit(math.sqrt(sum((x * x for x in v), 0.0))).alias("cn"))
             for v in vecs])
 
@@ -1485,8 +1492,7 @@ def kcenter_sample(df: DataFrame, *, id_col: str = "vec_id",
                     lits = F.array(*[
                         F.struct(
                             F.lit(c._id).alias("ci"),
-                            F.array(*[F.lit(float(x)) for x in c._v])
-                            .alias("cv"),
+                            F.lit([float(x) for x in c._v]).alias("cv"),
                             F.lit(float(c._n)).alias("cn"))
                         for c in cand])
                     scored_rows = cdf.select(

@@ -11173,13 +11173,30 @@ _IMG_PX_SQL = """
   END"""
 
 
+def _spread_ids(d: DataFrame) -> DataFrame:
+    """Slim (doc_id) projection, spread across the cluster when the
+    scan would otherwise arrive as fewer splits than cores. The
+    synthetic-payload generators below run a 288-element higher-order
+    ``transform`` per row — lambda bodies are interpreted, not
+    codegen'd — and feed an Arrow decode stage; over the single-file
+    sf tables both serialized onto ONE core (measured r14: the whole
+    media family ran its scan stages `(0 + 1) / 1`, video payload gen
+    alone 4.9 s). Streaming callers keep their micro-batch
+    partitioning (``.rdd`` is undefined on a streaming frame, and the
+    micro-batch is already split)."""
+    from comix_etl_spark.operators.partitioning import spread_small_scan
+
+    base = d.select("doc_id")
+    return base if d.isStreaming else spread_small_scan(base)
+
+
 def _synthetic_images(d: DataFrame) -> DataFrame:
     """(media_id, payload) — RAW8 payload bytes assembled JVM-side
     (hex transform + unhex), one image per document row."""
     px_hex = F.expr(
         "array_join(transform(sequence(0, 287), i -> "
         f"lpad(hex({_IMG_PX_SQL}), 2, '0')), '')")
-    return d.select(
+    return _spread_ids(d).select(
         F.col("doc_id").alias("media_id"),
         F.unhex(F.concat(F.lit("5257381210"), px_hex)).alias("payload"))
 
@@ -11401,8 +11418,9 @@ def _synthetic_videos(d: DataFrame) -> DataFrame:
     px_hex = F.expr(
         "array_join(transform(sequence(0, 287), i -> "
         f"lpad(hex({_VID_PX_SQL}), 2, '0')), '')")
-    return (d.select("doc_id",
-                     F.explode(F.sequence(F.lit(0), F.lit(2))).alias("f"))
+    return (_spread_ids(d)
+            .select("doc_id",
+                    F.explode(F.sequence(F.lit(0), F.lit(2))).alias("f"))
             .select(F.col("doc_id").alias("media_id"),
                     F.col("f").alias("frame_idx"),
                     F.unhex(F.concat(F.lit("5257381210"), px_hex))
@@ -12246,8 +12264,8 @@ def _synthetic_wavs(d: DataFrame) -> DataFrame:
         F.lit(_WAV_HEADER_HEX),
         F.expr(f"array_join(transform(sequence(0, 255), i -> "
                f"{sample_hex}), '')")))
-    return d.select(F.col("doc_id").alias("media_id"),
-                    payload.alias("payload"))
+    return _spread_ids(d).select(F.col("doc_id").alias("media_id"),
+                                 payload.alias("payload"))
 
 
 def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
