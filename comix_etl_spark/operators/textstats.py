@@ -702,8 +702,15 @@ def persist_bm25_store(df: DataFrame, table: str, *, id_col: str = "doc_id",
                 f"rebuild with mode='overwrite'")
         prior_n, prior_sum_dl = int(props["n"]), int(props["sum_dl"])
     toks = tokens(text_col)
-    base = df.select(F.col(id_col), F.size(toks).alias("dl"),
-                     F.explode_outer(toks).alias("term"))
+    # tokenize ONCE per document: `dl` must be projected in a SEPARATE
+    # select below the explode — projected beside the Generate it is
+    # re-evaluated per exploded row, i.e. the whole document re-tokenizes
+    # once per token occurrence (measured r14 at sf0.1: 4.4 s → 0.6 s
+    # for the postings pass; quadratic in document length at scale)
+    base = (df.select(F.col(id_col), F.size(toks).alias("dl"),
+                      toks.alias("_toks"))
+            .select(F.col(id_col), "dl",
+                    F.explode_outer("_toks").alias("term")))
     # one aggregate produces BOTH outputs: stats ride on a grouping set?
     # — no: stats need every doc, postings only term-bearing rows, and
     # the stats frame is one row; two jobs over one shuffle-free base
