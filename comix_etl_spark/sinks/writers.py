@@ -200,9 +200,20 @@ def save_bucketed_table(df: DataFrame, name: str, bucket_cols: list[str],
     tests/test_sinks_bucketing.py: the bucketed join's physical plan
     contains no Exchange). ``sort_cols`` additionally sorts within each
     bucket so sort-merge joins skip their sort too.
+
+    The input is repartitioned BY THE BUCKET COLUMNS first:
+    ``repartition(n, cols)`` and the bucket-id assignment share the
+    same hash family (Murmur3 ``HashPartitioning``), so each write
+    task holds exactly one bucket and the table lands as ``n_buckets``
+    files. Without it every write task emits one file PER BUCKET it
+    touches — up to tasks × n_buckets small files per write (measured
+    r14: a 32-partition build landed a 123-file store whose every
+    probe paid the listing/open cost) — the small-files trap the
+    optimization guide calls out for bucketed writes.
     """
-    writer = df.write.mode(mode).format("parquet") \
-        .bucketBy(n_buckets, *bucket_cols)
+    writer = (df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+              .write.mode(mode).format("parquet")
+              .bucketBy(n_buckets, *bucket_cols))
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(name)
