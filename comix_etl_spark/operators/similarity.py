@@ -1103,7 +1103,15 @@ def persist_ivf_pq_store(corpus: DataFrame, centers, codebooks,
     clear_orphan_table_dir(spark, table, mode)
     enc = ivf_pq_encode(spread_small_scan(corpus.select(id_col, vec_col)),
                         centers, codebooks, id_col=id_col, vec_col=vec_col)
-    save_as_table(enc, table, partition_by=["centroid_id"], mode=mode)
+    # cluster the write by inverted list: without this every encode
+    # task emits one file per centroid directory it touches (up to
+    # tasks × C small files per batch — measured r14: 128 files for a
+    # 2000-row index); repartitioned, each list lands as one file per
+    # write batch, and every pruned probe opens nprobe files instead
+    # of nprobe × tasks. Rows are (id, m-byte code) — a hot list's
+    # single write task is bounded by the batch, not the corpus.
+    save_as_table(enc.repartition(F.col("centroid_id")), table,
+                  partition_by=["centroid_id"], mode=mode)
 
 
 def ivf_pq_topk_from_store(corpus: DataFrame, query: DataFrame,
