@@ -191,12 +191,18 @@ def cms_cells(df: DataFrame, key_col: str, *, depth: int = 4,
     if depth > 4 or width > 32768:
         raise ValueError("the 60-bit hash supports depth <= 4 slices of "
                          f"15 bits (width <= 32768); got {depth}/{width}")
+    from comix_etl_spark.operators.partitioning import spread_small_scan
+
     h = _cms_hash(F.col(key_col).cast("string"))
     cell = F.explode(F.array(*[
         F.struct(F.lit(i).alias("depth_i"),
                  _cms_bucket(h, i, width).alias("bucket"))
         for i in range(depth)])).alias("cell")
-    return (df.filter(F.col(key_col).isNotNull())
+    # spread the slim key projection: the per-row md5 hash is the CPU
+    # cost of the sketch build and a single-split input runs it on one
+    # core (no-op at real split counts)
+    return (spread_small_scan(
+                df.filter(F.col(key_col).isNotNull()).select(key_col))
             .select(cell)
             .select("cell.depth_i", "cell.bucket")
             .groupBy("depth_i", "bucket")
@@ -253,6 +259,12 @@ def cms_inner_product(cells_a: DataFrame, cells_b: DataFrame) -> DataFrame:
     re-completed against the union of observed depth ids and coalesced
     to 0 before the min; two empty sketches estimate 0, never NULL.
     """
+    # pin both sketches: each is consumed TWICE (the cell join and the
+    # observed-depth union) and would otherwise rebuild from its fact
+    # scan per consumer; a sketch is ≤ depth·width rows by construction,
+    # far smaller than one rebuild
+    cells_a = cells_a.localCheckpoint(eager=False)
+    cells_b = cells_b.localCheckpoint(eager=False)
     j = (cells_a.alias("a")
          .join(cells_b.alias("b"), ["depth_i", "bucket"]))
     per_row = (j.groupBy("depth_i")
@@ -303,8 +315,14 @@ def ams_f2(df: DataFrame, key_col: str, *, depth: int = 9) -> DataFrame:
 
     # all depth partial sums are independent agg expressions over ONE
     # scan — no depth× row explode, no (depth_i) shuffle: the exchange
-    # carries one depth-wide partial row per task
-    agg_row = (df.filter(k.isNotNull()).select(h.alias("_h"))
+    # carries one depth-wide partial row per task. The slim key
+    # projection is spread first so the per-row md5 runs across the
+    # cluster on single-split inputs (no-op at real split counts).
+    from comix_etl_spark.operators.partitioning import spread_small_scan
+
+    agg_row = (spread_small_scan(df.filter(k.isNotNull())
+                                 .select(F.col(key_col)))
+               .select(h.alias("_h"))
                .agg(*[F.sum(sign(i)).cast("long").alias(f"_z{i}")
                       for i in range(depth)]))
     dec = "decimal(38,0)"

@@ -271,6 +271,8 @@ def dsir_importance(corpus: DataFrame, target: DataFrame, *, id_col: str,
     """
     from comix_etl_spark.functions.text import tokens
 
+    from comix_etl_spark.operators.partitioning import spread_small_scan
+
     def feats(df: DataFrame) -> DataFrame:
         t = tokens(text_col)
         w = F.size(t) - 1
@@ -281,7 +283,12 @@ def dsir_importance(corpus: DataFrame, target: DataFrame, *, id_col: str,
                                     lambda a, b: F.concat(a, F.lit(" "), b))
                          ).otherwise(F.array().cast("array<string>"))
         grams = F.concat(t, bigrams)
-        return (df.select(F.col(id_col), F.explode(grams).alias("_g"))
+        # spread the slim scan: tokenize + bigram zip + per-gram md5
+        # are the CPU cost and a single-split input runs them on one
+        # core (no-op at real split counts)
+        return (spread_small_scan(df.select(F.col(id_col),
+                                            F.col(text_col)))
+                .select(F.col(id_col), F.explode(grams).alias("_g"))
                 .select(F.col(id_col),
                         hash_bucket(F.col("_g"), buckets=buckets)
                         .alias("_b")))

@@ -501,10 +501,16 @@ def contamination_check(corpus: DataFrame, benchmark: DataFrame, *,
     """
     from comix_etl_spark.functions.text import shingles
 
+    from comix_etl_spark.operators.partitioning import spread_small_scan
+
     bench_grams = (benchmark
                    .select(F.explode(shingles(F.col(text_col), n)).alias("_g"))
                    .distinct())
-    doc_grams = (corpus
+    # spread the corpus scan: the n-gram shingling is the CPU cost and
+    # a single-split input would run it on one core (no-op at real
+    # split counts — see operators/partitioning.py)
+    doc_grams = (spread_small_scan(corpus.select(F.col(id_col),
+                                                 F.col(text_col)))
                  .select(F.col(id_col), shingles(F.col(text_col), n).alias("_gs"))
                  .select(F.col(id_col), F.size("_gs").alias("n_grams"),
                          F.explode("_gs").alias("_g")))

@@ -5416,8 +5416,15 @@ def q_minhash_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cand = (reduce(DataFrame.unionByName, [cand_for(nb) for nb in (4, 8, 16)])
             .localCheckpoint(eager=True))   # consumed by stats AND tp
-    sh = d.select(F.col("doc_id").alias("_id"),
-                  shingles(F.col("text"), 3).alias("_sh"))
+    # spread the ground-truth shingle scan: over the single-file sf
+    # table the shingle transform + explode ran on ONE core (measured
+    # r14: 4.5 of the query's ~7 s; the signature arm already spreads
+    # inside shingle_postings)
+    from comix_etl_spark.operators.partitioning import spread_small_scan
+
+    sh = spread_small_scan(d.select("doc_id", "text")).select(
+        F.col("doc_id").alias("_id"),
+        shingles(F.col("text"), 3).alias("_sh"))
     sizes = sh.filter(F.size("_sh") > 0).select("_id", F.size("_sh").alias("n_sh"))
     posts = sh.select("_id", F.explode("_sh").alias("shingle"))
     # group-and-expand (the ngram_jaccard_pairs plan): ONE shuffle on
