@@ -9609,7 +9609,12 @@ def q_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             _txt(F.min(F.col(c)), c).alias(f"{c}__min"),
             _txt(F.max(F.col(c)), c).alias(f"{c}__max"),
         ]
-    one = o.agg(*aggs)
+    # spread the projected scan: the 5-way count_distinct plans an
+    # Expand (one row per distinct column) whose map side would run on
+    # one core over a single-split input (no-op at real split counts)
+    from comix_etl_spark.operators.partitioning import spread_small_scan
+
+    one = spread_small_scan(o.select(*cols)).agg(*aggs)
     rows = [
         F.struct(F.lit(c).alias("column"),
                  F.col(f"{c}__n").cast("long").alias("n_rows"),
