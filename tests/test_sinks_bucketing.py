@@ -218,12 +218,18 @@ def test_bucketed_write_lands_one_file_per_bucket(spark):
     import glob
     import os
 
+    from comix_etl_spark.sinks.writers import clear_orphan_table_dir
+
+    clear_orphan_table_dir(spark, "bt_onefile", "overwrite")
     rows = spark.range(0, 5_000).repartition(16).select(
         F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
-    save_bucketed_table(rows, "bt_onefile", ["k"], 8, sort_cols=["k"])
-    loc = (spark.sql("DESCRIBE TABLE EXTENDED bt_onefile")
-           .filter(F.col("col_name") == "Location")
-           .first().data_type)
-    files = glob.glob(os.path.join(loc.replace("file:", ""), "*.parquet"))
-    assert len(files) == 8, sorted(os.path.basename(f) for f in files)
-    assert spark.table("bt_onefile").count() == 5_000
+    try:
+        save_bucketed_table(rows, "bt_onefile", ["k"], 8, sort_cols=["k"])
+        loc = (spark.sql("DESCRIBE TABLE EXTENDED bt_onefile")
+               .filter(F.col("col_name") == "Location")
+               .first().data_type)
+        files = glob.glob(os.path.join(loc.replace("file:", ""), "*.parquet"))
+        assert len(files) == 8, sorted(os.path.basename(f) for f in files)
+        assert spark.table("bt_onefile").count() == 5_000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_onefile")
