@@ -14,6 +14,35 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# (session id, analyzed-plan semantic hash) -> probed partition count.
+# The probe (`df.rdd.getNumPartitions()`) forces full physical planning
+# + RDD conversion on the driver EVERY call (r14 verdict #9: repeated
+# driver work in multi-operator queries and across bench re-runs); the
+# split count of a semantically identical plan in the same session is
+# stable, so it is memoized on the ANALYZED plan's semanticHash —
+# analysis is the cheap prefix of the work the probe would do anyway.
+# A hash collision could only mis-skip or mis-add the round-robin
+# spread (performance, never correctness). Bounded: distinct spread
+# call sites per session.
+_NPARTS_CACHE: dict[tuple[int, int], int] = {}
+
+
+def probe_num_partitions(df: DataFrame) -> int:
+    """The number of partitions ``df`` would plan into, memoized on the
+    analyzed plan's semantic hash (see ``_NPARTS_CACHE``). The shared
+    scale probe behind ``spread_small_scan`` and the small-vs-large
+    routing in ``relational.grouped_running_sum``."""
+    try:
+        key = (id(df.sparkSession), df.semanticHash())
+    except Exception:  # semanticHash is a developer API — never fail the guard
+        key = None
+    nparts = _NPARTS_CACHE.get(key) if key is not None else None
+    if nparts is None:
+        nparts = df.rdd.getNumPartitions()
+        if key is not None:
+            _NPARTS_CACHE[key] = nparts
+    return nparts
+
 
 def spread_small_scan(df: DataFrame, min_factor: int = 1) -> DataFrame:
     """Repartition ``df`` to ``defaultParallelism`` when the plan would
@@ -21,7 +50,7 @@ def spread_small_scan(df: DataFrame, min_factor: int = 1) -> DataFrame:
     scan (ids + the one column the downstream stage consumes), never on
     the full-width table."""
     par = df.sparkSession.sparkContext.defaultParallelism * min_factor
-    if df.rdd.getNumPartitions() < par:
+    if probe_num_partitions(df) < par:
         return df.repartition(par)
     return df
 

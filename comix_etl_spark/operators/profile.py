@@ -63,30 +63,140 @@ def percentile_route(df: DataFrame, group_col: str, *,
     return (lambda col, p: F.approx_percentile(col, p, accuracy)), "approx"
 
 
+def grouped_percentile_cont(df: DataFrame, group_col: str, value_col: str,
+                            probs: Sequence[float], *,
+                            carry_first: Sequence[str] = (),
+                            small_input: bool | None = None) -> DataFrame:
+    """Exact interpolated percentiles per group WITHOUT the
+    one-buffer-per-group reducer (r15) — bit-identical to
+    ``F.percentile`` / ANSI ``percentile_cont`` / DuckDB
+    ``quantile_cont``, but every stage partial-aggregates or
+    range-partitions, so no task ever buffers a group's values:
+
+    1. one row per non-NULL value with a running COUNT per group via
+       the scale-routed grouped prefix sum
+       (relational.grouped_running_sum — a plain per-group window
+       while the input plans into <= cores splits; at real scale the
+       histogram-bucketed form whose window parallelizes WITHIN a
+       group, no checkpoint, no sampler, ONE lazy plan either way);
+    2. the value at 0-based rank r is the unique row whose running
+       count equals r + 1 — both target ranks (floor/ceil of the
+       position) are picked out by conditional MAX aggregates in ONE
+       final partial-aggregating pass, no joins;
+    3. interpolate with EXACTLY Spark's Percentile arithmetic —
+       position = (n-1)·p in double, and
+       ``(higher − position)·v_lo + (position − lower)·v_hi`` with the
+       same two no-interpolation short-circuits (integral position;
+       equal neighbor values) — so results match the single-buffer
+       aggregate bit for bit (same IEEE ops in the same order).
+
+    Returns one row per group that has ≥ 1 non-NULL value:
+    ``(group_col, _q0.._qk)`` (unrounded doubles, in ``probs`` order)
+    — callers alias/round. NULL values are ignored exactly as
+    ``F.percentile`` ignores them; a NULL group key is a group.
+    ``carry_first`` names per-group-constant companion columns carried
+    into the output via ``first()`` in the same pass — so a caller
+    needing (median, companion) pays ONE reference to its input
+    instead of re-joining the companion frame (mad_outliers' _med).
+    """
+    from comix_etl_spark.operators.partitioning import probe_num_partitions
+    from comix_etl_spark.operators.relational import grouped_running_sum
+
+    probs = [float(p) for p in probs]
+    carry = list(carry_first)
+    rows = (df.select(F.col(group_col).alias("_g"),
+                      F.col(value_col).cast("double").alias("_v"), *carry)
+            .filter(F.col("_v").isNotNull())
+            .withColumn("_one", F.lit(1).cast("long")))
+    # SINGLE-prob small input (same split probe the prefix sum routes
+    # on): the classic buffered aggregate IS the fastest exact form —
+    # its per-group buffer is bounded by the probed input size, and its
+    # cost scales with the prob count (k Percentile buffers), so only
+    # k = 1 takes it; the window form is flat in k and wins beyond.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    small = (small_input if small_input is not None
+             else probe_num_partitions(rows) <= par)
+    if len(probs) == 1 and small:
+        return (rows.groupBy("_g")
+                .agg(F.percentile("_v", F.lit(probs[0])).alias("_q0"),
+                     *[F.first(c).alias(c) for c in carry])
+                .withColumnRenamed("_g", group_col))
+    cum = grouped_running_sum(rows, ["_g"], "_v", "_one", out_col="_cum",
+                              total_col="_n", small_input=small)
+    # rank r is covered by the single row with _cum == r+1; position is
+    # Spark's maxPosition * percentage — (n-1) toDouble times p
+    sel_aggs, qcols = [], []
+    for i, p in enumerate(probs):
+        pos = (F.col("_n") - 1).cast("double") * F.lit(p)
+        sel_aggs += [
+            F.max(F.when(F.floor(pos) + 1 == F.col("_cum"), F.col("_v")))
+            .alias(f"_vlo{i}"),
+            F.max(F.when(F.ceil(pos) + 1 == F.col("_cum"), F.col("_v")))
+            .alias(f"_vhi{i}")]
+    sel = (cum.groupBy("_g")
+           .agg(F.first("_n").alias("_n"),
+                *[F.first(c).alias(c) for c in carry], *sel_aggs))
+    # Spark Percentile.getPercentile, verbatim: integral position or
+    # equal neighbors -> lower value; else linear interpolation with
+    # (higher − position) first — same fp op order, bit-identical
+    for i, p in enumerate(probs):
+        pos = (F.col("_n") - 1).cast("double") * F.lit(p)
+        lo, hi = F.floor(pos), F.ceil(pos)
+        vlo, vhi = F.col(f"_vlo{i}"), F.col(f"_vhi{i}")
+        qcols.append(
+            F.when(hi == lo, vlo)
+            .when(vhi == vlo, vlo)
+            .otherwise((hi.cast("double") - pos) * vlo
+                       + (pos - lo.cast("double")) * vhi)
+            .alias(f"_q{i}"))
+    return (sel.select("_g", *carry, *qcols)
+            .withColumnRenamed("_g", group_col))
+
+
 def grouped_percentiles(df: DataFrame, group_col: str, value_col: str, *,
                         probs: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
                         ndigits: int = 6,
-                        exact_group_limit: int = PERCENTILE_EXACT_GROUP_LIMIT
+                        exact_group_limit: int | None = None
                         ) -> DataFrame:
-    """Interpolated percentiles per group, one column per prob, with
-    AUTOMATIC exact/approx routing (``percentile_route``).
+    """Interpolated percentiles per group, one column per prob.
 
-    The exact route uses ``F.percentile`` (linear interpolation at
-    index ``(n-1)*p`` — the same definition as ANSI ``percentile_cont``
-    / DuckDB ``quantile_cont``, so results are engine-portable); it
-    sorts each group inside the aggregate, so per-group state is the
-    group's values — chosen only while the measured max group fits
-    ``exact_group_limit``. Wider groups route to
-    ``F.approx_percentile`` (bounded, partial-aggregating sketch state)
-    — same plan shape, same output schema.
+    Since r15 the DEFAULT exact route is ``grouped_percentile_cont`` —
+    the distributed exact form (histogram-balanced grouped prefix sum
+    + conditional-max rank selection), which produces bit-identical
+    values to ``F.percentile`` with NO one-buffer-per-group reducer
+    and NO count pre-pass job, so it is safe at any group volume and
+    the r10 exact/approx routing hazard is structurally gone.
+
+    ``exact_group_limit`` is kept for callers that explicitly want the
+    sketch route above a volume bound: when set, the r10
+    ``percentile_route`` pre-pass runs and wide groups use
+    ``F.approx_percentile`` exactly as before (that path stays
+    oracle-checked by ``approx_percentiles_check``).
     """
-    pct, _route = percentile_route(df, group_col,
-                                   exact_group_limit=exact_group_limit)
-    aggs = [F.round(pct(value_col, float(p)), ndigits)
-             .alias(f"p{int(p * 100):02d}")
-            for p in probs]
-    aggs.append(F.count(F.lit(1)).cast("long").alias("n_rows"))
-    return df.groupBy(group_col).agg(*aggs)
+    if exact_group_limit is not None:
+        pct, route = percentile_route(df, group_col,
+                                      exact_group_limit=exact_group_limit)
+        if route == "approx":
+            aggs = [F.round(pct(value_col, float(p)), ndigits)
+                    .alias(f"p{int(p * 100):02d}")
+                    for p in probs]
+            aggs.append(F.count(F.lit(1)).cast("long").alias("n_rows"))
+            return df.groupBy(group_col).agg(*aggs)
+    probs = [float(p) for p in probs]
+    # n_rows counts ALL rows (NULL values included, as the old
+    # aggregate did); groups whose values are all NULL surface with
+    # NULL percentiles via the left null-safe join
+    n_rows = (df.groupBy(F.col(group_col).alias("_g"))
+              .agg(F.count(F.lit(1)).cast("long").alias("n_rows")))
+    qs = grouped_percentile_cont(df, group_col, value_col, probs)
+    g, q = n_rows.alias("_nr"), qs.alias("_qs")
+    out = g.join(q, F.col("_nr._g").eqNullSafe(F.col(f"_qs.{group_col}")),
+                 "left")
+    return out.select(
+        F.col("_nr._g").alias(group_col),
+        *[F.round(F.col(f"_qs._q{i}"), ndigits).alias(f"p{int(p * 100):02d}")
+          for i, p in enumerate(probs)],
+        F.col("_nr.n_rows"))
 
 
 def corr_matrix(df: DataFrame, cols: Sequence[str], *,
@@ -262,7 +372,13 @@ def cms_inner_product(cells_a: DataFrame, cells_b: DataFrame) -> DataFrame:
     # pin both sketches: each is consumed TWICE (the cell join and the
     # observed-depth union) and would otherwise rebuild from its fact
     # scan per consumer; a sketch is ≤ depth·width rows by construction,
-    # far smaller than one rebuild
+    # far smaller than one rebuild. RETENTION (r14 advice): the
+    # MEMORY_AND_DISK blocks live until the returned frame's RDD is
+    # garbage-collected (ContextCleaner unpersists then) — a long-lived
+    # session looping over MANY sketch pairs should drop plan
+    # references promptly (as bench.py does) or call the un-pinned
+    # cells frames itself; per-call block volume is ≤ 2·depth·width
+    # rows, so steady-state pressure stays bounded by GC cadence.
     cells_a = cells_a.localCheckpoint(eager=False)
     cells_b = cells_b.localCheckpoint(eager=False)
     j = (cells_a.alias("a")

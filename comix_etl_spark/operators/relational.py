@@ -347,6 +347,153 @@ def global_running_sum(df: DataFrame, order_by: Sequence[str],
     return result.drop("_pid", *[f"_offset_{i}" for i in range(len(cols))])
 
 
+def grouped_running_sum(df: DataFrame, group_cols: Sequence[str],
+                        order_col: str,
+                        value_col: str | Sequence[str], *,
+                        out_col: str | Sequence[str] = "running",
+                        total_col: str | Sequence[str] | None = None,
+                        n_buckets: int | None = None,
+                        small_input: bool | None = None) -> DataFrame:
+    """PER-GROUP running sum over a NUMERIC order column WITHOUT one
+    task per group at scale — the grouped sibling of
+    ``global_running_sum`` (r15, r14 verdict #1 "histogram-then-
+    narrow"), SCALE-ROUTED on the same memoized split probe
+    ``spread_small_scan`` uses:
+
+    - input plans into <= cores splits (every local/test scale): the
+      plain per-group window — exact, ONE exchange, sort-based (spills
+      gracefully, never buffers a group in an aggregation buffer).
+    - more splits than cores (real scale): a hot group is SPLIT into
+      contiguous order ranges by a deterministic B-bucket histogram
+      (``n_buckets``, default 32 × cores) and the window cumsum runs
+      per (group, bucket) IN PARALLEL; each bucket's preceding-range
+      total comes analytically from the tiny histogram frame
+      (broadcast back) — no repartitionByRange sampler, no
+      spark_partition_id, no localCheckpoint (each of those costs a
+      driver planning/codegen pass per call, measured r15 at 0.6–3 s
+      per checkpoint at plan-build). Three column-pruned
+      partial-aggregating scans composed in ONE lazy plan:
+      (1) per-group min/max + totals, broadcast; (2) per-(group,
+      bucket) measure sums, cumulative-before-bucket offsets via a
+      window over <= groups × B rows; (3) the data pass. The bucket
+      expression is floor of an affine map — weakly monotone under
+      IEEE ops with constant operands — so equal order values always
+      share a bucket; a group whose order stats are degenerate (all
+      equal / non-finite) falls into one bucket: correct, serial,
+      bounded by max bucket load.
+
+    Both routes produce identical cumsums; intra-tie order is
+    engine-chosen in both (collapse ties first for a total order, or
+    consume tie-robustly as the percentile/weighted-median callers
+    do). ``order_col`` must be numeric and non-NULL (filter first).
+
+    ``value_col``/``out_col`` accept equal-length lists: several
+    measures share the same passes. ``total_col`` names add each
+    measure's PER-GROUP total as an extra output column (free on both
+    routes). NULL group keys form their own group (null-safe joins /
+    window partitions), matching groupBy/Window semantics.
+    """
+    from comix_etl_spark.operators.partitioning import probe_num_partitions
+
+    cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    outs = [out_col] if isinstance(out_col, str) else list(out_col)
+    tots = ([total_col] if isinstance(total_col, str) else
+            list(total_col) if total_col is not None else [])
+    if len(cols) != len(outs):
+        raise ValueError(f"{len(cols)} value cols but {len(outs)} out cols")
+    if tots and len(tots) != len(cols):
+        raise ValueError(f"{len(cols)} value cols but {len(tots)} total cols")
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    gl = list(group_cols)
+    oc = F.col(order_col)
+
+    # SCALE ROUTE (the spread_small_scan probe, memoized): an input
+    # that plans into <= cores splits cannot under-parallelize a
+    # per-group window more than it under-parallelizes its own scan —
+    # the plain window form is exact, sort-based (spills, never
+    # buffers), and pays ONE exchange. Real scale (thousands of
+    # splits) takes the histogram form below. Both forms produce
+    # identical cumsums (ties always share a bucket; intra-tie order
+    # is engine-chosen in both). ``small_input`` overrides the probe:
+    # pass it when ``df``'s plan embeds exchanges (a join/aggregate) —
+    # probing such a plan EXECUTES its non-result stages under AQE, so
+    # the caller should decide from its own cheap scan probe instead.
+    if (small_input if small_input is not None
+            else probe_num_partitions(df) <= par):
+        w = (Window.partitionBy(*gl).orderBy(order_col)
+             .rowsBetween(Window.unboundedPreceding, 0))
+        wall = Window.partitionBy(*gl)
+        r = df
+        for c, o in zip(cols, outs):
+            r = r.withColumn(o, F.sum(c).over(w))
+        for c, tname in zip(cols, tots):
+            r = r.withColumn(tname, F.sum(c).over(wall))
+        return r
+
+    b_n = n_buckets or 32 * par
+
+    def _nsjoin(left, right, extra=None):
+        cond = F.lit(True)
+        for g in gl:
+            cond = cond & F.col(f"_l.{g}").eqNullSafe(F.col(f"_r.{g}"))
+        if extra is not None:
+            cond = cond & extra
+        return left.alias("_l").join(F.broadcast(right).alias("_r"), cond)
+
+    # pass 1 — per-group stats (tiny, broadcast): bucket bounds + totals
+    st = df.groupBy(*gl).agg(
+        F.min(order_col).alias("_gr_mn"), F.max(order_col).alias("_gr_mx"),
+        *[F.sum(c).alias(f"_gr_t{i}") for i, c in enumerate(cols)])
+    base = _nsjoin(df, st).select(
+        *[F.col(f"_l.{c}") for c in df.columns],
+        F.col("_r._gr_mn").alias("_gr_mn"), F.col("_r._gr_mx").alias("_gr_mx"),
+        *[F.col(f"_r._gr_t{i}").alias(f"_gr_t{i}") for i in range(len(cols))])
+    # monotone (floor of an affine map — weakly monotone under IEEE
+    # ops with constant operands), deterministic, NULL-free: equal
+    # order values always share a bucket
+    span = F.col("_gr_mx") - F.col("_gr_mn")
+    bucket = (F.when(span > 0, F.least(
+        F.lit(b_n - 1).cast("long"), F.greatest(F.lit(0).cast("long"), F.floor(
+            (oc - F.col("_gr_mn")) / span * b_n))))
+        .otherwise(F.lit(0)).cast("int"))
+    base = base.withColumn("_gr_b", bucket)
+
+    # pass 2 — per-(group, bucket) measure sums; cumulative-BEFORE-
+    # bucket offsets ride one tiny window over <= groups x B rows
+    hist = base.groupBy(*gl, "_gr_b").agg(
+        *[F.sum(c).alias(f"_hs{i}") for i, c in enumerate(cols)])
+    wprev = (Window.partitionBy(*gl).orderBy("_gr_b")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    for i, c in enumerate(cols):
+        hist = hist.withColumn(
+            f"_off{i}", F.coalesce(F.sum(f"_hs{i}").over(wprev),
+                                   F.lit(0).cast(dict(df.dtypes)[c])))
+    bmap = hist.select(*gl, "_gr_b",
+                       *[f"_off{i}" for i in range(len(cols))])
+
+    # pass 3 — data pass: window cumsum WITHIN each (group, bucket)
+    # order range + the bucket's analytic offset; parallelism is the
+    # bucket grain (a group whose mass concentrates in one bucket, or
+    # whose order stats are non-finite, degrades toward one range —
+    # correct, and bounded by max bucket load)
+    r2 = _nsjoin(base, bmap, extra=F.col("_l._gr_b") == F.col("_r._gr_b")) \
+        .select(*[F.col(f"_l.{c}") for c in df.columns],
+                F.col("_l._gr_b").alias("_gr_b"),
+                *[F.col(f"_l._gr_t{i}").alias(f"_gr_t{i}")
+                  for i in range(len(cols))],
+                *[F.col(f"_r._off{i}").alias(f"_off{i}")
+                  for i in range(len(cols))])
+    w = (Window.partitionBy(*gl, "_gr_b").orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    for i, (c, o) in enumerate(zip(cols, outs)):
+        r2 = r2.withColumn(o, F.sum(c).over(w) + F.col(f"_off{i}"))
+    for i, tname in enumerate(tots):
+        r2 = r2.withColumn(tname, F.col(f"_gr_t{i}"))
+    return r2.drop("_gr_b", *[f"_off{i}" for i in range(len(cols))],
+                   *[f"_gr_t{i}" for i in range(len(cols))])
+
+
 def skyline_2d(df: DataFrame, id_col: str, x_col: str, y_col: str,
                *, num_partitions: int | None = None) -> DataFrame:
     """2-D Pareto frontier (skyline): rows where no other row has

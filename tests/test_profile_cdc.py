@@ -139,12 +139,13 @@ def test_grouped_percentiles_interpolation(spark):
 
 
 def test_percentile_route_flips_on_wide_group(spark):
-    """Automatic exact/approx routing (r9 advisory #1): the route is
-    exact while the measured max per-group volume fits the limit and
-    flips to approx past it; the exact route's expression matches
-    F.percentile semantics, the approx route still lands within sketch
-    tolerance; plan shape proves the flip (approx partial-aggregates
-    as ApproximatePercentile, exact carries Percentile)."""
+    """Explicit exact/approx routing (r9 advisory #1, narrowed r15):
+    with an explicit ``exact_group_limit`` the route still flips to
+    the approx sketch past the measured max per-group volume; the
+    exact side now runs the DISTRIBUTED exact form (no Percentile
+    aggregate, no approx_percentile in the plan) and still matches
+    F.percentile interpolation; the approx route lands within sketch
+    tolerance and partial-aggregates as ApproximatePercentile."""
     from comix_etl_spark.operators.profile import (
         grouped_percentiles, percentile_route)
 
@@ -162,7 +163,8 @@ def test_percentile_route_flips_on_wide_group(spark):
                                 exact_group_limit=100)
     approx = grouped_percentiles(df, "g", "v", probs=(0.5,),
                                  exact_group_limit=10)
-    assert "percentile(" in exact._jdf.queryExecution().analyzed().toString()
+    assert "approx_percentile(" not in \
+        exact._jdf.queryExecution().analyzed().toString()
     assert "approx_percentile(" in \
         approx._jdf.queryExecution().analyzed().toString()
     ex = {r["g"]: r["p50"] for r in exact.collect()}
@@ -171,6 +173,36 @@ def test_percentile_route_flips_on_wide_group(spark):
     # approx_percentile returns an observed value, not an interpolation:
     # within one rank of the true median at this accuracy
     assert abs(ap["wide"] - 19.5) <= 1.0 and abs(ap["slim"] - 2.5) <= 1.0
+
+
+def test_grouped_percentile_cont_matches_percentile_bitwise(spark):
+    """r15 distributed exact percentile (r14 verdict #1): the
+    collapse -> range-partitioned prefix sum -> broadcast rank probe
+    form must reproduce F.percentile BIT-FOR-BIT — same (n-1)*p
+    position, same (higher-position)*v_lo + (position-lower)*v_hi
+    interpolation order, same no-interpolation short-circuits — on
+    data with ties, NULL values, a NULL group key, and a 1-row group."""
+    import random
+
+    from comix_etl_spark.operators.profile import grouped_percentile_cont
+
+    random.seed(11)
+    rows = []
+    for g, n in (("a", 500), ("b", 37), (None, 9), ("one", 1)):
+        for _ in range(n):
+            v = (42.0 if g == "one"
+                 else random.choice([None, float(random.randint(0, 20)),
+                                     random.random() * 100]))
+            rows.append((g, v))
+    df = spark.createDataFrame(rows, "g string, v double")
+    probs = (0.0, 0.25, 0.5, 2.0 / 3, 0.95, 1.0)
+    old = {r[0]: tuple(r[1:]) for r in df.groupBy("g").agg(
+        *[F.percentile("v", F.lit(p)).alias(f"q{i}")
+          for i, p in enumerate(probs)]).collect()}
+    new = {r[0]: tuple(r[1:]) for r in
+           grouped_percentile_cont(df, "g", "v", probs).collect()}
+    for g, vals in old.items():
+        assert new[g] == vals  # exact float equality, not approx
 
 
 def test_corr_matrix_matches_numpy(spark):

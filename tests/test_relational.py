@@ -444,3 +444,44 @@ def test_logreg_train_empty_input_raises(spark):
     empty = spark.range(0).select(F.col("id").cast("double").alias("x"))
     with pytest.raises(ValueError, match="empty input"):
         logreg_train(empty, F.col("x") > 0, [F.col("x")])
+
+
+# ---------------------------------------------------------------------------
+# grouped_running_sum (r15)
+# ---------------------------------------------------------------------------
+
+def test_grouped_running_sum_routes_match_window_form(spark):
+    """r15 scale-routed grouped prefix sum: the histogram-bucketed big
+    route (forced via a many-partition input) must reproduce the plain
+    per-group window cumsum exactly — including NULL group keys, tie
+    runs (collapsed first for a total order), skewed mass on one value,
+    and a degenerate all-equal group — and the carried per-group totals
+    must equal a plain groupBy sum."""
+    import random
+
+    from comix_etl_spark.operators.relational import grouped_running_sum
+
+    random.seed(5)
+    rows = []
+    for g, n in (("a", 3000), ("b", 400), (None, 50), ("eq", 200)):
+        for i in range(n):
+            v = 7.0 if g == "eq" else float(random.randint(0, 60))
+            rows.append((g, v, float(random.choice([1, 2, 5]))))
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    # collapse ties -> total order per (g, v), the callers' contract
+    agg = df.groupBy("g", "v").agg(F.sum("w").alias("w"))
+    wref = (Window.partitionBy("g").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    ref = {(r["g"], r["v"]): r["c"]
+           for r in agg.withColumn("c", F.sum("w").over(wref)).collect()}
+    reftot = {r["g"]: r["t"]
+              for r in agg.groupBy("g").agg(F.sum("w").alias("t")).collect()}
+    par = spark.sparkContext.defaultParallelism
+    for reparted, label in ((agg, "small"), (agg.repartition(par * 4), "big")):
+        out = grouped_running_sum(reparted, ["g"], "v", "w",
+                                  out_col="c", total_col="t")
+        got = {(r["g"], r["v"]): r["c"] for r in out.collect()}
+        assert got == ref, f"{label} route cumsum mismatch"
+        gtot = {r["g"]: r["t"]
+                for r in out.select("g", "t").distinct().collect()}
+        assert gtot == reftot, f"{label} route totals mismatch"
