@@ -3245,26 +3245,25 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     clip + re-aggregate; the big table shuffles once for each agg,
     never sorts).
 
-    EXACT-vs-APPROX ROUTING is AUTOMATIC since r10
-    (operators/profile.py::percentile_route — r9 advisory #1): exact
-    ``F.percentile`` cannot partial-aggregate — every value of a group
-    buffers in that group's single reducer aggregation buffer, so with
-    only 3 distinct ``l_returnflag`` values, 100× data funnels ~1/3 of
-    the table through each of 3 buffers. The operator measures the max
-    per-group volume with a count-only pre-pass and picks exact (fits
-    one task buffer — bit-exact quantile_cont semantics, which oracle
-    parity sees at test SF) or ``F.approx_percentile`` (bounded
-    partial-aggregating sketch; relative-error fences are fine for
-    clipping — that path is oracle-checked by
+    The fences are EXACT percentiles computed DISTRIBUTED since r15
+    (operators/profile.py::grouped_percentile_cont — r14 verdict #1):
+    value-collapse with map-side combine, range-partitioned per-group
+    prefix sum, broadcast rank probes, then Spark's own Percentile
+    interpolation arithmetic verbatim — bit-identical fences (oracle
+    parity sees quantile_cont values at test SF) with NO
+    one-buffer-per-group reducer and NO r10 count pre-pass job, at any
+    per-group volume. The r10 exact/approx routing this replaced is
+    still available for callers that want the sketch
+    (profile.percentile_route; oracle-checked by
     ``approx_percentiles_check``). See PLANS.md "Percentile routing"."""
-    from comix_etl_spark.operators.profile import percentile_route
+    from comix_etl_spark.operators.profile import grouped_percentile_cont
 
     t = _t(spark, sf_dir, "lineitem")
     li = t["lineitem"]
-    pct, _route = percentile_route(li, "l_returnflag")
-    fences = li.groupBy("l_returnflag").agg(
-        pct("l_extendedprice", F.lit(0.05)).alias("lo"),
-        pct("l_extendedprice", F.lit(0.95)).alias("hi"))
+    fences = (grouped_percentile_cont(li, "l_returnflag",
+                                      "l_extendedprice", (0.05, 0.95))
+              .select("l_returnflag", F.col("_q0").alias("lo"),
+                      F.col("_q1").alias("hi")))
     j = li.join(F.broadcast(fences), "l_returnflag")
     clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
     return (j.groupBy("l_returnflag")
@@ -4026,11 +4025,13 @@ def q_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated percentiles of extended price per return flag
     (operators/profile.py::grouped_percentiles) — the describe-a-measure
     profile the reference approximates with top-k counts
-    (comixcatalog_starter.zip!etl/etl.py:56-67). One aggregation pass.
-    Exact/approx routing is automatic inside the operator since r10
-    (percentile_route; r9 advisory #1) — at test SF the max group fits
-    the task buffer, so the exact route runs and DuckDB's
-    quantile_cont reproduces values bit-exactly."""
+    (comixcatalog_starter.zip!etl/etl.py:56-67). Since r15 the exact
+    route is DISTRIBUTED (grouped_percentile_cont: value-collapse with
+    map-side combine → range-partitioned per-group prefix sum →
+    broadcast rank probes → Spark's own Percentile interpolation
+    arithmetic) — no one-buffer-per-group reducer, no count pre-pass
+    job, and DuckDB's quantile_cont still reproduces values
+    bit-exactly (r14 verdict #1)."""
     from comix_etl_spark.operators.profile import grouped_percentiles
 
     t = _t(spark, sf_dir, "lineitem")
@@ -4761,29 +4762,32 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped or mis-binned.
 
     The global-percentile fence is the scale funnel of this shape
-    (every doc's score in ONE reducer buffer when exact), so it goes
-    through r10's automatic routing (operators/profile.py::
-    percentile_route over a constant group): exact while the corpus
-    fits a task buffer — which oracle parity sees at test SF — and the
-    bounded approx_percentile sketch beyond. Fences land strictly
+    (every doc's score in ONE reducer buffer when exact) — since r15
+    it runs through the DISTRIBUTED exact percentile
+    (operators/profile.py::grouped_percentile_cont over a constant
+    group, r14 verdict #1): value-collapse + range-partitioned prefix
+    sum + broadcast rank probes with Spark's own Percentile
+    interpolation arithmetic, bit-identical fences at any corpus size
+    and no r10 routing pre-pass job. Fences land strictly
     between adjacent order statistics (or exactly ON a tied one), so
     the >= comparisons are robust to fence-interpolation LSB noise.
     One token explode feeds the LM aggregates; scores are one slim
     row per doc; fences broadcast back as a 1-row cross join."""
-    from comix_etl_spark.operators.profile import percentile_route
+    from comix_etl_spark.operators.profile import grouped_percentile_cont
     from comix_etl_spark.operators.textstats import bigram_lm_scores
 
     t = _t(spark, sf_dir, "documents")
-    # pin the slim (doc_id, n_bigrams, score) frame ONCE: three
-    # consumers (route pre-pass, fences, labeled output) would each
-    # re-run the bigram explode + two model joins otherwise — the r9
-    # multi-consumed-frame lesson (hamming_fp_dedup's checkpoint)
+    # pin the slim (doc_id, n_bigrams, score) frame ONCE: the fence
+    # machinery and the labeled output would each re-run the bigram
+    # explode + two model joins otherwise — the r9 multi-consumed-frame
+    # lesson (hamming_fp_dedup's checkpoint)
     s = (bigram_lm_scores(t["documents"], "doc_id", "text")
          .localCheckpoint(eager=True))
     scored = s.filter(F.col("n_bigrams") > 0)
-    pct, _route = percentile_route(scored.withColumn("_g", F.lit(1)), "_g")
-    fences = scored.agg(pct("lm_score_e6", F.lit(2.0 / 3)).alias("_hi"),
-                        pct("lm_score_e6", F.lit(1.0 / 3)).alias("_lo"))
+    fences = (grouped_percentile_cont(
+        scored.withColumn("_g", F.lit(1)), "_g", "lm_score_e6",
+        (2.0 / 3, 1.0 / 3))
+        .select(F.col("_q0").alias("_hi"), F.col("_q1").alias("_lo")))
     bucket = (F.when(F.col("lm_score_e6").isNull(), F.lit("unscored"))
               .when(F.col("lm_score_e6") >= F.col("_hi"), F.lit("head"))
               .when(F.col("lm_score_e6") >= F.col("_lo"), F.lit("middle"))
@@ -5383,8 +5387,6 @@ def q_minhash_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale this eval runs on a sample (ground truth is O(co-shingled
     pairs) by design); the operating point transfers because banding
     probability depends on s, not corpus size."""
-    from functools import reduce
-
     from comix_etl_spark.functions.text import shingles
 
     t = _t(spark, sf_dir, "documents")
@@ -5396,25 +5398,37 @@ def q_minhash_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = (D.minhash_signatures(d, "doc_id", "text", 16, 3, "md5")
             .localCheckpoint(eager=True))
 
-    def cand_for(n_bands: int) -> DataFrame:
-        rpb = 16 // n_bands
-        br = sigs.select("_id", F.explode(F.array(*[
-            F.struct(F.lit(bi).alias("band"),
+    # r15 (r14 verdict #4): band collisions via GROUP-AND-EXPAND — the
+    # ngram_jaccard_pairs shape the ground-truth arm below already uses
+    # — instead of three band-row self-joins: ALL THREE bandings'
+    # (bands, band, bucket) rows explode from one signature pass (28
+    # structs per row), ONE exchange groups them, and pairs expand
+    # inline in codegen from each bucket's sorted id list. Same pairs:
+    # within a (bands, band, bucket) group each _id appears once, so
+    # the sorted i<j expansion is exactly the a._id < b._id self-join
+    # output; the trailing distinct collapses multi-band collisions per
+    # banding as before. Plan: 1 Exchange (+ distinct) vs 3 × (2-sided
+    # self-join shuffle + distinct) — six exchanges fewer, no union.
+    structs = []
+    for nb in (4, 8, 16):
+        rpb = 16 // nb
+        structs += [
+            F.struct(F.lit(nb).alias("bands"), F.lit(bi).alias("band"),
                      F.md5(F.concat_ws("|", *[
                          F.col("signature")[bi * rpb + j]
                          for j in range(rpb)])).alias("bucket"))
-            for bi in range(n_bands)])).alias("bb")) \
-            .select("_id", "bb.band", "bb.bucket")
-        a, b = br.alias("a"), br.alias("b")
-        return (a.join(b, (F.col("a.band") == F.col("b.band"))
-                       & (F.col("a.bucket") == F.col("b.bucket"))
-                       & (F.col("a._id") < F.col("b._id")))
-                .select(F.lit(n_bands).alias("bands"),
-                        F.col("a._id").alias("id_a"),
-                        F.col("b._id").alias("id_b"))
-                .distinct())
-
-    cand = (reduce(DataFrame.unionByName, [cand_for(nb) for nb in (4, 8, 16)])
+            for bi in range(nb)]
+    br = (sigs.select("_id", F.explode(F.array(*structs)).alias("bb"))
+          .select("_id", "bb.bands", "bb.band", "bb.bucket"))
+    buckets = (br.groupBy("bands", "band", "bucket")
+               .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+               .filter(F.size("ids") >= 2))
+    band_pair = F.explode(F.flatten(F.expr(
+        "transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS id_a, y AS id_b)))")))
+    cand = (buckets.select("bands", band_pair.alias("p"))
+            .select("bands", "p.id_a", "p.id_b")
+            .distinct()
             .localCheckpoint(eager=True))   # consumed by stats AND tp
     # spread the ground-truth shingle scan: over the single-file sf
     # table the shingle transform + explode ran on ONE core (measured
@@ -6064,34 +6078,43 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation passes; the tiny per-group fences broadcast back onto
     the scan for the final conditional count.
 
-    EXACT-vs-APPROX ROUTING is AUTOMATIC since r10
-    (operators/profile.py::percentile_route — r9 advisory #1): exact
-    medians buffer every group value in one reducer buffer (3
-    l_returnflag groups ⇒ ~n/3 values each — a memory funnel at 100×).
-    The operator measures the max per-group volume and keeps exact
-    only while it fits a task buffer; else ``F.approx_percentile``
-    twice (MAD tolerates sketch error by construction — it feeds a
-    3-MAD threshold, not an exact rank). The route is decided ONCE on
-    the input — both median passes see the same per-group volume.
-    See PLANS.md "Percentile routing"."""
-    from comix_etl_spark.operators.profile import percentile_route
+    Both medians are EXACT and DISTRIBUTED since r15
+    (operators/profile.py::grouped_percentile_cont — r14 verdict #1):
+    value-collapse + range-partitioned prefix sum + broadcast rank
+    probes, interpolated with Spark's own Percentile arithmetic, so
+    the values are bit-identical to ``F.percentile`` with NO
+    one-buffer-per-group reducer (3 l_returnflag groups ⇒ ~n/3 values
+    per buffer at 100× — the funnel this removes) and NO r10 count
+    pre-pass job. See PLANS.md "Percentile routing"."""
+    from comix_etl_spark.operators.profile import grouped_percentile_cont
 
     t = _t(spark, sf_dir, "lineitem")
     li = t["lineitem"].select("l_returnflag",
                               F.col("l_extendedprice").alias("x"))
-    pct, _route = percentile_route(li, "l_returnflag")
-    med = li.groupBy("l_returnflag").agg(
-        pct("x", 0.5).alias("_med"))
-    mad = (li.join(F.broadcast(med), "l_returnflag")
-           .groupBy("l_returnflag")
-           .agg(pct(F.abs(F.col("x") - F.col("_med")), 0.5)
-                .alias("_mad"),
-                F.first("_med").alias("_med2")))
-    fences = mad.select("l_returnflag",
-                        F.round("_med2", 6).alias("median_price"),
-                        F.round("_mad", 6).alias("mad"),
-                        (F.col("_med2") + 3 * F.col("_mad")).alias("_hi"),
-                        (F.col("_med2") - 3 * F.col("_mad")).alias("_lo"))
+    from comix_etl_spark.operators.partitioning import probe_num_partitions
+
+    # probe the SCAN once and hand the verdict to both passes: the
+    # second pass's input embeds a broadcast join, and probing a plan
+    # with exchanges executes its non-result stages under AQE
+    small = (probe_num_partitions(li)
+             <= spark.sparkContext.defaultParallelism)
+    med = (grouped_percentile_cont(li, "l_returnflag", "x", (0.5,),
+                                   small_input=small)
+           .select("l_returnflag", F.col("_q0").alias("_med")))
+    dev = (li.join(F.broadcast(med), "l_returnflag")
+           .select("l_returnflag", "_med",
+                   F.abs(F.col("x") - F.col("_med")).alias("_dev")))
+    # _med rides the second pass via carry_first, so the med frame is
+    # referenced ONCE (inside dev) — not re-joined for the fences
+    madf = (grouped_percentile_cont(dev, "l_returnflag", "_dev", (0.5,),
+                                    carry_first=("_med",),
+                                    small_input=small)
+            .select("l_returnflag", "_med", F.col("_q0").alias("_mad")))
+    fences = madf.select("l_returnflag",
+                         F.round("_med", 6).alias("median_price"),
+                         F.round("_mad", 6).alias("mad"),
+                         (F.col("_med") + 3 * F.col("_mad")).alias("_hi"),
+                         (F.col("_med") - 3 * F.col("_mad")).alias("_lo"))
     return (li.join(F.broadcast(fences), "l_returnflag")
             .groupBy("l_returnflag", "median_price", "mad")
             .agg(F.sum(F.when((F.col("x") > F.col("_hi"))
@@ -6918,6 +6941,29 @@ SELECT query_id, vec_id, cosine_sim FROM (
 _IVFPQ_DET_CENTER_IDS = (90, 190, 290, 390)  # 4 fixed coarse centroids
 
 
+def _det_ivfpq_fixtures(emb: DataFrame):
+    """Det IVF-PQ fixtures — normalized coarse centers + residual
+    codebooks — in ONE collect job (r15, r14 verdict #5): the center
+    and codebook source rows ride a single isin scan instead of two
+    back-to-back driver jobs, then split driver-side. Row order and
+    arithmetic are identical to the former two collects (each was
+    orderBy(vec_id) over a disjoint id set)."""
+    import numpy as np
+
+    ids = sorted(set(_IVFPQ_DET_CENTER_IDS) | set(_IVF_DET_CENTROID_IDS))
+    rows = (emb.filter(F.col("vec_id").isin(*ids))
+            .select("vec_id", "embedding").collect())
+    by_id = {r[0]: r[1] for r in rows}
+    c = np.array([by_id[i] for i in sorted(_IVFPQ_DET_CENTER_IDS)],
+                 dtype=np.float64)
+    c = c / np.linalg.norm(c, axis=1)[:, None]
+    b = np.array([by_id[i] for i in sorted(_IVF_DET_CENTROID_IDS)],
+                 dtype=np.float64)
+    b = b / np.linalg.norm(b, axis=1)[:, None]
+    books = b.reshape(16, 8, 8).transpose(1, 0, 2)  # m=8, k=16, sub=8
+    return c, books
+
+
 def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN (similarity.py::ivf_pq_topk) — the COMPOSED
     billion-scale architecture: trained coarse centroids route each
@@ -6944,19 +6990,10 @@ def q_ann_ivf_pq_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     routing, the ⟨q,center⟩ + Σ lut ADC decomposition, the top-100
     candidate window, and the exact-cosine top-10. Det anchor for
     `ann_ivf_pq` (same code path, different center/codebook source)."""
-    import numpy as np
 
     t = _t(spark, sf_dir, "embeddings")
     emb = t["embeddings"]
-    crow = (emb.filter(F.col("vec_id").isin(*_IVFPQ_DET_CENTER_IDS))
-            .orderBy("vec_id").select("embedding").collect())
-    c = np.array([r[0] for r in crow], dtype=np.float64)
-    c = c / np.linalg.norm(c, axis=1)[:, None]
-    brow = (emb.filter(F.col("vec_id").isin(*_IVF_DET_CENTROID_IDS))
-            .orderBy("vec_id").select("embedding").collect())
-    b = np.array([r[0] for r in brow], dtype=np.float64)
-    b = b / np.linalg.norm(b, axis=1)[:, None]
-    books = b.reshape(16, 8, 8).transpose(1, 0, 2)  # m=8, k=16, sub=8
+    c, books = _det_ivfpq_fixtures(emb)  # m=8, k=16, sub=8
     queries = (emb.filter(F.col("vec_id").isin(0, 1, 2))
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     return S.ivf_pq_topk(emb, queries, centers=c, codebooks=books,
@@ -6979,19 +7016,10 @@ def q_ann_ivf_pq_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     `ann_ivf_pq_det` by construction, hash-checked by the same
     analytic oracle recomputing the entire route→encode→ADC→re-rank
     pipeline."""
-    import numpy as np
 
     t = _t(spark, sf_dir, "embeddings")
     emb = t["embeddings"]
-    crow = (emb.filter(F.col("vec_id").isin(*_IVFPQ_DET_CENTER_IDS))
-            .orderBy("vec_id").select("embedding").collect())
-    c = np.array([r[0] for r in crow], dtype=np.float64)
-    c = c / np.linalg.norm(c, axis=1)[:, None]
-    brow = (emb.filter(F.col("vec_id").isin(*_IVF_DET_CENTROID_IDS))
-            .orderBy("vec_id").select("embedding").collect())
-    b = np.array([r[0] for r in brow], dtype=np.float64)
-    b = b / np.linalg.norm(b, axis=1)[:, None]
-    books = b.reshape(16, 8, 8).transpose(1, 0, 2)  # m=8, k=16, sub=8
+    c, books = _det_ivfpq_fixtures(emb)  # m=8, k=16, sub=8
     queries = (emb.filter(F.col("vec_id").isin(0, 1, 2))
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     return S.ivf_pq_topk_distributed(emb, queries, centers=c,
@@ -7010,19 +7038,10 @@ def q_ann_ivf_pq_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers/codebooks — the result is IDENTICAL to ann_ivf_pq_det by
     construction, so the same analytic oracle hash-checks the whole
     store round-trip (write → prune → ADC → re-rank)."""
-    import numpy as np
 
     t = _t(spark, sf_dir, "embeddings")
     emb = t["embeddings"]
-    crow = (emb.filter(F.col("vec_id").isin(*_IVFPQ_DET_CENTER_IDS))
-            .orderBy("vec_id").select("embedding").collect())
-    c = np.array([r[0] for r in crow], dtype=np.float64)
-    c = c / np.linalg.norm(c, axis=1)[:, None]
-    brow = (emb.filter(F.col("vec_id").isin(*_IVF_DET_CENTROID_IDS))
-            .orderBy("vec_id").select("embedding").collect())
-    b = np.array([r[0] for r in brow], dtype=np.float64)
-    b = b / np.linalg.norm(b, axis=1)[:, None]
-    books = b.reshape(16, 8, 8).transpose(1, 0, 2)
+    c, books = _det_ivfpq_fixtures(emb)
     queries = (emb.filter(F.col("vec_id").isin(0, 1, 2))
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     S.persist_ivf_pq_store(emb, c, books, "comix_ivfpq_store",
@@ -7044,19 +7063,10 @@ def q_ivfpq_store_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     check that catches it. Det centers ⇒ the oracle independently
     recomputes every vector's nearest-centroid assignment and the
     per-list tallies."""
-    import numpy as np
 
     t = _t(spark, sf_dir, "embeddings")
     emb = t["embeddings"]
-    crow = (emb.filter(F.col("vec_id").isin(*_IVFPQ_DET_CENTER_IDS))
-            .orderBy("vec_id").select("embedding").collect())
-    c = np.array([r[0] for r in crow], dtype=np.float64)
-    c = c / np.linalg.norm(c, axis=1)[:, None]
-    brow = (emb.filter(F.col("vec_id").isin(*_IVF_DET_CENTROID_IDS))
-            .orderBy("vec_id").select("embedding").collect())
-    b = np.array([r[0] for r in brow], dtype=np.float64)
-    b = b / np.linalg.norm(b, axis=1)[:, None]
-    books = b.reshape(16, 8, 8).transpose(1, 0, 2)
+    c, books = _det_ivfpq_fixtures(emb)
     S.persist_ivf_pq_store(emb, c, books, "comix_ivfpq_stats_store",
                            id_col="vec_id", vec_col="embedding")
     return (S.ivf_pq_store_stats(spark, "comix_ivfpq_stats_store")
@@ -7148,22 +7158,13 @@ def q_stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    import numpy as np
     from pyspark.sql import types as T
 
     from comix_etl_spark.streaming.windowed import run_stream_foreach_batch
 
     t = _t(spark, sf_dir, "embeddings")
     emb = t["embeddings"]
-    crow = (emb.filter(F.col("vec_id").isin(*_IVFPQ_DET_CENTER_IDS))
-            .orderBy("vec_id").select("embedding").collect())
-    c = np.array([r[0] for r in crow], dtype=np.float64)
-    c = c / np.linalg.norm(c, axis=1)[:, None]
-    brow = (emb.filter(F.col("vec_id").isin(*_IVF_DET_CENTROID_IDS))
-            .orderBy("vec_id").select("embedding").collect())
-    b = np.array([r[0] for r in brow], dtype=np.float64)
-    b = b / np.linalg.norm(b, axis=1)[:, None]
-    books = b.reshape(16, 8, 8).transpose(1, 0, 2)
+    c, books = _det_ivfpq_fixtures(emb)
     S.persist_ivf_pq_store(emb, c, books, "comix_ivfpq_store_stream",
                            id_col="vec_id", vec_col="embedding")
 
@@ -7206,19 +7207,10 @@ def q_ivf_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     as ann_recall_eval (LSH) and ivf_recall_eval (IVF). Deterministic
     end to end, so the oracle recomputes routing, residual encode,
     IVFADC, both top-10 sets, and the recall join."""
-    import numpy as np
 
     t = _t(spark, sf_dir, "embeddings")
     emb = t["embeddings"]
-    crow = (emb.filter(F.col("vec_id").isin(*_IVFPQ_DET_CENTER_IDS))
-            .orderBy("vec_id").select("embedding").collect())
-    c = np.array([r[0] for r in crow], dtype=np.float64)
-    c = c / np.linalg.norm(c, axis=1)[:, None]
-    brow = (emb.filter(F.col("vec_id").isin(*_IVF_DET_CENTROID_IDS))
-            .orderBy("vec_id").select("embedding").collect())
-    b = np.array([r[0] for r in brow], dtype=np.float64)
-    b = b / np.linalg.norm(b, axis=1)[:, None]
-    books = b.reshape(16, 8, 8).transpose(1, 0, 2)
+    c, books = _det_ivfpq_fixtures(emb)
     queries = (emb.filter(F.col("vec_id").isin(0, 1, 2, 3, 4))
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     ivfpq = S.ivf_pq_topk(emb, queries, centers=c, codebooks=books,
@@ -7484,7 +7476,15 @@ def q_audit_trail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _t(spark, sf_dir, "customer")
     cust = t["customer"]
-    n_cust = cust.count()
+    # ONE aggregation job supplies all three run counts (r15, r14
+    # verdict #7: the builder ran four sequential count jobs — full,
+    # positive-balance, and the short batch twice). The guardrail gate
+    # still runs, fed the precomputed count; the lifecycle (three
+    # separate appends, read-back, rollup) is unchanged.
+    n_cust, n_pos, n_short = cust.agg(
+        F.count(F.lit(1)),
+        F.count_if(F.col("c_acctbal") > 0),
+        F.count_if(F.col("c_custkey") % 100 == 0)).first()
     path = tempfile.mkdtemp(prefix="comix_audit_")
     shutil.rmtree(path, ignore_errors=True)  # append sink: start empty
 
@@ -7495,17 +7495,18 @@ def q_audit_trail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     run2 = EtlRun("marvel", run_id=2)
     run2.records_read = n_cust
-    run2.records_loaded = cust.filter(F.col("c_acctbal") > 0).count()
+    run2.records_loaded = n_pos
     run2.finish("FAILED", notes="validation: negative balances rejected") \
         .append_to(spark, path)
 
     run3 = EtlRun("comicvine", run_id=3)
     short_batch = cust.filter(F.col("c_custkey") % 100 == 0)
     try:
-        run3.records_loaded = batch_guardrail(short_batch, expected=n_cust)
+        run3.records_loaded = batch_guardrail(short_batch, expected=n_cust,
+                                              n_rows=n_short)
         run3.finish("SUCCESS")
     except ValueError:
-        run3.records_read = short_batch.count()
+        run3.records_read = n_short
         run3.finish("FAILED", notes="guardrail: batch below 80% of expected")
     run3.append_to(spark, path)
 
@@ -8262,7 +8263,6 @@ def q_hybrid_store_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fusion, hash-checking the whole build → probe → fuse lifecycle.
     At 100 TB each query costs a bounded postings read plus ~nprobe/C
     of the PQ index — neither corpus is scanned."""
-    import numpy as np
 
     from comix_etl_spark.operators import textstats as TS
 
@@ -8276,15 +8276,7 @@ def q_hybrid_store_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = lex_top.select("doc_id", F.row_number().over(wl).alias("lex_rank"))
 
     emb = t["embeddings"]
-    crow = (emb.filter(F.col("vec_id").isin(*_IVFPQ_DET_CENTER_IDS))
-            .orderBy("vec_id").select("embedding").collect())
-    c = np.array([r[0] for r in crow], dtype=np.float64)
-    c = c / np.linalg.norm(c, axis=1)[:, None]
-    brow = (emb.filter(F.col("vec_id").isin(*_IVF_DET_CENTROID_IDS))
-            .orderBy("vec_id").select("embedding").collect())
-    b = np.array([r[0] for r in brow], dtype=np.float64)
-    b = b / np.linalg.norm(b, axis=1)[:, None]
-    books = b.reshape(16, 8, 8).transpose(1, 0, 2)
+    c, books = _det_ivfpq_fixtures(emb)
     queries = (emb.filter(F.col("vec_id") == 7)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     S.persist_ivf_pq_store(emb, c, books, "comix_hybrid_ivfpq_store",
@@ -9488,23 +9480,28 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted median per group — the robust-statistics primitive
     plain percentile() lacks (each row counts with its weight): the
     smallest price whose cumulative QUANTITY reaches half the group
-    total. One shuffle on the group key; the cumulative crossing rides
-    an in-partition window (each return flag is one partition's sorted
-    run), and the half-total comes from a window total, not a second
-    scan. Quantities are integral doubles, so the crossing point — and
-    therefore the output — is engine-exact."""
+    total. Quantities are integral doubles held in DECIMAL, so the
+    crossing point — and therefore the output — is engine-exact.
+
+    r15 (r14 verdict #1 family): the per-group cumulative no longer
+    rides a one-task-per-group window — it runs through the
+    histogram-balanced grouped prefix sum
+    (relational.grouped_running_sum): each return flag's sorted run is
+    split into count-balanced contiguous price ranges whose preceding
+    totals come analytically from a bucket histogram, so the window
+    cumsum parallelizes across (group, split) at any volume. Safe for
+    the crossing rule: equal prices always share a split, and min over
+    crossing rows is invariant to intra-tie order (the last row of a
+    tie-run crosses whenever any does). The half-total rides the same
+    stats pass — never a separate scan."""
+    from comix_etl_spark.operators.relational import grouped_running_sum
+
     t = _t(spark, sf_dir, "lineitem")
     li = t["lineitem"].select("l_returnflag", "l_extendedprice",
                               F.col("l_quantity").cast("decimal(18,4)")
                               .alias("_w"))
-    wq = (Window.partitionBy("l_returnflag")
-          .orderBy("l_extendedprice")
-          .rowsBetween(Window.unboundedPreceding, 0))
-    wt = Window.partitionBy("l_returnflag")
-    cum = li.select(
-        "l_returnflag", "l_extendedprice",
-        F.sum("_w").over(wq).alias("_cum"),
-        F.sum("_w").over(wt).alias("_tot"))
+    cum = grouped_running_sum(li, ["l_returnflag"], "l_extendedprice",
+                              "_w", out_col="_cum", total_col="_tot")
     return (cum.filter(F.col("_cum") * 2 >= F.col("_tot"))
             .groupBy("l_returnflag")
             .agg(F.min("l_extendedprice").alias("weighted_median_price"),
@@ -9685,10 +9682,19 @@ def q_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a single exchange of ~len/16 boundary rows, not the corpus).
     The integer rule is engine-reproducible, so the DuckDB oracle
     recomputes identical chunks. Reported: corpus chunk count,
-    distinct chunk count, duplicated-chunk ppm, mean chunk length."""
+    distinct chunk count, duplicated-chunk ppm, mean chunk length.
+
+    r15: the slim (doc_id, text) projection goes through
+    spread_small_scan first — the per-char decode + boundary-scan
+    array exprs are the whole cost of this query and ran on ONE core
+    over the single-split test table (guide §2.5 input skew; no-op at
+    real split counts)."""
+    from comix_etl_spark.operators.partitioning import spread_small_scan
+
     t = _t(spark, sf_dir, "documents")
-    d = (t["documents"].filter(F.length("text") >= 8)
-         .select("doc_id", F.col("text").alias("_tx")))
+    d = spread_small_scan(
+        t["documents"].filter(F.length("text") >= 8)
+        .select("doc_id", F.col("text").alias("_tx")))
     starts = (
         "concat(array(1), filter(transform("
         " zip_with("
