@@ -1516,6 +1516,16 @@ def majority_fingerprint(fps: DataFrame, *, id_col: str = "media_id",
     (undecodable frames) don't vote; items with ZERO decodable parts
     are dropped (no fingerprint to elect with).
     """
+    # r14 advice: the SQL-string rewrite narrowed the valid n_bits
+    # range vs the old Column loop — n_bits=0 would build F.expr("")
+    # (ParseException) and n_bits>=64 emits an unparseable `1<<63`L
+    # literal; a backtick in fp_col would break the quoted identifier.
+    # Validate up front with clear errors instead of a parser stack.
+    if not 1 <= n_bits <= 63:
+        raise ValueError(f"n_bits must be in [1, 63] (one sign-free bit "
+                         f"per BIGINT), got {n_bits}")
+    if "`" in fp_col:
+        raise ValueError(f"fp_col must not contain a backtick: {fp_col!r}")
     # expressions are built as SQL strings parsed ONCE per column:
     # the previous Column-API loop (63 sum/shift/AND aggregates plus a
     # 63-deep when-chain projection) made ~700 py4j round-trips per

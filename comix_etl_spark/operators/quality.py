@@ -50,13 +50,17 @@ def duplicate_key_count(df: DataFrame, key: Sequence[str]) -> DataFrame:
     )
 
 
-def batch_guardrail(batch: DataFrame, expected: int, threshold: float = 0.8) -> int:
+def batch_guardrail(batch: DataFrame, expected: int, threshold: float = 0.8,
+                    *, n_rows: int | None = None) -> int:
     """The 80% rule: abort (raise) if the batch is short of expectations.
 
     Driver-side gate before a merge — a deliberate action (count), run
-    once per batch, not per row.
+    once per batch, not per row. ``n_rows`` (r15) lets a caller that
+    already counted the batch in a wider aggregate pass the number in
+    instead of paying a second count job — the gate logic is unchanged
+    and a wrong precomputed count is the caller's contract violation.
     """
-    n = batch.count()
+    n = n_rows if n_rows is not None else batch.count()
     if expected > 0 and n < threshold * expected:
         raise ValueError(f"guardrail: batch has {n} rows < {threshold:.0%} of expected {expected}")
     return n

@@ -329,18 +329,20 @@ def kmeans_fit(corpus: DataFrame, *, vec_col: str = "embedding", k: int = 8,
     Returns (centers ndarray k × dim, assigned DataFrame with
     ``cluster_id``).
     """
-    first = corpus.select(vec_col).first()
-    if first is None:
-        raise ValueError("kmeans_fit: empty corpus")
     # spread ONCE before the loop (all columns — callers consume the
     # returned assignment); every iteration's assign + posexplode stage
     # inherits the width, no per-round repartition
     corpus = spread_small_scan(corpus).localCheckpoint(eager=False)
     # deterministic init: k centroids from a hash-ordered bounded sample
-    # (same driver-small contract as train_ivf_centroids)
+    # (same driver-small contract as train_ivf_centroids). The sample
+    # collect doubles as the emptiness probe (r15 — the former separate
+    # first() was one whole extra job per fit) and materializes the
+    # lazy checkpoint for the iteration loop.
     rows = (corpus.select(vec_col)
             .orderBy(F.xxhash64(F.col(vec_col).cast("array<double>")))
             .limit(init_sample).collect())
+    if not rows:
+        raise ValueError("kmeans_fit: empty corpus")
     x = np.array([r[0] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     centers = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
@@ -1438,7 +1440,13 @@ def kcenter_sample(df: DataFrame, *, id_col: str = "vec_id",
         m_hi = max(2 * batch, 128)
         cur = src.withColumn("_md", _dist(list(seed[0]._v)))
         while len(chosen) < k:
-            cur = cur.localCheckpoint(eager=True)
+            # LAZY checkpoint (r15): the round's TakeOrdered collect
+            # below materializes the blocks as a side effect, so the
+            # running representation stays pinned/incremental (O(k)
+            # center evaluations) at HALF the jobs per round — eager
+            # spent a separate count-style materialization job first
+            # (r14 verdict #6: per-round driver jobs dominate small k)
+            cur = cur.localCheckpoint(eager=False)
             if use_bundles:
                 # exclusion by broadcast ANTI-join, not isin: at
                 # curation k (1024+) the per-round isin rebuilt a
@@ -1563,7 +1571,10 @@ def kcenter_sample(df: DataFrame, *, id_col: str = "vec_id",
         spark = df.sparkSession
         cur = src.withColumn("_md", _dist(list(seed[0]._v)))
         for _ in range(1, k):
-            cur = cur.localCheckpoint(eager=True)
+            # LAZY checkpoint (r15): materialized by the round's
+            # TakeOrdered(1) collect — same pinned incremental _md,
+            # one job per round instead of two (r14 verdict #6)
+            cur = cur.localCheckpoint(eager=False)
             if use_bundles:
                 chosen_ids = spark.createDataFrame(
                     [(c[0],) for c in chosen], "_id long")

@@ -233,3 +233,39 @@ def test_bucketed_write_lands_one_file_per_bucket(spark):
         assert spark.table("bt_onefile").count() == 5_000
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_onefile")
+
+
+def test_bucketed_write_files_per_bucket_factor(spark):
+    """r15 skew guard (r14 verdict #8): files_per_bucket=k widens the
+    pre-shuffle to k*n_buckets tasks while every output partition still
+    holds rows of exactly one bucket (n divides k*n, so h % k*n and
+    h % n agree mod n) — the store lands as <= k*n_buckets data files,
+    more than n_buckets (parallelism restored), and reads back intact."""
+    import glob
+    import os
+
+    from comix_etl_spark.sinks.writers import clear_orphan_table_dir
+
+    clear_orphan_table_dir(spark, "bt_kfiles", "overwrite")
+    rows = spark.range(0, 5_000).repartition(16).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    try:
+        save_bucketed_table(rows, "bt_kfiles", ["k"], 4, sort_cols=["k"],
+                            files_per_bucket=3)
+        loc = (spark.sql("DESCRIBE TABLE EXTENDED bt_kfiles")
+               .filter(F.col("col_name") == "Location")
+               .first().data_type)
+        files = glob.glob(os.path.join(loc.replace("file:", ""), "*.parquet"))
+        # <= because an empty shuffle partition writes no file; > n_buckets
+        # proves the parallelism ceiling actually lifted
+        assert 4 < len(files) <= 12, sorted(os.path.basename(f) for f in files)
+        # spark bucket filenames encode the bucket id as _0000N; every
+        # file must carry exactly one bucket id and each bucket <= 3 files
+        import collections
+        per_bucket = collections.Counter(
+            os.path.basename(f).split("_")[-1].split(".")[0][:6]
+            for f in files)
+        assert all(c <= 3 for c in per_bucket.values()), per_bucket
+        assert spark.table("bt_kfiles").count() == 5_000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_kfiles")
