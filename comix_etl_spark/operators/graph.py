@@ -132,6 +132,12 @@ def _pagerank_rounds(edges: DataFrame, src: str, dst: str,
         ranks = (nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
                  .crossJoin(F.broadcast(dm))
                  .select(*keep, update.alias("rank"))
+                 # eager, deliberately (re-tested r15): a LAZY chain
+                 # still pays one toRdd planning/codegen pass per round
+                 # at build and then cascades the same work at the
+                 # action — measured NO win over the eager job per
+                 # round (3.42 -> 3.61 s), so the simpler eager form
+                 # stays
                  .localCheckpoint(eager=True))
     return ranks.select("node", "rank")
 

@@ -5391,12 +5391,12 @@ def q_minhash_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _t(spark, sf_dir, "documents")
     d = t["documents"]
-    # ONE signature computation feeds all three bandings (the
-    # signature agg is the expensive stage — 16 md5 min-aggregates
-    # over the shingle postings; recomputing it per config tripled
-    # the query's cost in the sf0.1 smoke)
-    sigs = (D.minhash_signatures(d, "doc_id", "text", 16, 3, "md5")
-            .localCheckpoint(eager=True))
+    # ONE signature computation feeds all three bandings; since the
+    # r15 group-and-expand below consumes it in a SINGLE pass, the r13
+    # checkpoint that pinned it for three self-joins is gone — the
+    # signature agg flows straight into the banding explode (one fewer
+    # materialization job)
+    sigs = D.minhash_signatures(d, "doc_id", "text", 16, 3, "md5")
 
     # r15 (r14 verdict #4): band collisions via GROUP-AND-EXPAND — the
     # ngram_jaccard_pairs shape the ground-truth arm below already uses
@@ -5429,7 +5429,9 @@ def q_minhash_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (buckets.select("bands", band_pair.alias("p"))
             .select("bands", "p.id_a", "p.id_b")
             .distinct()
-            .localCheckpoint(eager=True))   # consumed by stats AND tp
+            # LAZY pin: consumed by stats AND tp — the first consumer's
+            # job materializes the blocks; eager spent a whole extra job
+            .localCheckpoint(eager=False))
     # spread the ground-truth shingle scan: over the single-file sf
     # table the shingle transform + explode ran on ONE core (measured
     # r14: 4.5 of the query's ~7 s; the signature arm already spreads
@@ -5453,15 +5455,18 @@ def q_minhash_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     common = (lists.select(pair_expr.alias("p")).select("p.id_a", "p.id_b")
               .groupBy("id_a", "id_b")
               .agg(F.count(F.lit(1)).cast("long").alias("nc")))
+    # sizes is one slim row per doc — broadcast both attach joins so
+    # the (possibly large) co-shingled pair frame never shuffles for
+    # them (r15; they planned as shuffled joins before)
     truth = (common
-             .join(sizes.select(F.col("_id").alias("id_a"),
-                                F.col("n_sh").alias("na")), "id_a")
-             .join(sizes.select(F.col("_id").alias("id_b"),
-                                F.col("n_sh").alias("nb")), "id_b")
+             .join(F.broadcast(sizes.select(F.col("_id").alias("id_a"),
+                                            F.col("n_sh").alias("na"))), "id_a")
+             .join(F.broadcast(sizes.select(F.col("_id").alias("id_b"),
+                                            F.col("n_sh").alias("nb"))), "id_b")
              .filter(F.lit(10) * F.col("nc")
                      >= F.lit(3) * (F.col("na") + F.col("nb") - F.col("nc")))
              .select("id_a", "id_b")
-             .localCheckpoint(eager=True))  # consumed by stats AND tp
+             .localCheckpoint(eager=False))  # lazy pin — same as cand
     n_cand = (cand.groupBy("bands")
               .agg(F.count(F.lit(1)).cast("long").alias("n_cand")))
     n_tp = (cand.join(truth, ["id_a", "id_b"]).groupBy("bands")

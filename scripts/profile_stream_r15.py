@@ -55,7 +55,7 @@ def main() -> None:
                  .trigger(availableNow=True).start())
             q.awaitTermination()
         t2 = time.perf_counter()
-        prog = [json.loads(p) for p in q.recentProgress]
+        prog = [json.loads(p.json) for p in q.recentProgress]
         batches = [{
             "batchId": p.get("batchId"),
             "durationMs": p.get("durationMs"),
